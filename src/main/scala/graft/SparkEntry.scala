@@ -37,6 +37,18 @@ object SparkEntry {
     "q17_cdc_merge"        -> (Reports.q17CdcMerge _),
     "q18_events_hourly"    -> (Reports.q18EventsHourly _),
     "q19_events_json"      -> (Reports.q19EventsJson _),
+    "q20_dedup_exact"      -> (Curation.q20DedupExact _),
+    "q21_dedup_ngram_jaccard" -> (Curation.q21DedupNgram _),
+    "q22_dedup_minhash_lsh" -> (Curation.q22DedupMinhash _),
+    "q23_dedup_simhash"    -> (Curation.q23DedupSimhash _),
+    "q24_embed_knn"        -> (Curation.q24EmbedKnn _),
+    "q25_embed_ann_lsh"    -> (Curation.q25EmbedAnnLsh _),
+    "q26_embed_near_dup"   -> (Curation.q26EmbedNearDup _),
+    "q27_text_langid"      -> (Curation.q27TextLangId _),
+    "q28_text_quality"     -> (Curation.q28TextQuality _),
+    "q29_token_freq"       -> (Curation.q29TokenFreq _),
+    "q30_fingerprint"      -> (Curation.q30Fingerprint _),
+    "q31_media_features"   -> (Curation.q31MediaFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -195,5 +207,130 @@ object SparkEntry {
         | CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_k,
         | count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q23_dedup_simhash has NO oracle on purpose: simhash is an
+    // approximate-recall method (Hamming-banding contract), and its
+    // xxhash64 bit math is not SQL-expressible — rows-only check.
+    "q21_dedup_ngram_jaccard" -> ngramJaccardSql,
+    "q22_dedup_minhash_lsh"   -> ngramJaccardSql,
+    "q24_embed_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+        |   FROM q JOIN c ON query_id <> neighbor_id),
+        | dots AS (SELECT query_id, neighbor_id,
+        |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+        |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+        |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+        |  FROM flat GROUP BY 1,2),
+        | scored AS (SELECT query_id, neighbor_id,
+        |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+        |  FROM dots),
+        | ranked AS (SELECT query_id, neighbor_id, cos,
+        |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+        |ORDER BY 1, 4""".stripMargin,
+    "q26_embed_near_dup" ->
+      """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),
+        | e2 AS (SELECT vec_id AS b, embedding AS bv FROM embeddings),
+        | flat AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM e1 JOIN e2 ON a < b),
+        | dots AS (SELECT a, b,
+        |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+        |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+        |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+        |  FROM flat GROUP BY 1,2)
+        |SELECT a, b, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+        |FROM dots
+        |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "q27_text_langid" -> langIdSql,
+    "q28_text_quality" -> qualitySql,
+    "q29_token_freq" ->
+      """SELECT token, count(*) AS freq FROM (
+        | SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |   x -> len(x) > 0)) AS token FROM documents) t
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0))), ' ')) AS fp
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q31_media_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | CAST(64 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+        | CAST(64 + (octet_length(CAST(text AS BLOB)) // 2) % 480 AS INT) AS height,
+        | lower(substring(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex
+        |FROM documents ORDER BY 1""".stripMargin,
   )
+
+  /** Exact word-trigram Jaccard pairs ≥ 0.8 — the oracle for the
+    * n-gram dedup AND for MinHash-LSH (32 bands × 4 rows makes LSH
+    * candidate recall ≈ 1 at τ=0.8, and the exact-Jaccard verification
+    * filter makes precision exact, so both agree). */
+  private val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      | grams AS (SELECT DISTINCT doc_id,
+      |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+      |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+      | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+      | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2)
+      |SELECT i.a, i.b,
+      | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+      |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+      |ORDER BY 1, 2""".stripMargin
+
+  /** SQL occurrence count of a literal marker via the replace-length
+    * trick — mirrors [[graft.operators.TextAnalysis.occurrences]]. */
+  private def occSql(padded: String, m: String): String = {
+    val esc = m.replace("'", "''")
+    s"CAST((len($padded) - len(replace($padded, '$esc', ''))) / ${m.length} AS INT)"
+  }
+
+  private def langScoreSql(lang: String): String =
+    graft.operators.TextAnalysis.langMarkers(lang)
+      .map(occSql("p", _)).mkString("(", " + ", ")")
+
+  private val langIdSql: String = {
+    val langs = graft.operators.TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCte = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+    // first language (alphabetical) whose score >= all later ones —
+    // identical to the strict-> fold in TextAnalysis.langId
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"""WITH padded AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+       | scores AS (SELECT doc_id, lang, $scoreCte FROM padded)
+       |SELECT doc_id,
+       | CASE $cases ELSE '${langs.last}' END AS pred_lang,
+       | lang AS tagged_lang
+       |FROM scores ORDER BY 1""".stripMargin
+  }
+
+  private val qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+       |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       | m AS (SELECT doc_id,
+       |   CAST(len(text) AS INT) AS n_chars,
+       |   CAST(len(toks) AS INT) AS n_tokens,
+       |   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |   CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_len,
+       |   ${langScoreSql("en")} AS stopword_hits
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_tokens, n_distinct,
+       | round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+       | round(CAST(total_len AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+       | stopword_hits,
+       | round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       | round(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) * 0.4
+       |   + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.3 ELSE 0.0 END)
+       |   + (CASE WHEN round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+       |FROM m ORDER BY 1""".stripMargin
 }

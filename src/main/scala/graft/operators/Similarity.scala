@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the exact
+  * baseline) and random-hyperplane LSH bucketing (the scale path), plus
+  * embedding-cosine near-duplicate pairs. Pure DataFrame/HOF programs —
+  * dot products run inside whole-stage codegen via `zip_with` +
+  * `aggregate`, no UDFs.
+  *
+  * Numeric discipline: element products are computed in double (IEEE —
+  * identical on any engine) and accumulated as DECIMAL(38,12), so dot
+  * products are exact and order-independent; the final cosine is one
+  * double division + round(6). This makes results hash-comparable to a
+  * SQL oracle and invariant to partitioning.
+  *
+  * Scale design (billions of vectors): brute force is O(Q×N) — fine
+  * for a broadcast query set against a partitioned corpus (no
+  * shuffle; each partition scores its slice and a final top-k
+  * merges). The LSH variant buckets corpus+queries by `bands`
+  * sign-pattern keys so each query only meets its bucket collisions —
+  * the standard recall/cost trade; both share the same scorer.
+  */
+object Similarity {
+
+  /** Exact decimal dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(28,12)")),
+      lit(0).cast("decimal(38,12)"),
+      // re-cast: decimal + decimal widens the type, but HOF aggregate
+      // requires merge output == accumulator type exactly
+      (acc, v) => (acc + v).cast("decimal(38,12)"))
+
+  /** Squared L2 norm, exact decimal. */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine similarity (double, rounded to 6 dp) from exact decimal
+    * dot/norm building blocks — deterministic across engines. */
+  def cosine(a: Column, b: Column): Column =
+    round(
+      dotExact(a, b).cast("double") /
+        (sqrt(norm2Exact(a).cast("double")) *
+          sqrt(norm2Exact(b).cast("double"))), 6)
+
+  /** Brute-force exact top-k cosine neighbors of each query vector.
+    * `queries` is expected to be small (it is broadcast); the corpus
+    * streams partition-parallel with no shuffle until the final
+    * window. Self-matches (same id) are excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): xxhash64 mapped to [-1, 1]. No RNG — reproducible across
+    * runs and engines. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-pattern LSH key over `planes` random hyperplanes, grouped
+    * into one bucket id. */
+  def lshKey(vec: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      when(aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Approximate top-k: queries meet only corpus vectors sharing one
+    * of `tables` LSH bucket keys; exact cosine on the candidates.
+    * Recall < 1 by construction; raise `tables`/lower `planes` to
+    * trade cost for recall. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 12, tables: Int = 4): DataFrame = {
+    def keyed(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+        explode(array((0 until tables).map { t =>
+          // table-salted key: fold table id into the plane index base
+          (0 until planes).map { j =>
+            when(aggregate(
+              zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+                (x, i) => x.cast("double") *
+                  planeComponent(t * planes + j, i)),
+              lit(0.0), (acc, v) => acc + v) >= 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ bitwiseOR _) + lit(t.toLong << 32)
+        }: _*)).as(s"${id}_bk"))
+    val q = keyed(queries, "query_id")
+    val c = keyed(corpus, "neighbor_id")
+    val cand = q.join(c,
+        col("query_id_bk") === col("neighbor_id_bk") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .distinct()
+    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rk").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
+    * Exact for moderate corpora; at scale swap the pair generator for
+    * the LSH bucketing above (same scorer). */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("a"), col(vecCol).as("av"))
+    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

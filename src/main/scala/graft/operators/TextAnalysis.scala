@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token statistics, document fingerprinting. All are
+  * per-row scalar pipelines (zero shuffle except final aggregations) —
+  * the shapes that run over every document of a 100 TB corpus, so they
+  * must stay inside whole-stage codegen: only `functions._`
+  * combinators, no UDFs.
+  *
+  * Every formula here is engine-portable (length/replace/split
+  * arithmetic — identical semantics in any SQL engine), so results are
+  * oracle-checkable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Occurrence count of `marker` in `c` via the replace-length trick
+    * (portable across engines, codegen'd). */
+  def occurrences(c: Column, marker: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), "")))
+      / marker.length).cast("int")
+
+  /** Stopword markers per language for the n-gram/stopword heuristic
+    * language scorer. Padded with spaces so only whole words match. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " a "),
+    "de" -> Seq(" der ", " und ", " die ", " das "),
+    "fr" -> Seq(" le ", " et ", " la ", " les "),
+    "es" -> Seq(" el ", " y ", " los ", " de "),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  /** Per-language stopword-hit score of a text column. */
+  def langScore(textCol: Column, lang: String): Column =
+    langMarkers(lang).map(m =>
+      occurrences(concat(lit(" "), lower(textCol), lit(" ")), m))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword scores, deterministic
+    * tie-break by language code. Returns a struct-free label column. */
+  def langId(textCol: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    // fold: keep (bestScore, bestLang); strict > keeps earlier (alphabetical) on tie
+    langs.tail.foldLeft(
+      struct(langScore(textCol, langs.head).as("s"),
+        lit(langs.head).as("l"))) { (best, lang) =>
+      val sc = langScore(textCol, lang)
+      when(sc > best.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+        .otherwise(best)
+    }.getField("l")
+  }
+
+  /** Whitespace token array (lower-cased). */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), " "), t => length(t) > 0)
+
+  /** Quality metrics: token count, distinct-token ratio, mean token
+    * length, stopword ratio — the standard cheap filters a pretraining
+    * pipeline applies before anything expensive. All double math is
+    * derived from exact integer counts then rounded, so it is
+    * engine-deterministic. */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nDistinct = size(array_distinct(t))
+    val totalLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val stopHits = langScore(col(textCol), "en")
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
+      round(totalLen.cast("double") / nTok, 6).as("mean_token_len"),
+      stopHits.as("stopword_hits"),
+      round(stopHits.cast("double") / nTok, 6).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,0.9]: blend of distinct-ratio and a
+    * length sweet-spot. The 0.4 weight is deliberate: multiplying a
+    * 6-dp value by 0.4 makes the 7th decimal digit even, so round(…,6)
+    * never sits on a .5 boundary (a ×0.5 weight does, and engines
+    * disagree on double half-boundary rounding). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityMetrics(df, idCol, textCol).withColumn("quality",
+      round(
+        (col("distinct_ratio") * 0.4) +
+          (when(col("n_tokens") >= 20 && col("n_tokens") <= 200, 0.3)
+            .otherwise(0.0)) +
+          (when(col("stopword_ratio") > 0.01, 0.2).otherwise(0.0)), 6))
+
+  /** Corpus token frequencies (the BPE-ish regex keeps alnum runs):
+    * one explode + one count shuffle; at 100 TB this is the classic
+    * word-count with map-side partial aggregation. */
+  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  /** Canonical content fingerprint: digest of the sorted distinct
+    * token set — catches shuffled/reordered copies that exact dedup
+    * misses. Per-row, zero shuffle. */
+  def fingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(textCol)))))
+
+  /** Order-sensitive rolling hash over tokens (xxhash64 chaining —
+    * no overflow under ANSI mode), per-row — the winnowing-style
+    * signal that complements the order-invariant [[fingerprint]]. */
+  def rollingHash(textCol: Column): Column =
+    aggregate(tokens(textCol), lit(0L), (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash — all pure DataFrame
+  * programs (codegen'd built-ins, no UDFs).
+  *
+  * Scale design (100 TB corpora):
+  *  - Exact dedup is a single hash-aggregate on a digest — one shuffle
+  *    of (digest, id), never of the text itself.
+  *  - Shingle self-joins are the scale hazard: common shingles create
+  *    quadratic bucket blowup. `maxShingleDf` drops shingles occurring
+  *    in more than N docs (standard stop-shingle removal) which bounds
+  *    every bucket's fan-out; candidate verification is a pair-key
+  *    aggregation, not a cross join.
+  *  - MinHash signatures are computed per-row with higher-order
+  *    functions (zero shuffle), then banded: a doc emits `bands` keys,
+  *    and only same-band collisions meet in a shuffle. For τ=0.8 with
+  *    128 hashes as 32 bands × 4 rows, P[candidate | j=0.8] ≈ 1−5e−8.
+  *  - SimHash is computed entirely per-row (an aggregate expression
+  *    per bit over the shingle array — no explode, no shuffle), then
+  *    candidates come from 4×16-bit chunk banding, which finds every
+  *    pair with Hamming distance ≤ 3 exactly (pigeonhole).
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles of `textCol` as an array column. */
+  def shingleArray(textCol: Column, n: Int): Column = {
+    val w = split(textCol, " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+        i => when(i + n <= size(w), concat_ws(" ", slice(w, i + 1, lit(n))))),
+      g => g.isNotNull))
+  }
+
+  /** Exact duplicate groups by content digest: (digest, group size,
+    * kept id = min). At scale only the 16-byte digest shuffles. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** Per-doc distinct shingles, exploded: (id, shingle). Shingles with
+    * document frequency > `maxShingleDf` are dropped (stop-shingle
+    * removal) to bound join fan-out at corpus scale. */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), n)).as("g"))
+    if (maxShingleDf == Long.MaxValue) g
+    else {
+      val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select(col("g"))
+      g.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+  }
+
+  /** All pairs (a < b) with exact n-gram Jaccard ≥ `minJaccard`.
+    * One shuffle on shingle, one pair-key aggregation; set sizes
+    * joined in at the end. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol, n)
+    jaccardOfPairs(grams, allPairsOf(grams), minJaccard)
+  }
+
+  /** MinHash signature of a shingle array: `numHashes` column-wise
+    * minima of seeded xxhash64 values — computed per-row, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, g => xxhash64(g, seed))))
+
+  /** LSH band keys: hash of each `rowsPerBand`-element signature
+    * slice, band index folded into the key. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string"))))
+    }: _*)
+
+  /** Candidate pairs from MinHash LSH banding, verified with the EXACT
+    * n-gram Jaccard (precision 1; banding only affects recall).
+    * Returns (a, b, jaccard), a < b. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val buckets = docs
+      .select(col(idCol).as("id"), shingleArray(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("id"), explode(
+        bandKeys(minhashSignature(col("grams"), numHashes),
+          bands, rowsPerBand)).as("bk"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
+  }
+
+  /** 64-bit SimHash of a shingle array — one aggregate expression per
+    * bit over the array, fully per-row: bit j is the sign of
+    * Σ_grams (±1 by bit j of xxhash64(gram)). */
+  def simhash64(shingles: Column): Column =
+    (0 until 64).map { j =>
+      when(aggregate(shingles, lit(0L),
+        (acc, g) => acc +
+          when(shiftright(xxhash64(g), j).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** SimHash near-dup pairs: 8×8-bit chunk banding finds every pair
+    * with Hamming ≤ 7 (pigeonhole), then exact-Jaccard verification.
+    * 8-bit chunks trade more candidate collisions for the recall a
+    * word-shingle corpus needs (Jaccard-0.9 pairs routinely sit at
+    * Hamming 4–7 on 64-bit simhash). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 7,
+      minJaccard: Double = 0.8): DataFrame = {
+    val withSim = docs
+      .select(col(idCol).as("id"), shingleArray(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("id"), simhash64(col("grams")).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"), explode(array(
+      (0 until 8).map { c =>
+        lit(c.toLong << 16).bitwiseOR(
+          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)))
+      }: _*)).as("ck"))
+    val cand = chunked.as("x").join(chunked.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sim").as("sa"), col("y.sim").as("sb"))
+      .distinct()
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
+      .select(col("a"), col("b"))
+    verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
+  }
+
+  /** Exact Jaccard for given candidate pairs (semi-join restricted
+    * gram join — cheap post-LSH). */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val ids = cand.select(col("a").as("id"))
+      .union(cand.select(col("b"))).distinct()
+    val grams = explodedShingles(
+      docs.join(ids, docs(idCol) === ids("id"), "left_semi"),
+      idCol, textCol, n)
+    jaccardOfPairs(grams, cand.select(col("a"), col("b")), minJaccard)
+  }
+
+  /** All co-shingled pairs (a < b) from an exploded gram table. */
+  private def allPairsOf(grams: DataFrame): DataFrame =
+    grams.as("x").join(grams.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+
+  /** Jaccard of the given pairs from an exploded gram table; keeps
+    * pairs with jaccard ≥ `minJaccard`. */
+  private def jaccardOfPairs(grams: DataFrame, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = grams.as("x").join(grams.as("y"), col("x.g") === col("y.g"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("a", "b"), "inner")
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"),
+        Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"),
+        Seq("b"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f)),   // identical to 0 → cos 1
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 0 → cos 0
+    (3L, Seq(1.0f, 1.0f, 0.0f)),   // 45° to 0 → cos ≈ 0.707107
+    (4L, Seq(-1.0f, 0.0f, 0.0f)))  // opposite → cos -1
+    .toDF("vec_id", "embedding")
+
+  test("cosine building block matches hand-computed values") {
+    val a = vecs.as("a").filter($"vec_id" === 0).select($"embedding".as("x"))
+    val c = a.crossJoin(vecs.as("b"))
+      .select($"vec_id", Similarity.cosine($"x", $"embedding").as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c(0L) == 1.0 && c(1L) == 1.0)
+    assert(c(2L) == 0.0)
+    assert(c(3L) == 0.707107)  // round(1/sqrt(2), 6)
+    assert(c(4L) == -1.0)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((1L, 1), (3L, 2), (2L, 3), (4L, 4)))
+  }
+
+  test("LSH top-k finds an identical vector (same buckets always)") {
+    val top = Similarity.lshTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2,
+      planes = 6, tables = 4)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top.contains(1L))
+  }
+
+  test("near-dup pairs: only identical pair at cos >= 0.99") {
+    val p = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.toSeq == Seq((0L, 1L)))
+  }
+
+  test("dot product is exact decimal (partition-order independent)") {
+    val big = spark.range(0, 1000).select($"id".cast("long").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (i.cast("float") / 64.0f)).as("embedding"))
+    val d = big.select(Similarity.dotExact($"embedding", $"embedding")
+      .cast("string").as("d")).distinct().collect()
+    assert(d.length == 1)  // same vector everywhere → one exact value
+  }
+}

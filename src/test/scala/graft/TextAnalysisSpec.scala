@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("occurrences counts non-overlapping literal matches") {
+    val df = Seq(" the cat the dog the ").toDF("t")
+    val n = df.select(TextAnalysis.occurrences($"t", " the ").as("n"))
+      .head().getAs[Int]("n")
+    assert(n == 3)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der Hund und die Katze und das Haus"),
+      (3L, "le chat et le chien et les maisons"),
+      (4L, "的 是 在 了")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "zh")
+  }
+
+  test("quality metrics compute exact token statistics") {
+    val df = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(df, "doc_id", "text").head()
+    assert(m.getAs[Int]("n_tokens") == 4)
+    assert(m.getAs[Int]("n_distinct") == 3)
+    assert(m.getAs[Double]("distinct_ratio") == 0.75)
+    assert(m.getAs[Double]("mean_token_len") == 2.0)
+  }
+
+  test("fingerprint is invariant under token reordering") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("token frequencies count corpus-wide") {
+    val df = Seq("a b, a! c", "b a").toDF("text")
+    val f = TextAnalysis.tokenFrequencies(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("rolling hash differs when order differs") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val h = df.select($"doc_id", TextAnalysis.rollingHash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) != h(2L))
+  }
+}

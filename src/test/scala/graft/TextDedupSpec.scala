@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta " +
+    "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // near-dup: one word changed out of 20 → high trigram overlap
+  private val nearDup = base.replace("sigma", "SIGMA2")
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup),
+    (3L, "completely different words with no overlap at all here now"),
+    (4L, "short text")).toDF("doc_id", "text")
+
+  test("exact groups collapse identical texts, keeper is min id") {
+    val g = TextDedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.filter($"n_docs" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keeper") == 0L)
+    assert(g.count() == 4)
+  }
+
+  test("shingleArray produces size-n word windows, distinct") {
+    val r = docs.filter($"doc_id" === 4L)
+      .select(TextDedup.shingleArray($"text", 2)).as[Seq[String]].head()
+    assert(r == Seq("short text"))
+    val tri = docs.filter($"doc_id" === 0L)
+      .select(TextDedup.shingleArray($"text", 3)).as[Seq[String]].head()
+    assert(tri.length == 18 && tri.head == "alpha beta gamma")
+  }
+
+  test("ngram jaccard finds exact and near duplicates, not unrelated") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 1L)))  // identical: jaccard 1.0
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    val j01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+      .getAs[Double]("jaccard")
+    assert(j01 == 1.0)
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard here") {
+    val exact = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash banding catches identical and near-identical docs") {
+    val pairs = TextDedup.simhashPairs(docs, "doc_id", "text",
+      n = 3, maxHamming = 7, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))  // identical simhash, hamming 0
+  }
+
+  test("stop-shingle removal drops high-df shingles") {
+    val g = TextDedup.explodedShingles(docs, "doc_id", "text", 3,
+      maxShingleDf = 2)
+    // shingles shared by docs 0,1,2 (df=3) must be gone
+    assert(g.groupBy($"g").count().filter($"count" > 2).count() == 0)
+  }
+}
