@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's seven-field type system and its exact value
+  * semantics (SURVEY §1.2; reference src/tally.mts:660-676,
+  * src/database.mts:81-119), re-expressed as Spark types + Column
+  * normalizers. All normalizers are codegen'd built-in combinators —
+  * they run per-row over every extracted value, so no UDFs.
+  *
+  * Conventions preserved exactly:
+  *  - amount: Debit = negative, Credit = positive
+  *    (docs/data-structure.md:68-73); textual "(-)" fixed to "-"
+  *    (src/tally.mts:669-670)
+  *  - quantity: Inward = positive, Outward = negative, tail units
+  *    (src/tally.mts:671-672; docs/data-structure.md:76-80)
+  *  - date: in-band null sentinel ñ = char 241 (src/tally.mts:666);
+  *    proper SQL NULL internally, sentinel only at text edges
+  *  - number/rate: empty string → 0 (src/tally.mts:667-668, 673-674)
+  *  - logical: "1"/"0" (src/tally.mts:663-664)
+  */
+object TallyTypes {
+
+  /** In-band null-date sentinel: char code 241 (src/tally.mts:666). */
+  val NullDateSentinel: String = "ñ" // ñ
+
+  sealed trait FieldType { def yamlName: String; def sparkType: DataType }
+  case object TText extends FieldType {
+    val yamlName = "text"; val sparkType: DataType = StringType }
+  case object TLogical extends FieldType {
+    val yamlName = "logical"; val sparkType: DataType = BooleanType }
+  case object TDate extends FieldType {
+    val yamlName = "date"; val sparkType: DataType = DateType }
+  case object TNumber extends FieldType {
+    val yamlName = "number"; val sparkType: DataType = IntegerType }
+  case object TAmount extends FieldType {
+    val yamlName = "amount"; val sparkType: DataType = DecimalType(17, 2) }
+  case object TQuantity extends FieldType {
+    val yamlName = "quantity"; val sparkType: DataType = DecimalType(15, 4) }
+  case object TRate extends FieldType {
+    val yamlName = "rate"; val sparkType: DataType = DecimalType(15, 4) }
+  /** Raw TDL expression passthrough (src/tally.mts:675-679) — lands as
+    * text; downstream may `expr(...)` it. */
+  case object TCustom extends FieldType {
+    val yamlName = "custom"; val sparkType: DataType = StringType }
+
+  val all: Seq[FieldType] =
+    Seq(TText, TLogical, TDate, TNumber, TAmount, TQuantity, TRate)
+
+  def fromYaml(s: String): FieldType =
+    all.find(_.yamlName == s).getOrElse(TCustom)
+
+  /** "(-)" → "-" textual negative fixup ($$StringFindAndReplace,
+    * src/tally.mts:669-670). */
+  def fixNegative(c: Column): Column =
+    regexp_replace(c, "\\(-\\)", "-")
+
+  /** Parse one raw extracted string value into its typed column —
+    * the exact inverse of the TDL SET templates + the JSON converter
+    * (src/database.mts:92-114: NaN → null, ñ → null). */
+  def parseValue(raw: Column, t: FieldType): Column = t match {
+    case TText | TCustom => raw
+    case TLogical => when(trim(raw) === "1", lit(true))
+      .when(trim(raw) === "0", lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+    case TDate => when(raw === NullDateSentinel || raw === "",
+        lit(null).cast(DateType))
+      .otherwise(to_date(raw, "yyyy-MM-dd"))
+    case TNumber => coalesce(try_cast_int(raw), lit(0))
+    case TAmount =>
+      coalesce(fixNegative(raw).cast(DecimalType(17, 2)),
+        lit(null).cast(DecimalType(17, 2)))
+    case TQuantity =>
+      coalesce(fixNegative(raw).cast(DecimalType(15, 4)),
+        lit(null).cast(DecimalType(15, 4)))
+    case TRate =>
+      when(trim(raw) === "", lit(0).cast(DecimalType(15, 4)))
+        // rate may carry a "/unit" suffix — $$Number keeps the numeric part
+        .otherwise(regexp_extract(raw, "^-?[0-9]+(\\.[0-9]+)?", 0)
+          .cast(DecimalType(15, 4)))
+  }
+
+  private def try_cast_int(c: Column): Column =
+    when(trim(c) === "", lit(0)).otherwise(c.cast(IntegerType))
+
+  /** Extract-side sign resolution for amounts ($$IsDebit → negate,
+    * P8): debit negative, credit positive. */
+  def amountSigned(value: Column, isDebit: Column): Column =
+    when(isDebit, -abs(value)).otherwise(abs(value))
+      .cast(DecimalType(17, 2))
+
+  /** Extract-side sign resolution for quantities ($$IsInwards, P9):
+    * inward positive, outward negative. */
+  def quantitySigned(qty: Column, isInward: Column): Column =
+    when(isInward, abs(qty)).otherwise(-abs(qty))
+      .cast(DecimalType(15, 4))
+
+  /** Emit-side: typed column back to the reference's text form (date
+    * null → ñ sentinel, boolean → 1/0) — used by the TSV/CSV edges. */
+  def emitValue(c: Column, t: FieldType): Column = t match {
+    case TDate => coalesce(date_format(c, "yyyy-MM-dd"),
+      lit(NullDateSentinel))
+    case TLogical => when(c, "1").when(!c, "0").otherwise("")
+    case _ => coalesce(c.cast(StringType), lit(""))
+  }
+
+  /** The reference's quirky rounding (src/utility.mts:158-166): the
+    * fraction must EXCEED 0.5 to round away from zero — i.e.
+    * round-half-down toward zero, not banker's and not half-up.
+    * Faithfully reproduced (and property-tested) because report
+    * parity depends on it. */
+  def tallyRound(value: Column, precision: Int): Column = {
+    val p = pow(lit(10.0), lit(precision))
+    val scaled = value * p
+    // trunc toward zero (negatives never round away — reference quirk)
+    val tz = when(scaled >= 0, floor(scaled)).otherwise(ceil(scaled))
+    when(scaled - tz > 0.5, (tz + 1) / p).otherwise(tz / p)
+  }
+
+  /** Compose a yyyymmdd int from a date (P11, src/tally.mts:565). */
+  def yyyymmdd(d: Column): Column =
+    (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast(IntegerType)
+
+  /** XML entity escape for the request edge (P18,
+    * src/utility.mts:48-55). */
+  def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+}
