@@ -49,7 +49,7 @@ object SparkEntry {
     "q29_token_freq"       -> (Curation.q29TokenFreq _),
     "q30_fingerprint"      -> (Curation.q30Fingerprint _),
     "q31_media_features"   -> (Curation.q31MediaFeatures _),
-  )
+  ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -265,7 +265,7 @@ object SparkEntry {
         | CAST(64 + (octet_length(CAST(text AS BLOB)) // 2) % 480 AS INT) AS height,
         | lower(substring(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex
         |FROM documents ORDER BY 1""".stripMargin,
-  )
+  ) ++ graft.tally.TallyReportQueries.oracleSql
 
   /** Exact word-trigram Jaccard pairs ≥ 0.8 — the oracle for the
     * n-gram dedup AND for MinHash-LSH (32 bands × 4 rows makes LSH

@@ -1,0 +1,170 @@
+package graft.tally
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tally-shaped fixture corpus (FIXTURES.md §A): one source of truth
+  * rendered BOTH as Spark DataFrames and as DuckDB VALUES CTEs, so the
+  * 15 reference reports run as DataFrame programs AND get hash-checked
+  * against a SQL oracle over identical data.
+  *
+  * Scenario coverage (per FIXTURES.md):
+  *  - every voucher class incl. an order voucher whose accounting rows
+  *    correct reports must exclude
+  *  - all three inventory workflow styles (blank tracking, strict
+  *    note+invoice pair, note-only partial)
+  *  - a 3-level group chain for tree traversals
+  *  - multiple closing-stock snapshots for the row_number latest-pick
+  *  - a contra voucher with both legs on the same ledger
+  * Sign conventions follow the engine: debit < 0, inward > 0.
+  */
+object TallyFixtures {
+
+  /** (column, sqlType) pairs per table + row literals. Types are
+    * explicit so Spark and DuckDB infer identical schemas. */
+  private type Tbl = (String, Seq[(String, String)], Seq[Seq[String]])
+
+  private def s(v: String) = "'" + v.replace("'", "''") + "'"
+
+  val tables: Seq[Tbl] = Seq(
+    ("mst_group",
+      Seq("name" -> "VARCHAR", "parent" -> "VARCHAR",
+        "primary_group" -> "VARCHAR", "is_revenue" -> "INT",
+        "is_deemedpositive" -> "INT", "affects_gross_profit" -> "INT"),
+      Seq(
+        Seq(s("Sales Accounts"), s(""), s("Sales Accounts"), "1", "0", "1"),
+        Seq(s("Purchase Accounts"), s(""), s("Purchase Accounts"), "1", "1", "1"),
+        Seq(s("Cash-in-hand"), s(""), s("Cash-in-hand"), "0", "1", "0"),
+        Seq(s("Sundry Debtors"), s(""), s("Sundry Debtors"), "0", "1", "0"),
+        Seq(s("Sundry Creditors"), s(""), s("Sundry Creditors"), "0", "0", "0"),
+        Seq(s("Stock-in-hand"), s(""), s("Stock-in-hand"), "0", "1", "0"),
+        Seq(s("Indirect Expenses"), s(""), s("Indirect Expenses"), "1", "1", "0"),
+        Seq(s("Loans & Advances (Asset)"), s(""), s("Loans & Advances (Asset)"), "0", "1", "0"),
+        Seq(s("Advances"), s("Loans & Advances (Asset)"), s("Loans & Advances (Asset)"), "0", "1", "0"),
+        Seq(s("Staff Advances"), s("Advances"), s("Loans & Advances (Asset)"), "0", "1", "0"))),
+    ("mst_ledger",
+      Seq("name" -> "VARCHAR", "parent" -> "VARCHAR",
+        "opening_balance" -> "DECIMAL(17,2)", "is_revenue" -> "INT",
+        "gstn" -> "VARCHAR"),
+      Seq(
+        Seq(s("Cash"), s("Cash-in-hand"), dec2("-1000.00"), "0", s("")),
+        Seq(s("Sales Local"), s("Sales Accounts"), dec2("0.00"), "1", s("")),
+        Seq(s("Purchase Local"), s("Purchase Accounts"), dec2("0.00"), "1", s("")),
+        Seq(s("Acme Corp"), s("Sundry Debtors"), dec2("-500.00"), "0", s("GSTN001")),
+        Seq(s("Beta Traders"), s("Sundry Creditors"), dec2("200.00"), "0", s("GSTN002")),
+        Seq(s("Stock Ledger"), s("Stock-in-hand"), dec2("-2000.00"), "0", s("")),
+        Seq(s("Rent"), s("Indirect Expenses"), dec2("0.00"), "1", s("")))),
+    ("mst_vouchertype",
+      Seq("name" -> "VARCHAR", "parent" -> "VARCHAR",
+        "numbering_method" -> "VARCHAR", "affects_stock" -> "INT"),
+      Seq(
+        Seq(s("Sales"), s("Sales"), s("Automatic"), "0"),
+        Seq(s("Purchase"), s("Purchase"), s("Manual"), "0"),
+        Seq(s("Receipt"), s("Receipt"), s("Manual"), "0"),
+        Seq(s("Payment"), s("Payment"), s("Manual"), "0"),
+        Seq(s("Contra"), s("Contra"), s("Manual"), "0"),
+        Seq(s("Receipt Note"), s("Receipt Note"), s("Manual"), "1"),
+        Seq(s("Delivery Note"), s("Delivery Note"), s("Manual"), "1"),
+        Seq(s("Sales Order"), s("Sales Order"), s("Manual"), "0"))),
+    ("mst_stock_item",
+      Seq("name" -> "VARCHAR", "parent" -> "VARCHAR", "uom" -> "VARCHAR",
+        "opening_balance" -> "DECIMAL(15,4)",
+        "opening_value" -> "DECIMAL(17,2)"),
+      Seq(
+        Seq(s("Widget"), s("Components"), s("Nos"), dec4("10.0000"), dec2("-100.00")),
+        Seq(s("Gadget"), s("Components"), s("Nos"), dec4("0.0000"), dec2("0.00")),
+        Seq(s("Gizmo"), s("Finished"), s("Nos"), dec4("5.0000"), dec2("-50.00")))),
+    ("mst_opening_batch_allocation",
+      Seq("item" -> "VARCHAR", "opening_balance" -> "DECIMAL(15,4)",
+        "opening_value" -> "DECIMAL(17,2)", "godown" -> "VARCHAR"),
+      Seq(
+        Seq(s("Widget"), dec4("10.0000"), dec2("-100.00"), s("Main")),
+        Seq(s("Gizmo"), dec4("5.0000"), dec2("-50.00"), s("Main")))),
+    ("trn_closingstock_ledger",
+      Seq("ledger" -> "VARCHAR", "stock_date" -> "DATE",
+        "stock_value" -> "DECIMAL(17,2)"),
+      Seq(
+        Seq(s("Stock Ledger"), dt("2020-12-31"), dec2("1800.00")),
+        Seq(s("Stock Ledger"), dt("2021-03-31"), dec2("2500.00")))),
+    ("trn_voucher",
+      Seq("guid" -> "VARCHAR", "date" -> "DATE", "voucher_type" -> "VARCHAR",
+        "voucher_number" -> "VARCHAR", "party_name" -> "VARCHAR",
+        "narration" -> "VARCHAR", "is_invoice" -> "INT",
+        "is_accounting_voucher" -> "INT", "is_inventory_voucher" -> "INT",
+        "is_order_voucher" -> "INT"),
+      Seq(
+        Seq(s("v001"), dt("2020-04-05"), s("Sales"), s("SL-1"), s("Acme Corp"), s("April sale"), "1", "1", "0", "0"),
+        Seq(s("v002"), dt("2020-04-08"), s("Receipt"), s("RC-1"), s("Acme Corp"), s("collection"), "0", "1", "0", "0"),
+        Seq(s("v003"), dt("2020-05-10"), s("Purchase"), s("PU-1"), s("Beta Traders"), s("stock buy"), "1", "1", "0", "0"),
+        Seq(s("v004"), dt("2020-05-12"), s("Payment"), s("PY-1"), s("Beta Traders"), s("supplier pay"), "0", "1", "0", "0"),
+        Seq(s("v005"), dt("2020-06-01"), s("Contra"), s("CT-1"), s(""), s("cash shuffle"), "0", "1", "0", "0"),
+        Seq(s("v006"), dt("2020-04-20"), s("Delivery Note"), s("DN-1"), s("Acme Corp"), s("goods out"), "0", "0", "1", "0"),
+        Seq(s("v007"), dt("2020-04-25"), s("Sales"), s("SL-2"), s("Acme Corp"), s("invoice for DN-1"), "1", "1", "0", "0"),
+        Seq(s("v008"), dt("2020-07-01"), s("Receipt Note"), s("RN-1"), s("Beta Traders"), s("goods in, no invoice yet"), "0", "0", "1", "0"),
+        Seq(s("v009"), dt("2020-08-01"), s("Sales Order"), s("SO-1"), s("Acme Corp"), s("order only"), "0", "0", "0", "1"),
+        Seq(s("v010"), dt("2021-01-15"), s("Sales"), s("SL-3"), s("Acme Corp"), s("direct sale"), "1", "1", "0", "0"))),
+    ("trn_accounting",
+      Seq("guid" -> "VARCHAR", "ledger" -> "VARCHAR",
+        "amount" -> "DECIMAL(17,2)"),
+      Seq(
+        Seq(s("v001"), s("Acme Corp"), dec2("-1000.00")),
+        Seq(s("v001"), s("Sales Local"), dec2("1000.00")),
+        Seq(s("v002"), s("Cash"), dec2("-600.00")),
+        Seq(s("v002"), s("Acme Corp"), dec2("600.00")),
+        Seq(s("v003"), s("Purchase Local"), dec2("-400.00")),
+        Seq(s("v003"), s("Beta Traders"), dec2("400.00")),
+        Seq(s("v004"), s("Beta Traders"), dec2("-250.00")),
+        Seq(s("v004"), s("Cash"), dec2("250.00")),
+        Seq(s("v005"), s("Cash"), dec2("-100.00")),
+        Seq(s("v005"), s("Cash"), dec2("100.00")),
+        Seq(s("v007"), s("Acme Corp"), dec2("-500.00")),
+        Seq(s("v007"), s("Sales Local"), dec2("500.00")),
+        Seq(s("v009"), s("Acme Corp"), dec2("-999.00")),
+        Seq(s("v009"), s("Sales Local"), dec2("999.00")),
+        Seq(s("v010"), s("Acme Corp"), dec2("-300.00")),
+        Seq(s("v010"), s("Sales Local"), dec2("300.00")))),
+    ("trn_inventory",
+      Seq("guid" -> "VARCHAR", "item" -> "VARCHAR",
+        "quantity" -> "DECIMAL(15,4)", "rate" -> "DECIMAL(15,4)",
+        "amount" -> "DECIMAL(17,2)", "godown" -> "VARCHAR",
+        "tracking_number" -> "VARCHAR"),
+      Seq(
+        Seq(s("v006"), s("Widget"), dec4("-3.0000"), dec4("100.0000"), dec2("300.00"), s("Main"), s("T1")),
+        Seq(s("v007"), s("Widget"), dec4("-3.0000"), dec4("100.0000"), dec2("300.00"), s("Main"), s("T1")),
+        Seq(s("v008"), s("Gadget"), dec4("7.0000"), dec4("50.0000"), dec2("-350.00"), s("Main"), s("T2")),
+        Seq(s("v009"), s("Widget"), dec4("-9.0000"), dec4("100.0000"), dec2("900.00"), s("Main"), s("")),
+        Seq(s("v010"), s("Widget"), dec4("-2.0000"), dec4("110.0000"), dec2("220.00"), s("Main"), s("")))))
+
+  private def dec2(v: String) = s"CAST($v AS DECIMAL(17,2))"
+  private def dec4(v: String) = s"CAST($v AS DECIMAL(15,4))"
+  private def dt(v: String) = s"DATE '$v'"
+
+  private def valuesSql(t: Tbl): String = {
+    val (_, cols, rows) = t
+    val body = rows.map(_.mkString("(", ", ", ")")).mkString(",\n    ")
+    s"(VALUES\n    $body) AS t(${cols.map(_._1).mkString(", ")})"
+  }
+
+  /** DuckDB oracle prefix: every fixture table as a VALUES CTE. */
+  def cteSql: String =
+    tables.map(t => s"${t._1} AS (SELECT * FROM ${valuesSql(t)})")
+      .mkString("WITH ", ",\n", "")
+
+  /** Spark DataFrame for one fixture table (identical literals). */
+  def df(spark: SparkSession, name: String): DataFrame = {
+    val t = tables.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(name))
+    spark.sql(s"SELECT * FROM ${valuesSql(t)}")
+  }
+
+  /** The full bundle for [[TallyReports]]. */
+  def load(spark: SparkSession): TallyTables = TallyTables(
+    mstGroup = df(spark, "mst_group"),
+    mstLedger = df(spark, "mst_ledger"),
+    mstVouchertype = df(spark, "mst_vouchertype"),
+    mstStockItem = df(spark, "mst_stock_item"),
+    mstOpeningBatchAllocation = df(spark, "mst_opening_batch_allocation"),
+    trnClosingstockLedger = df(spark, "trn_closingstock_ledger"),
+    trnVoucher = df(spark, "trn_voucher"),
+    trnAccounting = df(spark, "trn_accounting"),
+    trnInventory = df(spark, "trn_inventory"))
+}

@@ -1,0 +1,256 @@
+package graft.tally
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract entries for the 15 reference reports: each runs the
+  * DataFrame program in [[TallyReports]] over the shared fixture
+  * corpus, and its oracle is a DuckDB-dialect port of the reference
+  * SQL over IDENTICAL VALUES data — so the reference's own query
+  * surface is hash-verified end to end. (The harness sfDir is unused:
+  * the Tally schema is not part of the synthetic star schema.) */
+object TallyReportQueries {
+
+  private val FY = ("2020-04-01", "2021-03-31")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_tally_trial_balance" -> ((s, _) =>
+      TallyReports.trialBalance(TallyFixtures.load(s), FY._1, FY._2)),
+    "q33_tally_account_ledger" -> ((s, _) =>
+      TallyReports.accountLedger(TallyFixtures.load(s), "Cash", FY._1, FY._2)),
+    "q34_tally_accounting_voucher_view" -> ((s, _) =>
+      TallyReports.accountingVoucherView(TallyFixtures.load(s))),
+    "q35_tally_daily_cash_movement" -> ((s, _) =>
+      TallyReports.dailyCashMovement(TallyFixtures.load(s), FY._1, FY._2)),
+    "q36_tally_group_tree_parent_child" -> ((s, _) =>
+      TallyReports.groupTreeParentChild(TallyFixtures.load(s),
+        "Loans & Advances (Asset)")),
+    "q37_tally_group_tree_children_parent" -> ((s, _) =>
+      TallyReports.groupTreeChildrenParent(TallyFixtures.load(s),
+        "Staff Advances")),
+    "q38_tally_profit_loss" -> ((s, _) =>
+      TallyReports.profitLoss(TallyFixtures.load(s))),
+    "q39_tally_sales_daily" -> ((s, _) =>
+      TallyReports.salesDaily(TallyFixtures.load(s), FY._1, FY._2)),
+    "q40_tally_sales_monthly" -> ((s, _) =>
+      TallyReports.salesMonthly(TallyFixtures.load(s), FY._1, FY._2)),
+    "q41_tally_purchase_daily" -> ((s, _) =>
+      TallyReports.purchaseDaily(TallyFixtures.load(s), FY._1, FY._2)),
+    "q42_tally_purchase_monthly" -> ((s, _) =>
+      TallyReports.purchaseMonthly(TallyFixtures.load(s), FY._1, FY._2)),
+    "q43_tally_sales_register" -> ((s, _) =>
+      TallyReports.salesRegister(TallyFixtures.load(s))),
+    "q44_tally_purchase_register" -> ((s, _) =>
+      TallyReports.purchaseRegister(TallyFixtures.load(s))),
+    "q45_tally_stock_summary" -> ((s, _) =>
+      TallyReports.stockSummary(TallyFixtures.load(s))),
+    "q46_tally_stock_voucher_view" -> ((s, _) =>
+      TallyReports.stockVoucherView(TallyFixtures.load(s))),
+  )
+
+  private def fx(body: String): String =
+    TallyFixtures.cteSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      ",\n" + body
+
+  def oracleSql: Map[String, String] = Map(
+    "q32_tally_trial_balance" -> fx(
+      """eff AS (SELECT a.ledger, a.amount, v.date FROM trn_accounting a
+        |  JOIN trn_voucher v ON v.guid = a.guid
+        |  WHERE v.is_order_voucher = 0 AND v.is_inventory_voucher = 0),
+        |op AS (SELECT ledger, sum(amount) AS amount FROM eff
+        |  WHERE date < DATE '2020-04-01' GROUP BY 1),
+        |curr AS (SELECT ledger,
+        |  sum(CASE WHEN amount < 0 THEN abs(amount) ELSE CAST(0 AS DECIMAL(17,2)) END) AS debit,
+        |  sum(CASE WHEN amount > 0 THEN amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS credit
+        | FROM eff WHERE date BETWEEN DATE '2020-04-01' AND DATE '2021-03-31' GROUP BY 1)
+        |SELECT l.name,
+        | CAST(CASE WHEN l.is_revenue = 0 THEN l.opening_balance + coalesce(op.amount, 0) ELSE 0 END AS DECIMAL(38,2)) AS opening,
+        | CAST(coalesce(curr.debit, 0) AS DECIMAL(38,2)) AS debit,
+        | CAST(coalesce(curr.credit, 0) AS DECIMAL(38,2)) AS credit,
+        | CAST(CASE WHEN l.is_revenue = 0
+        |   THEN l.opening_balance + coalesce(op.amount, 0) + coalesce(curr.credit, 0) - coalesce(curr.debit, 0)
+        |   ELSE coalesce(curr.credit, 0) - coalesce(curr.debit, 0) END AS DECIMAL(38,2)) AS closing
+        |FROM mst_ledger l
+        | LEFT JOIN op ON op.ledger = l.name
+        | LEFT JOIN curr ON curr.ledger = l.name
+        |ORDER BY 1""".stripMargin),
+    "q33_tally_account_ledger" -> fx(
+      """led AS (SELECT v.guid, v.date, v.voucher_number, v.voucher_type, v.narration,
+        |  CASE WHEN a.amount < 0 THEN -a.amount ELSE CAST(0 AS DECIMAL(17,2)) END AS debit,
+        |  CASE WHEN a.amount > 0 THEN a.amount ELSE CAST(0 AS DECIMAL(17,2)) END AS credit
+        | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
+        | WHERE a.ledger = 'Cash' AND v.is_accounting_voucher = 1
+        |  AND v.date BETWEEN DATE '2020-04-01' AND DATE '2021-03-31'),
+        |ent AS (SELECT v.guid, string_agg(a.ledger, ',' ORDER BY a.ledger) AS ledgers
+        | FROM trn_voucher v JOIN trn_accounting a ON a.guid = v.guid AND a.ledger <> 'Cash'
+        | WHERE v.guid IN (SELECT DISTINCT guid FROM led)
+        |  AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
+        | GROUP BY 1)
+        |SELECT l.date, l.voucher_number, l.voucher_type, e.ledgers,
+        | CAST(l.debit AS DECIMAL(38,2)) AS debit,
+        | CAST(l.credit AS DECIMAL(38,2)) AS credit, l.narration
+        |FROM led l JOIN ent e ON e.guid = l.guid
+        |ORDER BY l.date, l.voucher_number, debit""".stripMargin),
+    "q34_tally_accounting_voucher_view" -> fx(
+      """openrows AS (SELECT DATE '2000-01-01' AS date, 'Opening Balance' AS voucher_type,
+        |  '' AS voucher_number, l.name AS ledger,
+        |  CAST(l.opening_balance AS DECIMAL(38,2)) AS amount, '' AS party_name,
+        |  g.primary_group, 'Opening Balance' AS voucher_category
+        | FROM mst_ledger l JOIN mst_group g ON l.parent = g.name
+        | WHERE l.opening_balance <> 0),
+        |txn AS (SELECT CAST(v.date AS DATE) AS date, v.voucher_type, v.voucher_number,
+        |  a.ledger, CAST(a.amount AS DECIMAL(38,2)) AS amount, v.party_name,
+        |  g.primary_group, t.parent AS voucher_category
+        | FROM trn_accounting a JOIN trn_voucher v ON a.guid = v.guid
+        |  JOIN mst_vouchertype t ON v.voucher_type = t.name
+        |  JOIN mst_ledger l ON a.ledger = l.name
+        |  JOIN mst_group g ON l.parent = g.name
+        | WHERE v.is_order_voucher = 0 AND v.is_inventory_voucher = 0)
+        |SELECT * FROM (SELECT * FROM openrows UNION ALL SELECT * FROM txn) u
+        |ORDER BY date, ledger, amount, voucher_number""".stripMargin),
+    "q35_tally_daily_cash_movement" -> fx(
+      """cal AS (SELECT CAST(unnest(generate_series(DATE '2020-04-01', DATE '2021-03-31', INTERVAL 1 DAY)) AS DATE) AS date),
+        |mov AS (SELECT v.date AS mdate,
+        |  sum(CASE WHEN a.amount < 0 THEN -a.amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS receipt,
+        |  sum(CASE WHEN a.amount > 0 THEN a.amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS payment
+        | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
+        |  JOIN mst_ledger l ON a.ledger = l.name
+        |  JOIN mst_group g ON l.parent = g.name
+        |  JOIN mst_vouchertype t ON v.voucher_type = t.name
+        | WHERE lower(g.primary_group) = 'cash-in-hand'
+        |  AND lower(t.parent) IN ('receipt', 'payment', 'contra')
+        | GROUP BY 1)
+        |SELECT cal.date, CAST(coalesce(receipt, 0) AS DECIMAL(38,2)) AS receipt,
+        | CAST(coalesce(payment, 0) AS DECIMAL(38,2)) AS payment
+        |FROM cal LEFT JOIN mov ON cal.date = mov.mdate ORDER BY 1""".stripMargin),
+    "q36_tally_group_tree_parent_child" -> fx(
+      """tree AS (SELECT name, parent FROM mst_group WHERE name = 'Loans & Advances (Asset)'
+        | UNION ALL
+        | SELECT e.name, e.parent FROM mst_group e JOIN tree ON tree.name = e.parent)
+        |SELECT name, parent FROM tree ORDER BY 1""".stripMargin),
+    "q37_tally_group_tree_children_parent" -> fx(
+      """tree AS (SELECT name, parent FROM mst_group WHERE name = 'Staff Advances'
+        | UNION ALL
+        | SELECT e.name, e.parent FROM mst_group e JOIN tree ON tree.parent = e.name)
+        |SELECT name, parent FROM tree ORDER BY 1""".stripMargin),
+    "q38_tally_profit_loss" -> fx(
+      """gb AS (SELECT g.primary_group AS "group", l.name AS ledger,
+        |  CASE WHEN max(g.is_deemedpositive) = 1 THEN 'expense' ELSE 'income' END AS nature,
+        |  CASE WHEN max(g.affects_gross_profit) = 1 THEN 'Y' ELSE 'N' END AS affects_gross_profit,
+        |  CAST(sum(a.amount) AS DECIMAL(38,2)) AS balance
+        | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
+        |  JOIN mst_vouchertype t ON v.voucher_type = t.name
+        |  JOIN mst_ledger l ON a.ledger = l.name
+        |  JOIN mst_group g ON g.name = l.parent
+        | WHERE g.is_revenue = 1 AND v.is_order_voucher = 0
+        |  AND v.is_inventory_voucher = 0 AND t.affects_stock = 0
+        | GROUP BY 1, 2),
+        |os AS (SELECT 'Opening Stock' AS "group", 'Opening Stock' AS ledger,
+        |  'expense' AS nature, 'Y' AS affects_gross_profit,
+        |  CAST(sum(l.opening_balance) AS DECIMAL(38,2)) AS balance
+        | FROM mst_ledger l JOIN mst_group g ON g.name = l.parent
+        | WHERE g.primary_group = 'Stock-in-hand'),
+        |cs AS (SELECT 'Closing Stock' AS "group", 'Closing Stock' AS ledger,
+        |  'income' AS nature, 'Y' AS affects_gross_profit,
+        |  CAST(-sum(stock_value) AS DECIMAL(38,2)) AS balance
+        | FROM (SELECT stock_value,
+        |   row_number() OVER (PARTITION BY ledger ORDER BY stock_date DESC) AS ctr
+        |  FROM trn_closingstock_ledger) t WHERE ctr = 1)
+        |SELECT * FROM (SELECT * FROM gb UNION ALL SELECT * FROM os UNION ALL SELECT * FROM cs) u
+        |ORDER BY "group", ledger""".stripMargin),
+    "q39_tally_sales_daily" -> dailySql("Sales Accounts",
+      negate = false, excludeNonAccounting = false),
+    "q40_tally_sales_monthly" -> monthlySql("Sales Accounts",
+      negate = false, excludeNonAccounting = false),
+    "q41_tally_purchase_daily" -> dailySql("Purchase Accounts",
+      negate = true, excludeNonAccounting = true),
+    "q42_tally_purchase_monthly" -> monthlySql("Purchase Accounts",
+      negate = true, excludeNonAccounting = true),
+    "q43_tally_sales_register" -> registerSql("Sales", negate = false),
+    "q44_tally_purchase_register" -> registerSql("Purchase", negate = true),
+    "q45_tally_stock_summary" -> fx(
+      """inv AS (SELECT i.*, v.is_order_voucher, t.parent AS vtparent
+        | FROM trn_inventory i JOIN trn_voucher v ON i.guid = v.guid
+        |  JOIN mst_vouchertype t ON v.voucher_type = t.name),
+        |reco AS (SELECT item AS ritem, tracking_number AS rtrack,
+        |  sum(CASE WHEN vtparent IN ('Receipt Note', 'Delivery Note') THEN abs(quantity) ELSE CAST(0 AS DECIMAL(15,4)) END) AS note,
+        |  sum(CASE WHEN vtparent NOT IN ('Receipt Note', 'Delivery Note') THEN abs(quantity) ELSE CAST(0 AS DECIMAL(15,4)) END) AS invoice
+        | FROM inv WHERE tracking_number IS NOT NULL AND tracking_number <> ''
+        | GROUP BY 1, 2),
+        |eff AS (SELECT item AS eitem,
+        |  sum(CASE WHEN quantity > 0 THEN quantity ELSE CAST(0 AS DECIMAL(15,4)) END) AS in_qty,
+        |  sum(CASE WHEN quantity < 0 THEN -quantity ELSE CAST(0 AS DECIMAL(15,4)) END) AS out_qty
+        | FROM inv LEFT JOIN reco ON inv.item = reco.ritem AND inv.tracking_number = reco.rtrack
+        | WHERE is_order_voucher = 0 AND (tracking_number IS NULL OR tracking_number = ''
+        |  OR (vtparent NOT IN ('Receipt Note', 'Delivery Note') AND note = invoice)
+        |  OR (vtparent IN ('Receipt Note', 'Delivery Note') AND note > invoice))
+        | GROUP BY 1)
+        |SELECT s.name, s.parent, s.uom,
+        | CAST(s.opening_balance AS DECIMAL(38,4)) AS op_qty,
+        | CAST(coalesce(in_qty, 0) AS DECIMAL(38,4)) AS in_qty,
+        | CAST(coalesce(out_qty, 0) AS DECIMAL(38,4)) AS out_qty,
+        | CAST(s.opening_balance + coalesce(in_qty, 0) - coalesce(out_qty, 0) AS DECIMAL(38,4)) AS clo_bal
+        |FROM mst_stock_item s LEFT JOIN eff ON s.name = eff.eitem
+        |ORDER BY 1""".stripMargin),
+    "q46_tally_stock_voucher_view" -> fx(
+      """op AS (SELECT DATE '2000-01-01' AS date, '' AS voucher_number,
+        |  'Opening Balance' AS voucher_type, item,
+        |  CAST(opening_balance AS DECIMAL(38,4)) AS quantity,
+        |  CAST(opening_value AS DECIMAL(38,2)) AS amount, godown
+        | FROM mst_opening_batch_allocation),
+        |txn AS (SELECT date, voucher_number, voucher_type, item,
+        |  CAST(quantity AS DECIMAL(38,4)) AS quantity,
+        |  CAST(amount AS DECIMAL(38,2)) AS amount, godown
+        | FROM (SELECT CAST(v.date AS DATE) AS date, v.voucher_number,
+        |   v.voucher_type, i.item, i.quantity, i.amount, i.godown,
+        |   CASE WHEN i.tracking_number IS NULL OR i.tracking_number = '' THEN 1
+        |    ELSE row_number() OVER (PARTITION BY i.tracking_number, i.item ORDER BY v.date, v.guid) END AS repetition
+        |  FROM trn_inventory i JOIN trn_voucher v ON v.guid = i.guid
+        |  WHERE v.is_order_voucher = 0) t WHERE repetition = 1)
+        |SELECT * FROM (SELECT * FROM op UNION ALL SELECT * FROM txn) u
+        |ORDER BY date, item, voucher_number""".stripMargin),
+  )
+
+  private def dailyBodySql(group: String, negate: Boolean,
+      excludeNonAccounting: Boolean): String = {
+    val extra = if (excludeNonAccounting)
+      " AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0" else ""
+    val amt = if (negate) "-d.amount" else "d.amount"
+    s"""cal AS (SELECT CAST(unnest(generate_series(DATE '2020-04-01', DATE '2021-03-31', INTERVAL 1 DAY)) AS DATE) AS date),
+       |d AS (SELECT v.date AS mdate, sum(a.amount) AS amount
+       | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
+       |  JOIN mst_ledger l ON a.ledger = l.name
+       |  JOIN mst_group g ON l.parent = g.name
+       | WHERE g.primary_group = '$group'
+       |  AND v.date >= DATE '2020-04-01' AND v.date <= DATE '2021-03-31'$extra
+       | GROUP BY 1),
+       |series AS (SELECT cal.date, CAST(coalesce($amt, 0) AS DECIMAL(38,2)) AS amount
+       | FROM cal LEFT JOIN d ON cal.date = d.mdate)""".stripMargin
+  }
+
+  private def dailySql(group: String, negate: Boolean,
+      excludeNonAccounting: Boolean): String =
+    fx(dailyBodySql(group, negate, excludeNonAccounting) +
+      "\nSELECT date, amount FROM series ORDER BY 1")
+
+  private def monthlySql(group: String, negate: Boolean,
+      excludeNonAccounting: Boolean): String =
+    fx(dailyBodySql(group, negate, excludeNonAccounting) +
+      """
+        |SELECT CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
+        | CAST(sum(amount) AS DECIMAL(38,2)) AS amount
+        |FROM series GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  private def registerSql(parent: String, negate: Boolean): String = {
+    val amt = if (negate) "-a.amount" else "a.amount"
+    fx(s"""reg AS (SELECT CAST(v.date AS DATE) AS date, v.voucher_number,
+          |  v.voucher_type, v.party_name, z.gstn, a.ledger,
+          |  CAST($amt AS DECIMAL(38,2)) AS amount
+          | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
+          |  JOIN mst_vouchertype t ON v.voucher_type = t.name
+          |  JOIN mst_ledger l ON a.ledger = l.name
+          |  JOIN mst_ledger z ON v.party_name = z.name
+          | WHERE t.parent = '$parent' AND a.ledger <> v.party_name)
+          |SELECT * FROM reg
+          |ORDER BY date, voucher_number, ledger, amount""".stripMargin)
+  }
+}
