@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.{Emitters, SpecLoader, TableSpec, TallyHttp, TallyXml}
+import graft.tally.ParquetWarehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI entry point with the reference's flag surface
+  * (docs/commandline-options.md: `--parent-child value` overrides) —
+  * the full-sync pipeline: YAML specs → TDL extract → normalize →
+  * sink, plus TSV-file replay mode for offline runs.
+  *
+  * Supported flags (reference-compatible subset):
+  *   --tally-server / --tally-port / --tally-company
+  *   --tally-fromdate / --tally-todate  (yyyyMMdd or auto)
+  *   --tally-master / --tally-transaction  (true|false)
+  *   --database-technology  (parquet|csv|json)
+  *   --database-schema      (output directory)
+  *   --graft-definition     (YAML spec path)
+  *   --graft-replay         (dir of <table>.data TSV files instead of
+  *                           a live Tally server)
+  */
+object Main {
+
+  final case class Config(
+      server: String = "localhost", port: Int = 9000,
+      company: Option[String] = None,
+      fromDate: String = "20230401", toDate: String = "20240331",
+      syncMaster: Boolean = true, syncTransaction: Boolean = true,
+      technology: String = "parquet", schema: String = "./warehouse",
+      definition: String = "tally-export-config.yaml",
+      replayDir: Option[String] = None)
+
+  def parseArgs(args: Array[String]): Config = {
+    val m = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    Config(
+      server = m.getOrElse("tally-server", "localhost"),
+      port = m.get("tally-port").map(_.toInt).getOrElse(9000),
+      company = m.get("tally-company"),
+      fromDate = m.getOrElse("tally-fromdate", "20230401"),
+      toDate = m.getOrElse("tally-todate", "20240331"),
+      syncMaster = m.get("tally-master").forall(_.toBoolean),
+      syncTransaction = m.get("tally-transaction").forall(_.toBoolean),
+      technology = m.getOrElse("database-technology", "parquet"),
+      schema = m.getOrElse("database-schema", "./warehouse"),
+      definition = m.getOrElse("graft-definition", "tally-export-config.yaml"),
+      replayDir = m.get("graft-replay"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-sync")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    val yamlText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfg.definition)), "UTF-8")
+    val (masters, transactions) = SpecLoader.load(yamlText)
+    val specs =
+      (if (cfg.syncMaster) masters else Nil) ++
+        (if (cfg.syncTransaction) transactions else Nil)
+
+    val transport: String => String = cfg.replayDir match {
+      case Some(_) => identity // replay mode bypasses HTTP entirely
+      case None => new TallyHttp(cfg.server, cfg.port).post
+    }
+
+    // The reference loads tables strictly sequentially
+    // (src/tally.mts:337); extraction here is driver-side per table
+    // (one HTTP stream each) but normalize+write runs distributed, and
+    // independent tables could be submitted from parallel driver
+    // threads — the first easy scale win noted in SURVEY §4.
+    specs.foreach { spec =>
+      val df: DataFrame = cfg.replayDir match {
+        case Some(dir) =>
+          val tsv = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/${spec.name}.data")), "UTF-8")
+          // .data files carry a header line (src/tally.mts:551-552)
+          val body = tsv.split("\r\n").drop(1).mkString("\r\n")
+          TallyXml.tsvToDataFrame(spark, body, spec)
+        case None =>
+          TallyXml.extract(spark, spec, transport,
+            cfg.fromDate, cfg.toDate, cfg.company)
+      }
+      sink(spark, cfg, spec, df)
+      println(s"[graft] synced ${spec.name}")
+    }
+  }
+
+  private def sink(spark: SparkSession, cfg: Config, spec: TableSpec,
+      df: DataFrame): Unit = cfg.technology match {
+    case "parquet" =>
+      new ParquetWarehouse(spark, cfg.schema).write(spec.name, df)
+    case "csv" => Emitters.writeCsvDir(df, s"${cfg.schema}/${spec.name}")
+    case "json" => Emitters.writeJsonDir(df, s"${cfg.schema}/${spec.name}")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sink: $other")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface: the streaming twins of the batch
+  * event queries (SURVEY §2 "continuous" + the training-pipeline
+  * ingestion path). The reference's continuous mode is a polling batch
+  * loop (src/index.mts:55-89) — kept as [[graft.tally.ContinuousSync]];
+  * THIS module is the Spark-native upgrade: a real incremental
+  * pipeline with watermarked event-time windows and custom keyed state.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark;
+  * session state by the idle timeout. Both shuffle once on the
+  * grouping key per micro-batch — the same key-partitioning story as
+  * the batch jobs.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, started: java.sql.Timestamp,
+      ended: java.sql.Timestamp)
+
+  /** Read the events table as a file stream (schema fixed up the same
+    * way [[graft.Tables.events]] does for nanos timestamps). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source needs a directory: stream the sf dir with
+    // a glob filter selecting just the events table
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * Reports.q18EventsHourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Custom keyed state: 30-minute-gap sessionization via
+    * flatMapGroupsWithState (the mapGroupsWithState family the
+    * reference's polling loop cannot express). Emits a summary when a
+    * session times out. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val typed = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value")).as[Event]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[(Long, Long, Double, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _, total, started, ended) = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, n, total,
+              new java.sql.Timestamp(started), new java.sql.Timestamp(ended)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val gapMs = gapMinutes * 60000L
+            var out = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((n, _, total, started, ended)) if t - ended <= gapMs =>
+                  cur = Some((n + 1, 0L, total + e.value, started, t))
+                case Some((n, _, total, started, ended)) =>
+                  out ::= SessionSummary(userId, n, total,
+                    new java.sql.Timestamp(started),
+                    new java.sql.Timestamp(ended))
+                  cur = Some((1L, 0L, e.value, t, t))
+                case None =>
+                  cur = Some((1L, 0L, e.value, t, t))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Drive a streaming DataFrame to a memory sink synchronously —
+    * AvailableNow processes the whole backlog and stops (the local
+    * smoke harness, and how tests observe results). */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append",
+      timeoutMs: Long = 120000): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(timeoutMs)
+    q
+  }
+}

@@ -1,0 +1,210 @@
+package graft.tally
+
+import graft.operators.Cdc
+import graft.sources.TableSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse abstraction the incremental sync merges into: parquet
+  * tables in production, an in-memory map in scenario tests. */
+trait Warehouse {
+  def read(table: String): DataFrame
+  def write(table: String, df: DataFrame): Unit
+  def exists(table: String): Boolean
+}
+
+/** Parquet warehouse with write-new-then-swap so an in-flight read of
+  * the old snapshot never races the overwrite (Spark's overwrite mode
+  * deletes target files before the plan finishes reading them). */
+final class ParquetWarehouse(spark: SparkSession, dir: String) extends Warehouse {
+  private def path(t: String) = s"$dir/$t"
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+  def write(table: String, df: DataFrame): Unit = {
+    val tmp = path(table) + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path(table))
+    if (target.exists()) {
+      val old = new java.io.File(path(table) + ".old")
+      deleteRec(old)
+      target.renameTo(old)
+      new java.io.File(tmp).renameTo(target)
+      deleteRec(old)
+    } else new java.io.File(tmp).renameTo(target)
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+}
+
+final class MemoryWarehouse extends Warehouse {
+  private val tables = scala.collection.mutable.Map[String, DataFrame]()
+  def read(table: String): DataFrame = tables(table)
+  def exists(table: String): Boolean = tables.contains(table)
+  def write(table: String, df: DataFrame): Unit =
+    // localCheckpoint: materialize so later writes of upstream tables
+    // can't change this snapshot through lazy lineage
+    tables(table) = df.localCheckpoint(eager = true)
+}
+
+/** What the merge pulls from Tally (SURVEY §2.1 S17/S18 + §2.3):
+  * watermark probes, light (guid, alterid) diff snapshots, filtered
+  * incremental row extracts, and the voucher-number re-pull. Tests
+  * implement this over in-memory snapshots; production backs it with
+  * [[graft.sources.TallyXml.extract]] + [[graft.sources.TallyHttp]]. */
+trait TallySource {
+  def lastAlterIdMaster: Long
+  def lastAlterIdTransaction: Long
+  /** Current (guid, alterid) pairs for a primary table. */
+  def diffSnapshot(spec: TableSpec): DataFrame
+  /** Full rows with alterid > since (the injected `$AlterID > n`
+    * filter, src/tally.mts:194-197). */
+  def incrementalRows(spec: TableSpec, since: Long): DataFrame
+  /** (guid, voucher_number) for auto-numbered voucher types
+    * (src/tally.mts:262-291). */
+  def voucherNumbers(): DataFrame
+}
+
+final case class SyncReport(
+    masterChanged: Boolean, transactionChanged: Boolean,
+    deletedByTable: Map[String, Long], appendedByTable: Map[String, Long],
+    renumbered: Boolean)
+
+/** The incremental-sync merge (SURVEY §2.3 L1–L11; reference
+  * src/tally.mts:88-307) as one Spark job per changed table group:
+  *
+  *  1. watermark compare gates the whole sync (L1/L2)
+  *  2. per primary table: (guid, alterid) diff → deleted keys
+  *     (anti-join, L3/L4) ∪ version-changed keys (mismatch join, L5);
+  *     delete them (keep-complement anti-join, L6) + cascade deletes
+  *     to children (L7)
+  *  3. re-extract rows with alterid > warehouse watermark and append
+  *     (L8) — together with the delete phase this is MERGE
+  *  4. cascade-update denormalized parent-name columns via the
+  *     surrogate `_fk` columns (L9)
+  *  5. voucher renumbering when any voucher type is auto-numbered
+  *     (L10): join-replace `voucher_number` from the re-pull
+  *
+  * Every step is a key-partitioned join — with warehouse tables
+  * bucketed by guid the whole merge is one shuffle per table at most;
+  * diff snapshots are small (two columns) and broadcast.
+  */
+final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
+    transactions: Seq[TableSpec], source: TallySource,
+    warehouse: Warehouse) {
+
+  private val keyCol = "guid"
+  private val versionCol = "alterid"
+
+  def run(): SyncReport = {
+    val primaryMasters = masters.filter(_.nature == "Primary")
+    val dbMasterWm = Cdc.maxWatermark(
+      primaryMasters.map(s => warehouse.read(s.name)), versionCol)
+    val dbTxnWm = Cdc.maxWatermark(
+      Seq(warehouse.read("trn_voucher")), versionCol)
+
+    val masterChanged = source.lastAlterIdMaster != dbMasterWm
+    val txnChanged = source.lastAlterIdTransaction != dbTxnWm
+    if (!masterChanged && !txnChanged)
+      return SyncReport(masterChanged = false, transactionChanged = false,
+        Map.empty, Map.empty, renumbered = false)
+
+    val deleted = scala.collection.mutable.Map[String, Long]()
+    val appended = scala.collection.mutable.Map[String, Long]()
+
+    def mergeGroup(specs: Seq[TableSpec], wm: Long): Unit = {
+      // delete phase: primary tables detect deletes/changes via diff
+      specs.filter(_.nature == "Primary").foreach { spec =>
+        val target = warehouse.read(spec.name)
+        val diff = broadcast(source.diffSnapshot(spec))
+        val deletedKeys = target.join(diff, Seq(keyCol), "left_anti")
+          .select(col(keyCol))
+        val changedKeys = target.as("t")
+          .join(diff.as("s"), col(s"t.$keyCol") === col(s"s.$keyCol"))
+          .filter(col(s"t.$versionCol") =!= col(s"s.$versionCol"))
+          .select(col(s"t.$keyCol").as(keyCol))
+        val removeKeys = deletedKeys.union(changedKeys).distinct()
+          .localCheckpoint(eager = true)
+        deleted(spec.name) = removeKeys.count()
+        warehouse.write(spec.name,
+          warehouse.read(spec.name).join(removeKeys, Seq(keyCol), "left_anti"))
+        // cascade delete to children via their FK column (L7)
+        spec.cascadeDelete.foreach { cas =>
+          cas.fields.values.foreach { fk =>
+            if (warehouse.exists(cas.table))
+              warehouse.write(cas.table, Cdc.cascadeDelete(
+                warehouse.read(cas.table), removeKeys, fk))
+          }
+        }
+      }
+      // append phase: all tables pull rows newer than the warehouse
+      specs.foreach { spec =>
+        val fresh = source.incrementalRows(spec, wm)
+        appended(spec.name) = fresh.count()
+        val base = warehouse.read(spec.name)
+        warehouse.write(spec.name,
+          base.unionByName(fresh.select(base.columns.map(col).toIndexedSeq: _*)))
+      }
+    }
+
+    if (masterChanged) mergeGroup(masters, dbMasterWm)
+    if (txnChanged) mergeGroup(transactions, dbTxnWm)
+
+    // cascade updates: refresh denormalized names from masters (L9)
+    if (masterChanged)
+      masters.filter(_.nature == "Primary").foreach { spec =>
+        spec.cascadeUpdate.foreach { cas =>
+          cas.fields.foreach { case (field, _) =>
+            if (warehouse.exists(cas.table))
+              warehouse.write(cas.table, Cdc.cascadeUpdate(
+                warehouse.read(cas.table), warehouse.read(spec.name),
+                s"_$field", keyCol, "name", field))
+          }
+        }
+      }
+
+    // voucher renumbering (L10): auto-numbered types shift numbers of
+    // later vouchers when one is inserted in between
+    var renumbered = false
+    if (txnChanged && warehouse.exists("mst_vouchertype")) {
+      val autoCount = warehouse.read("mst_vouchertype")
+        .filter(col("numbering_method").contains("Auto")).limit(1).count()
+      if (autoCount > 0) {
+        val numbers = broadcast(source.voucherNumbers()
+          .withColumnRenamed("voucher_number", "__vn"))
+        val v = warehouse.read("trn_voucher")
+        warehouse.write("trn_voucher",
+          v.join(numbers, Seq(keyCol), "left")
+            .withColumn("voucher_number",
+              coalesce(col("__vn"), col("voucher_number")))
+            .drop("__vn"))
+        renumbered = true
+      }
+    }
+
+    SyncReport(masterChanged, txnChanged, deleted.toMap, appended.toMap,
+      renumbered)
+  }
+}
+
+/** Continuous sync (SURVEY §2.3 L13; reference src/index.mts:51-89):
+  * a driver polling loop with the watermark short-circuit — not a
+  * streaming job, faithfully a batch poll (the reference's
+  * "continuous" mode is setInterval). Runs `maxIterations` ticks (or
+  * forever when negative), skipping when nothing changed. */
+object ContinuousSync {
+  def run(job: () => SyncReport, intervalMillis: Long,
+      maxIterations: Int, sleep: Long => Unit = Thread.sleep):
+      Seq[SyncReport] = {
+    val reports = scala.collection.mutable.Buffer[SyncReport]()
+    var i = 0
+    while (maxIterations < 0 || i < maxIterations) {
+      reports += job()
+      i += 1
+      if (maxIterations < 0 || i < maxIterations) sleep(intervalMillis)
+    }
+    reports.toSeq
+  }
+}
