@@ -46,18 +46,14 @@ object Similarity {
         (sqrt(norm2Exact(a).cast("double")) *
           sqrt(norm2Exact(b).cast("double"))), 6)
 
-  /** Fast all-double cosine — whole-stage-codegen arithmetic, used to
+  /** Fast all-double cosine — a fused native Catalyst expression
+    * ([[graft.functions.VectorExpressions.cosineSimilarity]], one
+    * allocation-free codegen loop for dot + both norms), used to
     * PREFILTER/PRERANK large candidate sets before the exact decimal
-    * scorer runs on the few survivors. Accumulation order is fixed
-    * (left-to-right over the array) so it is deterministic per engine,
-    * but only the decimal scorer is engine-portable — never emit this
-    * value. */
-  def cosineFast(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * scorer runs on the few survivors. Deterministic (fixed
+    * accumulation order) but engine-local — never emit this value. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
   /** Guard band between the fast-double prefilter and the exact
     * rounded-decimal decision boundary. */

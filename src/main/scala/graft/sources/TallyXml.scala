@@ -162,6 +162,72 @@ object TallyXml {
     }: _*)
   }
 
+  /** The active-company AlterId watermark probe (S18,
+    * src/tally.mts:406-446): a fixed comma-delimited report returning
+    * `$AltMstId,$AltVchId`. Returns (masterAlterId, transactionAlterId)
+    * or None when no company is open (empty response). */
+  def alterIdProbeTdl(company: Option[String]): String = {
+    val base = "<?xml version=\"1.0\" encoding=\"utf-8\"?><ENVELOPE>" +
+      "<HEADER><VERSION>1</VERSION><TALLYREQUEST>Export</TALLYREQUEST>" +
+      "<TYPE>Data</TYPE><ID>AlterIdProbe</ID></HEADER><BODY><DESC>" +
+      "<STATICVARIABLES><SVEXPORTFORMAT>ASCII (Comma Delimited)" +
+      "</SVEXPORTFORMAT></STATICVARIABLES><TDL><TDLMESSAGE>" +
+      "<REPORT NAME=\"AlterIdProbe\"><FORMS>MyForm</FORMS></REPORT>" +
+      "<FORM NAME=\"MyForm\"><PARTS>MyPart</PARTS></FORM>" +
+      "<PART NAME=\"MyPart\"><LINES>MyLine</LINES>" +
+      "<REPEAT>MyLine : MyCollection</REPEAT>" +
+      "<SCROLLED>Vertical</SCROLLED></PART>" +
+      "<LINE NAME=\"MyLine\"><FIELDS>FldM,FldT</FIELDS></LINE>" +
+      "<FIELD NAME=\"FldM\"><SET>$AltMstId</SET></FIELD>" +
+      "<FIELD NAME=\"FldT\"><SET>$AltVchId</SET></FIELD>" +
+      "<COLLECTION NAME=\"MyCollection\"><TYPE>Company</TYPE>" +
+      "<FILTER>FilterActiveCompany</FILTER></COLLECTION>" +
+      "<SYSTEM TYPE=\"Formulae\" NAME=\"FilterActiveCompany\">" +
+      "$$IsEqual:##SVCurrentCompany:$Name</SYSTEM>" +
+      "</TDLMESSAGE></TDL></DESC></BODY></ENVELOPE>"
+    company.fold(base)(c => base.replace("##SVCurrentCompany",
+      "\"" + TallyTypes.escapeXml(c) + "\""))
+  }
+
+  def parseAlterIds(response: String): Option[(Long, Long)] = {
+    val cleaned = response.replace("\"", "").trim
+    if (cleaned.isEmpty) None
+    else cleaned.split(",").toSeq match {
+      case m +: t +: _ =>
+        def num(s: String) = s.trim.toLongOption.getOrElse(0L)
+        Some((num(m), num(t)))
+      case _ => Some((0L, 0L))
+    }
+  }
+
+  /** The company-info probe (S17, src/tally.mts:562-612): guid, name,
+    * books-from and last-voucher-date (yyyymmdd ints), EOL marker †.
+    * Yields the reference's key-value `config` table rows. */
+  final case class CompanyInfo(guid: String, name: String,
+      booksFrom: String, lastVoucherDate: String)
+
+  def parseCompanyInfo(response: String): Option[CompanyInfo] = {
+    val eol = "\",\"†\",\r\n"
+    if (!response.endsWith(eol)) None
+    else {
+      val body = response.dropRight(eol.length).drop(1)
+      body.split("\",\"").toSeq match {
+        case guid +: name +: from +: to +: _ =>
+          Some(CompanyInfo(guid, name, from, to))
+        case _ => None
+      }
+    }
+  }
+
+  /** Config-table rows from a company probe (the reference's
+    * `config(name, value)` key-value table, src/tally.mts:582-583). */
+  def configRows(info: CompanyInfo, timestamp: String): Seq[(String, String)] =
+    Seq(
+      "Update Timestamp" -> timestamp,
+      "Company Name" -> info.name,
+      "Period From" -> info.booksFrom,
+      "Period To" -> info.lastVoucherDate)
+
   /** Full extract for canned/test transports: TDL request → transport
     * → XML→TSV → typed DataFrame. `transport` posts the request body
     * and returns the response body (the HTTP/utf-16le mechanics live

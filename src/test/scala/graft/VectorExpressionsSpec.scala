@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.VectorExpressions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(3.0f, 2.0f, 1.0f)),
+    (2L, Seq(1.0f, 2.0f, 3.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("native expression matches the HOF formulation bit-for-bit") {
+    def hofCosine(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        VectorExpressions.cosineSimilarity(
+          col("a.embedding"), col("b.embedding")).as("native"),
+        hofCosine(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("identical vectors score 1.0 exactly") {
+    val r = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 2)
+      .select(VectorExpressions.cosineSimilarity(
+        col("a.embedding"), col("b.embedding"))).head().getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // a real parquet scan (literal local relations get evaluated
+    // driver-side and never enter codegen)
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val df = e.select(VectorExpressions.cosineSimilarity(
+      col("embedding"), col("embedding")).as("c"))
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators render as "*(n)" in the final adaptive plan
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_similarity.*"),
+      s"expected codegen'd cosine projection in:\n$plan")
+  }
+
+  test("SQL registration via GraftExtensions-style injection") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => graft.functions.CosineSimilarityExpr(exprs(0), exprs(1)),
+      "built-in")
+    vecs.createOrReplaceTempView("v")
+    val r = spark.sql(
+      """SELECT cosine_similarity(a.embedding, b.embedding) AS c
+        |FROM v a JOIN v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(r - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("similarity operators produce identical results through the kernel") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((2L, 1), (1L, 2)))
+  }
+}
