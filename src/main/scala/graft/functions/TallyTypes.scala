@@ -119,6 +119,17 @@ object TallyTypes {
     when(scaled - tz > 0.5, (tz + 1) / p).otherwise(tz / p)
   }
 
+  /** List flatten (P13, `$$FullList:Address:$Address` — collapse a
+    * child collection to one string, tally-export-config.yaml:65). */
+  def fullList(arr: Column, sep: String = " "): Column =
+    array_join(arr, sep)
+
+  /** Indexed child access (P14, `$Led...[Last]` / `[First]` /
+    * `[n]`, tally-export-config.yaml:83, 296): 1-based from the
+    * front, -1 = last. */
+  def indexedChild(arr: Column, index: Int): Column =
+    element_at(arr, index)
+
   /** Compose a yyyymmdd int from a date (P11, src/tally.mts:565). */
   def yyyymmdd(d: Column): Column =
     (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast(IntegerType)

@@ -130,11 +130,20 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 7,
       minJaccard: Double = 0.8): DataFrame = {
-    val withSim = docs
-      .select(col(idCol).as("id"), shingleArray(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("id"), transform(col("grams"), g => xxhash64(g)).as("gh"))
-      .select(col("id"), simhash64(col("gh")).as("sim"))
+    // exploded formulation (same values as simhash64): 64 bit-sum
+    // aggregations inside hash-agg codegen instead of 64 nested
+    // array-aggregate expressions per row
+    val gh = explodedShingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("g")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val withSim = gh.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
     val chunked = withSim.select(col("id"), col("sim"), explode(array(
       (0 until 8).map { c =>
         lit(c.toLong << 16).bitwiseOR(

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract (SURVEY §4): filters
+  * reach the parquet scan, projections prune columns, dimension joins
+  * broadcast. These lock in the plan shape so a refactor that silently
+  * breaks pushdown fails CI, not the 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+  import graft.operators.Reports
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan(Reports.q01PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+  }
+
+  test("q01: scan reads only the referenced columns") {
+    val plan = executedPlan(Reports.q01PricingSummary(spark, sf))
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("q03: dimension joins broadcast (no fact shuffle for dims)") {
+    val plan = executedPlan(Reports.q03SalesRegister(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q03: orderdate filter pushed down to the orders scan") {
+    val plan = executedPlan(Reports.q03SalesRegister(spark, sf))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"missing orderdate pushdown in:\n$plan")
+  }
+
+  test("q07: window aggregation keeps partial aggregation upstream") {
+    val plan = executedPlan(Reports.q11Monthly(spark, sf))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+}
