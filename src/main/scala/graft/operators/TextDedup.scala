@@ -159,6 +159,28 @@ object TextDedup {
     verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
   }
 
+  /** The set of ids to DROP given near-dup pairs (a < b): every id
+    * that has a smaller near-duplicate. Keeps exactly the minimal id
+    * of each duplicate chain while never dropping documents that are
+    * only transitively (not actually) similar. This is the answer a
+    * curation pipeline consumes — pairs are the evidence. */
+  def dropSet(pairs: DataFrame): DataFrame =
+    pairs.select(col("b").as("id")).distinct()
+
+  /** The corpus with exact AND near duplicates removed: one pass of
+    * exact-digest first-wins plus an anti-join against [[dropSet]] of
+    * the near-dup pairs. */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val keepers = exactGroups(docs, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    val exactKept = docs.join(keepers, Seq(idCol), "left_semi")
+    val drops = dropSet(
+      minhashLshPairs(exactKept, idCol, textCol, minJaccard = minJaccard))
+      .withColumnRenamed("id", idCol)
+    exactKept.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard for given candidate pairs (semi-join restricted
     * gram join — cheap post-LSH). */
   def verifyJaccard(docs: DataFrame, cand: DataFrame,
