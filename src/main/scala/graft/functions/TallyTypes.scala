@@ -59,7 +59,10 @@ object TallyTypes {
 
   /** Parse one raw extracted string value into its typed column —
     * the exact inverse of the TDL SET templates + the JSON converter
-    * (src/database.mts:92-114: NaN → null, ñ → null). */
+    * (src/database.mts:92-114: NaN/unparsable → null, ñ → null).
+    * All casts are try_* variants: Spark 4 runs with ANSI mode on by
+    * default, where a plain cast/to_date THROWS on malformed input —
+    * the reference maps malformed values to null instead. */
   def parseValue(raw: Column, t: FieldType): Column = t match {
     case TText | TCustom => raw
     case TLogical => when(trim(raw) === "1", lit(true))
@@ -67,23 +70,18 @@ object TallyTypes {
       .otherwise(lit(null).cast(BooleanType))
     case TDate => when(raw === NullDateSentinel || raw === "",
         lit(null).cast(DateType))
-      .otherwise(to_date(raw, "yyyy-MM-dd"))
-    case TNumber => coalesce(try_cast_int(raw), lit(0))
-    case TAmount =>
-      coalesce(fixNegative(raw).cast(DecimalType(17, 2)),
-        lit(null).cast(DecimalType(17, 2)))
-    case TQuantity =>
-      coalesce(fixNegative(raw).cast(DecimalType(15, 4)),
-        lit(null).cast(DecimalType(15, 4)))
+      .otherwise(try_to_date(raw, "yyyy-MM-dd"))
+    case TNumber =>
+      when(trim(raw) === "", lit(0))
+        .otherwise(raw.try_cast(IntegerType))
+    case TAmount => fixNegative(raw).try_cast(DecimalType(17, 2))
+    case TQuantity => fixNegative(raw).try_cast(DecimalType(15, 4))
     case TRate =>
       when(trim(raw) === "", lit(0).cast(DecimalType(15, 4)))
         // rate may carry a "/unit" suffix — $$Number keeps the numeric part
         .otherwise(regexp_extract(raw, "^-?[0-9]+(\\.[0-9]+)?", 0)
-          .cast(DecimalType(15, 4)))
+          .try_cast(DecimalType(15, 4)))
   }
-
-  private def try_cast_int(c: Column): Column =
-    when(trim(c) === "", lit(0)).otherwise(c.cast(IntegerType))
 
   /** Extract-side sign resolution for amounts ($$IsDebit → negate,
     * P8): debit negative, credit positive. */

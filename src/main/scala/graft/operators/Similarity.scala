@@ -72,15 +72,18 @@ object Similarity {
     rerankExact(scored, k)
   }
 
-  /** Two-phase ranking: cheap double prerank keeps k+16 candidates per
-    * query (the guard band absorbs double-vs-rounded-decimal tie
-    * drift), then the exact decimal cosine scores that tiny set and
-    * produces the final deterministic top-k. */
+  /** Two-phase ranking: cheap double prerank keeps k+64 candidates per
+    * query, then the exact decimal cosine scores that tiny set and
+    * produces the final deterministic top-k. The guard band absorbs
+    * double-vs-rounded-decimal drift; the one shape it cannot fully
+    * cover is >64 candidates whose cosines tie at 6 dp exactly at the
+    * k-th boundary (quantized embeddings) — widen the margin for such
+    * corpora. */
   private def rerankExact(scored: DataFrame, k: Int): DataFrame = {
     val wFast = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_fast").desc, col("neighbor_id").asc)
     val exact = scored.withColumn("rk0", row_number().over(wFast))
-      .filter(col("rk0") <= k + 16)
+      .filter(col("rk0") <= k + 64)
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -88,7 +88,8 @@ object TextDedup {
     * Returns (a, b, jaccard), a < b. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      maxBucketSize: Long = 100000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // exploded-gram formulation: one (id, gramHash) row per distinct
     // shingle, then numHashes min-aggregations — all inside hash-agg
@@ -104,7 +105,15 @@ object TextDedup {
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val buckets = sigs.select(col("id"), explode(
       bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // degenerate-bucket guard: a bucket of m docs emits m²/2 pairs, so
+    // one pathological bucket (boilerplate-heavy corpora) can go
+    // quadratic at 100 TB — cap it and surrender recall inside that
+    // bucket only (the cap is far above anything a healthy band hits)
+    val healthy = buckets.groupBy(col("bk"))
+      .agg(count(lit(1)).as("m")).filter(col("m") <= maxBucketSize)
+      .select(col("bk"))
+    val bounded = buckets.join(healthy, Seq("bk"), "left_semi")
+    val cand = bounded.as("x").join(bounded.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)

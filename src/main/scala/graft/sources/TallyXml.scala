@@ -156,9 +156,12 @@ object TallyXml {
     val lines = tsv.split("\r\n").toIndexedSeq.filter(_.nonEmpty)
     val raw = spark.createDataset(lines).toDF("line")
       .select(split(col("line"), "\t").as("f"))
+    // try_element_at: short rows (Tally omits trailing blanks) yield
+    // null → '' instead of throwing under ANSI mode
     raw.select(spec.fields.zipWithIndex.map { case (f, i) =>
       TallyTypes.parseValue(
-        coalesce(element_at(col("f"), i + 1), lit("")), f.ftype).as(f.name)
+        coalesce(try_element_at(col("f"), lit(i + 1)), lit("")), f.ftype)
+        .as(f.name)
     }: _*)
   }
 

@@ -77,7 +77,11 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some((n, _, total, started, ended)) if t - ended <= gapMs =>
-                  cur = Some((n + 1, 0L, total + e.value, started, t))
+                  // late events from an earlier micro-batch may precede
+                  // the current span — extend, never move boundaries
+                  // backwards (keeps started <= ended invariant)
+                  cur = Some((n + 1, 0L, total + e.value,
+                    math.min(started, t), math.max(ended, t)))
                 case Some((n, _, total, started, ended)) =>
                   out ::= SessionSummary(userId, n, total,
                     new java.sql.Timestamp(started),

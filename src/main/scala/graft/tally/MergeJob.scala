@@ -100,10 +100,17 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
 
   def run(): SyncReport = {
     val primaryMasters = masters.filter(_.nature == "Primary")
-    val dbMasterWm = Cdc.maxWatermark(
-      primaryMasters.map(s => warehouse.read(s.name)), versionCol)
-    val dbTxnWm = Cdc.maxWatermark(
-      Seq(warehouse.read("trn_voucher")), versionCol)
+      .filter(s => warehouse.exists(s.name))
+    val dbMasterWm =
+      if (primaryMasters.isEmpty) 0L
+      else Cdc.maxWatermark(
+        primaryMasters.map(s => warehouse.read(s.name)), versionCol)
+    // the reference anchors the transaction watermark on trn_voucher
+    // (src/tally.mts:124); fall back to 0 on a first/masters-only run
+    val dbTxnWm =
+      if (warehouse.exists("trn_voucher"))
+        Cdc.maxWatermark(Seq(warehouse.read("trn_voucher")), versionCol)
+      else 0L
 
     val masterChanged = source.lastAlterIdMaster != dbMasterWm
     val txnChanged = source.lastAlterIdTransaction != dbTxnWm
@@ -139,9 +146,13 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
           }
         }
       }
-      // append phase: all tables pull rows newer than the warehouse
+      // append phase: all tables pull rows newer than the warehouse.
+      // localCheckpoint materializes the extract once — count() and
+      // the union-write would otherwise recompute it (a second full
+      // pull from Tally per table per sync)
       specs.foreach { spec =>
         val fresh = source.incrementalRows(spec, wm)
+          .localCheckpoint(eager = true)
         appended(spec.name) = fresh.count()
         val base = warehouse.read(spec.name)
         warehouse.write(spec.name,

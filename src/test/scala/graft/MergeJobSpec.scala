@@ -151,6 +151,15 @@ class MergeJobSpec extends AnyFunSuite {
     assert(!reports(1).masterChanged && !reports(2).transactionChanged)
   }
 
+  test("masters-only sync works without a trn_voucher table") {
+    val w = new MemoryWarehouse
+    w.write("mst_ledger", v1Ledgers)
+    val report = new MergeJob(spark, Seq(ledgerSpec), Nil,
+      new V2Source, w).run()
+    assert(report.masterChanged)
+    assert(sorted(w.read("mst_ledger")) == sorted(v2Ledgers))
+  }
+
   test("parquet warehouse swap-write survives read-write cycles") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val w = new ParquetWarehouse(spark, dir)

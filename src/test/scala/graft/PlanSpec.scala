@@ -42,9 +42,16 @@ class PlanSpec extends AnyFunSuite {
       s"missing orderdate pushdown in:\n$plan")
   }
 
-  test("q07: window aggregation keeps partial aggregation upstream") {
+  test("q11: monthly roll-up uses partial (map-side) aggregation") {
     val plan = executedPlan(Reports.q11Monthly(spark, sf))
     // two HashAggregates (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("q07: top-1-per-group runs a single window over one sort") {
+    val plan = executedPlan(Reports.q07TopOrderPerCustomer(spark, sf))
+    assert(plan.contains("Window"))
+    assert(plan.contains("RunningWindowFunction") ||
+      "row_number".r.findAllIn(plan).nonEmpty)
   }
 }

@@ -86,6 +86,27 @@ class TallyXmlSpec extends AnyFunSuite {
     assert(rows(0).getAs[Boolean]("is_revenue"))
   }
 
+  test("short rows (trailing blanks omitted) parse as empty, not crash") {
+    val canned = "<ENVELOPE>\r\n" +
+      "<F01>g-001</F01><F02>Cash</F02>\r\n" + // only 2 of 5 fields
+      "</ENVELOPE>"
+    val rows = TallyXml.extract(spark, ledgerSpec, _ => canned).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("name") == "Cash")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("is_revenue")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("created_date")))
+  }
+
+  test("malformed numeric/date values parse to null (ANSI-safe)") {
+    val canned = "<ENVELOPE>\r\n" +
+      "<F01>g-001</F01><F02>Cash</F02><F03>garbage</F03>" +
+      "<F04>not-a-number</F04><F05>2024/03/31</F05>\r\n</ENVELOPE>"
+    val r = TallyXml.extract(spark, ledgerSpec, _ => canned).head()
+    assert(r.isNullAt(r.fieldIndex("is_revenue")))
+    assert(r.isNullAt(r.fieldIndex("opening_balance")))
+    assert(r.isNullAt(r.fieldIndex("created_date")))
+  }
+
   test("SpecLoader parses reference-format YAML") {
     val yamlText =
       """master:

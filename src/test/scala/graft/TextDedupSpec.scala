@@ -64,6 +64,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))  // identical simhash, hamming 0
   }
 
+  test("per-row signature APIs agree with the exploded pipelines") {
+    import org.apache.spark.sql.functions._
+    // minhashSignature (per-row HOF) vs the exploded min-agg in
+    // minhashLshPairs share derivation: xxhash64(gram) → xxhash64(h, seed)
+    val d = docs.filter($"doc_id" === 0L)
+    val hofSig = d.select(TextDedup.minhashSignature(
+        transform(TextDedup.shingleArray($"text", 3), g => xxhash64(g)), 8)
+      .as("sig")).as[Seq[Long]].head()
+    val gh = TextDedup.explodedShingles(d, "doc_id", "text", 3)
+      .select(xxhash64($"g").as("h"))
+    val aggSig = (0 until 8).map(seed =>
+      gh.agg(min(xxhash64($"h", lit(seed)))).head().getLong(0))
+    assert(hofSig == aggSig)
+    // simhash64 (per-row) vs the exploded bit-sums in simhashPairs
+    val hofSim = d.select(TextDedup.simhash64(
+        transform(TextDedup.shingleArray($"text", 3), g => xxhash64(g)))
+      .as("s")).head().getLong(0)
+    val bitSums = (0 until 64).map(j =>
+      gh.agg(sum(when(shiftright($"h", j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L))).head().getLong(0))
+    val expSim = bitSums.zipWithIndex
+      .map { case (s, j) => if (s > 0) 1L << j else 0L }
+      .reduce(_ | _)
+    assert(hofSim == expSim)
+  }
+
+  test("degenerate-bucket guard drops pathological buckets only") {
+    // cap of 1 kills every bucket → no pairs; default cap → pairs found
+    val none = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxBucketSize = 1)
+    assert(none.count() == 0)
+  }
+
   test("stop-shingle removal drops high-df shingles") {
     val g = TextDedup.explodedShingles(docs, "doc_id", "text", 3,
       maxShingleDf = 2)
