@@ -49,6 +49,8 @@ object SparkEntry {
     "q29_token_freq"       -> (Curation.q29TokenFreq _),
     "q30_fingerprint"      -> (Curation.q30Fingerprint _),
     "q31_media_features"   -> (Curation.q31MediaFeatures _),
+    // rows-only like q25: IVF recall < 1 by design, no SQL oracle
+    "q47_embed_ann_ivf"    -> (Curation.q47EmbedAnnIvf _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(

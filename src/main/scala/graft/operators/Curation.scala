@@ -47,6 +47,14 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def q47EmbedAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10,
+        nLists = 16, nProbe = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)

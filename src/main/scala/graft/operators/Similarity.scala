@@ -141,6 +141,75 @@ object Similarity {
     rerankExact(scored, k)
   }
 
+  /** IVF (inverted-file) ANN — the clustering scale path next to the
+    * LSH one: a deterministic mini-k-means builds `nLists` centroids
+    * (seeds = lowest xxhash64(id), `iterations` Lloyd steps, all as
+    * DataFrame aggregations), every corpus vector lands in its nearest
+    * list, and each query probes the `nProbe` nearest lists only. The
+    * candidate set is then scored with the shared two-phase
+    * (double → exact decimal) ranker. Recall < 1 by construction —
+    * raise `nProbe` toward `nLists` to trade cost for recall. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      iterations: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = deterministicSeeds(c, nLists) // (list_id, centroid)
+    for (_ <- 0 until iterations)
+      centroids = recomputeCentroids(assign(c, centroids))
+    val assigned = assign(c, centroids)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineFast(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
+    rerankExact(scored, k)
+  }
+
+  /** Deterministic centroid seeds: the `nLists` vectors with the
+    * lowest id hash (no RNG — reproducible across runs; a distributed
+    * top-k, not a global window). */
+  private def deterministicSeeds(c: DataFrame, nLists: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val picked = c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nLists)
+    val w = Window.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+    picked.withColumn("list_id", row_number().over(w) - 1)
+      .select(col("list_id"), col("cv").as("centroid"))
+  }
+
+  /** Nearest-centroid assignment (centroids broadcast). */
+  private def assign(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cdist").desc, col("list_id").asc)
+    c.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineFast(col("cv"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("list_id"))
+  }
+
+  /** Lloyd step: element-wise mean per list via posexplode + two-level
+    * aggregation (the scalable way to average vectors — no driver
+    * collect). */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("list_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("list_id"),
+        // back to float: the cosine kernel expects ARRAY<FLOAT>
+        transform(col("pm"), e => e.getField("m").cast("float"))
+          .as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
     * Exact for moderate corpora; at scale swap the pair generator for
     * the LSH bucketing above (same scorer). */

@@ -48,6 +48,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.toSeq == Seq((0L, 1L)))
   }
 
+  test("IVF top-k finds identical vectors and reports sane recall") {
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val exact = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10,
+        nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+    // probing every list ≡ brute force
+    val full = Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10,
+        nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("dot product is exact decimal (partition-order independent)") {
     val big = spark.range(0, 1000).select($"id".cast("long").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
