@@ -33,8 +33,12 @@ object TallyTypes {
     val yamlName = "logical"; val sparkType: DataType = BooleanType }
   case object TDate extends FieldType {
     val yamlName = "date"; val sparkType: DataType = DateType }
+  /** `number` is decimal-capable in the reference (parseFloat on the
+    * JSON path, src/database.mts:104; DDL uses int AND decimal(9,4)
+    * columns for it, e.g. tax_rate) — an integer mapping would lose
+    * fractional values like an 18.5% tax rate. */
   case object TNumber extends FieldType {
-    val yamlName = "number"; val sparkType: DataType = IntegerType }
+    val yamlName = "number"; val sparkType: DataType = DecimalType(15, 4) }
   case object TAmount extends FieldType {
     val yamlName = "amount"; val sparkType: DataType = DecimalType(17, 2) }
   case object TQuantity extends FieldType {
@@ -72,8 +76,8 @@ object TallyTypes {
         lit(null).cast(DateType))
       .otherwise(try_to_date(raw, "yyyy-MM-dd"))
     case TNumber =>
-      when(trim(raw) === "", lit(0))
-        .otherwise(raw.try_cast(IntegerType))
+      when(trim(raw) === "", lit(0).cast(DecimalType(15, 4)))
+        .otherwise(raw.try_cast(DecimalType(15, 4)))
     case TAmount => fixNegative(raw).try_cast(DecimalType(17, 2))
     case TQuantity => fixNegative(raw).try_cast(DecimalType(15, 4))
     case TRate =>

@@ -49,8 +49,12 @@ class TallyTypesSpec extends AnyFunSuite {
   }
 
   test("number/rate: empty → 0; rate strips unit suffix") {
-    assert(one(parseValue(lit(""), TNumber)).getInt(0) == 0)
-    assert(one(parseValue(lit("42"), TNumber)).getInt(0) == 42)
+    assert(one(parseValue(lit(""), TNumber)).getDecimal(0).doubleValue() == 0.0)
+    assert(one(parseValue(lit("42"), TNumber)).getDecimal(0)
+      .doubleValue() == 42.0)
+    // number is decimal-capable (tax_rate-style values)
+    assert(one(parseValue(lit("18.5"), TNumber)).getDecimal(0)
+      .doubleValue() == 18.5)
     assert(one(parseValue(lit(""), TRate)).getDecimal(0).doubleValue() == 0.0)
     assert(one(parseValue(lit("12.50/Nos"), TRate)).getDecimal(0)
       .doubleValue() == 12.5)
