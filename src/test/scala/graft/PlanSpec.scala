@@ -48,6 +48,28 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2)
   }
 
+  test("bucketed co-located join is shuffle-free (the warehouse story)") {
+    import spark.implicits._
+    Seq(("g1", 1), ("g2", 2), ("g3", 3)).toDF("guid", "v")
+      .write.bucketBy(4, "guid").sortBy("guid")
+      .mode("overwrite").saveAsTable("plan_bt_a")
+    Seq(("g1", 10), ("g2", 20)).toDF("guid", "w")
+      .write.bucketBy(4, "guid").sortBy("guid")
+      .mode("overwrite").saveAsTable("plan_bt_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("plan_bt_a")
+        .join(spark.table("plan_bt_b"), "guid")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q07: top-1-per-group runs a single window over one sort") {
     val plan = executedPlan(Reports.q07TopOrderPerCustomer(spark, sf))
     assert(plan.contains("Window"))
