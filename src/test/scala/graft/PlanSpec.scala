@@ -50,6 +50,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed co-located join is shuffle-free (the warehouse story)") {
     import spark.implicits._
+    // a previous JVM's managed-table dirs survive on disk while the
+    // in-memory catalog forgets them — clear both sides first
+    Seq("plan_bt_a", "plan_bt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     Seq(("g1", 1), ("g2", 2), ("g3", 3)).toDF("guid", "v")
       .write.bucketBy(4, "guid").sortBy("guid")
       .mode("overwrite").saveAsTable("plan_bt_a")
