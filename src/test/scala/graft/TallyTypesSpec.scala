@@ -78,6 +78,17 @@ class TallyTypesSpec extends AnyFunSuite {
     assert(TRate.sparkType.toString.contains("15,4"))
   }
 
+  test("fullList flattens child collections; indexedChild picks First/Last") {
+    import spark.implicits._
+    val df = Seq(Seq("12 Main St", "Floor 2", "Metro City")).toDF("addr")
+    assert(df.select(fullList($"addr").as("s")).head().getString(0) ==
+      "12 Main St Floor 2 Metro City")
+    assert(df.select(indexedChild($"addr", 1)).head().getString(0) ==
+      "12 Main St")   // [First]
+    assert(df.select(indexedChild($"addr", -1)).head().getString(0) ==
+      "Metro City")   // [Last]
+  }
+
   test("yyyymmdd composes the P11 integer date") {
     val r = Seq("2024-03-31").toDF("s")
       .select(yyyymmdd(to_date($"s")).as("i")).head().getInt(0)
