@@ -104,6 +104,7 @@ object Main {
       new ParquetWarehouse(spark, cfg.schema).write(spec.name, df)
     case "csv" => Emitters.writeCsvDir(df, s"${cfg.schema}/${spec.name}")
     case "json" => Emitters.writeJsonDir(df, s"${cfg.schema}/${spec.name}")
+    case "orc" => Emitters.writeOrcDir(df, s"${cfg.schema}/${spec.name}")
     case other =>
       throw new IllegalArgumentException(s"unsupported sink: $other")
   }

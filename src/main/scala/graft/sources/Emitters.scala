@@ -84,4 +84,7 @@ object Emitters {
 
   def writeJsonDir(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  def writeOrcDir(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -36,6 +36,17 @@ class EmittersSpec extends AnyFunSuite {
     assert(content.contains("\"guid\",\"narration\",\"qty\",\"d\"\r\n"))
   }
 
+  test("columnar dir sinks round-trip typed rows (parquet + orc)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emit").toString
+    Emitters.writeParquet(df, s"$dir/p")
+    Emitters.writeOrcDir(df, s"$dir/o")
+    assert(spark.read.parquet(s"$dir/p").count() == 2)
+    val orc = spark.read.orc(s"$dir/o")
+    assert(orc.count() == 2)
+    assert(orc.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
   test("JSON lines keep typed values and nulls") {
     val rows = Emitters.jsonLines(df).collect().map(_.getString(0))
     assert(rows(0).contains("\"qty\":10"))
