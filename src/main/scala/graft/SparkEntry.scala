@@ -56,18 +56,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS returned_value,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_disc_price,
+        | round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS returned_value,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q02_trial_balance" ->
       """SELECT c.c_custkey,
-        | CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS opening,
-        | CAST(coalesce(s.fulfilled, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS fulfilled,
-        | CAST(coalesce(s.open_amt, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS open_amt,
+        | round(CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) AS DOUBLE), 6) AS opening,
+        | round(CAST(coalesce(s.fulfilled, CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS fulfilled,
+        | round(CAST(coalesce(s.open_amt, CAST(0 AS DECIMAL(18,6))) AS DOUBLE), 6) AS open_amt,
         | coalesce(s.n_orders, 0) AS n_orders
         |FROM customer c LEFT JOIN (
         | SELECT o_custkey,
@@ -79,7 +79,7 @@ object SparkEntry {
     "q03_sales_register" ->
       """SELECT l.l_orderkey, l.l_linenumber, CAST(o.o_orderdate AS DATE) AS order_date,
         | c.c_name, n.n_name, r.r_name,
-        | CAST(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS net_amount
+        | round(CAST(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS DOUBLE), 6) AS net_amount
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         | JOIN customer c ON o.o_custkey = c.c_custkey
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -88,7 +88,7 @@ object SparkEntry {
         |ORDER BY 1,2""".stripMargin,
     "q04_cross_nation" ->
       """SELECT n.n_name AS cust_nation,
-        | CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS import_value,
+        | round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS import_value,
         | count(*) AS n_lines
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         | JOIN customer c ON o.o_custkey = c.c_custkey
@@ -98,7 +98,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q05_semi_join" ->
       """SELECT o_orderkey, o_orderstatus,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS total
+        | round(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6) AS total
         |FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         |ORDER BY 1""".stripMargin,
@@ -109,7 +109,7 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q07_top1_per_group" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS top_total
+        | round(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6) AS top_total
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         | FROM orders) t
@@ -124,11 +124,11 @@ object SparkEntry {
     "q09_ledger_view" ->
       """SELECT custkey, entry_date, entry_type, amount FROM (
         | SELECT c_custkey AS custkey, DATE '1994-12-31' AS entry_date, 'OPENING' AS entry_type,
-        |  CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS amount
+        |  round(CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE), 6) AS amount
         | FROM customer WHERE c_custkey <= 100
         | UNION ALL
         | SELECT o_custkey, CAST(o_orderdate AS DATE), 'ORDER',
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |  round(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6)
         | FROM orders WHERE o_custkey <= 100) u
         |ORDER BY 1,2,3,4""".stripMargin,
     "q10_daily_gapfill" ->
@@ -137,11 +137,11 @@ object SparkEntry {
         |   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev, count(*) AS n
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
         |  GROUP BY 1)
-        |SELECT d, CAST(coalesce(rev, 0) AS DECIMAL(38,6)) AS revenue, coalesce(n, 0) AS n_orders
+        |SELECT d, round(CAST(coalesce(rev, 0) AS DOUBLE), 6) AS revenue, coalesce(n, 0) AS n_orders
         |FROM cal LEFT JOIN daily ON cal.d = daily.od ORDER BY 1""".stripMargin,
     "q11_monthly" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mth,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
         | count(*) AS n_orders
         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q12_hierarchy_closure" ->
@@ -157,7 +157,7 @@ object SparkEntry {
         |SELECT ancestor, descendant, CAST(depth AS INT) AS depth FROM closure ORDER BY 1,2,3""".stripMargin,
     "q13_subtree_members" ->
       """SELECT c.c_custkey, c.c_name,
-        | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue_1995,
+        | round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue_1995,
         | count(*) AS n_orders
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -168,7 +168,7 @@ object SparkEntry {
     "q14_case_over_max" ->
       """SELECT n.n_name,
         | CASE WHEN max(CAST(c.c_acctbal AS DECIMAL(18,6))) > 9000 THEN 'high' ELSE 'low' END AS tier,
-        | CAST(max(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS max_bal,
+        | round(CAST(max(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6) AS max_bal,
         | count(*) AS n_customers
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -198,15 +198,15 @@ object SparkEntry {
         | merged AS (
         |  SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
         |  UNION ALL SELECT * FROM source)
-        |SELECT o_orderstatus, count(*) AS n, CAST(sum(val) AS DECIMAL(38,6)) AS total
+        |SELECT o_orderstatus, count(*) AS n, round(CAST(sum(val) AS DOUBLE), 6) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q19_events_json" ->
       """SELECT event_type,
-        | CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_k,
+        | round(CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_k,
         | count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_dedup_exact" ->

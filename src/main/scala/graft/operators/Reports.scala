@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * DECIMAL(18,6) *before* aggregation so sums are exact and
   * order-independent (double sums would vary with partition merge
   * order and never hash-match a single-threaded oracle), and final
-  * aggregates are cast to DECIMAL(38,6) so the output scale is
-  * engine-independent. Every query ends with a total ORDER BY.
+  * aggregates are emitted as `round(CAST(... AS DOUBLE), 6)` so the
+  * output representation is engine-independent (DECIMAL render scale
+  * is not). Every query ends with a total ORDER BY.
   *
   * Scale notes (100 TB design): dimension tables (region, nation,
   * supplier, customer, part) are broadcast — no shuffle of the fact
@@ -34,8 +35,13 @@ object Reports {
 
   /** Exact pre-aggregation cast: double → DECIMAL(18,6). */
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
-  /** Engine-independent output scale for aggregates. */
-  private def fin(c: Column): Column = c.cast("decimal(38,6)")
+  /** Engine-independent output representation: the exact DECIMAL result
+    * rounded to a 6-dp DOUBLE at the very edge. DECIMAL stays internal
+    * (sums remain exact / order-independent); the emitted column is a
+    * double because different engines render the same DECIMAL value
+    * differently (`1863.84` vs `1863.840000`) while a rounded double is
+    * representation-stable. */
+  private def fin(c: Column): Column = round(c.cast("double"), 6)
   private val dec0: Column = lit(0).cast("decimal(18,6)")
 
   // ── R5/R6/R15/R16: hash aggregation + conditional aggregation ──────

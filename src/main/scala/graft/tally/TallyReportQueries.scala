@@ -63,12 +63,12 @@ object TallyReportQueries {
         |  sum(CASE WHEN amount > 0 THEN amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS credit
         | FROM eff WHERE date BETWEEN DATE '2020-04-01' AND DATE '2021-03-31' GROUP BY 1)
         |SELECT l.name,
-        | CAST(CASE WHEN l.is_revenue = 0 THEN l.opening_balance + coalesce(op.amount, 0) ELSE 0 END AS DECIMAL(38,2)) AS opening,
-        | CAST(coalesce(curr.debit, 0) AS DECIMAL(38,2)) AS debit,
-        | CAST(coalesce(curr.credit, 0) AS DECIMAL(38,2)) AS credit,
-        | CAST(CASE WHEN l.is_revenue = 0
+        | round(CAST(CASE WHEN l.is_revenue = 0 THEN l.opening_balance + coalesce(op.amount, 0) ELSE 0 END AS DOUBLE), 6) AS opening,
+        | round(CAST(coalesce(curr.debit, 0) AS DOUBLE), 6) AS debit,
+        | round(CAST(coalesce(curr.credit, 0) AS DOUBLE), 6) AS credit,
+        | round(CAST(CASE WHEN l.is_revenue = 0
         |   THEN l.opening_balance + coalesce(op.amount, 0) + coalesce(curr.credit, 0) - coalesce(curr.debit, 0)
-        |   ELSE coalesce(curr.credit, 0) - coalesce(curr.debit, 0) END AS DECIMAL(38,2)) AS closing
+        |   ELSE coalesce(curr.credit, 0) - coalesce(curr.debit, 0) END AS DOUBLE), 6) AS closing
         |FROM mst_ledger l
         | LEFT JOIN op ON op.ledger = l.name
         | LEFT JOIN curr ON curr.ledger = l.name
@@ -86,19 +86,19 @@ object TallyReportQueries {
         |  AND v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
         | GROUP BY 1)
         |SELECT l.date, l.voucher_number, l.voucher_type, e.ledgers,
-        | CAST(l.debit AS DECIMAL(38,2)) AS debit,
-        | CAST(l.credit AS DECIMAL(38,2)) AS credit, l.narration
+        | round(CAST(l.debit AS DOUBLE), 6) AS debit,
+        | round(CAST(l.credit AS DOUBLE), 6) AS credit, l.narration
         |FROM led l JOIN ent e ON e.guid = l.guid
         |ORDER BY l.date, l.voucher_number, debit""".stripMargin),
     "q34_tally_accounting_voucher_view" -> fx(
       """openrows AS (SELECT DATE '2000-01-01' AS date, 'Opening Balance' AS voucher_type,
         |  '' AS voucher_number, l.name AS ledger,
-        |  CAST(l.opening_balance AS DECIMAL(38,2)) AS amount, '' AS party_name,
+        |  round(CAST(l.opening_balance AS DOUBLE), 6) AS amount, '' AS party_name,
         |  g.primary_group, 'Opening Balance' AS voucher_category
         | FROM mst_ledger l JOIN mst_group g ON l.parent = g.name
         | WHERE l.opening_balance <> 0),
         |txn AS (SELECT CAST(v.date AS DATE) AS date, v.voucher_type, v.voucher_number,
-        |  a.ledger, CAST(a.amount AS DECIMAL(38,2)) AS amount, v.party_name,
+        |  a.ledger, round(CAST(a.amount AS DOUBLE), 6) AS amount, v.party_name,
         |  g.primary_group, t.parent AS voucher_category
         | FROM trn_accounting a JOIN trn_voucher v ON a.guid = v.guid
         |  JOIN mst_vouchertype t ON v.voucher_type = t.name
@@ -119,8 +119,8 @@ object TallyReportQueries {
         | WHERE lower(g.primary_group) = 'cash-in-hand'
         |  AND lower(t.parent) IN ('receipt', 'payment', 'contra')
         | GROUP BY 1)
-        |SELECT cal.date, CAST(coalesce(receipt, 0) AS DECIMAL(38,2)) AS receipt,
-        | CAST(coalesce(payment, 0) AS DECIMAL(38,2)) AS payment
+        |SELECT cal.date, round(CAST(coalesce(receipt, 0) AS DOUBLE), 6) AS receipt,
+        | round(CAST(coalesce(payment, 0) AS DOUBLE), 6) AS payment
         |FROM cal LEFT JOIN mov ON cal.date = mov.mdate ORDER BY 1""".stripMargin),
     "q36_tally_group_tree_parent_child" -> fx(
       """tree AS (SELECT name, parent FROM mst_group WHERE name = 'Loans & Advances (Asset)'
@@ -136,7 +136,7 @@ object TallyReportQueries {
       """gb AS (SELECT g.primary_group AS "group", l.name AS ledger,
         |  CASE WHEN max(g.is_deemedpositive) = 1 THEN 'expense' ELSE 'income' END AS nature,
         |  CASE WHEN max(g.affects_gross_profit) = 1 THEN 'Y' ELSE 'N' END AS affects_gross_profit,
-        |  CAST(sum(a.amount) AS DECIMAL(38,2)) AS balance
+        |  round(CAST(sum(a.amount) AS DOUBLE), 6) AS balance
         | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
         |  JOIN mst_vouchertype t ON v.voucher_type = t.name
         |  JOIN mst_ledger l ON a.ledger = l.name
@@ -146,12 +146,12 @@ object TallyReportQueries {
         | GROUP BY 1, 2),
         |os AS (SELECT 'Opening Stock' AS "group", 'Opening Stock' AS ledger,
         |  'expense' AS nature, 'Y' AS affects_gross_profit,
-        |  CAST(sum(l.opening_balance) AS DECIMAL(38,2)) AS balance
+        |  round(CAST(sum(l.opening_balance) AS DOUBLE), 6) AS balance
         | FROM mst_ledger l JOIN mst_group g ON g.name = l.parent
         | WHERE g.primary_group = 'Stock-in-hand'),
         |cs AS (SELECT 'Closing Stock' AS "group", 'Closing Stock' AS ledger,
         |  'income' AS nature, 'Y' AS affects_gross_profit,
-        |  CAST(-sum(stock_value) AS DECIMAL(38,2)) AS balance
+        |  round(CAST(-sum(stock_value) AS DOUBLE), 6) AS balance
         | FROM (SELECT stock_value,
         |   row_number() OVER (PARTITION BY ledger ORDER BY stock_date DESC) AS ctr
         |  FROM trn_closingstock_ledger) t WHERE ctr = 1)
@@ -185,21 +185,21 @@ object TallyReportQueries {
         |  OR (vtparent IN ('Receipt Note', 'Delivery Note') AND note > invoice))
         | GROUP BY 1)
         |SELECT s.name, s.parent, s.uom,
-        | CAST(s.opening_balance AS DECIMAL(38,4)) AS op_qty,
-        | CAST(coalesce(in_qty, 0) AS DECIMAL(38,4)) AS in_qty,
-        | CAST(coalesce(out_qty, 0) AS DECIMAL(38,4)) AS out_qty,
-        | CAST(s.opening_balance + coalesce(in_qty, 0) - coalesce(out_qty, 0) AS DECIMAL(38,4)) AS clo_bal
+        | round(CAST(s.opening_balance AS DOUBLE), 6) AS op_qty,
+        | round(CAST(coalesce(in_qty, 0) AS DOUBLE), 6) AS in_qty,
+        | round(CAST(coalesce(out_qty, 0) AS DOUBLE), 6) AS out_qty,
+        | round(CAST(s.opening_balance + coalesce(in_qty, 0) - coalesce(out_qty, 0) AS DOUBLE), 6) AS clo_bal
         |FROM mst_stock_item s LEFT JOIN eff ON s.name = eff.eitem
         |ORDER BY 1""".stripMargin),
     "q46_tally_stock_voucher_view" -> fx(
       """op AS (SELECT DATE '2000-01-01' AS date, '' AS voucher_number,
         |  'Opening Balance' AS voucher_type, item,
-        |  CAST(opening_balance AS DECIMAL(38,4)) AS quantity,
-        |  CAST(opening_value AS DECIMAL(38,2)) AS amount, godown
+        |  round(CAST(opening_balance AS DOUBLE), 6) AS quantity,
+        |  round(CAST(opening_value AS DOUBLE), 6) AS amount, godown
         | FROM mst_opening_batch_allocation),
         |txn AS (SELECT date, voucher_number, voucher_type, item,
-        |  CAST(quantity AS DECIMAL(38,4)) AS quantity,
-        |  CAST(amount AS DECIMAL(38,2)) AS amount, godown
+        |  round(CAST(quantity AS DOUBLE), 6) AS quantity,
+        |  round(CAST(amount AS DOUBLE), 6) AS amount, godown
         | FROM (SELECT CAST(v.date AS DATE) AS date, v.voucher_number,
         |   v.voucher_type, i.item, i.quantity, i.amount, i.godown,
         |   CASE WHEN i.tracking_number IS NULL OR i.tracking_number = '' THEN 1
@@ -223,7 +223,7 @@ object TallyReportQueries {
        | WHERE g.primary_group = '$group'
        |  AND v.date >= DATE '2020-04-01' AND v.date <= DATE '2021-03-31'$extra
        | GROUP BY 1),
-       |series AS (SELECT cal.date, CAST(coalesce($amt, 0) AS DECIMAL(38,2)) AS amount
+       |series AS (SELECT cal.date, round(CAST(coalesce($amt, 0) AS DOUBLE), 6) AS amount
        | FROM cal LEFT JOIN d ON cal.date = d.mdate)""".stripMargin
   }
 
@@ -237,14 +237,14 @@ object TallyReportQueries {
     fx(dailyBodySql(group, negate, excludeNonAccounting) +
       """
         |SELECT CAST(year(date) AS INT) AS year, CAST(month(date) AS INT) AS month,
-        | CAST(sum(amount) AS DECIMAL(38,2)) AS amount
+        | round(CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 6) AS amount
         |FROM series GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   private def registerSql(parent: String, negate: Boolean): String = {
     val amt = if (negate) "-a.amount" else "a.amount"
     fx(s"""reg AS (SELECT CAST(v.date AS DATE) AS date, v.voucher_number,
           |  v.voucher_type, v.party_name, z.gstn, a.ledger,
-          |  CAST($amt AS DECIMAL(38,2)) AS amount
+          |  round(CAST($amt AS DOUBLE), 6) AS amount
           | FROM trn_accounting a JOIN trn_voucher v ON v.guid = a.guid
           |  JOIN mst_vouchertype t ON v.voucher_type = t.name
           |  JOIN mst_ledger l ON a.ledger = l.name

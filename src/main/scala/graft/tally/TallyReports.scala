@@ -39,7 +39,9 @@ final case class TallyTables(
   */
 object TallyReports {
 
-  private def fin2(c: Column): Column = c.cast("decimal(38,2)")
+  /** Edge representation: exact DECIMAL internals, rounded-DOUBLE
+    * output (engine-independent; see [[graft.operators.Reports]]). */
+  private def fin2(c: Column): Column = round(c.cast("double"), 6)
   private val dec0: Column = lit(0).cast("decimal(17,2)")
   private def isBlank(c: Column): Column = c.isNull || c === ""
 
@@ -298,7 +300,9 @@ object TallyReports {
     dailyByGroup(t, primaryGroup, fromDate, toDate, negate,
       excludeNonAccounting)
       .groupBy(year(col("date")).as("year"), month(col("date")).as("month"))
-      .agg(fin2(sum(col("amount"))).as("amount"))
+      // the daily `amount` is an edge-rounded double (exact 2-dp value);
+      // re-cast to DECIMAL so the month roll-up stays order-independent
+      .agg(fin2(sum(col("amount").cast("decimal(18,6)"))).as("amount"))
       .orderBy(col("year"), col("month"))
 
   def salesMonthly(t: TallyTables, fromDate: String, toDate: String): DataFrame =
@@ -377,7 +381,7 @@ object TallyReports {
           .otherwise(lit(0).cast("decimal(15,4)"))).as("out_qty"))
     val s = t.mstStockItem
     val zero4 = lit(0).cast("decimal(15,4)")
-    def fin4(c: Column) = c.cast("decimal(38,4)")
+    def fin4(c: Column) = round(c.cast("double"), 6)
     s.join(effects, s("name") === col("eitem"), "left")
       .select(s("name"), s("parent"), s("uom"),
         fin4(s("opening_balance")).as("op_qty"),
@@ -400,7 +404,7 @@ object TallyReports {
         lit("").as("voucher_number"),
         lit("Opening Balance").as("voucher_type"),
         col("item"),
-        col("opening_balance").cast("decimal(38,4)").as("quantity"),
+        round(col("opening_balance").cast("double"), 6).as("quantity"),
         fin2(col("opening_value")).as("amount"),
         col("godown"))
     val w = Window.partitionBy(col("i.tracking_number"), col("i.item"))
@@ -416,7 +420,7 @@ object TallyReports {
         col("v.voucher_number").as("voucher_number"),
         col("v.voucher_type").as("voucher_type"),
         col("i.item").as("item"),
-        col("i.quantity").cast("decimal(38,4)").as("quantity"),
+        round(col("i.quantity").cast("double"), 6).as("quantity"),
         fin2(col("i.amount")).as("amount"),
         col("i.godown").as("godown"))
     opening.unionByName(txns)

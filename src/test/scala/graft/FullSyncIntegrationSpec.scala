@@ -92,7 +92,7 @@ class FullSyncIntegrationSpec extends AnyFunSuite {
 
     val tb = TallyReports.trialBalance(t, "2020-04-01", "2021-03-31")
       .collect().map(r => r.getString(0) ->
-        (r.getDecimal(1).doubleValue(), r.getDecimal(4).doubleValue()))
+        (r.getDouble(1), r.getDouble(4)))
       .toMap
     // Cash: opening -100, debit 250 → closing -350; Sales: credit 250
     assert(tb("Cash") == ((-100.0, -350.0)))

@@ -23,7 +23,10 @@ class ReportsSpec extends AnyFunSuite {
 
   test("trial balance totals reconcile with raw order totals") {
     val tb = Reports.q02TrialBalance(spark, sf)
-    val lhs = tb.agg(sum(col("fulfilled") + col("open_amt"))).head().getDecimal(0)
+    // fulfilled/open_amt are edge-rounded doubles of exact 2-dp sums;
+    // re-cast to DECIMAL so the reconciliation total is itself exact
+    val lhs = tb.agg(sum((col("fulfilled") + col("open_amt"))
+      .cast("decimal(18,6)"))).head().getDecimal(0)
     val rhs = graft.Tables.orders(spark, sf)
       .agg(sum(col("o_totalprice").cast("decimal(18,6)"))).head().getDecimal(0)
     assert(lhs.compareTo(rhs) == 0)

@@ -12,8 +12,10 @@ class TallyReportsSpec extends AnyFunSuite {
   lazy val t = TallyFixtures.load(spark)
   private val FY = ("2020-04-01", "2021-03-31")
 
-  private def d(v: Any): Double =
-    v.asInstanceOf[java.math.BigDecimal].doubleValue()
+  private def d(v: Any): Double = v match {
+    case b: java.math.BigDecimal => b.doubleValue()
+    case x: java.lang.Number     => x.doubleValue()
+  }
 
   test("trial balance: hand-computed Cash and Acme rows; vouchers balance") {
     val tb = TallyReports.trialBalance(t, FY._1, FY._2)

@@ -8,6 +8,7 @@ local tooling only.
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, math
+from decimal import Decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -51,6 +52,18 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         tbl = pq.read_table(files[0])
+        # The driver's hash renders DECIMAL differently per engine
+        # (float64 via pandas vs Decimal via parquet) — a decimal-typed
+        # output column is an automatic driver hash mismatch even when
+        # values agree, so fail it here before the driver does.
+        dec_cols = [f.name for f in tbl.schema
+                    if "decimal" in str(f.type).lower()]
+        if dec_cols:
+            print(f"FAIL {name}: decimal-typed output cols {dec_cols} "
+                  "(driver hash renders these engine-dependently; emit "
+                  "round(CAST(... AS DOUBLE), 6) instead)")
+            n_fail += 1
+            continue
         s_cols = tbl.column_names
         s_rows = [tuple(c[i].as_py() for c in tbl.columns)
                   for i in range(tbl.num_rows)]
