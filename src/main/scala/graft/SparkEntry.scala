@@ -49,8 +49,8 @@ object SparkEntry {
     "q29_token_freq"       -> (Curation.q29TokenFreq _),
     "q30_fingerprint"      -> (Curation.q30Fingerprint _),
     "q31_media_features"   -> (Curation.q31MediaFeatures _),
-    // rows-only like q25: IVF recall < 1 by design, no SQL oracle
     "q47_embed_ann_ivf"    -> (Curation.q47EmbedAnnIvf _),
+    "q48_embed_near_dup_lsh" -> (Curation.q48EmbedNearDupLsh _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -215,39 +215,22 @@ object SparkEntry {
     // q23_dedup_simhash has NO oracle on purpose: simhash is an
     // approximate-recall method (Hamming-banding contract), and its
     // xxhash64 bit math is not SQL-expressible — rows-only check.
-    "q21_dedup_ngram_jaccard" -> ngramJaccardSql,
-    "q22_dedup_minhash_lsh"   -> ngramJaccardSql,
-    "q24_embed_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-        | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
-        |   FROM q JOIN c ON query_id <> neighbor_id),
-        | dots AS (SELECT query_id, neighbor_id,
-        |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-        |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
-        |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
-        |  FROM flat GROUP BY 1,2),
-        | scored AS (SELECT query_id, neighbor_id,
-        |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
-        |  FROM dots),
-        | ranked AS (SELECT query_id, neighbor_id, cos,
-        |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
-        |ORDER BY 1, 4""".stripMargin,
-    "q26_embed_near_dup" ->
-      """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),
-        | e2 AS (SELECT vec_id AS b, embedding AS bv FROM embeddings),
-        | flat AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM e1 JOIN e2 ON a < b),
-        | dots AS (SELECT a, b,
-        |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
-        |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
-        |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
-        |  FROM flat GROUP BY 1,2)
-        |SELECT a, b, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
-        |FROM dots
-        |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.4
-        |ORDER BY 1, 2""".stripMargin,
+    // q21 runs with the stop-shingle cap (bounded gram join), so its
+    // oracle drops the same hot shingles; q22's LSH path keeps the
+    // full shingle sets and verifies against the uncapped Jaccard.
+    "q21_dedup_ngram_jaccard" ->
+      ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
+    "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
+    "q24_embed_knn" -> knnSql(10),
+    // ANN entries emit only the exact-top-AnnOracleK prefix of their
+    // approximate top-10 (see Curation scaladoc): the exact-KNN oracle
+    // bounded at that rank is a true recall gate — a missed neighbor
+    // drops a row and fails the compare.
+    "q25_embed_ann_lsh"  -> knnSql(graft.operators.Curation.AnnOracleK),
+    "q47_embed_ann_ivf"  -> knnSql(graft.operators.Curation.AnnOracleK),
+    "q26_embed_near_dup"     -> nearDupSql,
+    // the bucketed generator must reproduce the exact all-pairs result
+    "q48_embed_near_dup_lsh" -> nearDupSql,
     "q27_text_langid" -> langIdSql,
     "q28_text_quality" -> qualitySql,
     "q29_token_freq" ->
@@ -269,23 +252,70 @@ object SparkEntry {
         |FROM documents ORDER BY 1""".stripMargin,
   ) ++ graft.tally.TallyReportQueries.oracleSql
 
+  /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) —
+    * shared by the exact q26 baseline and the LSH-bucketed q48. */
+  private val nearDupSql: String =
+    """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),
+      | e2 AS (SELECT vec_id AS b, embedding AS bv FROM embeddings),
+      | flat AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM e1 JOIN e2 ON a < b),
+      | dots AS (SELECT a, b,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+      |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+      |  FROM flat GROUP BY 1,2)
+      |SELECT a, b, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+      |FROM dots
+      |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.4
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Exact-KNN oracle: cosine top-`maxRank` per query vector, exact
+    * decimal dot/norm accumulation mirroring [[Similarity.cosine]]. */
+  private def knnSql(maxRank: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+       |   FROM q JOIN c ON query_id <> neighbor_id),
+       | dots AS (SELECT query_id, neighbor_id,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+       |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+       |  FROM flat GROUP BY 1,2),
+       | scored AS (SELECT query_id, neighbor_id,
+       |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+       |  FROM dots),
+       | ranked AS (SELECT query_id, neighbor_id, cos,
+       |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $maxRank
+       |ORDER BY 1, 4""".stripMargin
+
   /** Exact word-trigram Jaccard pairs ≥ 0.8 — the oracle for the
     * n-gram dedup AND for MinHash-LSH (32 bands × 4 rows makes LSH
     * candidate recall ≈ 1 at τ=0.8, and the exact-Jaccard verification
-    * filter makes precision exact, so both agree). */
-  private val ngramJaccardSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      | grams AS (SELECT DISTINCT doc_id,
-      |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
-      |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
-      | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-      | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-      |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2)
-      |SELECT i.a, i.b,
-      | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-      |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-      |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
-      |ORDER BY 1, 2""".stripMargin
+    * filter makes precision exact, so both agree). `maxDf` mirrors the
+    * engine's stop-shingle cap: grams in more than `maxDf` docs are
+    * dropped BEFORE sizes/intersections, matching the kept-gram
+    * Jaccard semantics of `TextDedup.explodedShingles`. */
+  private def ngramJaccardSql(maxDf: Option[Long]): String = {
+    val keep = maxDf.map(n =>
+      s"""| kept AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= $n),
+          | grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN kept USING (g)),"""
+        .stripMargin)
+      .getOrElse("| grams AS (SELECT * FROM grams0),")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       | grams0 AS (SELECT DISTINCT doc_id,
+       |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+       |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+       $keep
+       | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2)
+       |SELECT i.a, i.b,
+       | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** SQL occurrence count of a literal marker via the replace-length
     * trick — mirrors [[graft.operators.TextAnalysis.occurrences]]. */

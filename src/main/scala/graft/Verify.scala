@@ -20,7 +20,13 @@ object Verify {
     // queries are independent jobs — run a few concurrently so small
     // stages overlap (Spark schedules concurrent actions fine)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // dev-only subset filter (comma-separated substrings); the driver
+    // sets no filter and always dumps every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.contains)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

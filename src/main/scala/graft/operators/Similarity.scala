@@ -109,6 +109,25 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Table-salted LSH bucket keys: `tables` independent sign-pattern
+    * keys of `planes` hyperplanes each (table id folded into both the
+    * plane index base and the key's high bits). The recall/cost dial:
+    * a pair at cosine τ shares one table's key with probability
+    * p = (1 − arccos(τ)/π)^planes and is missed everywhere with
+    * (1 − p)^tables — low-τ regimes need few planes and many tables,
+    * high-τ near-dup regimes prune hard with more planes. */
+  def saltedLshKeys(vec: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until planes).map { j =>
+        when(aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") *
+              planeComponent(t * planes + j, i)),
+          lit(0.0), (acc, v) => acc + v) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _) + lit(t.toLong << 32)
+    }: _*)
+
   /** Approximate top-k: queries meet only corpus vectors sharing one
     * of `tables` LSH bucket keys; exact cosine on the candidates.
     * Recall < 1 by construction; raise `tables`/lower `planes` to
@@ -118,17 +137,8 @@ object Similarity {
       planes: Int = 12, tables: Int = 4): DataFrame = {
     def keyed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
-        explode(array((0 until tables).map { t =>
-          // table-salted key: fold table id into the plane index base
-          (0 until planes).map { j =>
-            when(aggregate(
-              zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-                (x, i) => x.cast("double") *
-                  planeComponent(t * planes + j, i)),
-              lit(0.0), (acc, v) => acc + v) >= 0,
-              lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ bitwiseOR _) + lit(t.toLong << 32)
-        }: _*)).as(s"${id}_bk"))
+        explode(saltedLshKeys(col(vecCol), planes, tables))
+          .as(s"${id}_bk"))
     val q = keyed(queries, "query_id")
     val c = keyed(corpus, "neighbor_id")
     val cand = q.join(c,
@@ -152,12 +162,16 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2, assignments: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     var centroids = deterministicSeeds(c, nLists) // (list_id, centroid)
     for (_ <- 0 until iterations)
-      centroids = recomputeCentroids(assign(c, centroids))
-    val assigned = assign(c, centroids)
+      centroids = recomputeCentroids(assign(c, centroids, 1))
+    // multi-assignment (`assignments` > 1): store each corpus vector in
+    // its top-N lists — standard IVF redundancy that multiplies storage
+    // by N but cuts the unprobed-list miss rate superlinearly (a vector
+    // is lost only if ALL its lists go unprobed)
+    val assigned = assign(c, centroids, assignments)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("list_id").asc)
@@ -168,6 +182,10 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("list_id"))
     val scored = probes.join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      // a (query, neighbor) pair can meet in several probed lists under
+      // multi-assignment — dedup before scoring
+      .distinct()
       .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
     rerankExact(scored, k)
   }
@@ -184,14 +202,16 @@ object Similarity {
       .select(col("list_id"), col("cv").as("centroid"))
   }
 
-  /** Nearest-centroid assignment (centroids broadcast). */
-  private def assign(c: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Top-`assignments` nearest-centroid assignment (centroids
+    * broadcast; `assignments` = 1 is classic single-list IVF). */
+  private def assign(c: DataFrame, centroids: DataFrame,
+      assignments: Int): DataFrame = {
     val w = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cdist").desc, col("list_id").asc)
     c.crossJoin(broadcast(centroids))
       .withColumn("cdist", cosineFast(col("cv"), col("centroid")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= assignments)
       .select(col("neighbor_id"), col("cv"), col("list_id"))
   }
 
@@ -211,8 +231,9 @@ object Similarity {
           .as("centroid"))
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
-    * Exact for moderate corpora; at scale swap the pair generator for
-    * the LSH bucketing above (same scorer). */
+    * EXACT but O(n²) by construction (inequality join = cartesian) —
+    * the correctness baseline and the oracle path for
+    * [[cosineNearDupPairsLsh]], never the 100 TB path. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val a = vecs.select(col(idCol).as("a"), col(vecCol).as("av"))
@@ -221,6 +242,30 @@ object Similarity {
       // codegen'd double prefilter kills ~all of the O(n²) pairs;
       // the exact decimal scorer then decides the boundary precisely
       .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(col("cos") >= minCosine)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Near-duplicate pairs via LSH-bucketed pair generation — the
+    * 100 TB path: vectors meet only inside shared salted bucket keys
+    * (an equi-join, shuffle-partitionable by key; NO cross join in the
+    * plan), then the same double-prefilter → exact-decimal scorer
+    * decides. Per-pair miss probability is (1 − p_sig)^tables with
+    * p_sig = (1 − arccos(τ)/π)^planes — the defaults put it at ~5e-6
+    * for τ = 0.4 (and far lower for anything more similar), at the
+    * price of coarse buckets; for true near-dup thresholds (τ ≥ 0.9)
+    * raise `planes` to prune aggressively. */
+  def cosineNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, planes: Int = 2, tables: Int = 24): DataFrame = {
+    def keyed(id: String, v: String): DataFrame =
+      vecs.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(saltedLshKeys(col(vecCol), planes, tables)).as(s"${id}_bk"))
+    keyed("a", "av").join(keyed("b", "bv").withColumnRenamed("b_bk", "a_bk"),
+        Seq("a_bk"))
+      .filter(col("a") < col("b"))
+      .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
+      .select(col("a"), col("b"), col("av"), col("bv")).distinct()
       .withColumn("cos", cosine(col("av"), col("bv")))
       .filter(col("cos") >= minCosine)
       .select(col("a"), col("b"), col("cos"))

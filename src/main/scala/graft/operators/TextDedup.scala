@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale text deduplication for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, and SimHash — all pure DataFrame
@@ -58,10 +59,24 @@ object TextDedup {
 
   /** All pairs (a < b) with exact n-gram Jaccard ≥ `minJaccard`.
     * One shuffle on shingle, one pair-key aggregation; set sizes
-    * joined in at the end. */
+    * joined in at the end.
+    *
+    * `maxShingleDf` is the scale guard: the gram self-join fans out
+    * quadratically inside one shingle's bucket, so a single
+    * boilerplate shingle shared by m docs emits m²/2 pairs. Dropping
+    * shingles with document frequency > maxShingleDf bounds every
+    * bucket at maxShingleDf²/2 (and the whole join at
+    * |grams|·maxShingleDf), which is what makes this runnable on a
+    * 100 TB corpus. Jaccard is then computed over the KEPT gram sets
+    * (sizes and intersections both exclude dropped shingles) — the
+    * stop-shingle-removal semantics a mirrored oracle must share.
+    * The gram table is cached: it feeds both the pair generation and
+    * the size/intersection aggregation. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val grams = explodedShingles(docs, idCol, textCol, n)
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val grams = explodedShingles(docs, idCol, textCol, n, maxShingleDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     jaccardOfPairs(grams, allPairsOf(grams), minJaccard)
   }
 
@@ -94,9 +109,13 @@ object TextDedup {
     // exploded-gram formulation: one (id, gramHash) row per distinct
     // shingle, then numHashes min-aggregations — all inside hash-agg
     // codegen with map-side partial mins, no per-lane array
-    // allocation (the nested-HOF formulation was 5× slower)
-    val gh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("g")).as("h"))
+    // allocation (the nested-HOF formulation was 5× slower).
+    // The gram table is cached: it feeds the signature aggregation AND
+    // the exact-Jaccard verification of the surviving candidates —
+    // recomputing the shingling for the verify phase doubled q22's cost.
+    val grams = explodedShingles(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val laneAggs = (0 until numHashes).map(seed =>
       min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
     val sigs = gh.groupBy(col("id"))
@@ -116,7 +135,7 @@ object TextDedup {
     val cand = bounded.as("x").join(bounded.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
+    verifyJaccardFromGrams(grams, cand, minJaccard)
   }
 
   /** 64-bit SimHash from PRE-HASHED shingles — one aggregate
@@ -141,9 +160,11 @@ object TextDedup {
       minJaccard: Double = 0.8): DataFrame = {
     // exploded formulation (same values as simhash64): 64 bit-sum
     // aggregations inside hash-agg codegen instead of 64 nested
-    // array-aggregate expressions per row
-    val gh = explodedShingles(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("g")).as("h"))
+    // array-aggregate expressions per row; gram table cached for the
+    // verify phase (same reuse as minhashLshPairs)
+    val grams = explodedShingles(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j"))
@@ -165,7 +186,7 @@ object TextDedup {
       .distinct()
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
       .select(col("a"), col("b"))
-    verifyJaccard(docs, cand, idCol, textCol, n, minJaccard)
+    verifyJaccardFromGrams(grams, cand, minJaccard)
   }
 
   /** The set of ids to DROP given near-dup pairs (a < b): every id
@@ -194,13 +215,20 @@ object TextDedup {
     * gram join — cheap post-LSH). */
   def verifyJaccard(docs: DataFrame, cand: DataFrame,
       idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame =
+    verifyJaccardFromGrams(
+      explodedShingles(docs, idCol, textCol, n), cand, minJaccard)
+
+  /** Exact Jaccard verification from an EXISTING (id, g) gram table —
+    * the candidate-generation phases already built (and cached) it, so
+    * verification semi-joins it down to candidate ids instead of
+    * re-shingling the corpus. */
+  def verifyJaccardFromGrams(grams: DataFrame, cand: DataFrame,
       minJaccard: Double): DataFrame = {
     val ids = cand.select(col("a").as("id"))
       .union(cand.select(col("b"))).distinct()
-    val grams = explodedShingles(
-      docs.join(ids, docs(idCol) === ids("id"), "left_semi"),
-      idCol, textCol, n)
-    jaccardOfPairs(grams, cand.select(col("a"), col("b")), minJaccard)
+    val candGrams = grams.join(ids, Seq("id"), "left_semi")
+    jaccardOfPairs(candGrams, cand.select(col("a"), col("b")), minJaccard)
   }
 
   /** All co-shingled pairs (a < b) from an exploded gram table. */

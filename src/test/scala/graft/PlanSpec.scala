@@ -87,4 +87,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("RunningWindowFunction") ||
       "row_number".r.findAllIn(plan).nonEmpty)
   }
+
+  test("q48: bucketed near-dup pair generation contains no cross join") {
+    val plan = executedPlan(
+      graft.operators.Curation.q48EmbedNearDupLsh(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup degenerated to a cross join:\n$plan")
+  }
+
+  test("q21: gram self-join is bounded by the stop-shingle cap") {
+    import spark.implicits._
+    // 60 docs sharing one boilerplate shingle + 2 genuine near-dups:
+    // uncapped, the hot shingle alone creates C(60,2) = 1770 candidate
+    // pairs; capped at df<=10 it creates none, yet the true near-dup
+    // pair (unique shingles) must survive
+    val hot = "lorem ipsum dolor"
+    val docs = (1 to 60).map(i => (i.toLong, s"$hot unique$i a$i b$i c$i")) ++
+      Seq((100L, "same same text here exactly"),
+          (101L, "same same text here exactly"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.operators.TextDedup.ngramJaccardPairs(
+      df, "doc_id", "text", n = 3, minJaccard = 0.8, maxShingleDf = 10)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 101L)), pairs.mkString(","))
+  }
 }
