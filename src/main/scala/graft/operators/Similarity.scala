@@ -197,7 +197,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val picked = c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nLists)
-    val w = Window.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+    // partition by a literal: the input is ≤ nLists rows (post-limit),
+    // so the single-partition window is intentional — the literal key
+    // just keeps Spark from WARNing about a global window
+    val w = Window.partitionBy(lit(1))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
     picked.withColumn("list_id", row_number().over(w) - 1)
       .select(col("list_id"), col("cv").as("centroid"))
   }

