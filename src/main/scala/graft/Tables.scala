@@ -22,10 +22,15 @@ object Tables {
     * every expression-heavy per-row operator (minhash signatures,
     * simhash bits, cosine pairs) onto one core. Spread them across the
     * session's parallelism — one tiny shuffle buys full-width codegen
-    * execution (at cluster scale real inputs are already multi-split;
-    * this is the local/small-file guard). */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * execution. Conditional on the ACTUAL split count: a cluster-scale
+    * input that already arrives multi-split passes through untouched
+    * (no gratuitous corpus-wide Exchange before every query); only the
+    * local/small-file case pays the repartition. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -40,7 +40,13 @@ object Reports {
     * (sums remain exact / order-independent); the emitted column is a
     * double because different engines render the same DECIMAL value
     * differently (`1863.84` vs `1863.840000`) while a rounded double is
-    * representation-stable. */
+    * representation-stable.
+    *
+    * MAGNITUDE BOUND: the cast is only representation-stable while the
+    * exact DECIMAL sum fits a double losslessly at 6 dp (|x| ≲ 9e9 —
+    * 2^53/10^6). Beyond that the cast loses ulps and engines can round
+    * near-tie values differently; for larger-magnitude measures compare
+    * with a tolerance instead of a hash. */
   private def fin(c: Column): Column = round(c.cast("double"), 6)
   private val dec0: Column = lit(0).cast("decimal(18,6)")
 

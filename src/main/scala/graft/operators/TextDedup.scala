@@ -50,9 +50,13 @@ object TextDedup {
         explode(shingleArray(col(textCol), n)).as("g"))
     if (maxShingleDf == Long.MaxValue) g
     else {
+      // NO broadcast hint on the hot set: on a boilerplate-heavy 100 TB
+      // corpus the stop-shingle set is unbounded (every common phrase),
+      // so it must stay a shuffle anti-join keyed on the gram — AQE may
+      // still choose broadcast when the set turns out tiny
       val hot = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDf).select(col("g"))
-      g.join(broadcast(hot), Seq("g"), "left_anti")
+      g.join(hot, Seq("g"), "left_anti")
     }
   }
 
@@ -72,12 +76,17 @@ object TextDedup {
     * (The gram table is deliberately NOT persisted: shingling is a
     * cheap narrow lineage over the scan, and materializing it through
     * Spark's columnar cache measured ~2× slower than recomputing it
-    * for the second consumer.) */
+    * for the second consumer.)
+    *
+    * ONE grams⋈grams self-join: every co-shingled pair is already a
+    * key of the aggregated intersection-count join, so the pair set
+    * falls out of that single join — no separate candidate pass (the
+    * round-2 shape ran the heaviest shuffle twice). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val grams = explodedShingles(docs, idCol, textCol, n, maxShingleDf)
-    jaccardOfPairs(grams, allPairsOf(grams), minJaccard)
+    jaccardFromInter(grams, coShingledInter(grams), minJaccard)
   }
 
   /** MinHash signature from PRE-HASHED shingles (`gramHashes`: one
@@ -160,8 +169,9 @@ object TextDedup {
       minJaccard: Double = 0.8): DataFrame = {
     // exploded formulation (same values as simhash64): 64 bit-sum
     // aggregations inside hash-agg codegen instead of 64 nested
-    // array-aggregate expressions per row; gram table cached for the
-    // verify phase (same reuse as minhashLshPairs)
+    // array-aggregate expressions per row; the gram lineage is shared
+    // with the verify phase (recomputed, deliberately not persisted —
+    // same reuse pattern as minhashLshPairs)
     val grams = explodedShingles(docs, idCol, textCol, n)
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
@@ -219,33 +229,37 @@ object TextDedup {
       explodedShingles(docs, idCol, textCol, n), cand, minJaccard)
 
   /** Exact Jaccard verification from an EXISTING (id, g) gram table —
-    * the candidate-generation phases already built (and cached) it, so
-    * verification semi-joins it down to candidate ids instead of
-    * re-shingling the corpus. */
+    * shared lineage with the candidate-generation phase (recomputed,
+    * deliberately NOT persisted — see ngramJaccardPairs). Verification
+    * semi-joins the grams down to candidate ids, computes intersection
+    * counts over that restricted set, and keeps only the candidate
+    * pairs (two candidate ids can co-shingle without being an LSH
+    * candidate pair — those must not leak into the output). */
   def verifyJaccardFromGrams(grams: DataFrame, cand: DataFrame,
       minJaccard: Double): DataFrame = {
     val ids = cand.select(col("a").as("id"))
       .union(cand.select(col("b"))).distinct()
     val candGrams = grams.join(ids, Seq("id"), "left_semi")
-    jaccardOfPairs(candGrams, cand.select(col("a"), col("b")), minJaccard)
+    val inter = cand.select(col("a"), col("b"))
+      .join(coShingledInter(candGrams), Seq("a", "b"), "inner")
+    jaccardFromInter(candGrams, inter, minJaccard)
   }
 
-  /** All co-shingled pairs (a < b) from an exploded gram table. */
-  private def allPairsOf(grams: DataFrame): DataFrame =
+  /** Intersection sizes of all co-shingled pairs (a < b) from an
+    * exploded gram table — THE gram self-join, built exactly once per
+    * query. */
+  private def coShingledInter(grams: DataFrame): DataFrame =
     grams.as("x").join(grams.as("y"), col("x.g") === col("y.g"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-
-  /** Jaccard of the given pairs from an exploded gram table; keeps
-    * pairs with jaccard ≥ `minJaccard`. */
-  private def jaccardOfPairs(grams: DataFrame, pairs: DataFrame,
-      minJaccard: Double): DataFrame = {
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = grams.as("x").join(grams.as("y"), col("x.g") === col("y.g"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("a", "b"), "inner")
+
+  /** Jaccard from precomputed (a, b, inter) + per-doc set sizes; keeps
+    * pairs with jaccard ≥ `minJaccard`. */
+  private def jaccardFromInter(grams: DataFrame, inter: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"),
         Seq("a"))
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"),

@@ -22,6 +22,22 @@ object Emitters {
 
   val Bom: String = "﻿"
 
+  /** Row bound for the driver-side single-file sinks: the
+    * compatibility contract (one file per table, like the reference)
+    * collects to the driver, which cannot survive a 100 GB table. Fail
+    * fast BEFORE collecting — the check reads at most `maxRows + 1`
+    * rows — and point callers at the partitioned writers. */
+  val MaxSingleFileRows: Long = 10000000L
+
+  private[sources] def guardSingleFile(df: DataFrame, sink: String,
+      maxRows: Long): Unit = {
+    if (df.limit((maxRows + 1).min(Int.MaxValue).toInt).count() > maxRows)
+      throw new IllegalArgumentException(
+        s"$sink assembles ONE file on the driver and the input exceeds " +
+          s"$maxRows rows; use Emitters.writeCsvDir/writeJsonDir/" +
+          "writeParquet (distributed, partitioned) for large tables")
+  }
+
   /** One CSV line per row with reference quoting rules. `types` aligns
     * with `df.columns`. */
   def csvLines(df: DataFrame, types: Seq[FieldType],
@@ -49,7 +65,9 @@ object Emitters {
     * `df.write.csv` (parquet-age path); this is the
     * compatibility sink. */
   def csvFileContent(df: DataFrame, types: Seq[FieldType],
-      doubleQuote: Boolean = false): String = {
+      doubleQuote: Boolean = false,
+      maxRows: Long = MaxSingleFileRows): String = {
+    guardSingleFile(df, "csvFileContent", maxRows)
     val header = df.columns.map(c => s"\"$c\"").mkString(",")
     val lines = csvLines(df, types, doubleQuote)
       .collect().map(_.getString(0))
@@ -65,7 +83,9 @@ object Emitters {
 
   /** Reference-shaped JSON array file content (BOM + pretty array,
     * src/tally.mts:384-391). */
-  def jsonFileContent(df: DataFrame): String = {
+  def jsonFileContent(df: DataFrame,
+      maxRows: Long = MaxSingleFileRows): String = {
+    guardSingleFile(df, "jsonFileContent", maxRows)
     val rows = jsonLines(df).collect().map(_.getString(0))
     Bom + rows.mkString("[", ",", "]")
   }

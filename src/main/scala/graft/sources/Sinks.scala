@@ -36,8 +36,10 @@ object Sinks {
     * src/tally.mts:541-560): header line + TSV rows with the
     * ñ-sentinel/1-0 text forms. Distributed row rendering, driver-side
     * final assembly (one file per table is the contract). */
-  def dataFileContent(df: DataFrame, types: Seq[FieldType]): String = {
+  def dataFileContent(df: DataFrame, types: Seq[FieldType],
+      maxRows: Long = Emitters.MaxSingleFileRows): String = {
     import org.apache.spark.sql.functions._
+    Emitters.guardSingleFile(df, "dataFileContent", maxRows)
     val cols = df.columns.zip(types).map { case (name, t) =>
       TallyTypes.emitValue(col(name), t)
     }

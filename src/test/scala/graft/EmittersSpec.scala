@@ -54,4 +54,22 @@ class EmittersSpec extends AnyFunSuite {
     val arr = Emitters.jsonFileContent(df)
     assert(arr.startsWith(Emitters.Bom + "[") && arr.endsWith("]"))
   }
+
+  test("single-file sinks fail fast above the row bound, pre-collect") {
+    val big = spark.range(10).toDF("guid")
+      .selectExpr("CAST(guid AS STRING) AS guid")
+    val eCsv = intercept[IllegalArgumentException] {
+      Emitters.csvFileContent(big, Seq(TText), maxRows = 5)
+    }
+    assert(eCsv.getMessage.contains("writeCsvDir"))
+    intercept[IllegalArgumentException] {
+      Emitters.jsonFileContent(big, maxRows = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.dataFileContent(big, Seq(TText), maxRows = 5)
+    }
+    // at the bound (not above) the sink still works
+    assert(Emitters.csvFileContent(big, Seq(TText), maxRows = 10)
+      .contains("\r\n"))
+  }
 }

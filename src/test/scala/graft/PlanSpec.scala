@@ -96,6 +96,51 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed near-dup degenerated to a cross join:\n$plan")
   }
 
+  test("q21: exactly ONE grams-to-grams self-join in the plan") {
+    import spark.implicits._
+    // uncapped (no stop-shingle anti-join), so every join keyed on the
+    // gram column IS the self-join — the round-2 shape ran it twice
+    // (candidate pass + intersection pass); the fix derives pairs from
+    // the single aggregated intersection join
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val q = graft.operators.TextDedup.ngramJaccardPairs(
+      df, "doc_id", "text", n = 3, minJaccard = 0.8)
+    q.collect()
+    // AQE's toString prints the final AND the initial plan — count
+    // joins only in the final one
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val gramJoins =
+      "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\\w*)? \\[g#"
+        .r.findAllIn(plan).length
+    assert(gramJoins == 1,
+      s"expected exactly 1 gram self-join, found $gramJoins in:\n$plan")
+  }
+
+  test("spread(): a pre-split input shows no Exchange before a wide op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    // write `documents` with >= defaultParallelism splits — the
+    // cluster-scale arrival shape; spread() must pass it through
+    val par = spark.sparkContext.defaultParallelism
+    (1 to 200).map(i => (i.toLong, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+      .repartition(par)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pre-split input still repartitions:\n$plan")
+    // and the single-file local case still spreads
+    (1 to 50).map(i => (i.toLong, s"t $i", "en")).toDF("doc_id", "text", "lang")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val one = Tables.documents(spark, dir)
+    assert(one.rdd.getNumPartitions >= par)
+  }
+
   test("q21: gram self-join is bounded by the stop-shingle cap") {
     import spark.implicits._
     // 60 docs sharing one boilerplate shingle + 2 genuine near-dups:
