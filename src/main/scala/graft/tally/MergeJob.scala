@@ -147,11 +147,16 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
         }
       }
       // append phase: all tables pull rows newer than the warehouse.
-      // localCheckpoint materializes the extract once — count() and
-      // the union-write would otherwise recompute it (a second full
-      // pull from Tally per table per sync)
+      // Surrogate FKs the extract didn't resolve server-side are
+      // filled by broadcast lookup against the warehouse masters
+      // (P15) BEFORE the append, so cascade updates can join through
+      // them. localCheckpoint materializes the extract once — count()
+      // and the union-write would otherwise recompute it (a second
+      // full pull from Tally per table per sync)
       specs.foreach { spec =>
-        val fresh = source.incrementalRows(spec, wm)
+        val fresh = graft.operators.SurrogateFk.enrich(
+            source.incrementalRows(spec, wm), spec,
+            t => if (warehouse.exists(t)) Some(warehouse.read(t)) else None)
           .localCheckpoint(eager = true)
         appended(spec.name) = fresh.count()
         val base = warehouse.read(spec.name)

@@ -42,17 +42,17 @@ object TallyFixtures {
         Seq(s("Advances"), s("Loans & Advances (Asset)"), s("Loans & Advances (Asset)"), "0", "1", "0"),
         Seq(s("Staff Advances"), s("Advances"), s("Loans & Advances (Asset)"), "0", "1", "0"))),
     ("mst_ledger",
-      Seq("name" -> "VARCHAR", "parent" -> "VARCHAR",
+      Seq("guid" -> "VARCHAR", "name" -> "VARCHAR", "parent" -> "VARCHAR",
         "opening_balance" -> "DECIMAL(17,2)", "is_revenue" -> "INT",
         "gstn" -> "VARCHAR"),
       Seq(
-        Seq(s("Cash"), s("Cash-in-hand"), dec2("-1000.00"), "0", s("")),
-        Seq(s("Sales Local"), s("Sales Accounts"), dec2("0.00"), "1", s("")),
-        Seq(s("Purchase Local"), s("Purchase Accounts"), dec2("0.00"), "1", s("")),
-        Seq(s("Acme Corp"), s("Sundry Debtors"), dec2("-500.00"), "0", s("GSTN001")),
-        Seq(s("Beta Traders"), s("Sundry Creditors"), dec2("200.00"), "0", s("GSTN002")),
-        Seq(s("Stock Ledger"), s("Stock-in-hand"), dec2("-2000.00"), "0", s("")),
-        Seq(s("Rent"), s("Indirect Expenses"), dec2("0.00"), "1", s("")))),
+        Seq(s("L001"), s("Cash"), s("Cash-in-hand"), dec2("-1000.00"), "0", s("")),
+        Seq(s("L002"), s("Sales Local"), s("Sales Accounts"), dec2("0.00"), "1", s("")),
+        Seq(s("L003"), s("Purchase Local"), s("Purchase Accounts"), dec2("0.00"), "1", s("")),
+        Seq(s("L004"), s("Acme Corp"), s("Sundry Debtors"), dec2("-500.00"), "0", s("GSTN001")),
+        Seq(s("L005"), s("Beta Traders"), s("Sundry Creditors"), dec2("200.00"), "0", s("GSTN002")),
+        Seq(s("L006"), s("Stock Ledger"), s("Stock-in-hand"), dec2("-2000.00"), "0", s("")),
+        Seq(s("L007"), s("Rent"), s("Indirect Expenses"), dec2("0.00"), "1", s("")))),
     ("mst_vouchertype",
       Seq("name" -> "VARCHAR", "parent" -> "VARCHAR",
         "numbering_method" -> "VARCHAR", "affects_stock" -> "INT"),
@@ -102,26 +102,32 @@ object TallyFixtures {
         Seq(s("v008"), dt("2020-07-01"), s("Receipt Note"), s("RN-1"), s("Beta Traders"), s("goods in, no invoice yet"), "0", "0", "1", "0"),
         Seq(s("v009"), dt("2020-08-01"), s("Sales Order"), s("SO-1"), s("Acme Corp"), s("order only"), "0", "0", "0", "1"),
         Seq(s("v010"), dt("2021-01-15"), s("Sales"), s("SL-3"), s("Acme Corp"), s("direct sale"), "1", "1", "0", "0"))),
+    // forex columns (P10, reference tally-export-config.yaml:466-470):
+    // amount_forex carries the foreign-currency value with the SAME
+    // debit-negative sign resolution as amount; currency is the
+    // symbol. Base-currency rows: forex 0, currency ₹ (the $$Currency
+    // of a base amount). v001 is a USD invoice; v003 a EUR purchase.
     ("trn_accounting",
       Seq("guid" -> "VARCHAR", "ledger" -> "VARCHAR",
-        "amount" -> "DECIMAL(17,2)"),
+        "amount" -> "DECIMAL(17,2)", "amount_forex" -> "DECIMAL(17,2)",
+        "currency" -> "VARCHAR"),
       Seq(
-        Seq(s("v001"), s("Acme Corp"), dec2("-1000.00")),
-        Seq(s("v001"), s("Sales Local"), dec2("1000.00")),
-        Seq(s("v002"), s("Cash"), dec2("-600.00")),
-        Seq(s("v002"), s("Acme Corp"), dec2("600.00")),
-        Seq(s("v003"), s("Purchase Local"), dec2("-400.00")),
-        Seq(s("v003"), s("Beta Traders"), dec2("400.00")),
-        Seq(s("v004"), s("Beta Traders"), dec2("-250.00")),
-        Seq(s("v004"), s("Cash"), dec2("250.00")),
-        Seq(s("v005"), s("Cash"), dec2("-100.00")),
-        Seq(s("v005"), s("Cash"), dec2("100.00")),
-        Seq(s("v007"), s("Acme Corp"), dec2("-500.00")),
-        Seq(s("v007"), s("Sales Local"), dec2("500.00")),
-        Seq(s("v009"), s("Acme Corp"), dec2("-999.00")),
-        Seq(s("v009"), s("Sales Local"), dec2("999.00")),
-        Seq(s("v010"), s("Acme Corp"), dec2("-300.00")),
-        Seq(s("v010"), s("Sales Local"), dec2("300.00")))),
+        Seq(s("v001"), s("Acme Corp"), dec2("-1000.00"), dec2("-12.50"), s("$")),
+        Seq(s("v001"), s("Sales Local"), dec2("1000.00"), dec2("12.50"), s("$")),
+        Seq(s("v002"), s("Cash"), dec2("-600.00"), dec2("0.00"), s("₹")),
+        Seq(s("v002"), s("Acme Corp"), dec2("600.00"), dec2("0.00"), s("₹")),
+        Seq(s("v003"), s("Purchase Local"), dec2("-400.00"), dec2("-4.40"), s("€")),
+        Seq(s("v003"), s("Beta Traders"), dec2("400.00"), dec2("4.40"), s("€")),
+        Seq(s("v004"), s("Beta Traders"), dec2("-250.00"), dec2("0.00"), s("₹")),
+        Seq(s("v004"), s("Cash"), dec2("250.00"), dec2("0.00"), s("₹")),
+        Seq(s("v005"), s("Cash"), dec2("-100.00"), dec2("0.00"), s("₹")),
+        Seq(s("v005"), s("Cash"), dec2("100.00"), dec2("0.00"), s("₹")),
+        Seq(s("v007"), s("Acme Corp"), dec2("-500.00"), dec2("0.00"), s("₹")),
+        Seq(s("v007"), s("Sales Local"), dec2("500.00"), dec2("0.00"), s("₹")),
+        Seq(s("v009"), s("Acme Corp"), dec2("-999.00"), dec2("0.00"), s("₹")),
+        Seq(s("v009"), s("Sales Local"), dec2("999.00"), dec2("0.00"), s("₹")),
+        Seq(s("v010"), s("Acme Corp"), dec2("-300.00"), dec2("0.00"), s("₹")),
+        Seq(s("v010"), s("Sales Local"), dec2("300.00"), dec2("0.00"), s("₹")))),
     ("trn_inventory",
       Seq("guid" -> "VARCHAR", "item" -> "VARCHAR",
         "quantity" -> "DECIMAL(15,4)", "rate" -> "DECIMAL(15,4)",

@@ -45,7 +45,31 @@ object TallyReportQueries {
       TallyReports.stockSummary(TallyFixtures.load(s))),
     "q46_tally_stock_voucher_view" -> ((s, _) =>
       TallyReports.stockVoucherView(TallyFixtures.load(s))),
+    "q49_tally_forex_register" -> ((s, _) =>
+      TallyReports.forexRegister(TallyFixtures.load(s))),
+    "q50_tally_fk_register" -> ((s, _) => {
+      val t = TallyFixtures.load(s)
+      // the fixture extract carries no _ledger — the engine resolves
+      // it (P15), then the report consumes it through guid = _ledger
+      val enriched = graft.operators.SurrogateFk.enrich(
+        t.trnAccounting, accountingFkSpec,
+        { case "mst_ledger" => Some(t.mstLedger); case _ => None })
+      TallyReports.fkRegister(t, enriched)
+    }),
   )
+
+  /** Reference-shaped spec for trn_accounting with the incremental
+    * YAML's surrogate-FK field
+    * (tally-export-config-incremental.yaml:298). */
+  private val accountingFkSpec: graft.sources.TableSpec = {
+    import graft.functions.TallyTypes._
+    import graft.sources.{FieldSpec, TableSpec}
+    TableSpec("trn_accounting", "Voucher.AllLedgerEntries", "Derived", Seq(
+      FieldSpec("guid", "Guid", TText),
+      FieldSpec("ledger", "LedgerName", TText),
+      FieldSpec("amount", "Amount", TAmount),
+      FieldSpec("_ledger", "$Guid:Ledger:$LedgerName", TCustom)))
+  }
 
   private def fx(body: String): String =
     TallyFixtures.cteSql.replaceFirst("^WITH ", "WITH RECURSIVE ") +
@@ -208,6 +232,28 @@ object TallyReportQueries {
         |  WHERE v.is_order_voucher = 0) t WHERE repetition = 1)
         |SELECT * FROM (SELECT * FROM op UNION ALL SELECT * FROM txn) u
         |ORDER BY date, item, voucher_number""".stripMargin),
+    "q49_tally_forex_register" -> fx(
+      """forex AS (SELECT CAST(v.date AS DATE) AS date, v.voucher_number,
+        |  v.voucher_type, a.ledger,
+        |  round(CAST(a.amount AS DOUBLE), 6) AS amount,
+        |  round(CAST(a.amount_forex AS DOUBLE), 6) AS amount_forex,
+        |  a.currency,
+        |  round(CAST(a.amount AS DOUBLE) / CAST(a.amount_forex AS DOUBLE), 6) AS exchange_rate
+        | FROM trn_accounting a JOIN trn_voucher v ON a.guid = v.guid
+        | WHERE a.amount_forex <> 0)
+        |SELECT * FROM forex ORDER BY date, voucher_number, ledger""".stripMargin),
+    "q50_tally_fk_register" -> fx(
+      """fkacc AS (SELECT a.guid, a.ledger, a.amount,
+        |  coalesce(l.guid, '') AS _ledger
+        | FROM trn_accounting a LEFT JOIN mst_ledger l ON l.name = a.ledger)
+        |SELECT z.parent AS ledger_group,
+        | round(CAST(sum(CASE WHEN a.amount < 0 THEN -a.amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS DOUBLE), 6) AS debit,
+        | round(CAST(sum(CASE WHEN a.amount > 0 THEN a.amount ELSE CAST(0 AS DECIMAL(17,2)) END) AS DOUBLE), 6) AS credit,
+        | count(*) AS n_lines
+        |FROM fkacc a JOIN trn_voucher v ON v.guid = a.guid
+        | JOIN mst_ledger z ON a._ledger = z.guid
+        |WHERE v.is_order_voucher = 0 AND v.is_inventory_voucher = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   private def dailyBodySql(group: String, negate: Boolean,

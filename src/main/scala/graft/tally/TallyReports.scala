@@ -426,4 +426,51 @@ object TallyReports {
     opening.unionByName(txns)
       .orderBy(col("date"), col("item"), col("voucher_number"))
   }
+
+  // ── forex register (P10) ───────────────────────────────────────────
+  /** Multi-currency accounting rows (reference
+    * tally-export-config.yaml:466-470: `amount_forex` carries the
+    * `$$ForexValue` with the same debit-negative sign resolution,
+    * `currency` the `$$Currency` symbol): every line whose currency is
+    * foreign (forex value ≠ 0), with the implied exchange rate. */
+  def forexRegister(t: TallyTables): DataFrame =
+    t.trnAccounting.as("a")
+      .join(t.trnVoucher.as("v"), col("a.guid") === col("v.guid"))
+      .filter(col("a.amount_forex") =!= 0)
+      .select(to_date(col("v.date")).as("date"),
+        col("v.voucher_number").as("voucher_number"),
+        col("v.voucher_type").as("voucher_type"),
+        col("a.ledger").as("ledger"),
+        fin2(col("a.amount")).as("amount"),
+        fin2(col("a.amount_forex")).as("amount_forex"),
+        col("a.currency").as("currency"),
+        // implied base-per-forex rate; both sides share sign so the
+        // ratio is positive. Double division (not decimal): IEEE is
+        // engine-identical, while decimal-division result scales are
+        // not (Spark and DuckDB pick different quotient scales)
+        round(col("a.amount").cast("double") /
+          col("a.amount_forex").cast("double"), 6).as("exchange_rate"))
+      .orderBy(col("date"), col("voucher_number"), col("ledger"))
+
+  // ── surrogate-FK consumption (P15) ─────────────────────────────────
+  /** Per-group balances joined THROUGH the surrogate `_ledger` guid
+    * column (reference incremental schema: children carry `_fk`
+    * columns resolved at extract time; queries join guid = _fk instead
+    * of name = name). `accounting` must already carry `_ledger` — see
+    * [[graft.operators.SurrogateFk.enrich]]. */
+  def fkRegister(t: TallyTables, accounting: DataFrame): DataFrame =
+    accounting.as("a")
+      .join(t.trnVoucher.as("v"), col("a.guid") === col("v.guid"))
+      .filter(col("v.is_order_voucher") === 0 &&
+        col("v.is_inventory_voucher") === 0)
+      .join(broadcast(t.mstLedger.as("l")),
+        col("a._ledger") === col("l.guid"))
+      .groupBy(col("l.parent").as("ledger_group"))
+      .agg(
+        fin2(sum(when(col("a.amount") < 0, -col("a.amount"))
+          .otherwise(dec0))).as("debit"),
+        fin2(sum(when(col("a.amount") > 0, col("a.amount"))
+          .otherwise(dec0))).as("credit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("ledger_group"))
 }

@@ -61,4 +61,17 @@ class CatalogCompatibilitySpec extends AnyFunSuite {
     val voucher = (txns.find(_.name == "trn_voucher")).get
     assert(voucher.fields.exists(_.name == "alterid"))
   }
+
+  test("every expression field in BOTH reference configs translates") {
+    // SURVEY §7.3: the $$-to-expr translator must cover the whole
+    // shipped catalog — every non-simple field either translates to a
+    // Spark Column or is the P15 lookup shape; nothing lands as
+    // unvalidated text
+    for (cfg <- Seq("tally-export-config.yaml",
+        "tally-export-config-incremental.yaml")) {
+      assume(readRef(cfg).isDefined)
+      val (masters, txns) = SpecLoader.load(readRef(cfg).get)
+      (masters ++ txns).foreach(graft.functions.TdlExpr.validateCustomFields)
+    }
+  }
 }

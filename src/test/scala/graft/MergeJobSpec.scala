@@ -160,6 +160,36 @@ class MergeJobSpec extends AnyFunSuite {
     assert(sorted(w.read("mst_ledger")) == sorted(v2Ledgers))
   }
 
+  test("surrogate FKs resolve at merge time and feed the cascade update") {
+    // P15: the source extract carries NO _ledger column — the merge
+    // job must resolve it against the (already-synced) warehouse
+    // masters via broadcast lookup, and the cascade update must then
+    // flow through the engine-resolved column
+    val fkAccountingSpec = TableSpec("trn_accounting",
+      "Voucher.AllLedgerEntries", "Derived",
+      fields = Seq(FieldSpec("guid", "Guid", TText),
+        FieldSpec("ledger", "LedgerName", TText),
+        FieldSpec("_ledger", "$Guid:Ledger:$LedgerName", TCustom)))
+    val w = seededWarehouse()
+    val src = new V2Source {
+      override def incrementalRows(spec: TableSpec, since: Long): DataFrame =
+        spec.name match {
+          case "trn_accounting" =>
+            v2Accounting.drop("_ledger").filter($"alterid" > since)
+          case _ => super.incrementalRows(spec, since)
+        }
+    }
+    new MergeJob(spark, Seq(ledgerSpec),
+      Seq(voucherSpec, fkAccountingSpec), src, w).run()
+    val fks = w.read("trn_accounting").collect()
+      .map(r => r.getAs[String]("guid") -> r.getAs[String]("_ledger")).toMap
+    // v1 (re-extracted) and v3 (new) were resolved by the engine
+    // against the post-sync masters; v4 kept its stored FK
+    assert(fks == Map("v1" -> "lg1", "v3" -> "lg4", "v4" -> "lg2"))
+    val v4 = w.read("trn_accounting").filter($"guid" === "v4").head()
+    assert(v4.getAs[String]("ledger") == "Sales Local")
+  }
+
   test("parquet warehouse swap-write survives read-write cycles") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val w = new ParquetWarehouse(spark, dir)
