@@ -51,6 +51,7 @@ object SparkEntry {
     "q31_media_features"   -> (Curation.q31MediaFeatures _),
     "q47_embed_ann_ivf"    -> (Curation.q47EmbedAnnIvf _),
     "q48_embed_near_dup_lsh" -> (Curation.q48EmbedNearDupLsh _),
+    "q51_embed_near_dup_lsh_hi" -> (Curation.q51EmbedNearDupLshHi _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -231,6 +232,9 @@ object SparkEntry {
     "q26_embed_near_dup"     -> nearDupSql,
     // the bucketed generator must reproduce the exact all-pairs result
     "q48_embed_near_dup_lsh" -> nearDupSql,
+    // high-τ regime over the deterministic augmented corpus (see
+    // Curation.q51EmbedNearDupLshHi): exact all-pairs at τ=0.9
+    "q51_embed_near_dup_lsh_hi" -> nearDupHiSql,
     "q27_text_langid" -> langIdSql,
     "q28_text_quality" -> qualitySql,
     "q29_token_freq" ->
@@ -251,6 +255,29 @@ object SparkEntry {
         | lower(substring(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex
         |FROM documents ORDER BY 1""".stripMargin,
   ) ++ graft.tally.TallyReportQueries.oracleSql
+
+  /** q51 oracle: exact all-pairs at τ = 0.9 over the corpus unioned
+    * with its first-dimension-sign-flipped copy — float sign flip is
+    * exact on both engines, so the augmented corpora are bit-identical
+    * (mirrors Curation.q51EmbedNearDupLshHi). */
+  private val nearDupHiSql: String =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, [-embedding[1]] || embedding[2:]
+      |  FROM embeddings),
+      | e1 AS (SELECT vec_id AS a, embedding AS av FROM aug),
+      | e2 AS (SELECT vec_id AS b, embedding AS bv FROM aug),
+      | flat AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM e1 JOIN e2 ON a < b),
+      | dots AS (SELECT a, b,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+      |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+      |  FROM flat GROUP BY 1,2)
+      |SELECT a, b, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+      |FROM dots
+      |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.9
+      |ORDER BY 1, 2""".stripMargin
 
   /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) —
     * shared by the exact q26 baseline and the LSH-bucketed q48. */

@@ -161,10 +161,17 @@ object Similarity {
     * raise `nProbe` toward `nLists` to trade cost for recall. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nLists: Int = 16, nProbe: Int = 4,
+      nLists: Int = 0, nProbe: Int = 4,
       iterations: Int = 2, assignments: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    var centroids = deterministicSeeds(c, nLists) // (list_id, centroid)
+    // nLists scales with the corpus: the classic √n heuristic balances
+    // list length (n/nLists) against probe count — a CONSTANT nLists
+    // degenerates at 100× (lists grow linearly and every probe scans
+    // n/nLists ∝ n). nLists = 0 (default) derives it.
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    var centroids = deterministicSeeds(c, lists) // (list_id, centroid)
     for (_ <- 0 until iterations)
       centroids = recomputeCentroids(assign(c, centroids, 1))
     // multi-assignment (`assignments` > 1): store each corpus vector in
@@ -251,27 +258,92 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** splitmix64 finalizer — deterministic, engine-independent plane
+    * components computed DRIVER-side (no per-row hashing: the round-2
+    * shape evaluated xxhash64 per (plane × dim × row) inside a nested
+    * HOF, ~200M hash calls for q51 at sf0.1). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane `p` over `dims` dimensions as a literal array — baked
+    * into the plan once, indexed O(1) per row. */
+  private def planeVecLit(p: Int, dims: Int): Column =
+    lit(Array.tabulate(dims)(i =>
+      mix64((p.toLong << 32) | i.toLong).toDouble / Long.MaxValue.toDouble))
+
+  /** Salted LSH bucket keys in the exploded hash-aggregate shape:
+    * posexplode the vector once, compute ALL planes×tables projections
+    * as sum-aggregates in ONE hash aggregate (map-side partial sums,
+    * whole-stage codegen — the same formulation that took minhash from
+    * 265 s to 5.6 s), then fold the signs into per-table keys. Returns
+    * (id, bk) exploded — 8-byte rows, no vectors carried. */
+  private def saltedKeysAgg(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int): DataFrame = {
+    val dims = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val pe = vecs.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val aggs = for (t <- 0 until tables; j <- 0 until planes) yield
+      sum(col("x").cast("double") *
+        element_at(planeVecLit(t * planes + j, dims), col("pos") + 1))
+        .as(s"d_${t}_$j")
+    val dots = pe.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val keys = (0 until tables).map { t =>
+      (0 until planes).map { j =>
+        when(col(s"d_${t}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _) + lit(t.toLong << 32)
+    }
+    dots.select(col("id"), explode(array(keys: _*)).as("bk"))
+  }
+
   /** Near-duplicate pairs via LSH-bucketed pair generation — the
     * 100 TB path: vectors meet only inside shared salted bucket keys
     * (an equi-join, shuffle-partitionable by key; NO cross join in the
     * plan), then the same double-prefilter → exact-decimal scorer
     * decides. Per-pair miss probability is (1 − p_sig)^tables with
-    * p_sig = (1 − arccos(τ)/π)^planes — the defaults put it at ~5e-6
-    * for τ = 0.4 (and far lower for anything more similar), at the
-    * price of coarse buckets; for true near-dup thresholds (τ ≥ 0.9)
-    * raise `planes` to prune aggressively. */
+    * p_sig = (1 − arccos(τ)/π)^planes — the q48 defaults put it at
+    * ~5e-6 for τ = 0.4 (and far lower for anything more similar) at
+    * the price of coarse buckets; true near-dup thresholds (τ ≥ 0.9)
+    * should raise `planes` to prune hard (see Curation.Q51Planes).
+    *
+    * Scale shape, parameter-driven: in the SELECTIVE regime
+    * (tables/2^planes < 1 — each pair expects < 1 shared bucket),
+    * candidate (a, b) IDS are generated and deduplicated from the
+    * 16-byte (id, bk) join first and vectors join back in only for
+    * the surviving pairs — the bucket-join shuffle never carries an
+    * embedding. In the DEGENERATE regime (fan-out ≥ 1 per pair, the
+    * τ=0.4 oracle-compat settings) the id-distinct would itself
+    * shuffle ~every pair, so vectors ride the bucket join and dedup
+    * happens after the codegen prefilter has killed ~all rows. */
   def cosineNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, planes: Int = 2, tables: Int = 24): DataFrame = {
-    def keyed(id: String, v: String): DataFrame =
-      vecs.select(col(idCol).as(id), col(vecCol).as(v),
-        explode(saltedLshKeys(col(vecCol), planes, tables)).as(s"${id}_bk"))
-    keyed("a", "av").join(keyed("b", "bv").withColumnRenamed("b_bk", "a_bk"),
-        Seq("a_bk"))
-      .filter(col("a") < col("b"))
-      .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
-      .select(col("a"), col("b"), col("av"), col("bv")).distinct()
-      .withColumn("cos", cosine(col("av"), col("bv")))
-      .filter(col("cos") >= minCosine)
-      .select(col("a"), col("b"), col("cos"))
+    val keyed = saltedKeysAgg(vecs, idCol, vecCol, planes, tables)
+    val degenerate = tables.toDouble / (1L << planes) >= 1.0
+    if (degenerate) {
+      val withV = keyed.join(
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      withV.as("x").join(withV.as("y"),
+          col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          col("x.v").as("av"), col("y.v").as("bv"))
+        .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .filter(col("cos") >= minCosine)
+        .select(col("a"), col("b"), col("cos")).distinct()
+    } else {
+      val cand = keyed.as("x").join(keyed.as("y"),
+          col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val av = vecs.select(col(idCol).as("a"), col(vecCol).as("av"))
+      val bv = vecs.select(col(idCol).as("b"), col(vecCol).as("bv"))
+      cand.join(av, Seq("a")).join(bv, Seq("b"))
+        .filter(cosineFast(col("av"), col("bv")) >= minCosine - FastMargin)
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .filter(col("cos") >= minCosine)
+        .select(col("a"), col("b"), col("cos"))
+    }
   }
 }
