@@ -11,6 +11,17 @@ trait Warehouse {
   def read(table: String): DataFrame
   def write(table: String, df: DataFrame): Unit
   def exists(table: String): Boolean
+
+  /** Apply `transform` to the table, restricted (when the backend
+    * supports partition-level replacement) to the partitions holding
+    * `keys` — the merge job's contract for every incremental
+    * write-back. `transform` must be row-local and identity on
+    * unaffected rows (anti-join delete, union-append, join-refresh all
+    * are), so the default full-table rewrite is always correct and
+    * partitioned backends can rewrite only the affected slice. */
+  def rewritePartitions(table: String, keys: DataFrame,
+      transform: DataFrame => DataFrame): Unit =
+    write(table, transform(read(table)))
 }
 
 /** Parquet warehouse with write-new-then-swap so an in-flight read of
@@ -36,6 +47,70 @@ final class ParquetWarehouse(spark: SparkSession, dir: String) extends Warehouse
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     if (f.exists()) f.delete()
+  }
+}
+
+/** Parquet warehouse with HASH-partitioned tables (`_pt =
+  * pmod(xxhash64(key), buckets)`) and partition-level incremental
+  * rewrites: [[rewritePartitions]] replaces ONLY the partitions whose
+  * bucket holds an affected key, via dynamic partition overwrite —
+  * untouched partitions' files are never rewritten (SURVEY §7.1's
+  * "partition-overwrite semantics"; a full sync still rewrites whole
+  * tables through [[write]]). Tables lacking the key column (pure
+  * dims like mst_vouchertype) store unpartitioned and fall back to
+  * full rewrite. */
+final class PartitionedParquetWarehouse(spark: SparkSession, dir: String,
+    keyCol: String = "guid", buckets: Int = 64) extends Warehouse {
+  private val PtCol = "_pt"
+  private def path(t: String) = s"$dir/$t"
+  private def pt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(buckets.toLong))
+
+  def exists(table: String): Boolean = new java.io.File(path(table)).exists()
+
+  def read(table: String): DataFrame = {
+    val df = spark.read.parquet(path(table))
+    if (df.columns.contains(PtCol)) df.drop(PtCol) else df
+  }
+
+  def write(table: String, df: DataFrame): Unit =
+    if (df.columns.contains(keyCol))
+      df.withColumn(PtCol, pt(col(keyCol)))
+        .write.mode("overwrite").partitionBy(PtCol).parquet(path(table))
+    else df.write.mode("overwrite").parquet(path(table))
+
+  override def rewritePartitions(table: String, keys: DataFrame,
+      transform: DataFrame => DataFrame): Unit = {
+    val raw = spark.read.parquet(path(table))
+    if (!raw.columns.contains(PtCol)) {
+      write(table, transform(read(table))); return
+    }
+    val keyName = keys.columns.head
+    // affected bucket ids — at most `buckets` values, driver-safe
+    val pts = keys.select(pt(col(keyName)).cast("long").as(PtCol))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (pts.isEmpty) return
+    val affected = raw.filter(col(PtCol).isin(pts: _*)).drop(PtCol)
+    // materialize BEFORE the overwrite: the rebuilt slice derives from
+    // the very files the write will replace
+    val rebuilt = transform(affected)
+      .withColumn(PtCol, pt(col(keyCol)))
+      .localCheckpoint(eager = true)
+    val rebuiltPts = rebuilt.select(col(PtCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    rebuilt.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PtCol).parquet(path(table))
+    // dynamic overwrite only touches partitions PRESENT in the output;
+    // a partition emptied by the transform must be dropped explicitly
+    pts.filterNot(rebuiltPts).foreach { p =>
+      val d = new java.io.File(s"${path(table)}/$PtCol=$p")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (d.exists()) rm(d)
+    }
   }
 }
 
@@ -89,7 +164,12 @@ final case class SyncReport(
   *
   * Every step is a key-partitioned join — with warehouse tables
   * bucketed by guid the whole merge is one shuffle per table at most;
-  * diff snapshots are small (two columns) and broadcast.
+  * diff snapshots are small (two columns) and broadcast. Every
+  * write-back goes through [[Warehouse.rewritePartitions]] with the
+  * affected key set, so a partition-capable warehouse
+  * ([[PartitionedParquetWarehouse]]) replaces only the partitions a
+  * sync actually touches — at 100 TB an incremental sync's I/O scales
+  * with the CHANGE volume, not the table volume.
   */
 final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
     transactions: Seq[TableSpec], source: TallySource,
@@ -135,14 +215,22 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
         val removeKeys = deletedKeys.union(changedKeys).distinct()
           .localCheckpoint(eager = true)
         deleted(spec.name) = removeKeys.count()
-        warehouse.write(spec.name,
-          warehouse.read(spec.name).join(removeKeys, Seq(keyCol), "left_anti"))
-        // cascade delete to children via their FK column (L7)
+        warehouse.rewritePartitions(spec.name, removeKeys,
+          df => df.join(removeKeys, Seq(keyCol), "left_anti"))
+        // cascade delete to children via their FK column (L7). The
+        // child partitions by its OWN key, so the affected set is the
+        // keys of rows whose FK matches — a read to find them is far
+        // cheaper than rewriting every partition
         spec.cascadeDelete.foreach { cas =>
           cas.fields.values.foreach { fk =>
-            if (warehouse.exists(cas.table))
-              warehouse.write(cas.table, Cdc.cascadeDelete(
-                warehouse.read(cas.table), removeKeys, fk))
+            if (warehouse.exists(cas.table)) {
+              val affected = warehouse.read(cas.table)
+                .join(removeKeys.withColumnRenamed(keyCol, fk), Seq(fk),
+                  "left_semi")
+                .select(col(keyCol))
+              warehouse.rewritePartitions(cas.table, affected,
+                df => Cdc.cascadeDelete(df, removeKeys, fk))
+            }
           }
         }
       }
@@ -160,23 +248,36 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
           .localCheckpoint(eager = true)
         appended(spec.name) = fresh.count()
         val base = warehouse.read(spec.name)
-        warehouse.write(spec.name,
-          base.unionByName(fresh.select(base.columns.map(col).toIndexedSeq: _*)))
+        val aligned = fresh.select(base.columns.map(col).toIndexedSeq: _*)
+        warehouse.rewritePartitions(spec.name, fresh.select(col(keyCol)),
+          df => df.unionByName(aligned.select(
+            df.columns.map(col).toIndexedSeq: _*)))
       }
     }
 
     if (masterChanged) mergeGroup(masters, dbMasterWm)
     if (txnChanged) mergeGroup(transactions, dbTxnWm)
 
-    // cascade updates: refresh denormalized names from masters (L9)
+    // cascade updates: refresh denormalized names from masters (L9).
+    // Affected = rows whose stored name is STALE vs the master (a
+    // broadcast-join scan) — a master rename rewrites only the
+    // partitions holding its children
     if (masterChanged)
       masters.filter(_.nature == "Primary").foreach { spec =>
         spec.cascadeUpdate.foreach { cas =>
           cas.fields.foreach { case (field, _) =>
-            if (warehouse.exists(cas.table))
-              warehouse.write(cas.table, Cdc.cascadeUpdate(
-                warehouse.read(cas.table), warehouse.read(spec.name),
-                s"_$field", keyCol, "name", field))
+            if (warehouse.exists(cas.table)) {
+              val m = warehouse.read(spec.name)
+              val stale = warehouse.read(cas.table).as("c")
+                .join(broadcast(m.select(col(keyCol).as("__mk"),
+                  col("name").as("__mn"))),
+                  col(s"c._$field") === col("__mk"))
+                .filter(col(s"c.$field") =!= col("__mn"))
+                .select(col(s"c.$keyCol").as(keyCol))
+              warehouse.rewritePartitions(cas.table, stale,
+                df => Cdc.cascadeUpdate(df, m, s"_$field", keyCol,
+                  "name", field))
+            }
           }
         }
       }
@@ -190,9 +291,13 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
       if (autoCount > 0) {
         val numbers = broadcast(source.voucherNumbers()
           .withColumnRenamed("voucher_number", "__vn"))
-        val v = warehouse.read("trn_voucher")
-        warehouse.write("trn_voucher",
-          v.join(numbers, Seq(keyCol), "left")
+        // only vouchers whose number actually shifted need a rewrite
+        val changed = warehouse.read("trn_voucher")
+          .join(numbers, Seq(keyCol), "inner")
+          .filter(col("voucher_number") =!= col("__vn"))
+          .select(col(keyCol))
+        warehouse.rewritePartitions("trn_voucher", changed,
+          df => df.join(numbers, Seq(keyCol), "left")
             .withColumn("voucher_number",
               coalesce(col("__vn"), col("voucher_number")))
             .drop("__vn"))

@@ -190,6 +190,49 @@ class MergeJobSpec extends AnyFunSuite {
     assert(v4.getAs[String]("ledger") == "Sales Local")
   }
 
+  test("partitioned warehouse: untouched partitions survive the sync byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pwh").toString
+    val w = new PartitionedParquetWarehouse(spark, dir, buckets = 64)
+    w.write("mst_ledger", v1Ledgers)
+    w.write("trn_voucher", v1Vouchers)
+    w.write("trn_accounting", v1Accounting)
+    w.write("mst_vouchertype", vtypes)
+
+    // lg1 is the untouched witness: not deleted, not re-extracted.
+    // Its bucket must differ from every touched ledger's bucket for
+    // the byte-identity assertion to be meaningful
+    def bucket(g: String): Long =
+      Seq(g).toDF("guid").select(pmod(xxhash64($"guid"), lit(64L)))
+        .head().getLong(0)
+    val untouchedPt = bucket("lg1")
+    val touchedPts = Seq("lg2", "lg3", "lg4").map(bucket).toSet
+    assert(!touchedPts.contains(untouchedPt),
+      s"fixture collision: lg1 shares bucket $untouchedPt — pick other guids")
+
+    def snapshot(pt: Long): Map[String, (Long, String)] = {
+      val d = new java.io.File(s"$dir/mst_ledger/_pt=$pt")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        f.getName -> (f.length(), md5)
+      }.toMap
+    }
+    val before = snapshot(untouchedPt)
+    assert(before.nonEmpty)
+
+    new MergeJob(spark, Seq(ledgerSpec),
+      Seq(voucherSpec, accountingSpec), new V2Source, w).run()
+
+    // merge result is still exactly the V2 state…
+    assert(sorted(w.read("mst_ledger")) == sorted(v2Ledgers))
+    assert(sorted(w.read("trn_voucher")) == sorted(v2Vouchers))
+    assert(sorted(w.read("trn_accounting")) == sorted(v2Accounting))
+    // …and the untouched partition's files were never rewritten
+    assert(snapshot(untouchedPt) == before,
+      "untouched partition was rewritten by the sync")
+  }
+
   test("parquet warehouse swap-write survives read-write cycles") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val w = new ParquetWarehouse(spark, dir)
