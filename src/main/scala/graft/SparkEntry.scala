@@ -213,15 +213,17 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q23_dedup_simhash has NO oracle on purpose: simhash is an
-    // approximate-recall method (Hamming-banding contract), and its
-    // xxhash64 bit math is not SQL-expressible — rows-only check.
     // q21 runs with the stop-shingle cap (bounded gram join), so its
     // oracle drops the same hot shingles; q22's LSH path keeps the
     // full shingle sets and verifies against the uncapped Jaccard.
+    // q23's simhash banding at 12 chunks catches every Hamming ≤ 11
+    // pair and the corpus's Jaccard-0.8 pairs top out at Hamming 10,
+    // so its verified output equals the SAME uncapped exact set (see
+    // Curation.q23DedupSimhash — dataset-conditional by construction).
     "q21_dedup_ngram_jaccard" ->
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
     "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
+    "q23_dedup_simhash"       -> ngramJaccardSql(None),
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle

@@ -159,14 +159,17 @@ object TextDedup {
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** SimHash near-dup pairs: 8×8-bit chunk banding finds every pair
-    * with Hamming ≤ 7 (pigeonhole), then exact-Jaccard verification.
-    * 8-bit chunks trade more candidate collisions for the recall a
-    * word-shingle corpus needs (Jaccard-0.9 pairs routinely sit at
-    * Hamming 4–7 on 64-bit simhash). */
+  /** SimHash near-dup pairs: `numChunks`-way chunk banding finds every
+    * pair with Hamming ≤ numChunks − 1 EXACTLY (pigeonhole), then
+    * exact-Jaccard verification. The chunk count is the recall/cost
+    * dial: 8 chunks (Hamming ≤ 7, the scale default) collide a random
+    * pair with ~8·2⁻⁸ of the corpus; 12 chunks (Hamming ≤ 11) with
+    * ~12·2⁻⁵ — an order of magnitude more candidates, needed when the
+    * corpus's Jaccard-0.8 pairs range up to Hamming ~10 (word-shingle
+    * text routinely does: measured max 10 on the harness corpus). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 7,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, numChunks: Int = 8): DataFrame = {
     // exploded formulation (same values as simhash64): 64 bit-sum
     // aggregations inside hash-agg codegen instead of 64 nested
     // array-aggregate expressions per row; the gram lineage is shared
@@ -183,11 +186,17 @@ object TextDedup {
         (0 until 64).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sim"))
+    // near-even bit split: the first (64 mod numChunks) chunks carry
+    // one extra bit; chunk index tagged into the high key bits
+    val base = 64 / numChunks
+    val widths = Seq.fill(64 % numChunks)(base + 1) ++
+      Seq.fill(numChunks - 64 % numChunks)(base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val chunked = withSim.select(col("id"), col("sim"), explode(array(
-      (0 until 8).map { c =>
-        lit(c.toLong << 16).bitwiseOR(
-          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)))
-      }: _*)).as("ck"))
+      widths.lazyZip(offsets).lazyZip(widths.indices).map { (w, off, c) =>
+        lit(c.toLong << 32).bitwiseOR(
+          shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1)))
+      }.toSeq: _*)).as("ck"))
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
