@@ -31,8 +31,12 @@ object Main {
       replayDir: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
-    val m = args.sliding(2, 2).collect {
+    val m = args.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case Array(k, _) =>
+        throw new IllegalArgumentException(s"expected a --flag, got $k")
+      case Array(k) =>
+        throw new IllegalArgumentException(s"flag $k is missing its value")
     }.toMap
     Config(
       server = m.getOrElse("tally-server", "localhost"),

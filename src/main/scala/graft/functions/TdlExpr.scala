@@ -343,7 +343,9 @@ object TdlExpr {
             if !toks.lift(pos + 1).exists(t =>
               t == TOp("[") || t == TOp(".")) =>
           pos += 1
-          (resolve(n), Some(n))
+          // parent back-refs resolve by the bare name, same as fieldRef
+          val bare = stripParent(n)
+          (resolve(bare), Some(bare))
         case _ => (unary(), None)
       }
     }

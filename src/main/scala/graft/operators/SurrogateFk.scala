@@ -77,7 +77,11 @@ object SurrogateFk {
             val keyCol = fk.lookup.keyField.toLowerCase // "Guid" → "guid"
             val nm = s"__fkn_${fk.fkCol}"
             val vl = s"__fkv_${fk.fkCol}"
+            // one guid per name: a master transiently holding two rows
+            // with the same name (mid-merge, dirty extract) must not
+            // fan child rows out into duplicates through the join
             val dim = m.select(col("name").as(nm), col(keyCol).as(vl))
+              .groupBy(nm).agg(min(col(vl)).as(vl))
             val name = df(fk.nameCol)
             // guarded lookups blank out empty names and the reserved
             // Primary root (the two reference guard shapes)

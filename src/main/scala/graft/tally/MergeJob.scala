@@ -58,7 +58,16 @@ final class ParquetWarehouse(spark: SparkSession, dir: String) extends Warehouse
   * "partition-overwrite semantics"; a full sync still rewrites whole
   * tables through [[write]]). Tables lacking the key column (pure
   * dims like mst_vouchertype) store unpartitioned and fall back to
-  * full rewrite. */
+  * full rewrite.
+  *
+  * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during a
+  * rewrite. Unlike [[ParquetWarehouse]]'s write-new-then-swap, both the
+  * full [[write]] and the dynamic-partition overwrite replace live
+  * files in place — an in-flight reader of the old snapshot can race
+  * the rewrite. The sync job is the sole owner of the warehouse
+  * directory (the reference's loader makes the same assumption of its
+  * target database); front a snapshot/rename layer if readers must
+  * overlap syncs. */
 final class PartitionedParquetWarehouse(spark: SparkSession, dir: String,
     keyCol: String = "guid", buckets: Int = 64) extends Warehouse {
   private val PtCol = "_pt"
@@ -83,7 +92,11 @@ final class PartitionedParquetWarehouse(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame): Unit = {
     val raw = spark.read.parquet(path(table))
     if (!raw.columns.contains(PtCol)) {
-      write(table, transform(read(table))); return
+      // materialize BEFORE the plain overwrite: the transformed plan
+      // lazily reads the same path write() deletes (the partitioned
+      // branch below checkpoints for exactly this reason)
+      write(table, transform(read(table)).localCheckpoint(eager = true))
+      return
     }
     val keyName = keys.columns.head
     // affected bucket ids — at most `buckets` values, driver-safe
@@ -272,7 +285,9 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
                 .join(broadcast(m.select(col(keyCol).as("__mk"),
                   col("name").as("__mn"))),
                   col(s"c._$field") === col("__mk"))
-                .filter(col(s"c.$field") =!= col("__mn"))
+                // null-safe: a NULL stored name is stale too — =!=
+                // would silently skip it forever
+                .filter(!(col(s"c.$field") <=> col("__mn")))
                 .select(col(s"c.$keyCol").as(keyCol))
               warehouse.rewritePartitions(cas.table, stale,
                 df => Cdc.cascadeUpdate(df, m, s"_$field", keyCol,
@@ -294,7 +309,7 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
         // only vouchers whose number actually shifted need a rewrite
         val changed = warehouse.read("trn_voucher")
           .join(numbers, Seq(keyCol), "inner")
-          .filter(col("voucher_number") =!= col("__vn"))
+          .filter(!(col("voucher_number") <=> col("__vn")))
           .select(col(keyCol))
         warehouse.rewritePartitions("trn_voucher", changed,
           df => df.join(numbers, Seq(keyCol), "left")
