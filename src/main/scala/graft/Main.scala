@@ -1,7 +1,8 @@
 package graft
 
 import graft.sources.{Emitters, SpecLoader, TableSpec, TallyHttp, TallyXml}
-import graft.tally.ParquetWarehouse
+import graft.tally.{ContinuousSync, ParquetWarehouse,
+  PartitionedParquetWarehouse, SyncRunner, XmlTallySource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** CLI entry point with the reference's flag surface
@@ -18,6 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   --graft-definition     (YAML spec path)
   *   --graft-replay         (dir of <table>.data TSV files instead of
   *                           a live Tally server)
+  *   --graft-sync           (full|incremental — reference config.json
+  *                           `sync`; incremental drives the MergeJob
+  *                           against a bucketed parquet warehouse)
+  *   --graft-frequency      (minutes between sync ticks; 0 = run once.
+  *                           The reference's continuous mode,
+  *                           src/index.mts:51-89)
+  *   --graft-iterations     (tick bound for --graft-frequency; -1 =
+  *                           forever, the reference default)
   */
 object Main {
 
@@ -28,7 +37,10 @@ object Main {
       syncMaster: Boolean = true, syncTransaction: Boolean = true,
       technology: String = "parquet", schema: String = "./warehouse",
       definition: String = "tally-export-config.yaml",
-      replayDir: Option[String] = None)
+      replayDir: Option[String] = None,
+      syncMode: String = "full",
+      frequencyMinutes: Int = 0,
+      iterations: Int = -1)
 
   def parseArgs(args: Array[String]): Config = {
     val m = args.sliding(2, 2).map {
@@ -49,7 +61,10 @@ object Main {
       technology = m.getOrElse("database-technology", "parquet"),
       schema = m.getOrElse("database-schema", "./warehouse"),
       definition = m.getOrElse("graft-definition", "tally-export-config.yaml"),
-      replayDir = m.get("graft-replay"))
+      replayDir = m.get("graft-replay"),
+      syncMode = m.getOrElse("graft-sync", "full"),
+      frequencyMinutes = m.get("graft-frequency").map(_.toInt).getOrElse(0),
+      iterations = m.get("graft-iterations").map(_.toInt).getOrElse(-1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,7 +82,12 @@ object Main {
     try run(spark, cfg) finally spark.stop()
   }
 
-  def run(spark: SparkSession, cfg: Config): Unit = {
+  /** `transportOverride` injects a canned Tally (tests / offline
+    * replay of full request-response traces); `sleep` injects the
+    * continuous-mode wait. */
+  def run(spark: SparkSession, cfg: Config,
+      transportOverride: Option[String => String] = None,
+      sleep: Long => Unit = Thread.sleep): Unit = {
     val yamlText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfg.definition)), "UTF-8")
     val (masters, transactions) = SpecLoader.load(yamlText)
@@ -75,9 +95,37 @@ object Main {
       (if (cfg.syncMaster) masters else Nil) ++
         (if (cfg.syncTransaction) transactions else Nil)
 
-    val transport: String => String = cfg.replayDir match {
-      case Some(_) => identity // replay mode bypasses HTTP entirely
-      case None => new TallyHttp(cfg.server, cfg.port).post
+    val transport: String => String = transportOverride.getOrElse(
+      cfg.replayDir match {
+        case Some(_) => identity // replay mode bypasses HTTP entirely
+        case None => new TallyHttp(cfg.server, cfg.port).post
+      })
+
+    if (cfg.syncMode == "incremental") {
+      // the reference restricts incremental sync to real databases
+      // (src/tally.mts:89); here the analog is the bucketed parquet
+      // warehouse — partition-level rewrites need partitioned tables
+      require(cfg.technology == "parquet",
+        s"incremental sync requires parquet, not ${cfg.technology}")
+      val warehouse = new PartitionedParquetWarehouse(spark, cfg.schema)
+      val m = if (cfg.syncMaster) masters else Nil
+      val t = if (cfg.syncTransaction) transactions else Nil
+      def tick() = {
+        // fresh source per tick: the watermark probe memoizes per
+        // sync run (reference calls updateLastAlterId at the top of
+        // every incremental pass, src/tally.mts:113)
+        val source = new XmlTallySource(spark, transport,
+          cfg.fromDate, cfg.toDate, cfg.company,
+          voucherSpec = transactions.find(_.name == "trn_voucher"))
+        val r = SyncRunner.incremental(spark, m, t, source, warehouse)
+        println(s"[graft] incremental sync: $r")
+        r
+      }
+      if (cfg.frequencyMinutes > 0)
+        ContinuousSync.run(() => tick(),
+          cfg.frequencyMinutes * 60000L, cfg.iterations, sleep)
+      else tick()
+      return
     }
 
     // The reference loads tables strictly sequentially

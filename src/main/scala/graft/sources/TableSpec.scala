@@ -65,8 +65,18 @@ object SpecLoader {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
         val em = e.asInstanceOf[java.util.Map[String, Any]]
         val table = String.valueOf(em.get("table"))
-        val fields = em.asScala.toMap.collect {
-          case (k, v) if k != "table" => k -> String.valueOf(v)
+        // reference shape is `{table: T, field: F}` — normalize so the
+        // CascadeSpec key is always the CHILD column: for updates the
+        // value is the master column refreshed from ("name",
+        // src/tally.mts:236-243); for deletes the child column IS the
+        // FK filtered on (src/tally.mts:183-185)
+        val fields = Option(em.get("field")) match {
+          case Some(f) =>
+            val cf = String.valueOf(f)
+            if (key == "cascade_update") Map(cf -> "name") else Map(cf -> cf)
+          case None => em.asScala.toMap.collect {
+            case (k, v) if k != "table" => k -> String.valueOf(v)
+          }
         }
         CascadeSpec(table, fields)
       }
