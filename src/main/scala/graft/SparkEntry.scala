@@ -52,6 +52,7 @@ object SparkEntry {
     "q47_embed_ann_ivf"    -> (Curation.q47EmbedAnnIvf _),
     "q48_embed_near_dup_lsh" -> (Curation.q48EmbedNearDupLsh _),
     "q51_embed_near_dup_lsh_hi" -> (Curation.q51EmbedNearDupLshHi _),
+    "q52_dedup_corpus"     -> (Curation.q52DedupCorpus _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -224,6 +225,23 @@ object SparkEntry {
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
     "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
     "q23_dedup_simhash"       -> ngramJaccardSql(None),
+    // end-to-end corpus dedup: exact keepers, then the SAME uncapped
+    // exact-Jaccard pairs restricted to keepers → drop the larger id
+    "q52_dedup_corpus" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        | docs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)),
+        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | drops AS (SELECT DISTINCT i.b AS doc_id
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8)
+        |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY 1""".stripMargin,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle

@@ -48,6 +48,18 @@ object Curation {
         n = 3, maxHamming = 11, minJaccard = 0.8, numChunks = 12)
       .orderBy(col("a"), col("b"))
 
+  /** The end-to-end corpus dedup a curation pipeline actually runs
+    * (exact first-wins THEN near-dup drop over the exact-kept set —
+    * [[TextDedup.dedupedCorpus]]), emitting the kept doc ids. Oracle:
+    * the same two phases in SQL — md5-group min-id keepers, then exact
+    * τ=0.8 trigram Jaccard over the keepers (the MinHash config is
+    * recall-1 at 0.8, q22's gate), dropping each pair's larger id. */
+  def q52DedupCorpus(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dedupedCorpus(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   // ── Similarity search ──────────────────────────────────────────────
   def q24EmbedKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

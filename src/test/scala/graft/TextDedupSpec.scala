@@ -97,6 +97,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("dedupedCorpus drops exact dups then near-dups, keeps min ids") {
+    // doc 1 is an exact dup of 0 (digest phase), doc 2 a near-dup of 0
+    // (LSH phase) — 3 and 4 are unrelated and must survive
+    val kept = TextDedup.dedupedCorpus(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 3L, 4L))
+  }
+
   test("stop-shingle removal drops high-df shingles") {
     val g = TextDedup.explodedShingles(docs, "doc_id", "text", 3,
       maxShingleDf = 2)
