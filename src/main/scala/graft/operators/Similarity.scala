@@ -318,10 +318,52 @@ object Similarity {
     * τ=0.4 oracle-compat settings) the id-distinct would itself
     * shuffle ~every pair, so vectors ride the bucket join and dedup
     * happens after the codegen prefilter has killed ~all rows. */
+  /** Derive (planes, tables) for a target per-pair miss ≤ `maxMiss`
+    * at the threshold cosine, constrained to the SELECTIVE regime: a
+    * random pair (cos ≈ 0 → plane agreement ½) expects
+    * tables/2^planes shared buckets, and that expectation is capped at
+    * `maxCollision` so candidate volume stays far below the cartesian.
+    * Smallest such `planes` wins — more planes past the cap only buys
+    * more per-row key work. Used whenever [[cosineNearDupPairsLsh]]'s
+    * caller doesn't pin the parameters, so the DEFAULT path can never
+    * silently land in the super-quadratic regime the τ=0.4
+    * oracle-compat entry (q48) documents. */
+  def lshParamsFor(minCosine: Double, maxMiss: Double = 1e-4,
+      maxCollision: Double = 0.125): (Int, Int) = {
+    require(minCosine > 0.0 && minCosine < 1.0,
+      s"minCosine must be in (0, 1), got $minCosine")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    (1 to 30).iterator.map { planes =>
+      val pSig = math.pow(p, planes)
+      val tables = math.max(1,
+        math.ceil(math.log(maxMiss) / math.log1p(-pSig)).toInt)
+      (planes, tables)
+    }.find { case (planes, tables) =>
+      tables.toDouble / math.pow(2.0, planes) <= maxCollision
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no selective LSH config for minCosine=$minCosine"))
+  }
+
+  /** `planes`/`tables` = 0 (the default) derives a selective
+    * configuration from `minCosine` via [[lshParamsFor]]; pinning both
+    * keeps expert control but a degenerate pin (expected random-pair
+    * fan-out ≥ 1 — super-quadratic candidate volume) logs a loud
+    * warning naming the derived alternative. */
   def cosineNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, planes: Int = 2, tables: Int = 24): DataFrame = {
-    val keyed = saltedKeysAgg(vecs, idCol, vecCol, planes, tables)
-    val degenerate = tables.toDouble / (1L << planes) >= 1.0
+      minCosine: Double, planes: Int = 0, tables: Int = 0): DataFrame = {
+    val (pl, tb) =
+      if (planes <= 0 || tables <= 0) lshParamsFor(minCosine)
+      else (planes, tables)
+    val degenerate = tb.toDouble / (1L << pl) >= 1.0
+    if (degenerate) {
+      val (dp, dt) = lshParamsFor(minCosine)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cosineNearDupPairsLsh(planes=$pl, tables=$tb) is DEGENERATE: " +
+          s"expected ${tb.toDouble / (1L << pl)}x the cartesian's pairs " +
+          s"before distinct; derive with planes=0 (→ ($dp, $dt)) unless " +
+          "oracle-compat output is the goal")
+    }
+    val keyed = saltedKeysAgg(vecs, idCol, vecCol, pl, tb)
     if (degenerate) {
       val withV = keyed.join(
         vecs.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))

@@ -48,6 +48,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.toSeq == Seq((0L, 1L)))
   }
 
+  test("derived LSH params are selective and miss-bounded for real τ") {
+    Seq(0.7, 0.8, 0.9).foreach { tau =>
+      val (planes, tables) = Similarity.lshParamsFor(tau)
+      val ratio = tables.toDouble / math.pow(2.0, planes)
+      assert(ratio < 1.0, s"τ=$tau: degenerate ($planes, $tables)")
+      assert(ratio <= 0.125, s"τ=$tau: fan-out cap violated ($ratio)")
+      val p = 1.0 - math.acos(tau) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, planes), tables)
+      assert(miss <= 1e-4, s"τ=$tau: miss $miss too high")
+    }
+  }
+
+  test("default (derived) near-dup LSH finds the identical pair") {
+    // planes/tables omitted → lshParamsFor(0.99) drives the bucketing
+    val p = Similarity.cosineNearDupPairsLsh(
+        vecs, "vec_id", "embedding", minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.toSeq == Seq((0L, 1L)))
+  }
+
   test("IVF top-k finds identical vectors and reports sane recall") {
     val e = Tables.embeddings(spark, SparkTestSession.sf)
     val exact = Similarity.bruteForceTopK(
