@@ -53,6 +53,7 @@ object SparkEntry {
     "q48_embed_near_dup_lsh" -> (Curation.q48EmbedNearDupLsh _),
     "q51_embed_near_dup_lsh_hi" -> (Curation.q51EmbedNearDupLshHi _),
     "q52_dedup_corpus"     -> (Curation.q52DedupCorpus _),
+    "q53_embed_ann_ivf_clustered" -> (Curation.q53EmbedAnnIvfClustered _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -249,6 +250,10 @@ object SparkEntry {
     // drops a row and fails the compare.
     "q25_embed_ann_lsh"  -> knnSql(graft.operators.Curation.AnnOracleK),
     "q47_embed_ann_ivf"  -> knnSql(graft.operators.Curation.AnnOracleK),
+    // exact KNN over the SAME clustered augmentation (original ∪ three
+    // one-dim-zeroed copies) — a missed cluster member fails the hash
+    "q53_embed_ann_ivf_clustered" ->
+      knnAugSql(graft.operators.Curation.AnnOracleK),
     "q26_embed_near_dup"     -> nearDupSql,
     // the bucketed generator must reproduce the exact all-pairs result
     "q48_embed_near_dup_lsh" -> nearDupSql,
@@ -320,6 +325,33 @@ object SparkEntry {
   private def knnSql(maxRank: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+       |   FROM q JOIN c ON query_id <> neighbor_id),
+       | dots AS (SELECT query_id, neighbor_id,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+       |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+       |  FROM flat GROUP BY 1,2),
+       | scored AS (SELECT query_id, neighbor_id,
+       |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+       |  FROM dots),
+       | ranked AS (SELECT query_id, neighbor_id, cos,
+       |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $maxRank
+       |ORDER BY 1, 4""".stripMargin
+
+  /** Exact KNN over the clustered augmented corpus (mirrors
+    * Curation.clusteredEmbeddings: ids +1M/+2M/+3M, dimension j
+    * zeroed). */
+  private def knnAugSql(maxRank: Int): String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, [CAST(0 AS FLOAT)] || embedding[2:] FROM embeddings
+       |  UNION ALL SELECT vec_id + 2000000, embedding[:1] || [CAST(0 AS FLOAT)] || embedding[3:] FROM embeddings
+       |  UNION ALL SELECT vec_id + 3000000, embedding[:2] || [CAST(0 AS FLOAT)] || embedding[4:] FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qv FROM aug WHERE vec_id < 10),
+       | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM aug),
        | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
        |   FROM q JOIN c ON query_id <> neighbor_id),
        | dots AS (SELECT query_id, neighbor_id,

@@ -126,6 +126,45 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic CLUSTERED embedding corpus: every original vector
+    * plus three copies, each with one leading dimension zeroed (ids
+    * offset by 1M/2M/3M). cos(v, copy_j) = √(1 − x_j²/‖v‖²) ≈ 0.99 at
+    * 64 dims, so each original's exact top-3 IS its copy set — far
+    * above the fixture's natural ≤ 0.55 cross-pair ceiling. This is
+    * the geometry q47's Gaussian corpus lacks: nearest-centroid
+    * locality is real, fully SQL-reproducible (the q51 trick). */
+  def clusteredEmbeddings(e: DataFrame): DataFrame = {
+    def zeroed(j: Int, off: Long) = e.select(
+      (col("vec_id") + lit(off)).as("vec_id"),
+      concat(
+        slice(col("embedding"), 1, j - 1),
+        array(lit(0.0f)),
+        slice(col("embedding"), lit(j + 1), size(col("embedding")) - j))
+        .as("embedding"))
+    e.select(col("vec_id"), col("embedding"))
+      .unionByName(zeroed(1, 1000000L))
+      .unionByName(zeroed(2, 2000000L))
+      .unionByName(zeroed(3, 3000000L))
+  }
+
+  val Q53NProbe = 6
+
+  /** The IVF WIN q47 cannot demonstrate (see its scaladoc): on the
+    * clustered corpus the √n-lists DEFAULT with nProbe ≪ nLists
+    * (6 ≪ 45 at sf0.01, ≪ 90 at sf0.1) passes the exact-top-K gate —
+    * each cluster's members share a list, so probing the query's
+    * nearest few lists recalls its whole cluster while scanning a
+    * small corpus fraction (SimilaritySpec asserts the candidate-count
+    * contract). Dataset-conditional like every ANN gate. */
+  def q53EmbedAnnIvfClustered(s: SparkSession, dir: String): DataFrame = {
+    val aug = clusteredEmbeddings(Tables.embeddings(s, dir))
+    Similarity.ivfTopK(aug.filter(col("vec_id") < 10), aug,
+        "vec_id", "embedding", k = 10, nLists = 0, nProbe = Q53NProbe,
+        assignments = 1)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)

@@ -162,6 +162,19 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 0, nProbe: Int = 4,
+      iterations: Int = 2, assignments: Int = 1): DataFrame =
+    rerankExact(
+      ivfCandidates(queries, corpus, idCol, vecCol, nLists, nProbe,
+          iterations, assignments)
+        .withColumn("cos_fast", cosineFast(col("qv"), col("cv"))), k)
+
+  /** The IVF candidate set (query_id, qv, neighbor_id, cv) BEFORE any
+    * scoring — public so the cost contract is testable: on a corpus
+    * with real cluster locality, candidate rows must be a small
+    * fraction of n·queries (the brute-force volume). */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nLists: Int = 0, nProbe: Int = 4,
       iterations: Int = 2, assignments: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // nLists scales with the corpus: the classic √n heuristic balances
@@ -193,8 +206,7 @@ object Similarity {
       // a (query, neighbor) pair can meet in several probed lists under
       // multi-assignment — dedup before scoring
       .distinct()
-      .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
-    rerankExact(scored, k)
+    scored
   }
 
   /** Deterministic centroid seeds: the `nLists` vectors with the
