@@ -1,6 +1,8 @@
 package graft
 
-import graft.sources.{Emitters, SpecLoader, TableSpec, TallyHttp, TallyXml}
+import graft.server.GraftServer
+import graft.sources.{Emitters, SpecLoader, SqlScript, TableSpec, TallyHttp,
+  TallyXml}
 import graft.tally.{ContinuousSync, ParquetWarehouse,
   PartitionedParquetWarehouse, SyncRunner, XmlTallySource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,6 +29,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           src/index.mts:51-89)
   *   --graft-iterations     (tick bound for --graft-frequency; -1 =
   *                           forever, the reference default)
+  *   --graft-postimport     (SQL script run against the parquet
+  *                           warehouse after a full sync — the
+  *                           reference's post-import-scripts/, S16)
+  *   --graft-server-port    (start the GUI/server mode instead of a
+  *                           one-shot sync; reference src/server.mts)
+  *   --graft-config         (config JSON served by /loadconfig —
+  *                           reference ./config.json)
+  *   --graft-parallel       (full-sync table concurrency; the
+  *                           reference loads strictly sequentially,
+  *                           src/tally.mts:337 — independent tables
+  *                           extract+load from parallel driver
+  *                           threads here, SURVEY §4's easy win.
+  *                           Default 1 = reference behavior)
   */
 object Main {
 
@@ -40,7 +55,11 @@ object Main {
       replayDir: Option[String] = None,
       syncMode: String = "full",
       frequencyMinutes: Int = 0,
-      iterations: Int = -1)
+      iterations: Int = -1,
+      postImport: Option[String] = None,
+      serverPort: Option[Int] = None,
+      configFile: String = "config.json",
+      parallel: Int = 1)
 
   def parseArgs(args: Array[String]): Config = {
     val m = args.sliding(2, 2).map {
@@ -64,7 +83,61 @@ object Main {
       replayDir = m.get("graft-replay"),
       syncMode = m.getOrElse("graft-sync", "full"),
       frequencyMinutes = m.get("graft-frequency").map(_.toInt).getOrElse(0),
-      iterations = m.get("graft-iterations").map(_.toInt).getOrElse(-1))
+      iterations = m.get("graft-iterations").map(_.toInt).getOrElse(-1),
+      postImport = m.get("graft-postimport"),
+      serverPort = m.get("graft-server-port").map(_.toInt),
+      configFile = m.getOrElse("graft-config", "config.json"),
+      parallel = m.get("graft-parallel").map(_.toInt).getOrElse(1).max(1))
+  }
+
+  /** Overlay a `/sync`-posted flat config (reference config.json keys
+    * or this CLI's flag names) onto a base Config. */
+  private[graft] def merged(base: Config, m: Map[String, String]): Config = {
+    def k(keys: String*): Option[String] = keys.collectFirst {
+      case key if m.contains(key) => m(key)
+    }
+    base.copy(
+      server = k("server", "tally-server").getOrElse(base.server),
+      port = k("port", "tally-port").map(_.toInt).getOrElse(base.port),
+      company = k("company", "tally-company")
+        .filter(_.nonEmpty).orElse(base.company),
+      fromDate = k("fromdate", "tally-fromdate").getOrElse(base.fromDate),
+      toDate = k("todate", "tally-todate").getOrElse(base.toDate),
+      syncMaster = k("master", "tally-master").map(_.toBoolean)
+        .getOrElse(base.syncMaster),
+      syncTransaction = k("transaction", "tally-transaction")
+        .map(_.toBoolean).getOrElse(base.syncTransaction),
+      technology = k("technology", "database-technology")
+        .getOrElse(base.technology),
+      schema = k("schema", "database-schema").getOrElse(base.schema),
+      definition = k("definition", "graft-definition")
+        .getOrElse(base.definition),
+      syncMode = k("sync", "graft-sync").getOrElse(base.syncMode))
+  }
+
+  /** Server mode (reference src/server.mts): endpoints over a live
+    * Tally transport; `/sync` runs [[run]] with the posted config
+    * overlaid on the CLI's. Returned so callers (tests) can stop it;
+    * [[main]] blocks forever. */
+  def startServer(spark: SparkSession, cfg: Config,
+      transportOverride: Option[String => String] = None): GraftServer = {
+    val path = java.nio.file.Paths.get(cfg.configFile)
+    if (!java.nio.file.Files.exists(path))
+      java.nio.file.Files.write(path, "{}".getBytes("UTF-8"))
+    val transport = transportOverride.getOrElse(
+      new TallyHttp(cfg.server, cfg.port).post(_))
+    lazy val srv: GraftServer = new GraftServer(
+      cfg.serverPort.getOrElse(0),
+      transport,
+      posted => {
+        val c = merged(cfg, posted)
+        srv.log(s"sync started: mode=${c.syncMode} schema=${c.schema}")
+        run(spark, c, transportOverride)
+        srv.log("sync finished")
+      },
+      path)
+    srv.start()
+    srv
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,7 +152,11 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cfg) finally spark.stop()
+    if (cfg.serverPort.isDefined) {
+      val srv = startServer(spark, cfg)
+      println(s"[graft] server started on http://localhost:${srv.boundPort}")
+      synchronized { wait() } // serve until killed
+    } else try run(spark, cfg) finally spark.stop()
   }
 
   /** `transportOverride` injects a canned Tally (tests / offline
@@ -130,10 +207,13 @@ object Main {
 
     // The reference loads tables strictly sequentially
     // (src/tally.mts:337); extraction here is driver-side per table
-    // (one HTTP stream each) but normalize+write runs distributed, and
-    // independent tables could be submitted from parallel driver
-    // threads — the first easy scale win noted in SURVEY §4.
-    specs.foreach { spec =>
+    // (one HTTP stream each) but normalize+write runs distributed.
+    // With --graft-parallel N, independent tables run from N driver
+    // threads — concurrent Spark jobs share the executor pool, and a
+    // live Tally serializes its side anyway, so the win is overlapping
+    // each table's HTTP wait with another's distributed write
+    // (SURVEY §4's easy win).
+    def syncTable(spec: TableSpec): Unit = {
       val df: DataFrame = cfg.replayDir match {
         case Some(dir) =>
           val tsv = new String(java.nio.file.Files.readAllBytes(
@@ -147,6 +227,29 @@ object Main {
       }
       sink(spark, cfg, spec, df)
       println(s"[graft] synced ${spec.name}")
+    }
+    if (cfg.parallel <= 1) specs.foreach(syncTable)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(cfg.parallel)
+      try {
+        val futures = specs.map(spec =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = syncTable(spec)
+          }))
+        futures.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
+    }
+
+    // post-import script (S16): the reference's user-supplied SQL step
+    // after a sync (post-import-scripts/), run against the warehouse
+    cfg.postImport.foreach { scriptPath =>
+      require(cfg.technology == "parquet",
+        s"--graft-postimport needs a parquet warehouse, not ${cfg.technology}")
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(scriptPath)), "UTF-8")
+      val n = SqlScript.runOnParquetDir(spark, cfg.schema, script)
+      println(s"[graft] post-import: $n statements from $scriptPath")
     }
   }
 

@@ -1,0 +1,158 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** GUI/server mode (SURVEY §3.3; reference src/server.mts:81-169):
+  * a localhost HTTP utility wrapping the sync engine —
+  *
+  *   - `/`             status page (the reference serves gui.html)
+  *   - `/loadconfig`   returns the config JSON file
+  *   - `/saveconfig`   overwrites the config JSON file with the body
+  *   - `/sync`         starts a sync unless one runs ("Sync started" /
+  *                     "Sync is already running", src/server.mts:107-119)
+  *   - `/abort`        kills the running sync ("Process killed" /
+  *                     "Could not kill process", src/server.mts:120-129)
+  *   - `/list-company` posts the company-table TDL probe to Tally and
+  *                     relays the XML ("<DATA></DATA>" on failure,
+  *                     src/server.mts:130-142)
+  *   - `/tally-status` posts an empty body to Tally and relays the
+  *                     response ("" on failure, src/server.mts:143-153)
+  *   - `/log`          returns captured sync log lines from an index
+  *                     (`?from=N`) — a poll substitute for the
+  *                     reference's WebSocket log stream, which needs a
+  *                     ws library this build intentionally lacks
+  *
+  * The Tally transport and the sync body are injected so tests drive
+  * every endpoint with a canned transport and a controllable job; the
+  * reference forks `node ./dist/index.mjs` per sync, here it is a
+  * daemon thread in-process (Spark sessions are JVM-wide).
+  */
+final class GraftServer(
+    port: Int,
+    transport: String => String,
+    sync: Map[String, String] => Unit,
+    configPath: Path) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val syncThread = new AtomicReference[Thread](null)
+  private val logLines = new java.util.concurrent.CopyOnWriteArrayList[String]
+
+  /** Visible to the sync body for progress reporting. */
+  def log(line: String): Unit = logLines.add(line)
+
+  /** Company-table TDL probe (reference src/server.mts:131: a one-field
+    * report over the Company collection). Built with the same envelope
+    * vocabulary as [[graft.sources.TallyXml.generateTdl]]. */
+  private[server] val companyListTdl: String =
+    "<?xml version=\"1.0\" encoding=\"utf-8\"?><ENVELOPE><HEADER>" +
+      "<VERSION>1</VERSION><TALLYREQUEST>Export</TALLYREQUEST>" +
+      "<TYPE>Data</TYPE><ID>CompanyTable</ID></HEADER><BODY><DESC>" +
+      "<STATICVARIABLES><SVEXPORTFORMAT>$$SysName:XML</SVEXPORTFORMAT>" +
+      "</STATICVARIABLES><TDL><TDLMESSAGE>" +
+      "<REPORT NAME=\"CompanyTable\"><FORMS>MyForm</FORMS></REPORT>" +
+      "<FORM NAME=\"MyForm\"><PARTS>MyPart01</PARTS>" +
+      "<XMLTAG>DATA</XMLTAG></FORM>" +
+      "<PART NAME=\"MyPart01\"><LINES>MyLine01</LINES>" +
+      "<REPEAT>MyLine01 : MyCollection</REPEAT>" +
+      "<SCROLLED>Vertical</SCROLLED></PART>" +
+      "<LINE NAME=\"MyLine01\"><FIELDS>Fld</FIELDS></LINE>" +
+      "<FIELD NAME=\"Fld\"><SET>$Name</SET><XMLTAG>ROW</XMLTAG></FIELD>" +
+      "<COLLECTION NAME=\"MyCollection\"><TYPE>Company</TYPE>" +
+      "<FETCH></FETCH></COLLECTION>" +
+      "</TDLMESSAGE></TDL></DESC></BODY></ENVELOPE>"
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def respond(ex: HttpExchange, text: String,
+      contentType: String = "text/plain"): Unit = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Parse the flat string fields of a posted JSON config object —
+    * enough for `{"server":"x","port":"9000",...}` shapes the GUI
+    * posts; no nested objects needed by any endpoint. */
+  private[graft] def flatJson(s: String): Map[String, String] =
+    "\"([^\"]+)\"\\s*:\\s*(?:\"([^\"]*)\"|([-0-9.]+|true|false))".r
+      .findAllMatchIn(s)
+      .map(m => m.group(1) ->
+        Option(m.group(2)).getOrElse(m.group(3))).toMap
+
+  private def handle(ex: HttpExchange): Unit = {
+    val content = body(ex)
+    ex.getRequestURI.getPath match {
+      case "/" =>
+        val running = Option(syncThread.get).exists(_.isAlive)
+        respond(ex,
+          s"<html><body><h1>graft sync server</h1>" +
+            s"<p>sync running: $running</p>" +
+            s"<p>log lines: ${logLines.size}</p></body></html>",
+          "text/html")
+      case "/loadconfig" =>
+        respond(ex, new String(Files.readAllBytes(configPath),
+          StandardCharsets.UTF_8), "application/json")
+      case "/saveconfig" =>
+        Files.write(configPath,
+          content.getBytes(StandardCharsets.UTF_8))
+        respond(ex, "Config saved")
+      case "/sync" =>
+        val current = syncThread.get
+        if (current != null && current.isAlive)
+          respond(ex, "Sync is already running")
+        else {
+          val cfg = flatJson(content)
+          val t = new Thread(() =>
+            try sync(cfg)
+            catch {
+              case _: InterruptedException => log("sync aborted")
+              case e: Exception => log(s"sync failed: ${e.getMessage}")
+            }, "graft-sync")
+          t.setDaemon(true)
+          syncThread.set(t)
+          t.start()
+          respond(ex, "Sync started")
+        }
+      case "/abort" =>
+        val current = syncThread.get
+        if (current != null && current.isAlive) {
+          current.interrupt()
+          respond(ex, "Process killed")
+        } else respond(ex, "Could not kill process")
+      case "/list-company" =>
+        val resp =
+          try transport(companyListTdl)
+          catch { case _: Exception => "<DATA></DATA>" }
+        respond(ex, resp, "text/xml")
+      case "/tally-status" =>
+        val resp =
+          try transport("")
+          catch { case _: Exception => "" }
+        respond(ex, resp)
+      case "/log" =>
+        val from = Option(ex.getRequestURI.getQuery)
+          .flatMap(q => "from=(\\d+)".r.findFirstMatchIn(q))
+          .map(_.group(1).toInt).getOrElse(0)
+        val lines = (from until logLines.size).map(logLines.get)
+        respond(ex, lines.mkString("\n"))
+      case _ =>
+        ex.sendResponseHeaders(404, -1)
+        ex.close()
+    }
+  }
+
+  server.createContext("/", handle _)
+  server.setExecutor(null) // single-threaded dispatch, like the reference
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}

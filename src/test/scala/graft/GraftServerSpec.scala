@@ -1,0 +1,94 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.CountDownLatch
+
+import graft.server.GraftServer
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftServerSpec extends AnyFunSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String = ""): String =
+    client.send(
+      HttpRequest.newBuilder()
+        .uri(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def withServer(transport: String => String = _ => "",
+      sync: Map[String, String] => Unit = _ => ())(
+      f: (GraftServer, Int) => Unit): Unit = {
+    val cfg = java.nio.file.Files.createTempFile("graftcfg", ".json")
+    java.nio.file.Files.write(cfg, """{"server":"localhost"}""".getBytes)
+    val srv = new GraftServer(0, transport, sync, cfg)
+    srv.start()
+    try f(srv, srv.boundPort) finally srv.stop()
+  }
+
+  test("tally-status relays the transport response; '' on failure") {
+    withServer(transport = p => { assert(p == ""); "<RESPONSE>ok</RESPONSE>" }) {
+      (_, port) => assert(post(port, "/tally-status", "{}") ==
+        "<RESPONSE>ok</RESPONSE>")
+    }
+    withServer(transport = _ => throw new RuntimeException("down")) {
+      (_, port) => assert(post(port, "/tally-status", "{}") == "")
+    }
+  }
+
+  test("list-company posts the Company-collection TDL probe") {
+    var seen = ""
+    withServer(transport = p => { seen = p; "<DATA><ROW>Acme</ROW></DATA>" }) {
+      (_, port) =>
+        assert(post(port, "/list-company", "{}") ==
+          "<DATA><ROW>Acme</ROW></DATA>")
+        assert(seen.contains("<TYPE>Company</TYPE>"))
+        assert(seen.contains("<SET>$Name</SET>"))
+    }
+  }
+
+  test("sync guard, abort, and log polling") {
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    var interrupted = false
+    withServer(sync = cfg => {
+      assert(cfg("server") == "localhost")
+      started.countDown()
+      try release.await()
+      catch { case _: InterruptedException => interrupted = true; throw new InterruptedException }
+    }) { (srv, port) =>
+      srv.log("boot")
+      assert(post(port, "/sync", """{"server":"localhost"}""") == "Sync started")
+      started.await()
+      assert(post(port, "/sync", "{}") == "Sync is already running")
+      assert(post(port, "/log") == "boot")
+      assert(post(port, "/log?from=1") == "")
+      assert(post(port, "/abort") == "Process killed")
+      // the interrupted job logs its abort; poll until the thread dies
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (!interrupted && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(interrupted)
+      assert(post(port, "/abort") == "Could not kill process")
+    }
+  }
+
+  test("config load/save round-trip") {
+    withServer() { (_, port) =>
+      assert(post(port, "/loadconfig") == """{"server":"localhost"}""")
+      assert(post(port, "/saveconfig", """{"server":"remote"}""") ==
+        "Config saved")
+      assert(post(port, "/loadconfig") == """{"server":"remote"}""")
+    }
+  }
+
+  test("flat json config parsing handles strings, numbers, booleans") {
+    withServer() { (srv, _) =>
+      assert(srv.flatJson(
+        """{"server":"h","port":9000,"master":true,"from":"20230401"}""") ==
+        Map("server" -> "h", "port" -> "9000", "master" -> "true",
+          "from" -> "20230401"))
+    }
+  }
+}

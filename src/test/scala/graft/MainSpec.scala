@@ -50,4 +50,108 @@ class MainSpec extends AnyFunSuite {
       r.getString(1) -> r.getDecimal(2).doubleValue()).toMap
     assert(rows == Map("Cash" -> -100.5, "Sales" -> -20.0))
   }
+
+  test("parallel full sync writes every table (same result as serial)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-par").toString
+    val yaml =
+      """master:
+        |  - name: mst_a
+        |    collection: Ledger
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |  - name: mst_b
+        |    collection: Group
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spec.yaml"), yaml)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_a.data"), "guid\r\na1\r\na2\r\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_b.data"), "guid\r\nb1\r\n")
+    Main.run(spark, Main.Config(
+      technology = "parquet", schema = s"$dir/wh",
+      definition = s"$dir/spec.yaml", replayDir = Some(dir), parallel = 2))
+    assert(spark.read.parquet(s"$dir/wh/mst_a").count() == 2)
+    assert(spark.read.parquet(s"$dir/wh/mst_b").count() == 1)
+  }
+
+  test("post-import flag runs a script against the fresh warehouse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-post").toString
+    val yaml =
+      """master:
+        |  - name: mst_ledger
+        |    collection: Ledger
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |      - name: name
+        |        field: Name
+        |        type: text
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spec.yaml"), yaml)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_ledger.data"),
+      "guid\tname\r\ng1\tCash\r\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/post.sql"),
+      "insert into mst_ledger(guid, name) values ('g9', 'Synthetic');")
+    Main.run(spark, Main.Config(
+      technology = "parquet", schema = s"$dir/wh",
+      definition = s"$dir/spec.yaml", replayDir = Some(dir),
+      postImport = Some(s"$dir/post.sql")))
+    val names = spark.read.parquet(s"$dir/wh/mst_ledger")
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(names == Set("Cash", "Synthetic"))
+  }
+
+  test("server mode: /sync drives a replay sync with overlaid config") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srv").toString
+    val yaml =
+      """master:
+        |  - name: mst_ledger
+        |    collection: Ledger
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spec.yaml"), yaml)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_ledger.data"),
+      "guid\r\ng1\r\ng2\r\n")
+    val srv = Main.startServer(spark, Main.Config(
+      definition = s"$dir/spec.yaml", replayDir = Some(dir),
+      configFile = s"$dir/config.json", serverPort = Some(0)),
+      transportOverride = Some(identity))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://localhost:${srv.boundPort}$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(post("/sync", s"""{"schema":"$dir/wh"}""") == "Sync started")
+      // poll the log endpoint until the in-server sync completes
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (!post("/log", "").contains("sync finished") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(post("/log", "").contains("sync finished"))
+      assert(spark.read.parquet(s"$dir/wh/mst_ledger").count() == 2)
+    } finally srv.stop()
+  }
 }
