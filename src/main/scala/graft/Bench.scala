@@ -57,7 +57,9 @@ object Bench {
     files.flatMap { f =>
       val text = scala.io.Source.fromFile(f)
       val s = try text.mkString finally text.close()
-      "\"(q[0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
+      // the driver wraps our JSON line ESCAPED inside a "tail" field
+      // (\"q01\":1.94) — accept both raw and escaped quoting
+      "\\\\?\"(q[0-9a-z_]+)\\\\?\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toDouble)
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }

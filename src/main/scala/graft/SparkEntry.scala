@@ -54,6 +54,8 @@ object SparkEntry {
     "q51_embed_near_dup_lsh_hi" -> (Curation.q51EmbedNearDupLshHi _),
     "q52_dedup_corpus"     -> (Curation.q52DedupCorpus _),
     "q53_embed_ann_ivf_clustered" -> (Curation.q53EmbedAnnIvfClustered _),
+    "q54_salted_join"      -> (Reports.q54SaltedJoin _),
+    "q55_asof_join"        -> (Reports.q55AsofJoin _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -272,6 +274,25 @@ object SparkEntry {
         | md5(array_to_string(list_sort(list_distinct(
         |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0))), ' ')) AS fp
         |FROM documents ORDER BY 1""".stripMargin,
+    // the salted join must be row-identical to the plain equi-join —
+    // the oracle is deliberately UNSALTED
+    "q54_salted_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n,
+        | round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // composition; both sides compare exact nanoseconds
+    "q55_asof_join" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tn
+        |  FROM events WHERE event_type = 'click'),
+        | views AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) AS tn,
+        |   round(CAST(value AS DOUBLE), 6) AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.tn >= v.tn
+        |ORDER BY c.click_id""".stripMargin,
     "q31_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

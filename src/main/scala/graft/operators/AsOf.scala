@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the LATEST right row whose
+  * timestamp is ≤ the left row's, per key — the temporal lookup every
+  * event/feature pipeline needs (price as of trade time, last view
+  * before a click, feature value as of label time).
+  *
+  * Spark has no ASOF JOIN operator; the naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + max-per-left) explodes to
+  * |matches| rows before aggregating. This composition instead
+  * UNIONs the two sides tagged, sorts once per key, and carries the
+  * most recent right payload forward with a running `last(ignoreNulls)`
+  * window — ONE shuffle on the key, linear in |left|+|right|, no
+  * range fan-out, AQE-compatible. At equal timestamps the right row
+  * sorts first (tag order), so an exactly-simultaneous right row IS
+  * visible to the left row — the same `>=` semantics as DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`.
+  */
+object AsOf {
+
+  /** `left` ⟕asof `right` on `keyCol`, ordered by `tsCol` (use an
+    * exact integer column when sub-microsecond order matters).
+    * `rightCols` are the right-side payload columns to attach
+    * (nullable when no right row precedes). Both inputs must contain
+    * `keyCol` and `tsCol`; `left` keeps all its columns. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadSchema = right.select(rightCols.map(col).toIndexedSeq: _*).schema
+    // a genuinely NULL struct — a struct of null FIELDS would not be
+    // skipped by last(ignoreNulls) and would mask every carried value
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payloadSchema.fields))
+    val l = left
+      .withColumn("__payload", nullPayload)
+      .withColumn("__tag", lit(1))
+      .select((Seq(col(keyCol), col(tsCol), col("__payload"), col("__tag")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(c).as(s"__keep_$c"))).toIndexedSeq: _*)
+    val r = right.select(col(keyCol), col(tsCol),
+        struct(rightCols.map(col).toIndexedSeq: _*).as("__payload"),
+        lit(0).as("__tag"))
+      .select((Seq(col(keyCol), col(tsCol), col("__payload"), col("__tag")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).as(s"__keep_$c"))).toIndexedSeq: _*)
+    // running last right-payload per key: right rows tag 0 sort before
+    // left rows at the same instant (>= semantics)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    carried.filter(col("__tag") === 1)
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => col(s"__keep_$c").as(c)) ++
+        rightCols.map(c => col("__asof").getField(c).as(c))).toIndexedSeq: _*)
+  }
+}

@@ -373,4 +373,43 @@ object Reports {
         count(col("k")).as("n_with_k"))
       .orderBy(col("event_type"))
   }
+
+  // ── Temporal as-of join ────────────────────────────────────────────
+  /** Last view before each click, per user ([[AsOf.asOfJoin]]) —
+    * ordered by the exact nanosecond column (`ts_ns`) so Spark's
+    * micros-truncated timestamps can't disagree with the oracle's
+    * nanosecond comparisons. */
+  def q55AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_ns"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ns"), fin(col("value")).as("view_value"))
+    AsOf.asOfJoin(clicks, views, "user_id", "ts_ns",
+        Seq("view_id", "view_value"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("view_value"))
+      .orderBy(col("click_id"))
+  }
+
+  // ── Salted skew join ───────────────────────────────────────────────
+  /** Orders⋈lineitem through [[Skew.saltedJoin]] (salt 8, scattered by
+    * the part key), aggregated per order status — row-identical to
+    * the plain join, so the oracle is the UNSALTED SQL join: the gate
+    * proves the skew mitigation is semantics-free. */
+  def q54SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Skew.saltedJoin(li, ord, "l_orderkey", salt = 8,
+        scatterCols = Seq("l_partkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        fin(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
 }
