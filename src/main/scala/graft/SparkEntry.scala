@@ -56,6 +56,7 @@ object SparkEntry {
     "q53_embed_ann_ivf_clustered" -> (Curation.q53EmbedAnnIvfClustered _),
     "q54_salted_join"      -> (Reports.q54SaltedJoin _),
     "q55_asof_join"        -> (Reports.q55AsofJoin _),
+    "q56_range_join"       -> (Reports.q56RangeJoin _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -293,6 +294,19 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.tn >= v.tn
         |ORDER BY c.click_id""".stripMargin,
+    // the bucketed containment join must equal the naive BETWEEN join
+    "q56_range_join" ->
+      """WITH errors AS (SELECT event_id AS error_id, user_id, epoch_ns(ts) AS s,
+        |   epoch_ns(ts) + 3600000000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        | clicks AS (SELECT user_id, epoch_ns(ts) AS tn, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'click')
+        |SELECT er.error_id, er.user_id,
+        | count(c.tn) AS n_clicks,
+        | round(CAST(coalesce(sum(c.v), 0) AS DOUBLE), 6) AS click_value
+        |FROM errors er LEFT JOIN clicks c
+        |  ON c.user_id = er.user_id AND c.tn BETWEEN er.s AND er.e
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q31_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -394,6 +394,32 @@ object Reports {
       .orderBy(col("click_id"))
   }
 
+  // ── Bucketed range join ────────────────────────────────────────────
+  /** Clicks inside the hour after each error, per user
+    * ([[RangeJoin.containmentJoin]], bucket = the interval length →
+    * ≤2 bucket rows per interval) — aggregated per error event with
+    * zero-match errors kept by a final left join, all on exact
+    * nanoseconds. The oracle is the naive BETWEEN join. */
+  def q56RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts_ns").as("start_ns"),
+        (col("ts_ns") + lit(hourNs)).as("end_ns"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), dec(col("value")).as("v"))
+    val matched = RangeJoin.containmentJoin(clicks, errors,
+        "user_id", "ts_ns", "start_ns", "end_ns", bucketWidth = hourNs)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("v")).as("cv"))
+    errors.join(matched, Seq("error_id"), "left")
+      .select(col("error_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        fin(coalesce(col("cv"), dec(lit(0)))).as("click_value"))
+      .orderBy(col("error_id"))
+  }
+
   // ── Salted skew join ───────────────────────────────────────────────
   /** Orders⋈lineitem through [[Skew.saltedJoin]] (salt 8, scattered by
     * the part key), aggregated per order status — row-identical to
