@@ -57,6 +57,8 @@ object SparkEntry {
     "q54_salted_join"      -> (Reports.q54SaltedJoin _),
     "q55_asof_join"        -> (Reports.q55AsofJoin _),
     "q56_range_join"       -> (Reports.q56RangeJoin _),
+    "q57_hash_split"       -> (Curation.q57HashSplit _),
+    "q58_lang_quota"       -> (Curation.q58LangQuota _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -307,6 +309,18 @@ object SparkEntry {
         |FROM errors er LEFT JOIN clicks c
         |  ON c.user_id = er.user_id AND c.tn BETWEEN er.s AND er.e
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // both engines hash md5 over the same bytes and hex lowercases
+    // compare lexicographically — the split is engine-portable
+    "q57_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(text), 1, 2) < '0a' THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_lang_quota" ->
+      """SELECT doc_id, lang, rn FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rn
+        | FROM documents) t
+        |WHERE rn <= 40 ORDER BY lang, rn""".stripMargin,
     "q31_media_features" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -246,6 +246,35 @@ object Curation {
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  // ── Deterministic splits and quotas ────────────────────────────────
+  /** Content-hash split assignment: a doc lands in val/train by its
+    * md5 prefix — deterministic across runs, engines, partitionings,
+    * and re-shards (the property rand()-based splits lack: an eval
+    * set must not drift when the corpus is re-partitioned or a row is
+    * retried). '0a' bounds ≈ 10/256 ≈ 3.9% into val. Exact duplicates
+    * hash identically, so they can never straddle the split and leak
+    * eval content into train. */
+  def q57HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        when(substring(md5(col("text")), 1, 2) < "0a", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language quota cap: at most `QuotaPerLang` docs per lang,
+    * deterministic keep order (doc_id) — the per-source/per-domain
+    * balancing step of a corpus mix. One window over the lang
+    * partitioning; no driver-side state. */
+  val QuotaPerLang = 40
+  def q58LangQuota(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QuotaPerLang)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(
