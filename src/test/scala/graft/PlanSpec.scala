@@ -158,4 +158,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((100L, 101L)), pairs.mkString(","))
   }
+
+  test("q55: the as-of composition is one key shuffle, no range join") {
+    import graft.operators.AsOf
+    import spark.implicits._
+    val left = (1 to 100).map(i => ((i % 5).toLong, i.toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 100).map(i => ((i % 5).toLong, i.toLong + 3, i.toLong))
+      .toDF("k", "t", "rid")
+    val df = AsOf.asOfJoin(left, right, "k", "t", Seq("rid"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"), s"unexpected join in:\n$plan")
+    // the union reaches the window through a single hash exchange on
+    // the key — as-of cost is one shuffle of |left|+|right| rows
+    // (AQE prints the plan twice; count only the final section)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(finalPlan).size
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges in:\n$plan")
+  }
 }
