@@ -80,4 +80,66 @@ object Sinks {
     }.mkString(",")
     s"""{"name":"${esc(schemaName)}","version":"1.0.0","entities":[$entities]}"""
   }
+
+  /** Dialect-faithful multi-row INSERT statements from a `.data` TSV
+    * artifact (S8 insert loadmethod; reference src/database.mts:127-170):
+    * text quote-doubles `'`, MySQL additionally doubles backslashes,
+    * MSSQL prefixes `N` when a value holds any non-ASCII char, the ñ
+    * date sentinel renders NULL, and statements batch at ≤ 1000 rows
+    * AND the ~50k-char query budget (whichever trips first — the
+    * budget is checked against the RAW line like the reference does). */
+  def insertStatements(table: String, tsvContent: String,
+      types: Seq[FieldType], dialect: String): Seq[String] = {
+    val lines = scala.collection.mutable.Queue(
+      tsvContent.split("\r\n").toIndexedSeq: _*)
+    if (lines.isEmpty) return Nil
+    val fieldList = lines.dequeue().replace("\t", ",")
+    val out = Seq.newBuilder[String]
+    while (lines.nonEmpty) {
+      val sb = new StringBuilder(s"insert into $table ($fieldList) values")
+      var batch = 0
+      // `batch == 0` forces one row even past the char budget: a
+      // single oversize row must emit an oversize statement, not spin
+      while (lines.nonEmpty &&
+          (batch == 0 ||
+            sb.length + lines.head.length + 3 < MaxQueryChars) &&
+          { batch += 1; batch <= MaxBatchRows }) {
+        val values = lines.dequeue().split("\t", -1).zipWithIndex.map {
+          case (v, i) => types.lift(i) match {
+            case Some(TText) =>
+              val unicode = v.exists(_ > '\u007f')
+              var t = v.replace("'", "''")
+              if (dialect == "mysql") t = t.replace("\\", "\\\\")
+              val quoted = s"'$t'"
+              if (unicode && dialect == "mssql") "N" + quoted else quoted
+            case Some(TDate) => if (v == NullDateSentinel) "NULL" else s"'$v'"
+            case _ => v // numeric/logical render bare
+          }
+        }
+        sb ++= values.mkString("(", ",", "),")
+      }
+      out += sb.dropRight(1).append(';').toString
+    }
+    out.result()
+  }
+
+  /** Staged-file load invocations per dialect (S9–S12 file
+    * loadmethod). MySQL and Postgres are the exact SQL the reference
+    * issues (src/database.mts:629, 589); MSSQL's bulk API and
+    * BigQuery's load job take no SQL, so those render as the
+    * equivalent operational descriptor. */
+  def loadCommand(dialect: String, table: String, path: String): String =
+    dialect match {
+      case "mysql" =>
+        s"load data local infile '$path' into table $table fields " +
+          "terminated by ',' enclosed by '\"' escaped by '' lines " +
+          "terminated by '\\r\\n' ignore 1 lines ;"
+      case "postgres" => s"copy $table from stdin csv header;"
+      case "mssql" => s"bulk insert $table from '$path' (bulk API; " +
+        "format csv, first row = header)"
+      case "bigquery" => s"load $table from '$path' " +
+        "(sourceFormat=CSV, skipLeadingRows=1, writeDisposition=WRITE_APPEND)"
+      case other =>
+        throw new IllegalArgumentException(s"unknown dialect: $other")
+    }
 }
