@@ -82,4 +82,21 @@ object Multimodal {
           lit(frameBytes)))
         .as("frames"))
       .withColumn("n_frames", size(col("frames")))
+
+  /** Resize shape: aspect-preserving fit of decoded dimensions into a
+    * `maxW`×`maxH` box, never upscaling — pure column arithmetic over
+    * the decode metadata (the pixel resample itself belongs to the
+    * codec; the engine contributes the batch plumbing and the
+    * dimension algebra, codegen'd per-row, zero shuffle). */
+  def resizeDims(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"target box must be positive: $maxW x $maxH")
+    features.withColumn("__scale",
+        least(lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .withColumn("out_width",
+        greatest(floor(col("width") * col("__scale")), lit(1)).cast("int"))
+      .withColumn("out_height",
+        greatest(floor(col("height") * col("__scale")), lit(1)).cast("int"))
+      .drop("__scale")
+  }
 }
