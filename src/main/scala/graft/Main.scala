@@ -16,6 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   --tally-server / --tally-port / --tally-company
   *   --tally-fromdate / --tally-todate  (yyyyMMdd or auto)
   *   --tally-master / --tally-transaction  (true|false)
+  *   --tally-truncate       (false = append to existing tables — the
+  *                           reference's year-by-year full-sync
+  *                           pattern, docs/commandline-options.md
+  *                           scenario 04)
   *   --database-technology  (parquet|csv|json)
   *   --database-schema      (output directory)
   *   --graft-definition     (YAML spec path)
@@ -50,6 +54,7 @@ object Main {
       company: Option[String] = None,
       fromDate: String = "20230401", toDate: String = "20240331",
       syncMaster: Boolean = true, syncTransaction: Boolean = true,
+      truncate: Boolean = true,
       technology: String = "parquet", schema: String = "./warehouse",
       definition: String = "tally-export-config.yaml",
       replayDir: Option[String] = None,
@@ -77,6 +82,7 @@ object Main {
       toDate = m.getOrElse("tally-todate", "20240331"),
       syncMaster = m.get("tally-master").forall(_.toBoolean),
       syncTransaction = m.get("tally-transaction").forall(_.toBoolean),
+      truncate = m.get("tally-truncate").forall(_.toBoolean),
       technology = m.getOrElse("database-technology", "parquet"),
       schema = m.getOrElse("database-schema", "./warehouse"),
       definition = m.getOrElse("graft-definition", "tally-export-config.yaml"),
@@ -254,13 +260,24 @@ object Main {
   }
 
   private def sink(spark: SparkSession, cfg: Config, spec: TableSpec,
-      df: DataFrame): Unit = cfg.technology match {
-    case "parquet" =>
-      new ParquetWarehouse(spark, cfg.schema).write(spec.name, df)
-    case "csv" => Emitters.writeCsvDir(df, s"${cfg.schema}/${spec.name}")
-    case "json" => Emitters.writeJsonDir(df, s"${cfg.schema}/${spec.name}")
-    case "orc" => Emitters.writeOrcDir(df, s"${cfg.schema}/${spec.name}")
-    case other =>
-      throw new IllegalArgumentException(s"unsupported sink: $other")
+      df: DataFrame): Unit = {
+    // --tally-truncate false = append (reference scenario 04: master
+    // sync once, then push each year's transactions into the same
+    // tables without clearing)
+    val mode = if (cfg.truncate) "overwrite" else "append"
+    cfg.technology match {
+      case "parquet" =>
+        if (cfg.truncate)
+          new ParquetWarehouse(spark, cfg.schema).write(spec.name, df)
+        else df.write.mode("append").parquet(s"${cfg.schema}/${spec.name}")
+      case "csv" =>
+        Emitters.writeCsvDir(df, s"${cfg.schema}/${spec.name}", mode)
+      case "json" =>
+        Emitters.writeJsonDir(df, s"${cfg.schema}/${spec.name}", mode)
+      case "orc" =>
+        Emitters.writeOrcDir(df, s"${cfg.schema}/${spec.name}", mode)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sink: $other")
+    }
   }
 }

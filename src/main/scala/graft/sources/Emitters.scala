@@ -96,15 +96,18 @@ object Emitters {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  def writeCsvDir(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  def writeCsvDir(df: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
       .option("header", "true").option("quoteAll", "true")
       .option("emptyValue", "").option("nullValue", "")
       .csv(path)
 
-  def writeJsonDir(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  def writeJsonDir(df: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
 
-  def writeOrcDir(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").orc(path)
+  def writeOrcDir(df: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
 }

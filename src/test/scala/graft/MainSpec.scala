@@ -51,6 +51,35 @@ class MainSpec extends AnyFunSuite {
     assert(rows == Map("Cash" -> -100.5, "Sales" -> -20.0))
   }
 
+  test("tally-truncate false appends instead of clearing (scenario 04)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-app").toString
+    val yaml =
+      """master:
+        |  - name: mst_ledger
+        |    collection: Ledger
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spec.yaml"), yaml)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_ledger.data"), "guid\r\ny1\r\n")
+    val base = Main.Config(technology = "parquet", schema = s"$dir/wh",
+      definition = s"$dir/spec.yaml", replayDir = Some(dir))
+    Main.run(spark, base) // year 1: normal truncate-sync
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_ledger.data"), "guid\r\ny2\r\n")
+    Main.run(spark, base.copy(truncate = false)) // year 2: append
+    val got = spark.read.parquet(s"$dir/wh/mst_ledger")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("y1", "y2"))
+    Main.run(spark, base) // truncate again: back to one year
+    assert(spark.read.parquet(s"$dir/wh/mst_ledger").count() == 1)
+  }
+
   test("parallel full sync writes every table (same result as serial)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-par").toString
     val yaml =
