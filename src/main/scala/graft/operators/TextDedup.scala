@@ -41,6 +41,17 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
 
+  /** Materialize a lineage consumed by several plan branches.
+    * localCheckpoint (row-format block storage), NOT .persist(): the
+    * columnar cache measured ~2x WORSE than recomputing the gram
+    * explode, while checkpointing measured q22 8.3->5.8 s and
+    * q52 10.2->7.6 s at sf0.1. At 100 TB the gram table is ~5x the
+    * corpus and may exceed block storage - callers pass
+    * materializeGrams=false there and pay the recompute instead
+    * (the explode is a narrow lineage over the scan). */
+  private def shared(df: DataFrame, materialize: Boolean): DataFrame =
+    if (materialize) df.localCheckpoint(true) else df
+
   /** Per-doc distinct shingles, exploded: (id, shingle). Shingles with
     * document frequency > `maxShingleDf` are dropped (stop-shingle
     * removal) to bound join fan-out at corpus scale. */
@@ -73,10 +84,9 @@ object TextDedup {
     * 100 TB corpus. Jaccard is then computed over the KEPT gram sets
     * (sizes and intersections both exclude dropped shingles) — the
     * stop-shingle-removal semantics a mirrored oracle must share.
-    * (The gram table is deliberately NOT persisted: shingling is a
-    * cheap narrow lineage over the scan, and materializing it through
-    * Spark's columnar cache measured ~2× slower than recomputing it
-    * for the second consumer.)
+    * (The gram table feeds two consumers; see [[shared]] for the
+    * materialization tradeoff and why it is a checkpoint, never the
+    * columnar cache.)
     *
     * ONE grams⋈grams self-join: every co-shingled pair is already a
     * key of the aggregated intersection-count join, so the pair set
@@ -84,8 +94,11 @@ object TextDedup {
     * round-2 shape ran the heaviest shuffle twice). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val grams = explodedShingles(docs, idCol, textCol, n, maxShingleDf)
+      maxShingleDf: Long = Long.MaxValue,
+      materializeGrams: Boolean = true): DataFrame = {
+    val grams = shared(
+      explodedShingles(docs, idCol, textCol, n, maxShingleDf),
+      materializeGrams)
     jaccardFromInter(grams, coShingledInter(grams), minJaccard)
   }
 
@@ -113,17 +126,18 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       minJaccard: Double = 0.8,
-      maxBucketSize: Long = 100000): DataFrame = {
+      maxBucketSize: Long = 100000,
+      materializeGrams: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     // exploded-gram formulation: one (id, gramHash) row per distinct
     // shingle, then numHashes min-aggregations — all inside hash-agg
     // codegen with map-side partial mins, no per-lane array
     // allocation (the nested-HOF formulation was 5× slower).
     // One gram lineage feeds the signature aggregation AND the
-    // exact-Jaccard verification of the surviving candidates (shared
-    // plan, not .persist(): the columnar cache measured ~2× slower
-    // than recomputing this narrow explode-over-scan lineage).
-    val grams = explodedShingles(docs, idCol, textCol, n)
+    // exact-Jaccard verification of the surviving candidates - see
+    // `shared` for the materialization tradeoff.
+    val grams = shared(explodedShingles(docs, idCol, textCol, n),
+      materializeGrams)
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val laneAggs = (0 until numHashes).map(seed =>
       min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
@@ -169,13 +183,14 @@ object TextDedup {
     * text routinely does: measured max 10 on the harness corpus). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 7,
-      minJaccard: Double = 0.8, numChunks: Int = 8): DataFrame = {
+      minJaccard: Double = 0.8, numChunks: Int = 8,
+      materializeGrams: Boolean = true): DataFrame = {
     // exploded formulation (same values as simhash64): 64 bit-sum
     // aggregations inside hash-agg codegen instead of 64 nested
     // array-aggregate expressions per row; the gram lineage is shared
-    // with the verify phase (recomputed, deliberately not persisted —
-    // same reuse pattern as minhashLshPairs)
-    val grams = explodedShingles(docs, idCol, textCol, n)
+    // with the verify phase (see `shared` for the tradeoff)
+    val grams = shared(explodedShingles(docs, idCol, textCol, n),
+      materializeGrams)
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -220,8 +235,12 @@ object TextDedup {
     * the near-dup pairs. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    // checkpoint the keeper ID SET (small: one id per distinct text):
+    // it feeds three consumers (both gram lineages + the final output)
+    // and each would otherwise re-run the md5 group-by over the corpus
     val keepers = exactGroups(docs, idCol, textCol)
       .select(col("keeper").as(idCol))
+      .localCheckpoint(true)
     val exactKept = docs.join(keepers, Seq(idCol), "left_semi")
     val drops = dropSet(
       minhashLshPairs(exactKept, idCol, textCol, minJaccard = minJaccard))
