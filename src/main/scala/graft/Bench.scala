@@ -110,10 +110,14 @@ object Bench {
             f"${prior(name)}%.2f s)")
           math.min(first, re)
         }
+      // a drift that survives the isolated re-pass is not a transient
+      // blip: sustained machine load, a config change (q48's best
+      // predates its r3 rework), or a real regression
       val drift = prior.get(name)
         .filter(p => p > 0.05 && secs > p * 1.5)
         .map(p => f" DRIFT ${secs / p}%.1fx vs prior $p%.2f s" +
-          " — suspect ambient load, re-run on a quiet machine")
+          " — persists in the isolated re-pass: sustained load, config" +
+          " change, or real regression")
         .getOrElse("")
       if (drift.nonEmpty)
         System.err.println(f"[bench] $name%-40s $secs%8.2f s$drift")

@@ -184,9 +184,16 @@ object Similarity {
     val lists =
       if (nLists > 0) nLists
       else math.max(16, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    // checkpoint each Lloyd round: centroids are tiny (nLists × dim)
+    // but their LINEAGE contains every prior round's corpus-wide
+    // assignment — left lazy, each of the downstream consumers
+    // (final assign, probe ranking) re-executes the whole k-means
+    // chain from scratch
     var centroids = deterministicSeeds(c, lists) // (list_id, centroid)
+      .localCheckpoint(true)
     for (_ <- 0 until iterations)
       centroids = recomputeCentroids(assign(c, centroids, 1))
+        .localCheckpoint(true)
     // multi-assignment (`assignments` > 1): store each corpus vector in
     // its top-N lists — standard IVF redundancy that multiplies storage
     // by N but cuts the unprobed-list miss rate superlinearly (a vector
@@ -375,10 +382,16 @@ object Similarity {
           s"before distinct; derive with planes=0 (→ ($dp, $dt)) unless " +
           "oracle-compat output is the goal")
     }
+    // checkpoint before the self-join: both sides of x⋈y would
+    // otherwise re-run the planes×tables projection aggregate — the
+    // materialized form is (id, bucket) at 16 bytes × tables rows per
+    // vector, negligible next to the embeddings themselves
     val keyed = saltedKeysAgg(vecs, idCol, vecCol, pl, tb)
+      .localCheckpoint(true)
     if (degenerate) {
       val withV = keyed.join(
         vecs.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+        .localCheckpoint(true)
       withV.as("x").join(withV.as("y"),
           col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"),
