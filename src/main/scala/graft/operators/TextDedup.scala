@@ -145,8 +145,13 @@ object TextDedup {
       .agg(laneAggs.head, laneAggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // checkpoint the band keys: (id, bk) is 16 bytes × bands per doc,
+    // but its lineage holds the 128-lane signature aggregate — left
+    // lazy, the bucket-size guard, the semi-join, and BOTH sides of
+    // the candidate self-join each re-run that aggregate (4×)
     val buckets = sigs.select(col("id"), explode(
       bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .localCheckpoint(true)
     // degenerate-bucket guard: a bucket of m docs emits m²/2 pairs, so
     // one pathological bucket (boilerplate-heavy corpora) can go
     // quadratic at 100 TB — cap it and surrender recall inside that
@@ -207,11 +212,14 @@ object TextDedup {
     val widths = Seq.fill(64 % numChunks)(base + 1) ++
       Seq.fill(numChunks - 64 % numChunks)(base)
     val offsets = widths.scanLeft(0)(_ + _).init
+    // checkpoint the chunk keys: both sides of the candidate self-join
+    // would otherwise re-run the 64 bit-sum aggregate
     val chunked = withSim.select(col("id"), col("sim"), explode(array(
       widths.lazyZip(offsets).lazyZip(widths.indices).map { (w, off, c) =>
         lit(c.toLong << 32).bitwiseOR(
           shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1)))
       }.toSeq: _*)).as("ck"))
+      .localCheckpoint(true)
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
