@@ -264,18 +264,22 @@ object TextDedup {
     verifyJaccardFromGrams(
       explodedShingles(docs, idCol, textCol, n), cand, minJaccard)
 
-  /** Exact Jaccard verification from an EXISTING (id, g) gram table —
-    * shared lineage with the candidate-generation phase (recomputed,
-    * deliberately NOT persisted — see ngramJaccardPairs). Verification
-    * semi-joins the grams down to candidate ids, computes intersection
-    * counts over that restricted set, and keeps only the candidate
-    * pairs (two candidate ids can co-shingle without being an LSH
-    * candidate pair — those must not leak into the output). */
-  def verifyJaccardFromGrams(grams: DataFrame, cand: DataFrame,
+  /** Exact Jaccard verification from an EXISTING (id, g) gram table.
+    * Verification semi-joins the grams down to candidate ids, computes
+    * intersection counts over that restricted set, and keeps only the
+    * candidate pairs (two candidate ids can co-shingle without being
+    * an LSH candidate pair — those must not leak into the output).
+    * Both small intermediates checkpoint: `cand` (lineage = the
+    * banding self-join) is read for its id set and again for the
+    * final pair filter, and the restricted gram table feeds its own
+    * self-join twice plus the size aggregation. */
+  def verifyJaccardFromGrams(grams: DataFrame, cand0: DataFrame,
       minJaccard: Double): DataFrame = {
+    val cand = cand0.localCheckpoint(true)
     val ids = cand.select(col("a").as("id"))
       .union(cand.select(col("b"))).distinct()
     val candGrams = grams.join(ids, Seq("id"), "left_semi")
+      .localCheckpoint(true)
     val inter = cand.select(col("a"), col("b"))
       .join(coShingledInter(candGrams), Seq("a", "b"), "inner")
     jaccardFromInter(candGrams, inter, minJaccard)
