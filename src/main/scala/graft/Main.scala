@@ -40,6 +40,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           one-shot sync; reference src/server.mts)
   *   --graft-config         (config JSON served by /loadconfig —
   *                           reference ./config.json)
+  *   --graft-companies      (CSV with header `schema,company` — one
+  *                           sync per row into its own schema, the
+  *                           reference's multi-company pattern:
+  *                           platform/powershell/
+  *                           sync-multiple-company.ps1 + scenario 03)
   *   --graft-parallel       (full-sync table concurrency; the
   *                           reference loads strictly sequentially,
   *                           src/tally.mts:337 — independent tables
@@ -64,7 +69,8 @@ object Main {
       postImport: Option[String] = None,
       serverPort: Option[Int] = None,
       configFile: String = "config.json",
-      parallel: Int = 1)
+      parallel: Int = 1,
+      companiesCsv: Option[String] = None)
 
   def parseArgs(args: Array[String]): Config = {
     val m = args.sliding(2, 2).map {
@@ -93,7 +99,8 @@ object Main {
       postImport = m.get("graft-postimport"),
       serverPort = m.get("graft-server-port").map(_.toInt),
       configFile = m.getOrElse("graft-config", "config.json"),
-      parallel = m.get("graft-parallel").map(_.toInt).getOrElse(1).max(1))
+      parallel = m.get("graft-parallel").map(_.toInt).getOrElse(1).max(1),
+      companiesCsv = m.get("graft-companies"))
   }
 
   /** Overlay a `/sync`-posted flat config (reference config.json keys
@@ -171,6 +178,25 @@ object Main {
   def run(spark: SparkSession, cfg: Config,
       transportOverride: Option[String => String] = None,
       sleep: Long => Unit = Thread.sleep): Unit = {
+    // multi-company mode: one sync per CSV row, each into its own
+    // schema (the reference drives this with an external loop over
+    // `node index.mjs --database-schema ... --tally-company ...`)
+    cfg.companiesCsv.foreach { csvPath =>
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(csvPath))
+      require(!lines.isEmpty && lines.get(0).trim == "schema,company",
+        s"$csvPath must start with the header `schema,company`")
+      lines.stream().skip(1).forEach { line =>
+        if (line.trim.nonEmpty) {
+          val Array(schema, company) = line.split(",", 2).map(_.trim)
+          println(s"[graft] syncing company '$company' -> schema $schema")
+          run(spark, cfg.copy(schema = schema,
+            company = Some(company).filter(_.nonEmpty),
+            companiesCsv = None), transportOverride, sleep)
+        }
+      }
+      return
+    }
     val yamlText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfg.definition)), "UTF-8")
     val (masters, transactions) = SpecLoader.load(yamlText)

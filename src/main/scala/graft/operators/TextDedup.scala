@@ -48,7 +48,14 @@ object TextDedup {
     * q52 10.2->7.6 s at sf0.1. At 100 TB the gram table is ~5x the
     * corpus and may exceed block storage - callers pass
     * materializeGrams=false there and pay the recompute instead
-    * (the explode is a narrow lineage over the scan). */
+    * (the explode is a narrow lineage over the scan).
+    *
+    * Failure semantics at cluster scale: localCheckpoint TRUNCATES
+    * lineage, so a lost executor's blocks cannot be recomputed and
+    * fail the job (vs .persist(), which recomputes). For these batch
+    * jobs a stage-level retry re-runs the query — the right trade for
+    * a 2-4x wall-clock cut; pipelines needing fault-tolerant
+    * materialization should stage to parquet instead. */
   private def shared(df: DataFrame, materialize: Boolean): DataFrame =
     if (materialize) df.localCheckpoint(true) else df
 

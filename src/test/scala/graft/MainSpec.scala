@@ -51,6 +51,33 @@ class MainSpec extends AnyFunSuite {
     assert(rows == Map("Cash" -> -100.5, "Sales" -> -20.0))
   }
 
+  test("multi-company CSV syncs each company into its own schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mc").toString
+    val yaml =
+      """master:
+        |  - name: mst_ledger
+        |    collection: Ledger
+        |    nature: Primary
+        |    fields:
+        |      - name: guid
+        |        field: Guid
+        |        type: text
+        |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/spec.yaml"), yaml)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/mst_ledger.data"), "guid\r\ng1\r\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/config.csv"),
+      s"schema,company\n$dir/wh_a,Acme Corp\n$dir/wh_b,Beta Traders\n")
+    Main.run(spark, Main.Config(
+      technology = "parquet",
+      definition = s"$dir/spec.yaml", replayDir = Some(dir),
+      companiesCsv = Some(s"$dir/config.csv")))
+    assert(spark.read.parquet(s"$dir/wh_a/mst_ledger").count() == 1)
+    assert(spark.read.parquet(s"$dir/wh_b/mst_ledger").count() == 1)
+  }
+
   test("tally-truncate false appends instead of clearing (scenario 04)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-app").toString
     val yaml =
