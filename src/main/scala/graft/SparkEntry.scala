@@ -58,6 +58,7 @@ object SparkEntry {
     "q55_asof_join"        -> (Reports.q55AsofJoin _),
     "q56_range_join"       -> (Reports.q56RangeJoin _),
     "q57_hash_split"       -> (Curation.q57HashSplit _),
+    "q59_value_stats"      -> (Reports.q59ValueStats _),
     "q58_lang_quota"       -> (Curation.q58LangQuota _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -315,6 +316,17 @@ object SparkEntry {
       """SELECT doc_id,
         | CASE WHEN substring(md5(text), 1, 2) < '0a' THEN 'val' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Spark's exact `percentile` and DuckDB's quantile_cont both use
+    // linear interpolation over the sorted values — bit-comparable
+    // after the rounding discipline
+    "q59_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS mean,
+        | round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+        | round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95,
+        | round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99,
+        | round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_lang_quota" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,

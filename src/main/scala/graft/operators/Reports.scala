@@ -420,6 +420,27 @@ object Reports {
       .orderBy(col("error_id"))
   }
 
+  // ── Distribution profiling ─────────────────────────────────────────
+  /** Per-type value-distribution profile: moments + EXACT interpolated
+    * percentiles — the corpus-profiling pass (length/quality/score
+    * distributions) a curation pipeline runs before choosing filter
+    * thresholds. `percentile` here is Spark's exact implementation;
+    * at 100 TB swap `percentile_approx` (t-digest, bounded memory) —
+    * exact is used because the oracle gate needs bit-stable numbers
+    * (DuckDB's quantile_cont interpolates identically). */
+  def q59ValueStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        fin(avg(dec(col("value")))).as("mean"),
+        fin(expr("percentile(value, 0.5)")).as("p50"),
+        fin(expr("percentile(value, 0.95)")).as("p95"),
+        fin(expr("percentile(value, 0.99)")).as("p99"),
+        fin(max(dec(col("value")))).as("vmax"))
+      .orderBy(col("event_type"))
+  }
+
   // ── Salted skew join ───────────────────────────────────────────────
   /** Orders⋈lineitem through [[Skew.saltedJoin]] (salt 8, scattered by
     * the part key), aggregated per order status — row-identical to
