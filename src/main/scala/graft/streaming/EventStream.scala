@@ -49,6 +49,18 @@ object EventStream {
       .select(col("window.start").as("hr"), col("event_type"),
         col("n"), col("total"))
 
+  /** Ingest-time exact dedup — the streaming twin of
+    * [[graft.operators.TextDedup.exactGroups]]'s keep-first semantics:
+    * duplicate keys arriving within the watermark horizon are dropped,
+    * and state for a key is evicted once the watermark passes it
+    * (`dropDuplicatesWithinWatermark`), so state is bounded by event
+    * rate × horizon rather than the stream's lifetime key count —
+    * the property that keeps a 100 TB/day ingest's dedup state flat. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom keyed state: 30-minute-gap sessionization via
     * flatMapGroupsWithState (the mapGroupsWithState family the
     * reference's polling loop cannot express). Emits a summary when a

@@ -26,6 +26,23 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicate keys") {
+    // duplicate every event id by unioning the stream with itself:
+    // post-dedup, each id must appear exactly once
+    val stream = EventStream.readEvents(spark, sf)
+    val doubled = stream.unionByName(stream)
+    val q = EventStream.runToMemory(
+      EventStream.dedupWithinWatermark(doubled, Seq("event_id")),
+      "dedup_stream")
+    try {
+      val total = Tables.events(spark, sf).count()
+      val out = spark.table("dedup_stream")
+      assert(out.count() == total)
+      assert(out.groupBy(col("event_id")).count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("sessionization produces plausible keyed-state summaries") {
     val stream = EventStream.readEvents(spark, sf)
     val sessions = EventStream.sessionize(spark, stream, gapMinutes = 30)
