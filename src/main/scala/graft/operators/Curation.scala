@@ -160,7 +160,10 @@ object Curation {
     val aug = clusteredEmbeddings(Tables.embeddings(s, dir))
     Similarity.ivfTopK(aug.filter(col("vec_id") < 10), aug,
         "vec_id", "embedding", k = 10, nLists = 0, nProbe = Q53NProbe,
-        assignments = 1)
+        assignments = 1,
+        // the augmented corpus is DERIVED (union + flip) — materialize
+        // it once instead of re-deriving per k-means consumer
+        materializeCorpus = true)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -162,10 +162,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 0, nProbe: Int = 4,
-      iterations: Int = 2, assignments: Int = 1): DataFrame =
+      iterations: Int = 2, assignments: Int = 1,
+      materializeCorpus: Boolean = false): DataFrame =
     rerankExact(
       ivfCandidates(queries, corpus, idCol, vecCol, nLists, nProbe,
-          iterations, assignments)
+          iterations, assignments, materializeCorpus)
         .withColumn("cos_fast", cosineFast(col("qv"), col("cv"))), k)
 
   /** The IVF candidate set (query_id, qv, neighbor_id, cv) BEFORE any
@@ -175,8 +176,19 @@ object Similarity {
   def ivfCandidates(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       nLists: Int = 0, nProbe: Int = 4,
-      iterations: Int = 2, assignments: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      iterations: Int = 2, assignments: Int = 1,
+      materializeCorpus: Boolean = false): DataFrame = {
+    // the corpus projection is consumed by the list-count probe, the
+    // seed pick, every Lloyd round, and the final assignment. When the
+    // input is DERIVED (q53's jittered union), each consumer re-runs
+    // the derivation — materializeCorpus=true feeds them from one
+    // materialization (q53 5.4->4.7 s). For a plain table scan the
+    // rescan is cheaper than the copy (q47 measured +0.4 s), hence
+    // opt-in. At true 100 TB scale the IVF BUILD stages its assignment
+    // table to storage anyway (this in-memory build is the per-job
+    // path)
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = if (materializeCorpus) c0.localCheckpoint(true) else c0
     // nLists scales with the corpus: the classic √n heuristic balances
     // list length (n/nLists) against probe count — a CONSTANT nLists
     // degenerates at 100× (lists grow linearly and every probe scans
