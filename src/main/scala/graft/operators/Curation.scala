@@ -221,6 +221,8 @@ object Curation {
         slice(col("embedding"), lit(2), size(col("embedding")) - 1))
         .as("embedding"))
     Similarity.cosineNearDupPairsLsh(
+        // derived corpus (union + flip) left lazy: measured, the flip
+        // re-derivation is cheaper than materializing the vectors
         e.unionByName(flipped), "vec_id", "embedding",
         minCosine = 0.9, planes = Q51Planes, tables = Q51Tables)
       .orderBy(col("a"), col("b"))
