@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -79,9 +79,123 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` salted LSH sign-pattern keys of a vector in ONE fused
+  * loop — replaces the posexplode → (planes×tables)-buffer hash
+  * aggregate formulation, which cost a full shuffle of dims rows per
+  * vector plus per-buffer aggregation overhead. The plane matrix
+  * (splitmix64-derived, identical values to
+  * [[graft.operators.Similarity]]'s literal planes) is precomputed
+  * once per expression instance and shared via a codegen reference;
+  * per row the kernel is `tables×planes` dot products over the float
+  * array — allocation-free, inside whole-stage codegen, no shuffle.
+  * Interpreted and codegen paths accumulate in the same index order →
+  * bit-identical signs. */
+case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int,
+    dims: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_sign_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got $other")
+  }
+
+  /** Row-major [plane][dim] hyperplane components; one array per
+    * expression instance, referenced (not regenerated) in codegen. */
+  @transient lazy val planeMatrix: Array[Double] = {
+    val m = new Array[Double](tables * planes * dims)
+    var p = 0
+    while (p < tables * planes) {
+      var i = 0
+      while (i < dims) {
+        m(p * dims + i) = VectorExpressions
+          .mix64((p.toLong << 32) | i.toLong).toDouble /
+          Long.MaxValue.toDouble
+        i += 1
+      }
+      p += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dims, x.numElements())
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = t.toLong << 32
+      var j = 0
+      while (j < planes) {
+        val base = (t * planes + j) * dims
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += x.getFloat(i).toDouble * planeMatrix(base + i)
+          i += 1
+        }
+        if (dot >= 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("planeMatrix", planeMatrix, "double[]")
+      val n = ctx.freshName("n"); val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key"); val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dims, $v.numElements());
+         |long[] $keys = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = ((long) $t) << 32;
+         |  for (int $j = 0; $j < $planes; $j++) {
+         |    int $base = ($t * $planes + $j) * $dims;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += (double) $v.getFloat($i) * $m[$base + $i];
+         |    }
+         |    if ($dot >= 0) $key |= (1L << $j);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for the fused cosine kernel. */
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarityExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** splitmix64 finalizer — deterministic, engine-independent plane
+    * component source (shared with
+    * [[graft.operators.Similarity]]'s literal plane vectors). */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Column wrapper for the fused salted-LSH key kernel. */
+  def lshSignKeys(vec: Column, planes: Int, tables: Int,
+      dims: Int): Column =
+    ColumnBridge.column(LshSignKeysExpr(
+      ColumnBridge.expression(vec), planes, tables, dims))
 }

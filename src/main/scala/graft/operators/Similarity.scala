@@ -289,45 +289,21 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
-  /** splitmix64 finalizer — deterministic, engine-independent plane
-    * components computed DRIVER-side (no per-row hashing: the round-2
-    * shape evaluated xxhash64 per (plane × dim × row) inside a nested
-    * HOF, ~200M hash calls for q51 at sf0.1). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** Hyperplane `p` over `dims` dimensions as a literal array — baked
-    * into the plan once, indexed O(1) per row. */
-  private def planeVecLit(p: Int, dims: Int): Column =
-    lit(Array.tabulate(dims)(i =>
-      mix64((p.toLong << 32) | i.toLong).toDouble / Long.MaxValue.toDouble))
-
-  /** Salted LSH bucket keys in the exploded hash-aggregate shape:
-    * posexplode the vector once, compute ALL planes×tables projections
-    * as sum-aggregates in ONE hash aggregate (map-side partial sums,
-    * whole-stage codegen — the same formulation that took minhash from
-    * 265 s to 5.6 s), then fold the signs into per-table keys. Returns
-    * (id, bk) exploded — 8-byte rows, no vectors carried. */
+  /** Salted LSH bucket keys via the fused native kernel
+    * ([[graft.functions.VectorExpressions.lshSignKeys]]): all
+    * planes×tables projections in one allocation-free codegen loop
+    * per row, plane matrix (splitmix64-derived, driver-side)
+    * referenced once. Replaces the posexplode → hash-aggregate shape,
+    * which shuffled `dims` rows per vector into planes×tables sum
+    * buffers — same key values (identical plane components and
+    * ascending-index accumulation), ZERO shuffle. Returns (id, bk)
+    * exploded — 8-byte rows, no vectors carried. */
   private def saltedKeysAgg(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int): DataFrame = {
     val dims = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val pe = vecs.select(col(idCol).as("id"),
-      posexplode(col(vecCol)).as(Seq("pos", "x")))
-    val aggs = for (t <- 0 until tables; j <- 0 until planes) yield
-      sum(col("x").cast("double") *
-        element_at(planeVecLit(t * planes + j, dims), col("pos") + 1))
-        .as(s"d_${t}_$j")
-    val dots = pe.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    val keys = (0 until tables).map { t =>
-      (0 until planes).map { j =>
-        when(col(s"d_${t}_$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _) + lit(t.toLong << 32)
-    }
-    dots.select(col("id"), explode(array(keys: _*)).as("bk"))
+    vecs.select(col(idCol).as("id"),
+      explode(graft.functions.VectorExpressions.lshSignKeys(
+        col(vecCol), planes, tables, dims)).as("bk"))
   }
 
   /** Near-duplicate pairs via LSH-bucketed pair generation — the

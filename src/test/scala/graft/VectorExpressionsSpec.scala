@@ -70,4 +70,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(top.toSeq == Seq((2L, 1), (1L, 2)))
   }
+
+  test("fused LSH keys match an independent sign computation") {
+    val planes = 3; val tables = 4; val dims = 5
+    val data = Seq(
+      (1L, Array(0.5f, -1.0f, 2.0f, 0.25f, -0.75f)),
+      (2L, Array(-0.1f, 0.0f, 1.5f, -2.0f, 0.3f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        graft.functions.VectorExpressions.lshSignKeys(
+          $"embedding", planes, tables, dims).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // reference computation straight from the mix64 definition
+    def plane(p: Int): Array[Double] = Array.tabulate(dims)(i =>
+      graft.functions.VectorExpressions
+        .mix64((p.toLong << 32) | i.toLong).toDouble / Long.MaxValue.toDouble)
+    val want = data.map { case (id, v) =>
+      id -> (0 until tables).map { t =>
+        (0 until planes).foldLeft(t.toLong << 32) { (key, j) =>
+          val dot = plane(t * planes + j).zip(v.map(_.toDouble))
+            .map { case (a, b) => a * b }.sum
+          if (dot >= 0) key | (1L << j) else key
+        }
+      }.toSeq
+    }.toMap
+    assert(got == want)
+    // interpreted path agrees with codegen
+    val expr = graft.functions.LshSignKeysExpr(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression($"embedding"),
+      planes, tables, dims)
+    data.foreach { case (id, v) =>
+      val interp = expr.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(interp == want(id))
+    }
+  }
 }
