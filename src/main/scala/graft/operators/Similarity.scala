@@ -100,7 +100,11 @@ object Similarity {
     (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
 
   /** Sign-pattern LSH key over `planes` random hyperplanes, grouped
-    * into one bucket id. */
+    * into one bucket id. NOTE: [[lshKey]]/[[saltedLshKeys]] are the
+    * pure-built-in (HOF) formulations, kept as the engine-portable
+    * reference; every shipped query path uses the fused native kernel
+    * ([[graft.functions.VectorExpressions.lshSignKeys]], ~2× faster,
+    * different but equally-deterministic plane derivation). */
   def lshKey(vec: Column, planes: Int): Column =
     (0 until planes).map { j =>
       when(aggregate(
@@ -135,9 +139,11 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 12, tables: Int = 4): DataFrame = {
+    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     def keyed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
-        explode(saltedLshKeys(col(vecCol), planes, tables))
+        explode(graft.functions.VectorExpressions.lshSignKeys(
+          col(vecCol), planes, tables, dims))
           .as(s"${id}_bk"))
     val q = keyed(queries, "query_id")
     val c = keyed(corpus, "neighbor_id")
