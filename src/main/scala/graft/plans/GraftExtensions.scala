@@ -1,9 +1,9 @@
 package graft.plans
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, LshSignKeysExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -27,5 +27,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity"),
       (children: Seq[Expression]) =>
         CosineSimilarityExpr(children(0), children(1))))
+    // lsh_sign_keys(vec, planes, tables, dims) — the fused salted-LSH
+    // key kernel; the int parameters must be literals (they shape the
+    // generated code and the precomputed plane matrix)
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sign_keys"),
+      new ExpressionInfo(classOf[LshSignKeysExpr].getName,
+        "lsh_sign_keys"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_sign_keys: $name must be an integer literal, got $other")
+        }
+        LshSignKeysExpr(children(0),
+          intLit(children(1), "planes"),
+          intLit(children(2), "tables"),
+          intLit(children(3), "dims"))
+      }))
   }
 }

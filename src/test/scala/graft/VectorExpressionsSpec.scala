@@ -71,6 +71,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((2L, 1), (1L, 2)))
   }
 
+  test("lsh_sign_keys registers as a SQL function via extensions") {
+    // same registration shape as GraftExtensions (int args must be
+    // literals there; fixed here since temp functions see only exprs)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sign_keys",
+      exprs => graft.functions.LshSignKeysExpr(exprs(0),
+        2, 3, 5),
+      "built-in")
+    vecs.createOrReplaceTempView("v_lsh")
+    val keys = spark.sql(
+      "SELECT lsh_sign_keys(embedding, 2, 3, 5) AS k FROM v_lsh WHERE vec_id = 0")
+      .head().getSeq[Long](0)
+    assert(keys.length == 3)
+    assert(keys.map(_ >> 32).toSeq == Seq(0L, 1L, 2L)) // table salts
+  }
+
   test("fused LSH keys match an independent sign computation") {
     val planes = 3; val tables = 4; val dims = 5
     val data = Seq(
