@@ -31,18 +31,28 @@ object Bench {
     System.gc()
   }
 
-  /** Min-of-`reps` wall time for one query, noop-materialized. */
+  /** Sentinel for a query that failed every rep — large enough that it
+    * can never pollute a cross-round bestKnown minimum, and obviously
+    * wrong in any human read of the record. */
+  private val FailedSentinel = 99999.0
+
+  /** Min-of-`reps` wall time for one query, noop-materialized. A
+    * failed rep contributes the sentinel, NOT its elapsed time — a
+    * fast crash would otherwise be recorded as a spuriously great
+    * time and poison every later round's drift reference. */
   private def timeQuery(spark: SparkSession, sfDir: String, reps: Int,
       name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     quiesce(spark)
     (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        FailedSentinel
       }
-      (System.nanoTime() - t0) / 1e9
     }.min
   }
 
@@ -50,17 +60,22 @@ object Bench {
     * BENCH_r*.json rounds — the latest round alone may itself be an
     * ambient-load artifact (r5/r6 recorded 1.5–4× real costs), so the
     * cross-round min is the only trustworthy drift reference. */
-  private def priorTimes(): Map[String, Double] = {
+  private def priorTimes(sfDir: String): Map[String, Double] = {
+    // a record from a DIFFERENT scale factor must not seed the minima
+    // — an sf0.01 dev record would flag every honest sf0.1 run
+    val sfTag = new java.io.File(sfDir).getName // e.g. "sf0.1"
     val dir = new java.io.File(".")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     files.flatMap { f =>
       val text = scala.io.Source.fromFile(f)
       val s = try text.mkString finally text.close()
-      // the driver wraps our JSON line ESCAPED inside a "tail" field
-      // (\"q01\":1.94) — accept both raw and escaped quoting
-      "\\\\?\"(q[0-9a-z_]+)\\\\?\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2).toDouble)
+      if (!s.contains(sfTag)) Iterator.empty
+      else
+        // the driver wraps our JSON line ESCAPED inside a "tail" field
+        // (\"q01\":1.94) — accept both raw and escaped quoting
+        "\\\\?\"(q[0-9a-z_]+)\\\\?\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble)
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 
@@ -83,7 +98,7 @@ object Bench {
     // inside whichever query ran first)
     graft.operators.Reports.q04CrossNation(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val prior = priorTimes()
+    val prior = priorTimes(sfDir)
     // dev-only subset filter (same contract as Verify); the driver
     // sets no filter and always benches every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")

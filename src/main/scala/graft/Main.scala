@@ -103,29 +103,39 @@ object Main {
       companiesCsv = m.get("graft-companies"))
   }
 
-  /** Overlay a `/sync`-posted flat config (reference config.json keys
-    * or this CLI's flag names) onto a base Config. */
+  /** Overlay a `/sync`-posted config onto a base Config. Accepts the
+    * reference config.json's section-qualified keys (`tally.server`,
+    * `database.schema` — see GraftServer.flatJson), this CLI's flag
+    * names, and bare keys, in that precedence order. */
   private[graft] def merged(base: Config, m: Map[String, String]): Config = {
     def k(keys: String*): Option[String] = keys.collectFirst {
       case key if m.contains(key) => m(key)
     }
     base.copy(
-      server = k("server", "tally-server").getOrElse(base.server),
-      port = k("port", "tally-port").map(_.toInt).getOrElse(base.port),
-      company = k("company", "tally-company")
+      server = k("tally.server", "tally-server", "server")
+        .getOrElse(base.server),
+      port = k("tally.port", "tally-port", "port")
+        .map(_.toInt).getOrElse(base.port),
+      company = k("tally.company", "tally-company", "company")
         .filter(_.nonEmpty).orElse(base.company),
-      fromDate = k("fromdate", "tally-fromdate").getOrElse(base.fromDate),
-      toDate = k("todate", "tally-todate").getOrElse(base.toDate),
-      syncMaster = k("master", "tally-master").map(_.toBoolean)
-        .getOrElse(base.syncMaster),
-      syncTransaction = k("transaction", "tally-transaction")
-        .map(_.toBoolean).getOrElse(base.syncTransaction),
-      technology = k("technology", "database-technology")
-        .getOrElse(base.technology),
-      schema = k("schema", "database-schema").getOrElse(base.schema),
-      definition = k("definition", "graft-definition")
+      fromDate = k("tally.fromdate", "tally-fromdate", "fromdate")
+        .getOrElse(base.fromDate),
+      toDate = k("tally.todate", "tally-todate", "todate")
+        .getOrElse(base.toDate),
+      syncMaster = k("tally.master", "tally-master", "master")
+        .map(_.toBoolean).getOrElse(base.syncMaster),
+      syncTransaction =
+        k("tally.transaction", "tally-transaction", "transaction")
+          .map(_.toBoolean).getOrElse(base.syncTransaction),
+      technology =
+        k("database.technology", "database-technology", "technology")
+          .getOrElse(base.technology),
+      schema = k("database.schema", "database-schema", "schema")
+        .getOrElse(base.schema),
+      definition = k("tally.definition", "graft-definition", "definition")
         .getOrElse(base.definition),
-      syncMode = k("sync", "graft-sync").getOrElse(base.syncMode))
+      syncMode = k("tally.sync", "graft-sync", "sync")
+        .getOrElse(base.syncMode))
   }
 
   /** Server mode (reference src/server.mts): endpoints over a live
@@ -188,7 +198,10 @@ object Main {
         s"$csvPath must start with the header `schema,company`")
       lines.stream().skip(1).forEach { line =>
         if (line.trim.nonEmpty) {
-          val Array(schema, company) = line.split(",", 2).map(_.trim)
+          val parts = line.split(",", 2).map(_.trim)
+          require(parts.length == 2 && parts(0).nonEmpty,
+            s"$csvPath: expected `schema,company`, got: $line")
+          val Array(schema, company) = parts
           println(s"[graft] syncing company '$company' -> schema $schema")
           run(spark, cfg.copy(schema = schema,
             company = Some(company).filter(_.nonEmpty),
@@ -269,7 +282,14 @@ object Main {
           pool.submit(new java.util.concurrent.Callable[Unit] {
             def call(): Unit = syncTable(spec)
           }))
-        futures.foreach(_.get()) // propagate the first failure
+        try futures.foreach(_.get()) // propagate the first failure
+        catch { case e: Throwable =>
+          // abort, don't drain: shutdown() would still run every
+          // queued table while the session is being torn down
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          throw e
+        }
       } finally pool.shutdown()
     }
 

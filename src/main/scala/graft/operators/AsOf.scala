@@ -26,9 +26,14 @@ object AsOf {
     * exact integer column when sub-microsecond order matters).
     * `rightCols` are the right-side payload columns to attach
     * (nullable when no right row precedes). Both inputs must contain
-    * `keyCol` and `tsCol`; `left` keeps all its columns. */
+    * `keyCol` and `tsCol`; `left` keeps all its columns.
+    * `tieBreakCols` (names from `rightCols`) order right rows that
+    * share an exact (key, ts) — without one, which equal-ts right row
+    * wins is partition-order dependent; pass a unique id column for a
+    * deterministic result on feeds that can duplicate timestamps. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, rightCols: Seq[String]): DataFrame = {
+      tsCol: String, rightCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadSchema = right.select(rightCols.map(col).toIndexedSeq: _*).schema
     // a genuinely NULL struct — a struct of null FIELDS would not be
@@ -48,9 +53,14 @@ object AsOf {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).as(s"__keep_$c"))).toIndexedSeq: _*)
     // running last right-payload per key: right rows tag 0 sort before
-    // left rows at the same instant (>= semantics)
+    // left rows at the same instant (>= semantics); tie-break columns
+    // order equal-ts right rows (left rows' null payload fields sort
+    // first, before any real right row — harmless: tag already
+    // separates them)
+    val order = Seq(col(tsCol), col("__tag")) ++
+      tieBreakCols.map(c => col("__payload").getField(c))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

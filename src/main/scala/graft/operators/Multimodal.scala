@@ -90,13 +90,18 @@ object Multimodal {
     * dimension algebra, codegen'd per-row, zero shuffle). */
   def resizeDims(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     require(maxW > 0 && maxH > 0, s"target box must be positive: $maxW x $maxH")
+    // round + clamp rather than floor: maxW/width is rarely exactly
+    // representable, so width*(maxW/width) can land at 159.999…,
+    // which floor would undershoot to one short of the box edge
     features.withColumn("__scale",
         least(lit(maxW.toDouble) / col("width"),
           lit(maxH.toDouble) / col("height"), lit(1.0)))
       .withColumn("out_width",
-        greatest(floor(col("width") * col("__scale")), lit(1)).cast("int"))
+        least(greatest(round(col("width") * col("__scale")), lit(1)),
+          lit(maxW)).cast("int"))
       .withColumn("out_height",
-        greatest(floor(col("height") * col("__scale")), lit(1)).cast("int"))
+        least(greatest(round(col("height") * col("__scale")), lit(1)),
+          lit(maxH)).cast("int"))
       .drop("__scale")
   }
 }

@@ -388,7 +388,7 @@ object Reports {
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts_ns"), fin(col("value")).as("view_value"))
     AsOf.asOfJoin(clicks, views, "user_id", "ts_ns",
-        Seq("view_id", "view_value"))
+        Seq("view_id", "view_value"), tieBreakCols = Seq("view_id"))
       .select(col("click_id"), col("user_id"), col("view_id"),
         col("view_value"))
       .orderBy(col("click_id"))

@@ -139,7 +139,10 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 12, tables: Int = 4): DataFrame = {
-    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // dims probe tolerates an empty corpus (no top-k to return, but
+    // the call must not crash building the plan)
+    val dims = corpus.select(size(col(vecCol)).as("d"))
+      .take(1).headOption.map(_.getInt(0)).getOrElse(1)
     def keyed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
         explode(graft.functions.VectorExpressions.lshSignKeys(
@@ -306,7 +309,8 @@ object Similarity {
     * exploded — 8-byte rows, no vectors carried. */
   private def saltedKeysAgg(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int): DataFrame = {
-    val dims = vecs.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dims = vecs.select(size(col(vecCol)).as("d"))
+      .take(1).headOption.map(_.getInt(0)).getOrElse(1)
     vecs.select(col(idCol).as("id"),
       explode(graft.functions.VectorExpressions.lshSignKeys(
         col(vecCol), planes, tables, dims)).as("bk"))

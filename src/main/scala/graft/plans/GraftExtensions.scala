@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshSignKeysExpr].getName,
         "lsh_sign_keys"),
       (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"lsh_sign_keys(vec, planes, tables, dims) takes 4 arguments, " +
+            s"got ${children.length}")
         def intLit(e: Expression, name: String): Int = e match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

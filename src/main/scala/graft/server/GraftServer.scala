@@ -78,14 +78,25 @@ final class GraftServer(
     try os.write(bytes) finally os.close()
   }
 
-  /** Parse the flat string fields of a posted JSON config object —
-    * enough for `{"server":"x","port":"9000",...}` shapes the GUI
-    * posts; no nested objects needed by any endpoint. */
-  private[graft] def flatJson(s: String): Map[String, String] =
-    "\"([^\"]+)\"\\s*:\\s*(?:\"([^\"]*)\"|([-0-9.]+|true|false))".r
-      .findAllMatchIn(s)
-      .map(m => m.group(1) ->
-        Option(m.group(2)).getOrElse(m.group(3))).toMap
+  /** Parse a posted JSON config object into string key-values. Handles
+    * the reference config.json's ONE level of nesting by qualifying
+    * inner keys (`{"tally":{"server":…}}` → `tally.server`) — a flat
+    * last-wins collapse would silently let `database.server`/`port`
+    * shadow the Tally connection (or vice versa, order-dependent).
+    * Top-level flat keys stay bare. */
+  private[graft] def flatJson(s: String): Map[String, String] = {
+    val sectionRe = "\"(\\w+)\"\\s*:\\s*\\{([^}]*)\\}".r
+    val kvRe =
+      "\"([^\"{}]+)\"\\s*:\\s*(?:\"([^\"]*)\"|([-0-9.]+|true|false))".r
+    def kvs(text: String): Iterator[(String, String)] =
+      kvRe.findAllMatchIn(text).map(m =>
+        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3)))
+    val nested = sectionRe.findAllMatchIn(s).flatMap { m =>
+      kvs(m.group(2)).map { case (k, v) => s"${m.group(1)}.$k" -> v }
+    }.toMap
+    val flat = kvs(sectionRe.replaceAllIn(s, "")).toMap
+    flat ++ nested
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     val content = body(ex)

@@ -51,6 +51,22 @@ class AsOfSkewSpec extends AnyFunSuite {
     assert(composed.keySet == naive.keySet)
   }
 
+  test("asOfJoin tie-break makes equal-ts right rows deterministic") {
+    val left = Seq((1L, 10L, "c")).toDF("k", "t", "name")
+    // two right rows at the SAME (k, t): without a tie-break the
+    // winner is partition-order dependent; with rid as tie-break the
+    // highest rid wins, every run
+    val right = Seq((1L, 10L, 5L, 50.0), (1L, 10L, 9L, 90.0),
+        (1L, 10L, 7L, 70.0))
+      .toDF("k", "t", "rid", "v")
+    (1 to 3).foreach { _ =>
+      val out = AsOf.asOfJoin(left, right.repartition(4), "k", "t",
+        Seq("rid", "v"), tieBreakCols = Seq("rid")).head()
+      assert(out.getAs[Long]("rid") == 9L &&
+        out.getAs[Double]("v") == 90.0)
+    }
+  }
+
   test("saltedJoin is row-identical to the plain equi-join") {
     val skewed = spark.range(1000).select(
       when(col("id") % 10 < 8, lit(1L)).otherwise(col("id")).as("k"),

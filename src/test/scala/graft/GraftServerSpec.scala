@@ -91,4 +91,25 @@ class GraftServerSpec extends AnyFunSuite {
           "from" -> "20230401"))
     }
   }
+
+  test("nested reference config.json keys stay section-qualified") {
+    withServer() { (srv, _) =>
+      // the reference config.json shape: database AND tally both carry
+      // server/port — a flat collapse would shadow one with the other
+      val m = srv.flatJson(
+        """{"database":{"technology":"mssql","server":"db-host","port":1433,
+          |"schema":"tallydb"},
+          |"tally":{"server":"tally-host","port":9000,"fromdate":"20240401",
+          |"company":""}}""".stripMargin)
+      assert(m("tally.server") == "tally-host" && m("tally.port") == "9000")
+      assert(m("database.server") == "db-host" && m("database.port") == "1433")
+      assert(m("database.schema") == "tallydb")
+      assert(!m.contains("server")) // no ambiguous bare key survives
+      // and Main.merged picks the tally section for the connection
+      val cfg = graft.Main.merged(graft.Main.Config(), m)
+      assert(cfg.server == "tally-host" && cfg.port == 9000)
+      assert(cfg.technology == "mssql" && cfg.schema == "tallydb")
+      assert(cfg.fromDate == "20240401" && cfg.company.isEmpty)
+    }
+  }
 }

@@ -39,13 +39,14 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 640, 480),   // landscape, downscale by 1/4 → 160x120
       (2L, 100, 400),   // portrait, height-bound → 30x120
       (3L, 80, 60),     // already inside the box → untouched
-      (4L, 10000, 1))   // degenerate thin strip → height clamps to 1
+      (4L, 10000, 1),   // degenerate thin strip → height clamps to 1
+      (5L, 3000, 1000)) // 160/3000 not representable: floor would give 159
       .toDF("doc_id", "width", "height")
     val out = Multimodal.resizeDims(feats, maxW = 160, maxH = 120)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
     assert(out == Map(1L -> ((160, 120)), 2L -> ((30, 120)),
-      3L -> ((80, 60)), 4L -> ((160, 1))))
+      3L -> ((80, 60)), 4L -> ((160, 1)), 5L -> ((160, 53))))
   }
 
   test("frameSample windows the payload with stride") {

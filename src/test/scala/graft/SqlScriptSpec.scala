@@ -15,6 +15,9 @@ class SqlScriptSpec extends AnyFunSuite {
         |""".stripMargin
     assert(SqlScript.statements(script) ==
       Seq("insert into t values (';')", "select 'a''b;c' from t"))
+    // a block comment abutting tokens must not glue them together
+    assert(SqlScript.statements("select col/*doc*/from t;") ==
+      Seq("select col from t"))
   }
 
   test("mssql quoted-alias rewrites to AS form") {
