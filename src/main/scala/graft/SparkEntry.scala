@@ -59,6 +59,7 @@ object SparkEntry {
     "q56_range_join"       -> (Reports.q56RangeJoin _),
     "q57_hash_split"       -> (Curation.q57HashSplit _),
     "q59_value_stats"      -> (Reports.q59ValueStats _),
+    "q60_sessions_batch"   -> (Reports.q60SessionsBatch _),
     "q58_lang_quota"       -> (Curation.q58LangQuota _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -327,6 +328,23 @@ object SparkEntry {
         | round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99,
         | round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap sessionization via lag -> flag -> running-sum windows; both
+    // engines work in MICROseconds (DuckDB truncates parquet nanos)
+    "q60_sessions_batch" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS tn, CAST(value AS DECIMAL(18,6)) AS v,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        | sess AS (
+        | SELECT user_id, tn, v,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tn
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events, min(tn) AS start_us, max(tn) AS end_us,
+        | round(CAST(sum(v) AS DOUBLE), 6) AS total_value
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q58_lang_quota" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,

@@ -420,6 +420,36 @@ object Reports {
       .orderBy(col("error_id"))
   }
 
+  // ── Batch sessionization ───────────────────────────────────────────
+  /** Gap-based sessionization as pure windows (lag → session-start
+    * flag → running sum = session id → per-session aggregate) — the
+    * batch twin of [[graft.streaming.EventStream.sessionize]], and the
+    * exact-oracle gate those semantics otherwise lack (the streaming
+    * spec can only check plausibility). One shuffle on user_id; both
+    * windows share the same partitioning so Catalyst plans a single
+    * exchange. 30-minute gap in MICROsecond arithmetic on both sides:
+    * DuckDB truncates the parquet nanos timestamps to micros on read,
+    * so nanosecond gaps would disagree at exact-boundary edges and
+    * raw-ns output columns can never hash-match. */
+  def q60SessionsBatch(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_s",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs
+          or lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        fin(sum(dec(col("value")))).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   // ── Distribution profiling ─────────────────────────────────────────
   /** Per-type value-distribution profile: moments + EXACT interpolated
     * percentiles — the corpus-profiling pass (length/quality/score
