@@ -38,6 +38,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           reference's post-import-scripts/, S16)
   *   --graft-server-port    (start the GUI/server mode instead of a
   *                           one-shot sync; reference src/server.mts)
+  *   --graft-bind           (server bind address; defaults to
+  *                           127.0.0.1 — the endpoints are
+  *                           unauthenticated, so non-loopback
+  *                           exposure is an explicit opt-in)
   *   --graft-config         (config JSON served by /loadconfig —
   *                           reference ./config.json)
   *   --graft-companies      (CSV with header `schema,company` — one
@@ -68,6 +72,7 @@ object Main {
       iterations: Int = -1,
       postImport: Option[String] = None,
       serverPort: Option[Int] = None,
+      bindHost: String = "127.0.0.1",
       configFile: String = "config.json",
       parallel: Int = 1,
       companiesCsv: Option[String] = None)
@@ -98,6 +103,7 @@ object Main {
       iterations = m.get("graft-iterations").map(_.toInt).getOrElse(-1),
       postImport = m.get("graft-postimport"),
       serverPort = m.get("graft-server-port").map(_.toInt),
+      bindHost = m.getOrElse("graft-bind", "127.0.0.1"),
       configFile = m.getOrElse("graft-config", "config.json"),
       parallel = m.get("graft-parallel").map(_.toInt).getOrElse(1).max(1),
       companiesCsv = m.get("graft-companies"))
@@ -158,7 +164,8 @@ object Main {
         run(spark, c, transportOverride)
         srv.log("sync finished")
       },
-      path)
+      path,
+      cfg.bindHost)
     srv.start()
     srv
   }

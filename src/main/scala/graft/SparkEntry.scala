@@ -286,8 +286,11 @@ object SparkEntry {
         | round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // DuckDB's native ASOF JOIN is the oracle for the union+window
-    // composition; both sides compare exact nanoseconds
+    // The oracle spells out the as-of semantics as a window arg-max
+    // (latest tn, then max view_id) rather than DuckDB's native ASOF
+    // JOIN: among equal-timestamp matches ASOF's pick is unspecified,
+    // while the Spark side tie-breaks on view_id — this form pins the
+    // same deterministic choice on both engines. Exact nanoseconds.
     "q55_asof_join" ->
       """WITH clicks AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS tn
         |  FROM events WHERE event_type = 'click'),
@@ -295,8 +298,10 @@ object SparkEntry {
         |   round(CAST(value AS DOUBLE), 6) AS view_value
         |  FROM events WHERE event_type = 'view')
         |SELECT c.click_id, c.user_id, v.view_id, v.view_value
-        |FROM clicks c ASOF LEFT JOIN views v
-        |  ON c.user_id = v.user_id AND c.tn >= v.tn
+        |FROM clicks c LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.tn <= c.tn
+        |QUALIFY row_number() OVER (PARTITION BY c.click_id
+        |  ORDER BY v.tn DESC NULLS LAST, v.view_id DESC NULLS LAST) = 1
         |ORDER BY c.click_id""".stripMargin,
     // the bucketed containment join must equal the naive BETWEEN join
     "q56_range_join" ->

@@ -97,11 +97,25 @@ case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int,
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "lsh_sign_keys"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<FLOAT>, got $other")
-  }
+  // Plan-time validation (also covers spark.sql callers of the
+  // registered function): a plane index >= 32 would collide 1L << j
+  // with the table-salt high word (t << 32) and silently corrupt keys.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (planes < 1 || planes > 32)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: planes must be in [1, 32] (sign bits share a " +
+          s"64-bit key with the table salt), got $planes")
+    else if (tables < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: tables must be >= 1, got $tables")
+    else if (dims < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dims must be >= 1, got $dims")
+    else child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT>, got $other")
+    }
 
   /** Row-major [plane][dim] hyperplane components; one array per
     * expression instance, referenced (not regenerated) in codegen. */

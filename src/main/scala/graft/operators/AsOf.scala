@@ -35,6 +35,20 @@ object AsOf {
       tsCol: String, rightCols: Seq[String],
       tieBreakCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
+    // guard the output contract and the internal tagged-union names:
+    // a payload column shadowing a left column would emit duplicate
+    // output names, and __-prefixed inputs would collide with the
+    // composition's own working columns
+    val clash = rightCols.filterNot(c => c == keyCol || c == tsCol)
+      .toSet.intersect(leftCols.toSet -- Seq(keyCol, tsCol))
+    require(clash.isEmpty,
+      s"asOfJoin: rightCols ${clash.mkString(", ")} duplicate left " +
+        "column names — rename one side before joining")
+    val reserved = (leftCols ++ rightCols)
+      .filter(c => c == "__payload" || c == "__tag" || c == "__asof" ||
+        c.startsWith("__keep_"))
+    require(reserved.isEmpty,
+      s"asOfJoin: reserved internal column names in input: ${reserved.mkString(", ")}")
     val payloadSchema = right.select(rightCols.map(col).toIndexedSeq: _*).schema
     // a genuinely NULL struct — a struct of null FIELDS would not be
     // skipped by last(ignoreNulls) and would mask every carried value

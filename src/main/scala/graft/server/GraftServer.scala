@@ -36,9 +36,15 @@ final class GraftServer(
     port: Int,
     transport: String => String,
     sync: Map[String, String] => Unit,
-    configPath: Path) {
+    configPath: Path,
+    bindHost: String = "127.0.0.1") {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Loopback by default: /sync and /saveconfig are unauthenticated and
+  // can rewrite the config file, so exposing them beyond the local
+  // machine (the reference binds 'localhost' too, src/server.mts:165)
+  // requires an explicit opt-in bindHost.
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   private val syncThread = new AtomicReference[Thread](null)
   private val logLines = new java.util.concurrent.CopyOnWriteArrayList[String]
 

@@ -20,12 +20,17 @@ import org.apache.spark.sql.SparkSession
 object SqlScript {
 
   /** Split a script into trimmed, non-empty statements, honoring
-    * single-quoted literals (with `''` escapes) and SQL comments. */
+    * quoted regions and SQL comments. All three quote characters Spark
+    * parses are tracked — `'…'` string literals, `"…"` string literals
+    * (Spark's default, non-ANSI double-quote mode), and `` `…` ``
+    * quoted identifiers — each with its doubled-char escape, so a `;`
+    * inside any of them does not terminate the statement. */
   def statements(script: String): Seq[String] = {
     val sb = new StringBuilder
     val out = Seq.newBuilder[String]
     var i = 0
-    var inStr = false; var inLine = false; var inBlock = false
+    // quote = the delimiter we're inside, or 0 when outside
+    var quote: Char = 0; var inLine = false; var inBlock = false
     while (i < script.length) {
       val c = script.charAt(i)
       val next = if (i + 1 < script.length) script.charAt(i + 1) else ' '
@@ -38,13 +43,14 @@ object SqlScript {
         if (c == '*' && next == '/') {
           inBlock = false; sb.append(' '); i += 2
         } else i += 1
-      } else if (inStr) {
+      } else if (quote != 0) {
         sb.append(c)
-        if (c == '\'') {
-          if (next == '\'') { sb.append(next); i += 2 } else { inStr = false; i += 1 }
+        if (c == quote) {
+          if (next == quote) { sb.append(next); i += 2 }
+          else { quote = 0; i += 1 }
         } else i += 1
       } else c match {
-        case '\'' => inStr = true; sb.append(c); i += 1
+        case '\'' | '"' | '`' => quote = c; sb.append(c); i += 1
         case '-' if next == '-' => inLine = true; i += 2
         case '/' if next == '*' => inBlock = true; i += 2
         case ';' => out += sb.toString; sb.clear(); i += 1
