@@ -262,10 +262,11 @@ object SparkEntry {
     "q53_embed_ann_ivf_clustered" ->
       knnAugSql(graft.operators.Curation.AnnOracleK),
     "q26_embed_near_dup"     -> nearDupSql,
-    // the bucketed generator must reproduce the exact all-pairs result
-    "q48_embed_near_dup_lsh" -> nearDupSql,
-    // high-τ regime over the deterministic augmented corpus (see
-    // Curation.q51EmbedNearDupLshHi): exact all-pairs at τ=0.9
+    // derived-parameter selective LSH over the deterministic sign-flip
+    // near-dup corpus (Curation.q48EmbedNearDupLsh): the bucketed
+    // generator must reproduce the exact all-pairs τ=0.9 result
+    "q48_embed_near_dup_lsh" -> nearDupHiSql,
+    // same fixture at the expert-pinned (Q51Planes, Q51Tables) point
     "q51_embed_near_dup_lsh_hi" -> nearDupHiSql,
     "q27_text_langid" -> langIdSql,
     "q28_text_quality" -> qualitySql,
@@ -365,10 +366,10 @@ object SparkEntry {
         |FROM documents ORDER BY 1""".stripMargin,
   ) ++ graft.tally.TallyReportQueries.oracleSql
 
-  /** q51 oracle: exact all-pairs at τ = 0.9 over the corpus unioned
-    * with its first-dimension-sign-flipped copy — float sign flip is
-    * exact on both engines, so the augmented corpora are bit-identical
-    * (mirrors Curation.q51EmbedNearDupLshHi). */
+  /** q48/q51 oracle: exact all-pairs at τ = 0.9 over the corpus
+    * unioned with its first-dimension-sign-flipped copy — float sign
+    * flip is exact on both engines, so the augmented corpora are
+    * bit-identical (mirrors Curation.flippedNearDupCorpus). */
   private val nearDupHiSql: String =
     """WITH aug AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -388,8 +389,9 @@ object SparkEntry {
       |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.9
       |ORDER BY 1, 2""".stripMargin
 
-  /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) —
-    * shared by the exact q26 baseline and the LSH-bucketed q48. */
+  /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) for
+    * the exact q26 baseline (τ=0.4 is deliberately NOT served by an
+    * LSH query — see Curation.q48EmbedNearDupLsh). */
   private val nearDupSql: String =
     """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),
       | e2 AS (SELECT vec_id AS b, embedding AS bv FROM embeddings),

@@ -90,8 +90,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * array — allocation-free, inside whole-stage codegen, no shuffle.
   * Interpreted and codegen paths accumulate in the same index order →
   * bit-identical signs. */
-case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int,
-    dims: Int) extends UnaryExpression {
+case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -108,47 +108,58 @@ case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int,
     else if (tables < 1)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: tables must be >= 1, got $tables")
-    else if (dims < 1)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: dims must be >= 1, got $dims")
     else child.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires ARRAY<FLOAT>, got $other")
     }
 
-  /** Row-major [plane][dim] hyperplane components; one array per
-    * expression instance, referenced (not regenerated) in codegen. */
-  @transient lazy val planeMatrix: Array[Double] = {
-    val m = new Array[Double](tables * planes * dims)
-    var p = 0
-    while (p < tables * planes) {
-      var i = 0
-      while (i < dims) {
-        m(p * dims + i) = VectorExpressions
-          .mix64((p.toLong << 32) | i.toLong).toDouble /
-          Long.MaxValue.toDouble
-        i += 1
+  /** Row-major [plane][dim] hyperplane-component cache, sized lazily
+    * from the first observed vector length. Component (p, i) is
+    * `mix64((p << 32) | i)` — independent of the vector length — so
+    * keys are identical to the former explicit-`dims` formulation and
+    * NO driver-side dims probe is needed to build the plan (the cache
+    * is a per-executor-instance memo, rebuilt only if the observed
+    * length changes; LSH over genuinely ragged vectors is undefined
+    * anyway). Benign race: the tuple swap is atomic and the build is
+    * idempotent. */
+  @transient private var cached: (Int, Array[Double]) = null
+  def matrixFor(n: Int): Array[Double] = {
+    val c = cached
+    if (c != null && c._1 == n) c._2
+    else {
+      val m = new Array[Double](tables * planes * n)
+      var p = 0
+      while (p < tables * planes) {
+        var i = 0
+        while (i < n) {
+          m(p * n + i) = VectorExpressions
+            .mix64((p.toLong << 32) | i.toLong).toDouble /
+            Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
       }
-      p += 1
+      cached = (n, m)
+      m
     }
-    m
   }
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(dims, x.numElements())
+    val n = x.numElements()
+    val mat = matrixFor(n)
     val keys = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var key = t.toLong << 32
       var j = 0
       while (j < planes) {
-        val base = (t * planes + j) * dims
+        val base = (t * planes + j) * n
         var dot = 0.0
         var i = 0
         while (i < n) {
-          dot += x.getFloat(i).toDouble * planeMatrix(base + i)
+          dot += x.getFloat(i).toDouble * mat(base + i)
           i += 1
         }
         if (dot >= 0) key |= (1L << j)
@@ -162,18 +173,24 @@ case class LshSignKeysExpr(child: Expression, planes: Int, tables: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val m = ctx.addReferenceObj("planeMatrix", planeMatrix, "double[]")
+      // reference the expression instance itself: the matrix is fetched
+      // through the memo (one virtual call + branch per row — noise
+      // next to the planes×tables×dims multiply loop)
+      val self = ctx.addReferenceObj("lshKeys", this,
+        classOf[LshSignKeysExpr].getName)
+      val m = ctx.freshName("m")
       val n = ctx.freshName("n"); val keys = ctx.freshName("keys")
       val t = ctx.freshName("t"); val j = ctx.freshName("j")
       val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
       val key = ctx.freshName("key"); val base = ctx.freshName("base")
       s"""
-         |int $n = java.lang.Math.min($dims, $v.numElements());
+         |int $n = $v.numElements();
+         |double[] $m = $self.matrixFor($n);
          |long[] $keys = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $key = ((long) $t) << 32;
          |  for (int $j = 0; $j < $planes; $j++) {
-         |    int $base = ($t * $planes + $j) * $dims;
+         |    int $base = ($t * $planes + $j) * $n;
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
          |      $dot += (double) $v.getFloat($i) * $m[$base + $i];
@@ -208,8 +225,7 @@ object VectorExpressions {
   }
 
   /** Column wrapper for the fused salted-LSH key kernel. */
-  def lshSignKeys(vec: Column, planes: Int, tables: Int,
-      dims: Int): Column =
+  def lshSignKeys(vec: Column, planes: Int, tables: Int): Column =
     ColumnBridge.column(LshSignKeysExpr(
-      ColumnBridge.expression(vec), planes, tables, dims))
+      ColumnBridge.expression(vec), planes, tables))
 }

@@ -39,8 +39,14 @@ object AsOf {
     // a payload column shadowing a left column would emit duplicate
     // output names, and __-prefixed inputs would collide with the
     // composition's own working columns
-    val clash = rightCols.filterNot(c => c == keyCol || c == tsCol)
-      .toSet.intersect(leftCols.toSet -- Seq(keyCol, tsCol))
+    // keyCol/tsCol are emitted once from the left side; a payload
+    // column with the same name would duplicate them in the output
+    val keyTs = rightCols.filter(c => c == keyCol || c == tsCol)
+    require(keyTs.isEmpty,
+      s"asOfJoin: rightCols must not contain keyCol/tsCol " +
+        s"(${keyTs.mkString(", ")}) — they are already emitted from the " +
+        "left side; alias the right column before joining")
+    val clash = rightCols.toSet.intersect(leftCols.toSet -- Seq(keyCol, tsCol))
     require(clash.isEmpty,
       s"asOfJoin: rightCols ${clash.mkString(", ")} duplicate left " +
         "column names — rename one side before joining")

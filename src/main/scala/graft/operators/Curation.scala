@@ -177,19 +177,28 @@ object Curation {
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
       .orderBy(col("a"), col("b"))
 
-  /** Same result as q26 through the bucketed generator; shares q26's
-    * all-pairs oracle, so a single missed pair fails the compare.
-    * ORACLE-COMPAT ONLY: at τ=0.4 the planes=2/tables=24 defaults are
-    * super-quadratic (each table splits the corpus into just 4
-    * buckets, so the equi-join emits ~tables/2^planes = 6× the
-    * cartesian's pairs before distinct) — the plan SHAPE is the 100 TB
-    * one (equi-join, no cross join) but the work is not. The genuine
-    * scale regime is q51 (τ=0.9, planes=16). Gate is
+  /** DERIVED-PARAMETER near-dup LSH — the path a caller gets by
+    * default: planes/tables omitted, so [[Similarity.lshParamsFor]]
+    * picks the selective configuration for τ = 0.9 ((8, 27): per-pair
+    * miss ≤ 1e-4 at the threshold, random-pair bucket collision
+    * expectation 27/256 ≈ 0.105 — candidate volume ~10% of the
+    * cartesian BEFORE the prefilter, asserted in SimilaritySpec).
+    * Runs over the same deterministic sign-flip near-dup corpus as
+    * q51 (the harness embeddings have no natural near-dups), gated by
+    * the exact all-pairs oracle — one missed pair fails the hash.
+    *
+    * τ = 0.4 (the q26 regime) has NO selective LSH configuration —
+    * lshParamsFor(0.4) needs 19 planes × 58k tables to clear the
+    * collision cap, i.e. low-τ search is fundamentally not an LSH
+    * problem; the exact q26 scan is the right tool there. The former
+    * pinned τ=0.4 LSH entry (planes=2/tables=16, super-quadratic by
+    * construction) now lives in SimilaritySpec as an equivalence
+    * check only — no shipped query pins a degenerate plan. Gate is
     * dataset-conditional — see the AnnOracleK scaladoc. */
   def q48EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsLsh(
-        Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4,
-        planes = 2, tables = 16)
+        flippedNearDupCorpus(Tables.embeddings(s, dir)),
+        "vec_id", "embedding", minCosine = 0.9)
       .orderBy(col("a"), col("b"))
 
   /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per
@@ -216,20 +225,30 @@ object Curation {
     * all-pairs scan over the SAME augmented corpus at τ = 0.9, so one
     * missed near-dup fails the hash (dataset-conditional — see the
     * AnnOracleK scaladoc). */
-  def q51EmbedNearDupLshHi(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  def q51EmbedNearDupLshHi(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(
+        flippedNearDupCorpus(Tables.embeddings(s, dir)),
+        "vec_id", "embedding",
+        minCosine = 0.9, planes = Q51Planes, tables = Q51Tables)
+      .orderBy(col("a"), col("b"))
+
+  /** Deterministic near-dup embedding corpus (shared by q48 and q51):
+    * the corpus unioned with a copy of itself (vec_id + 10⁶) whose
+    * first dimension's sign is flipped. Each (v, copy) pair sits at
+    * cos = 1 − 2·x₀²/‖x‖² ≈ 0.92–0.997 (Beta-distributed mass just
+    * under 1) while cross pairs stay ≤ ~0.55 — a sharp, fully
+    * SQL-reproducible high-τ fixture (float sign flip is exact on both
+    * engines). Left lazy: measured, the flip re-derivation is cheaper
+    * than materializing the vectors. */
+  def flippedNearDupCorpus(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
     val flipped = e.select(
       (col("vec_id") + lit(1000000L)).as("vec_id"),
       concat(
         array((-element_at(col("embedding"), 1)).cast("float")),
         slice(col("embedding"), lit(2), size(col("embedding")) - 1))
         .as("embedding"))
-    Similarity.cosineNearDupPairsLsh(
-        // derived corpus (union + flip) left lazy: measured, the flip
-        // re-derivation is cheaper than materializing the vectors
-        e.unionByName(flipped), "vec_id", "embedding",
-        minCosine = 0.9, planes = Q51Planes, tables = Q51Tables)
-      .orderBy(col("a"), col("b"))
+    e.unionByName(flipped)
   }
 
   // ── Text analysis ──────────────────────────────────────────────────

@@ -27,16 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity"),
       (children: Seq[Expression]) =>
         CosineSimilarityExpr(children(0), children(1))))
-    // lsh_sign_keys(vec, planes, tables, dims) — the fused salted-LSH
-    // key kernel; the int parameters must be literals (they shape the
-    // generated code and the precomputed plane matrix)
+    // lsh_sign_keys(vec, planes, tables) — the fused salted-LSH key
+    // kernel; the int parameters must be literals (they shape the
+    // generated code). The plane matrix is sized from the vectors
+    // themselves at run time — no dims argument.
     ext.injectFunction((
       FunctionIdentifier("lsh_sign_keys"),
       new ExpressionInfo(classOf[LshSignKeysExpr].getName,
         "lsh_sign_keys"),
       (children: Seq[Expression]) => {
-        require(children.length == 4,
-          s"lsh_sign_keys(vec, planes, tables, dims) takes 4 arguments, " +
+        require(children.length == 3,
+          s"lsh_sign_keys(vec, planes, tables) takes 3 arguments, " +
             s"got ${children.length}")
         def intLit(e: Expression, name: String): Int = e match {
           case Literal(v: Int, _) => v
@@ -45,8 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         LshSignKeysExpr(children(0),
           intLit(children(1), "planes"),
-          intLit(children(2), "tables"),
-          intLit(children(3), "dims"))
+          intLit(children(2), "tables"))
       }))
   }
 }

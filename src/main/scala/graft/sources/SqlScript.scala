@@ -45,7 +45,12 @@ object SqlScript {
         } else i += 1
       } else if (quote != 0) {
         sb.append(c)
-        if (c == quote) {
+        // backslash escapes apply inside string literals ('…'/"…") in
+        // Spark's default (non-ANSI escapedStringLiterals) mode — \' or
+        // \" must not close the region; backticks take doubled-char only
+        if (c == '\\' && quote != '`' && i + 1 < script.length) {
+          sb.append(next); i += 2
+        } else if (c == quote) {
           if (next == quote) { sb.append(next); i += 2 }
           else { quote = 0; i += 1 }
         } else i += 1

@@ -67,6 +67,27 @@ class AsOfSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin rejects rightCols that would duplicate output names") {
+    val left = Seq((1L, 10L, "c")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 5.0)).toDF("k", "t", "v")
+    // keyCol/tsCol are already emitted from the left side — a payload
+    // column with the same name would produce two output columns `k`
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, "k", "t", Seq("k", "v"))
+    }
+    assert(e1.getMessage.contains("keyCol/tsCol"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, "k", "t", Seq("t"))
+    }
+    assert(e2.getMessage.contains("keyCol/tsCol"))
+    // a payload column shadowing a non-key left column is still caught
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right.withColumnRenamed("v", "name"),
+        "k", "t", Seq("name"))
+    }
+    assert(e3.getMessage.contains("duplicate left"))
+  }
+
   test("saltedJoin is row-identical to the plain equi-join") {
     val skewed = spark.range(1000).select(
       when(col("id") % 10 < 8, lit(1L)).otherwise(col("id")).as("k"),

@@ -96,6 +96,53 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed near-dup degenerated to a cross join:\n$plan")
   }
 
+  test("ANN plan construction launches zero Spark jobs (no driver probes)") {
+    import graft.operators.Similarity
+    // round-8 verdict #2: lshTopK/saltedKeysAgg used to run a take(1)
+    // dims probe at plan-build time — at 100 TB a blocking driver
+    // round-trip before any useful work. Construction must be lazy.
+    // table load happens BEFORE the watch window: spark.read.parquet
+    // itself runs a footer/schema job (Spark's, for any read — not an
+    // operator probe)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    // the async listener bus may still hold JobStart events from prior
+    // work when this listener registers — count only jobs that START
+    // after this point, and sort marker sub-jobs out by job group
+    val groups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t0 = System.currentTimeMillis()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (s.time >= t0) groups.add(
+          Option(s.properties)
+            .map(_.getProperty("spark.jobGroup.id", "none")).getOrElse("none"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
+        planes = 4, tables = 4)
+      // marker action: the listener bus is FIFO, so once the marker's
+      // jobs arrive, any construction-time job would already have been
+      // recorded — and would carry a different (or no) job group
+      spark.sparkContext.setJobGroup("ann-marker", "marker")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!groups.contains("ann-marker") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      val nonMarker = {
+        val it = groups.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) { val g = it.next(); if (g != "ann-marker") b += g }
+        b.result()
+      }
+      assert(groups.contains("ann-marker"), "marker job never observed")
+      assert(nonMarker.isEmpty,
+        s"ANN construction launched ${nonMarker.size} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q21: exactly ONE grams-to-grams self-join in the plan") {
     import spark.implicits._
     // uncapped (no stop-shingle anti-join), so every join keyed on the

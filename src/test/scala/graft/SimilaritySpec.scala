@@ -87,6 +87,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("pinned τ=0.4 LSH equals the exact all-pairs scan (oracle compat)") {
+    // moved here from the shipped q48 entry (round-8 verdict #3): the
+    // τ=0.4 regime has NO selective LSH configuration (lshParamsFor
+    // would need 19 planes × 58k tables), so the planes=2/tables=16
+    // pin is super-quadratic by construction — correct, and the
+    // equivalence is still worth guarding, but it must never be a
+    // shipped query plan. Exact τ=0.4 search belongs to the q26 scan.
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(e, "vec_id", "embedding",
+        minCosine = 0.4, planes = 2, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("derived near-dup params generate a sub-cartesian candidate set") {
+    // the q48 cost contract: at the lshParamsFor-derived parameters
+    // the bucketed candidate volume is a small fraction of n(n−1)/2,
+    // yet still contains every true τ=0.9 pair on the near-dup fixture
+    val aug = graft.operators.Curation.flippedNearDupCorpus(
+      Tables.embeddings(spark, SparkTestSession.sf))
+    val n = aug.count()
+    val cartesian = n * (n - 1) / 2
+    val (planes, tables) = Similarity.lshParamsFor(0.9)
+    val cand = Similarity.lshCandidatePairs(
+      aug, "vec_id", "embedding", planes, tables)
+    val candCount = cand.count()
+    assert(candCount < cartesian / 4,
+      s"candidates $candCount not sub-cartesian (cartesian $cartesian)")
+    val truePairs = Similarity.cosineNearDupPairs(
+        aug, "vec_id", "embedding", 0.9)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    assert(truePairs.subsetOf(candSet),
+      s"candidates miss true pairs: ${(truePairs -- candSet).take(5)}")
+  }
+
   test("dot product is exact decimal (partition-order independent)") {
     val big = spark.range(0, 1000).select($"id".cast("long").as("vec_id"),
       transform(sequence(lit(0), lit(63)),

@@ -18,6 +18,16 @@ class SqlScriptSpec extends AnyFunSuite {
     // a block comment abutting tokens must not glue them together
     assert(SqlScript.statements("select col/*doc*/from t;") ==
       Seq("select col from t"))
+    // backslash escapes in string literals (Spark's default mode):
+    // \' must not close the region, so the inner ; stays literal
+    assert(SqlScript.statements("select 'it\\'s; done' from t; select 1;")
+      == Seq("select 'it\\'s; done' from t", "select 1"))
+    assert(SqlScript.statements("select \"a\\\"; b\" from t;")
+      == Seq("select \"a\\\"; b\" from t"))
+    // backticked identifiers keep doubled-char escape only — a
+    // backslash inside one is an ordinary character
+    assert(SqlScript.statements("select `a\\` from t;")
+      == Seq("select `a\\` from t"))
   }
 
   test("mssql quoted-alias rewrites to AS form") {

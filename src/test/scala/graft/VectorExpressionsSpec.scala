@@ -77,11 +77,11 @@ class VectorExpressionsSpec extends AnyFunSuite {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sign_keys",
       exprs => graft.functions.LshSignKeysExpr(exprs(0),
-        2, 3, 5),
+        2, 3),
       "built-in")
     vecs.createOrReplaceTempView("v_lsh")
     val keys = spark.sql(
-      "SELECT lsh_sign_keys(embedding, 2, 3, 5) AS k FROM v_lsh WHERE vec_id = 0")
+      "SELECT lsh_sign_keys(embedding, 2, 3) AS k FROM v_lsh WHERE vec_id = 0")
       .head().getSeq[Long](0)
     assert(keys.length == 3)
     assert(keys.map(_ >> 32).toSeq == Seq(0L, 1L, 2L)) // table salts
@@ -95,7 +95,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val df = data.toDF("vec_id", "embedding")
     val got = df.select($"vec_id",
         graft.functions.VectorExpressions.lshSignKeys(
-          $"embedding", planes, tables, dims).as("keys"))
+          $"embedding", planes, tables).as("keys"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     // reference computation straight from the mix64 definition
     def plane(p: Int): Array[Double] = Array.tabulate(dims)(i =>
@@ -114,7 +114,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // interpreted path agrees with codegen
     val expr = graft.functions.LshSignKeysExpr(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression($"embedding"),
-      planes, tables, dims)
+      planes, tables)
     data.foreach { case (id, v) =>
       val interp = expr.nullSafeEval(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
