@@ -61,6 +61,12 @@ object SparkEntry {
     "q59_value_stats"      -> (Reports.q59ValueStats _),
     "q60_sessions_batch"   -> (Reports.q60SessionsBatch _),
     "q58_lang_quota"       -> (Curation.q58LangQuota _),
+    // sketch output is engine-specific — no SQL oracle (rows-only
+    // check); ReportsSpec gates it against q59 within 1/accuracy
+    // rank error
+    "q61_value_stats_approx" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        Reports.q59ValueStatsApprox(s, d)),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -471,6 +471,28 @@ object Reports {
       .orderBy(col("event_type"))
   }
 
+  /** The 100 TB twin of [[q59ValueStats]]: `percentile_approx`
+    * (Greenwald-Khanna sketch, bounded memory, mergeable partials — no
+    * per-group full sort/spill the exact `percentile` needs). Same
+    * shape/columns as q59 so it drops into the same downstream. Not
+    * hash-gated (sketch values are engine-specific); ReportsSpec gates
+    * it against the exact profile within the sketch's published rank
+    * error of 1/accuracy: approx(q) must land between the exact values
+    * at ranks q ± 1/accuracy. */
+  def q59ValueStatsApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        fin(avg(dec(col("value")))).as("mean"),
+        fin(expr(s"percentile_approx(value, 0.5,  $accuracy)")).as("p50"),
+        fin(expr(s"percentile_approx(value, 0.95, $accuracy)")).as("p95"),
+        fin(expr(s"percentile_approx(value, 0.99, $accuracy)")).as("p99"),
+        fin(max(dec(col("value")))).as("vmax"))
+      .orderBy(col("event_type"))
+  }
+
   // ── Salted skew join ───────────────────────────────────────────────
   /** Orders⋈lineitem through [[Skew.saltedJoin]] (salt 8, scattered by
     * the part key), aggregated per order status — row-identical to

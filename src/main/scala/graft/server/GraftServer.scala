@@ -72,6 +72,17 @@ final class GraftServer(
       "<FETCH></FETCH></COLLECTION>" +
       "</TDLMESSAGE></TDL></DESC></BODY></ENVELOPE>"
 
+  /** The GUI page (classpath resource; a terse fallback keeps the
+    * server usable if the jar was built without resources). */
+  private lazy val guiHtml: String =
+    Option(getClass.getResourceAsStream("/gui.html"))
+      .map { in =>
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      .getOrElse("<html><body><h1>graft sync server</h1>" +
+        "<p>gui.html resource missing from build</p></body></html>")
+
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
@@ -108,12 +119,10 @@ final class GraftServer(
     val content = body(ex)
     ex.getRequestURI.getPath match {
       case "/" =>
-        val running = Option(syncThread.get).exists(_.isAlive)
-        respond(ex,
-          s"<html><body><h1>graft sync server</h1>" +
-            s"<p>sync running: $running</p>" +
-            s"<p>log lines: ${logLines.size}</p></body></html>",
-          "text/html")
+        // the reference serves gui.html here (src/server.mts:90-97);
+        // ours is an original page wired to THIS server's endpoints,
+        // with /log polling standing in for the WebSocket console
+        respond(ex, guiHtml, "text/html")
       case "/loadconfig" =>
         respond(ex, new String(Files.readAllBytes(configPath),
           StandardCharsets.UTF_8), "application/json")

@@ -61,50 +61,80 @@ object EventStream {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Timestamp ↔ microsecond conversions: gap arithmetic runs in
+    * MICROseconds so the streaming splitter agrees exactly with the
+    * batch twin [[graft.operators.Reports.q60SessionsBatch]] (which is
+    * pinned to micros by its DuckDB oracle) — millisecond `getTime`
+    * arithmetic would disagree on gaps within 1 ms of the boundary. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Custom keyed state: 30-minute-gap sessionization via
     * flatMapGroupsWithState (the mapGroupsWithState family the
-    * reference's polling loop cannot express). Emits a summary when a
-    * session times out. */
+    * reference's polling loop cannot express).
+    *
+    * Everything is EVENT time: sessions split on event-time gaps
+    * (micros, matching the batch twin
+    * [[graft.operators.Reports.q60SessionsBatch]] exactly) and a
+    * still-open session is emitted when the WATERMARK passes its last
+    * event + gap (EventTimeTimeout). Event-time timeouts are the
+    * 100 TB-safe choice: state is bounded by the watermark, results
+    * are deterministic under replay/backfill, and — unlike
+    * ProcessingTimeTimeout — the engine does not have to run empty
+    * wall-clock batches forever to fire them (which also makes
+    * `processAllAvailable` hang, since the stream never quiesces). */
   def sessionize(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "2 hours"): Dataset[SessionSummary] = {
     import spark.implicits._
-    val typed = events.select(col("event_id"), col("ts"), col("user_id"),
-      col("event_type"), col("value")).as[Event]
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val gapUs = gapMinutes * 60000000L
+    val gapMs = gapMinutes * 60000L
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Double, Long, Long), SessionSummary](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[(Long, Long, Double, Long, Long)]) =>
           if (state.hasTimedOut) {
             val (n, _, total, started, ended) = state.get
             state.remove()
-            Iterator(SessionSummary(userId, n, total,
-              new java.sql.Timestamp(started), new java.sql.Timestamp(ended)))
+            Iterator(SessionSummary(userId, n, total, tsOf(started),
+              tsOf(ended)))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val gapMs = gapMinutes * 60000L
+            val sorted = rows.toSeq.sortBy(e => usOf(e.ts))
             var out = List.empty[SessionSummary]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some((n, _, total, started, ended)) if t - ended <= gapMs =>
+                case Some((n, _, total, started, ended)) if t - ended <= gapUs =>
                   // late events from an earlier micro-batch may precede
                   // the current span — extend, never move boundaries
                   // backwards (keeps started <= ended invariant)
                   cur = Some((n + 1, 0L, total + e.value,
                     math.min(started, t), math.max(ended, t)))
                 case Some((n, _, total, started, ended)) =>
-                  out ::= SessionSummary(userId, n, total,
-                    new java.sql.Timestamp(started),
-                    new java.sql.Timestamp(ended))
+                  out ::= SessionSummary(userId, n, total, tsOf(started),
+                    tsOf(ended))
                   cur = Some((1L, 0L, e.value, t, t))
                 case None =>
                   cur = Some((1L, 0L, e.value, t, t))
               }
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            cur.foreach { st =>
+              state.update(st)
+              // close at last-event + gap; if the watermark already
+              // passed that (deep backfill), close at the next batch
+              state.setTimeoutTimestamp(math.max(st._5 / 1000L + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
             out.reverseIterator
           }
       }

@@ -53,77 +53,147 @@ final class ParquetWarehouse(spark: SparkSession, dir: String) extends Warehouse
 /** Parquet warehouse with HASH-partitioned tables (`_pt =
   * pmod(xxhash64(key), buckets)`) and partition-level incremental
   * rewrites: [[rewritePartitions]] replaces ONLY the partitions whose
-  * bucket holds an affected key, via dynamic partition overwrite —
-  * untouched partitions' files are never rewritten (SURVEY §7.1's
-  * "partition-overwrite semantics"; a full sync still rewrites whole
-  * tables through [[write]]). Tables lacking the key column (pure
-  * dims like mst_vouchertype) store unpartitioned and fall back to
-  * full rewrite.
+  * bucket holds an affected key — untouched partitions carry over into
+  * the new snapshot as hard links (same inodes, zero data copy), so
+  * their files are never rewritten (SURVEY §7.1's "partition-overwrite
+  * semantics"; a full sync still rewrites whole tables through
+  * [[write]]). Tables lacking the key column (pure dims like
+  * mst_vouchertype) store unpartitioned and fall back to full rewrite.
   *
-  * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during a
-  * rewrite. Unlike [[ParquetWarehouse]]'s write-new-then-swap, both the
-  * full [[write]] and the dynamic-partition overwrite replace live
-  * files in place — an in-flight reader of the old snapshot can race
-  * the rewrite. The sync job is the sole owner of the warehouse
-  * directory (the reference's loader makes the same assumption of its
-  * target database); front a snapshot/rename layer if readers must
-  * overlap syncs. */
+  * Concurrency contract: SINGLE WRITER, CONCURRENT READERS SAFE.
+  * Every commit is snapshot-isolated: data lives in immutable version
+  * directories (`<table>/v0`, `v1`, …) and a `CURRENT` pointer file
+  * names the live one. A write stages the next version completely,
+  * then publishes it with one atomic rename of the pointer — a reader
+  * resolving [[read]] mid-rewrite sees either the old or the new
+  * snapshot, never a torn mix or a vanished file (the failure mode of
+  * in-place dynamic partition overwrite). Retention: the previous
+  * version is kept so in-flight reads of the prior snapshot finish;
+  * older versions are garbage-collected at publish. A read plan held
+  * across TWO subsequent commits can lose its files — re-resolve
+  * [[read]] per query (the reference's loader has the same contract:
+  * its target database snapshots per-statement,
+  * src/database.mts:170-210). On a 1000-executor cluster the same
+  * layout works on any posix-rename DFS; on S3-like stores swap the
+  * pointer file for a small transaction log (what Delta/Iceberg do) —
+  * the reader/writer protocol here is deliberately that shape. */
 final class PartitionedParquetWarehouse(spark: SparkSession, dir: String,
-    keyCol: String = "guid", buckets: Int = 64) extends Warehouse {
+    keyCol: String = "guid", buckets: Int = 64,
+    retainVersions: Int = 2) extends Warehouse {
+  require(retainVersions >= 2,
+    "retainVersions < 2 would GC the snapshot an in-flight reader resolved")
   private val PtCol = "_pt"
-  private def path(t: String) = s"$dir/$t"
+  private def tableDir(t: String) = new java.io.File(dir, t)
+  private def pointer(t: String) = new java.io.File(tableDir(t), "CURRENT")
   private def pt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(c), lit(buckets.toLong))
 
-  def exists(table: String): Boolean = new java.io.File(path(table)).exists()
+  private def currentVersion(t: String): Option[String] = {
+    val p = pointer(t)
+    if (!p.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** Absolute path of the LIVE snapshot directory — what a reader
+    * resolves; exposed so tests/ops can inspect the physical layout
+    * (partition dirs live under it as `_pt=<bucket>`). */
+  def currentPath(table: String): String =
+    currentVersion(table)
+      .map(v => new java.io.File(tableDir(table), v).getPath)
+      .getOrElse(tableDir(table).getPath)
+
+  def exists(table: String): Boolean = tableDir(table).exists()
 
   def read(table: String): DataFrame = {
-    val df = spark.read.parquet(path(table))
+    val df = spark.read.parquet(currentPath(table))
     if (df.columns.contains(PtCol)) df.drop(PtCol) else df
   }
 
-  def write(table: String, df: DataFrame): Unit =
+  private def nextVersion(t: String): String =
+    "v" + (currentVersion(t).map(_.drop(1).toLong).getOrElse(-1L) + 1L)
+
+  /** Atomic pointer flip + retention GC. The rename is the commit
+    * point; everything before it is invisible to readers. */
+  private def publish(t: String, v: String): Unit = {
+    val tmp = new java.io.File(tableDir(t), "CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, pointer(t).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep v (live) plus retainVersions-1 predecessors; drop older
+    val keepFrom = v.drop(1).toLong - (retainVersions - 1L)
+    Option(tableDir(t).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName.drop(1).toLong < keepFrom)
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Hard-link `src`'s tree under `dst` — carries an untouched
+    * partition into the next snapshot without copying data. */
+  private def linkTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => linkTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      ()
+    }
+  }
+
+  def write(table: String, df: DataFrame): Unit = {
+    tableDir(table).mkdirs()
+    val v = nextVersion(table)
+    val out = new java.io.File(tableDir(table), v).getPath
     if (df.columns.contains(keyCol))
       df.withColumn(PtCol, pt(col(keyCol)))
-        .write.mode("overwrite").partitionBy(PtCol).parquet(path(table))
-    else df.write.mode("overwrite").parquet(path(table))
+        .write.mode("overwrite").partitionBy(PtCol).parquet(out)
+    else df.write.mode("overwrite").parquet(out)
+    publish(table, v)
+  }
 
   override def rewritePartitions(table: String, keys: DataFrame,
       transform: DataFrame => DataFrame): Unit = {
-    val raw = spark.read.parquet(path(table))
+    val curPath = currentPath(table)
+    val raw = spark.read.parquet(curPath)
     if (!raw.columns.contains(PtCol)) {
-      // materialize BEFORE the plain overwrite: the transformed plan
-      // lazily reads the same path write() deletes (the partitioned
-      // branch below checkpoints for exactly this reason)
-      write(table, transform(read(table)).localCheckpoint(eager = true))
+      // unpartitioned table: full rewrite. The source version dir is
+      // immutable (write targets a NEW version; retention keeps the
+      // predecessor), so the lazy plan needs no checkpoint.
+      write(table, transform(read(table)))
       return
     }
     val keyName = keys.columns.head
     // affected bucket ids — at most `buckets` values, driver-safe
     val pts = keys.select(pt(col(keyName)).cast("long").as(PtCol))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct().collect().map(_.getLong(0)).toSet
     if (pts.isEmpty) return
-    val affected = raw.filter(col(PtCol).isin(pts: _*)).drop(PtCol)
-    // materialize BEFORE the overwrite: the rebuilt slice derives from
-    // the very files the write will replace
-    val rebuilt = transform(affected)
+    val affected = raw.filter(col(PtCol).isin(pts.toSeq: _*)).drop(PtCol)
+    val newV = nextVersion(table)
+    val newDir = new java.io.File(tableDir(table), newV)
+    // stage 1: write the rebuilt slice into the NEW version dir. The
+    // merge contract guarantees rebuilt rows' keys ⊆ `keys`, so every
+    // output partition is one of `pts`; a partition emptied by the
+    // transform simply never appears. Source files are immutable, so
+    // no pre-write materialization is needed.
+    transform(affected)
       .withColumn(PtCol, pt(col(keyCol)))
-      .localCheckpoint(eager = true)
-    val rebuiltPts = rebuilt.select(col(PtCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
-    rebuilt.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(PtCol).parquet(path(table))
-    // dynamic overwrite only touches partitions PRESENT in the output;
-    // a partition emptied by the transform must be dropped explicitly
-    pts.filterNot(rebuiltPts).foreach { p =>
-      val d = new java.io.File(s"${path(table)}/$PtCol=$p")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (d.exists()) rm(d)
-    }
+      .write.mode("overwrite").partitionBy(PtCol).parquet(newDir.getPath)
+    // stage 2: carry untouched partitions over as hard links
+    Option(new java.io.File(curPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PtCol=") &&
+        !pts.contains(f.getName.stripPrefix(s"$PtCol=").toLong))
+      .foreach(f => linkTree(f, new java.io.File(newDir, f.getName)))
+    // stage 3: atomic publish — the only instant readers can observe
+    publish(table, newV)
   }
 }
 

@@ -43,6 +43,65 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals the batch twin (q60 semantics)") {
+    // Feed the SAME events through EventStream.sessionize and
+    // Reports.q60SessionsBatch and assert session-set equality — q60's
+    // DuckDB oracle defines the gap semantics, so this gate transfers
+    // that oracle to the streaming path. A MemoryStream gives explicit
+    // batch control: batch 1 carries the whole corpus; batch 2 is a
+    // far-future sentinel event that advances the WATERMARK past every
+    // open session's last-event+gap, so event-time timeouts flush them
+    // all — deterministic, no wall-clock sleeps.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionize(spark, src.toDF(), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sessions_eq").outputMode("append").start()
+    try {
+      val events = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStream.Event].collect()
+      src.addData(events.toSeq)
+      q.processAllAvailable()
+      val maxTs = events.map(_.ts.getTime).max
+      src.addData(EventStream.Event(-1L,
+        new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+
+      def us(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val streamed = spark.table("sessions_eq")
+        .filter(col("user_id") >= 0).collect()
+        .map { r => (r.getAs[Long]("user_id"),
+          us(r.getAs[java.sql.Timestamp]("started"))) ->
+          ((r.getAs[Long]("n_events"),
+            us(r.getAs[java.sql.Timestamp]("ended")),
+            r.getAs[Double]("total_value"))) }
+        .toMap
+      val batch = operators.Reports.q60SessionsBatch(spark, sf).collect()
+        .map { r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("end_us"),
+            r.getAs[Double]("total_value"))) }
+        .toMap
+      assert(streamed.keySet == batch.keySet,
+        s"session boundaries differ: ${streamed.size} streamed vs " +
+          s"${batch.size} batch; only-streamed=" +
+          s"${(streamed.keySet -- batch.keySet).take(3)} only-batch=" +
+          s"${(batch.keySet -- streamed.keySet).take(3)}")
+      streamed.foreach { case (k, (n, end, total)) =>
+        val (bn, bend, btotal) = batch(k)
+        assert(n == bn && end == bend, s"session $k: ($n,$end) vs ($bn,$bend)")
+        // batch sums in DECIMAL then rounds; streaming sums doubles in
+        // event order — equal within accumulation error
+        assert(math.abs(total - btotal) < 1e-4, s"session $k value: $total vs $btotal")
+      }
+    } finally q.stop()
+  }
+
   test("sessionization produces plausible keyed-state summaries") {
     val stream = EventStream.readEvents(spark, sf)
     val sessions = EventStream.sessionize(spark, stream, gapMinutes = 30)

@@ -83,6 +83,49 @@ class GraftServerSpec extends AnyFunSuite {
     }
   }
 
+  private def get(port: Int, path: String): String =
+    client.send(
+      HttpRequest.newBuilder()
+        .uri(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  test("GET / serves the GUI and the page's own flow drives /sync end-to-end") {
+    val started = new CountDownLatch(1)
+    var syncedCfg: Map[String, String] = Map.empty
+    withServer(transport = p =>
+      if (p.contains("<TYPE>Company</TYPE>")) "<DATA><ROW>Acme Ltd</ROW></DATA>"
+      else "<RESPONSE>up</RESPONSE>",
+      sync = cfg => { syncedCfg = cfg; started.countDown() }) { (srv, port) =>
+      val page = get(port, "/")
+      // the served page is the real GUI: config form + console
+      assert(page.contains("id=\"database_technology\""))
+      assert(page.contains("id=\"tally_server\""))
+      assert(page.contains("id=\"console\""))
+      // every endpoint the page's JS fetches must be live on this
+      // server — the page can't reference a route we don't serve
+      val fetched = "fetch\\('([^'?]+)".r.findAllMatchIn(page)
+        .map(_.group(1)).toSet
+      assert(fetched == Set("/loadconfig", "/saveconfig", "/sync",
+        "/abort", "/tally-status", "/list-company", "/log"))
+      // drive the page's exact flow over those endpoints:
+      assert(get(port, "/loadconfig").contains("localhost")) // loadConfig()
+      val formCfg =                                          // configFromForm()
+        """{"database":{"technology":"mssql","server":"db","port":1433},
+          |"tally":{"server":"tallyhost","port":9000}}""".stripMargin
+      assert(post(port, "/saveconfig", formCfg) == "Config saved")
+      assert(post(port, "/list-company", formCfg)            // listCompanies()
+        .contains("<ROW>Acme Ltd</ROW>"))
+      assert(post(port, "/tally-status", "").nonEmpty)       // tallyStatus()
+      assert(post(port, "/sync", formCfg) == "Sync started") // startSync()
+      started.await()
+      assert(syncedCfg("tally.server") == "tallyhost")
+      srv.log("EXTRACT mst_ledger 10 rows")
+      assert(get(port, "/log?from=0")                        // startPolling()
+        .contains("EXTRACT mst_ledger"))
+      get(port, "/abort")                                    // abortSync()
+    }
+  }
+
   test("flat json config parsing handles strings, numbers, booleans") {
     withServer() { (srv, _) =>
       assert(srv.flatJson(

@@ -210,7 +210,7 @@ class MergeJobSpec extends AnyFunSuite {
       s"fixture collision: lg1 shares bucket $untouchedPt — pick other guids")
 
     def snapshot(pt: Long): Map[String, (Long, String)] = {
-      val d = new java.io.File(s"$dir/mst_ledger/_pt=$pt")
+      val d = new java.io.File(s"${w.currentPath("mst_ledger")}/_pt=$pt")
       d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
         val md5 = java.security.MessageDigest.getInstance("MD5")
@@ -231,6 +231,47 @@ class MergeJobSpec extends AnyFunSuite {
     // …and the untouched partition's files were never rewritten
     assert(snapshot(untouchedPt) == before,
       "untouched partition was rewritten by the sync")
+  }
+
+  test("concurrent reader sees only complete snapshots during partitioned rewrites") {
+    // The round-8 caveat: dynamic partition overwrite replaced live
+    // files in place, so a reader overlapping a rewrite could see a
+    // torn table (missing files / mixed halves). The versioned layout
+    // must make every read resolve to a complete snapshot: the sum of
+    // `value` is 400·10^i for whichever commit i the read lands on —
+    // any other sum (or an exception) is a torn read.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cwh").toString
+    // retention 4: the reader loop must never lose a resolved version
+    // to GC across the 3 commits (the keep-N contract under test is
+    // snapshot atomicity, not retention-window sizing)
+    val w = new PartitionedParquetWarehouse(spark, dir, buckets = 4,
+      retainVersions = 4)
+    val base = (0 until 400).map(i => (s"g$i", 1L)).toDF("guid", "value")
+    w.write("t", base)
+    val validSums = (0 to 3).map(i => 400L * math.pow(10, i).toLong).toSet
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val r = w.read("t")
+            .agg(count(lit(1)).as("n"), sum($"value").as("s")).head()
+          val n = r.getAs[Long]("n"); val s = r.getAs[Long]("s")
+          if (n != 400 || !validSums.contains(s))
+            failure = Some(s"torn read: n=$n sum=$s")
+        } catch { case e: Exception => failure = Some(e.toString) }
+      }
+    })
+    reader.start()
+    try {
+      val allKeys = (0 until 400).map(i => s"g$i").toDF("guid")
+      (1 to 3).foreach { _ =>
+        w.rewritePartitions("t", allKeys,
+          df => df.withColumn("value", $"value" * 10L))
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(w.read("t").agg(sum($"value")).head().getLong(0) == 400000L)
   }
 
   test("parquet warehouse swap-write survives read-write cycles") {

@@ -21,6 +21,40 @@ class ReportsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
+  test("q59 approx profile stays inside the sketch's rank-error bound") {
+    // percentile_approx(accuracy=A) returns an actual SAMPLE whose
+    // rank is within the sketch's error of the target — so the gate is
+    // on RANK, not value: the exact CDF interval of the returned value
+    // must intersect [q ± tol]. tol = 20/A (nominal 1/A error ×20
+    // headroom for the per-partition Greenwald-Khanna summaries Spark
+    // merges — the mergeability is what makes it 100 TB-viable) + 1/n
+    // (a group of n samples cannot place any value closer than one
+    // rank step).
+    val acc = 10000
+    val approx = Reports.q59ValueStatsApprox(spark, sf, accuracy = acc)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val valuesByType = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet == valuesByType.keySet)
+    approx.foreach { case (et, a) =>
+      val vals = valuesByType(et)
+      val n = vals.length.toDouble
+      val tol = 20.0 / acc + 1.0 / n
+      Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99).foreach {
+        case (name, q) =>
+          val v = a.getAs[Double](name)
+          // fin() rounds the emitted value to 6dp — rank with slack
+          val rLo = vals.count(_ < v - 1e-5) / n
+          val rHi = vals.count(_ <= v + 1e-5) / n
+          assert(rLo <= q + tol && rHi >= q - tol,
+            s"$et $name=$v has exact rank [$rLo,$rHi], " +
+              s"outside [$q ± $tol] (n=${n.toInt})")
+      }
+    }
+  }
+
   test("trial balance totals reconcile with raw order totals") {
     val tb = Reports.q02TrialBalance(spark, sf)
     // fulfilled/open_amt are edge-rounded doubles of exact 2-dp sums;
