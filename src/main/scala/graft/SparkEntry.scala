@@ -67,6 +67,8 @@ object SparkEntry {
     "q61_value_stats_approx" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         Reports.q59ValueStatsApprox(s, d)),
+    "q62_dedup_incremental" -> (Curation.q62DedupIncremental _),
+    "q63_repetition"       -> (Curation.q63Repetition _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -239,6 +241,39 @@ object SparkEntry {
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
     "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
     "q23_dedup_simhash"       -> ngramJaccardSql(None),
+    // incremental ingest dedup: exact cross-side trigram Jaccard over
+    // the md5 '>= c' incoming / '< c' existing split (the q22
+    // recall-1 banding regime — every oracle pair must be found)
+    "q62_dedup_incremental" ->
+      s"""WITH sides AS (SELECT doc_id, text,
+        |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
+        |  FROM documents),
+        | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
+        | grams AS (SELECT DISTINCT doc_id, incoming,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g
+        |   AND x.incoming = 0 AND y.incoming = 1
+        |  GROUP BY 1,2)
+        |SELECT i.a AS existing_id, i.b AS incoming_id,
+        | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // per-doc repetition metrics: bare single-space split on both
+    // engines (string_split ≡ split — same token multisets, empties
+    // included), exact integer counts, round(…,6) doubles
+    "q63_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(sum(c) AS BIGINT) AS n_words,
+        | CAST(count(*) AS BIGINT) AS n_distinct_words,
+        | round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac,
+        | round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // end-to-end corpus dedup: exact keepers, then the SAME uncapped
     // exact-Jaccard pairs restricted to keepers → drop the larger id
     "q52_dedup_corpus" ->

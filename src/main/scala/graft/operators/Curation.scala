@@ -60,6 +60,39 @@ object Curation {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Incoming/existing corpus boundary for q62: a doc is INCOMING when
+    * its content-hash first hex digit is ≥ 'c' (≈ 25% of the corpus) —
+    * the same md5 split family as q57, so the boundary is
+    * deterministic, scale-proportional at every sf, and exact
+    * duplicates can never straddle it (identical text ⇒ identical
+    * digest ⇒ same side). Near-duplicates CAN straddle — exactly the
+    * pairs an ingest cycle must find. */
+  val Q62IncomingHex = "c"
+
+  /** Incremental ingest dedup — the every-cycle shape of a corpus
+    * pipeline: find near-dup pairs between the incoming batch and the
+    * already-indexed corpus only (no self-pairs on either side; see
+    * [[TextDedup.incrementalNearDupPairs]]). Oracle: the exact
+    * cross-side trigram Jaccard at τ = 0.8 (the q22 recall-1 banding
+    * regime, so the MinHash path must find every oracle pair). */
+  def q62DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(
+      substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
+    val existing = docs.filter(
+      substring(md5(col("text")), 1, 1) < Q62IncomingHex)
+    TextDedup.incrementalNearDupPairs(existing, incoming,
+        "doc_id", "text", n = 3, minJaccard = 0.8)
+      .orderBy(col("existing_id"), col("incoming_id"))
+  }
+
+  /** Per-doc repetition metrics (Gopher-style quality filters) — fully
+    * per-row, zero shuffle (see [[TextAnalysis.repetitionMetrics]]). */
+  def q63Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(Tables.documents(s, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ── Similarity search ──────────────────────────────────────────────
   def q24EmbedKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -177,12 +210,20 @@ object Curation {
         Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.4)
       .orderBy(col("a"), col("b"))
 
-  /** DERIVED-PARAMETER near-dup LSH — the path a caller gets by
-    * default: planes/tables omitted, so [[Similarity.lshParamsFor]]
-    * picks the selective configuration for τ = 0.9 ((8, 27): per-pair
-    * miss ≤ 1e-4 at the threshold, random-pair bucket collision
-    * expectation 27/256 ≈ 0.105 — candidate volume ~10% of the
-    * cartesian BEFORE the prefilter, asserted in SimilaritySpec).
+  /** q48's per-vector candidate budget: the scale-aware derivation
+    * caps expected random-pair candidates at ~this × n/2 (linear in
+    * n), vs the fixed-cap derive whose ~10%-of-cartesian volume the
+    * 10× bench measured growing 100× for 10× data. */
+  val Q48CandidatesPerVector = 32.0
+
+  /** SCALE-DERIVED near-dup LSH — the path a 100 TB caller wants:
+    * planes/tables omitted and a per-vector candidate budget set, so
+    * [[Similarity.lshParamsForScale]] tightens the bucket-collision
+    * cap with the (sampled) corpus size and candidate volume stays
+    * ~linear in n (at the sf0.01 gate size the derive lands near the
+    * fixed-cap config, so the oracle result is identical; at 10×
+    * sf0.1 it cuts candidates ~40× — BASELINE.md §Demonstrated
+    * scaling). Per-pair miss stays ≤ 1e-4 at τ = 0.9.
     * Runs over the same deterministic sign-flip near-dup corpus as
     * q51 (the harness embeddings have no natural near-dups), gated by
     * the exact all-pairs oracle — one missed pair fails the hash.
@@ -198,7 +239,8 @@ object Curation {
   def q48EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsLsh(
         flippedNearDupCorpus(Tables.embeddings(s, dir)),
-        "vec_id", "embedding", minCosine = 0.9)
+        "vec_id", "embedding", minCosine = 0.9,
+        candidatesPerVector = Q48CandidatesPerVector)
       .orderBy(col("a"), col("b"))
 
   /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per

@@ -385,16 +385,69 @@ object Similarity {
       s"no selective LSH config for minCosine=$minCosine"))
   }
 
+  /** Scale-aware parameter derivation: tighten the random-pair
+    * collision cap to `candidatesPerVector / n` so EXPECTED candidate
+    * volume is ~candidatesPerVector·n/2 — LINEAR in corpus size. A
+    * FIXED cap (the plain [[lshParamsFor]] default) keeps candidates a
+    * constant fraction of the n²/2 cartesian, which the 10× corpus
+    * bench measured as 100× candidate growth for 10× data
+    * (BASELINE.md §Demonstrated scaling); this derivation holds the
+    * per-vector budget instead, paying more planes×tables key work per
+    * row (linear, embarrassingly parallel) for quadratically fewer
+    * pairs. The per-pair miss stays ≤ `maxMiss` at the threshold in
+    * every returned config.
+    *
+    * `planes` is capped at 32 (the native kernel's key width): past
+    * n ≈ 3M·candidatesPerVector the cap binds and the tightest config
+    * is returned with a warning — growth then degrades gracefully
+    * toward quadratic-with-tiny-constant; shard the corpus (e.g. by a
+    * coarse IVF list) before bucketing past that size. */
+  def lshParamsForScale(minCosine: Double, n: Long,
+      candidatesPerVector: Double = 32.0,
+      maxMiss: Double = 1e-4): (Int, Int) = {
+    require(minCosine > 0.0 && minCosine < 1.0,
+      s"minCosine must be in (0, 1), got $minCosine")
+    require(n > 0 && candidatesPerVector > 0)
+    val cap = candidatesPerVector / n.toDouble
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val cfgs = (1 to 32).map { planes =>
+      val pSig = math.pow(p, planes)
+      (planes, math.max(1,
+        math.ceil(math.log(maxMiss) / math.log1p(-pSig)).toInt))
+    }
+    cfgs.find { case (planes, tables) =>
+      tables.toDouble / math.pow(2.0, planes) <= cap
+    }.getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshParamsForScale(n=$n) exceeds the 32-plane key width; " +
+          s"returning the tightest config ${cfgs.last} — candidate " +
+          "volume grows super-linearly from here, shard the corpus")
+      cfgs.last
+    }
+  }
+
   /** `planes`/`tables` = 0 (the default) derives a selective
     * configuration from `minCosine` via [[lshParamsFor]]; pinning both
     * keeps expert control but a degenerate pin (expected random-pair
     * fan-out ≥ 1 — super-quadratic candidate volume) logs a loud
-    * warning naming the derived alternative. */
+    * warning naming the derived alternative.
+    *
+    * `candidatesPerVector` > 0 switches the derivation to
+    * [[lshParamsForScale]] with a bounded sampled row-count (the same
+    * 16-partition estimate the IVF √n heuristic uses — never a full
+    * pre-scan), holding candidate volume ~linear in corpus size
+    * instead of a constant cartesian fraction. This is the setting a
+    * 100 TB run wants; the plain derive is kept as the default for
+    * small-corpus compat (and the oracle gates). */
   def cosineNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, planes: Int = 0, tables: Int = 0): DataFrame = {
+      minCosine: Double, planes: Int = 0, tables: Int = 0,
+      candidatesPerVector: Double = 0.0): DataFrame = {
     val (pl, tb) =
-      if (planes <= 0 || tables <= 0) lshParamsFor(minCosine)
-      else (planes, tables)
+      if (planes > 0 && tables > 0) (planes, tables)
+      else if (candidatesPerVector > 0)
+        lshParamsForScale(minCosine, math.max(1L, approxRowCount(
+          vecs.select(col(idCol)))), candidatesPerVector)
+      else lshParamsFor(minCosine)
     val degenerate = tb.toDouble / (1L << pl) >= 1.0
     if (degenerate) {
       val (dp, dt) = lshParamsFor(minCosine)

@@ -90,6 +90,37 @@ object TextAnalysis {
             .otherwise(0.0)) +
           (when(col("stopword_ratio") > 0.01, 0.2).otherwise(0.0)), 6))
 
+  /** Per-document repetition metrics (the Gopher-style quality
+    * signals a pretraining filter cuts on): word count, distinct-word
+    * count, duplicate-word fraction, and the most-frequent-word
+    * fraction. ENTIRELY per-row — the mode frequency comes from a
+    * nested HOF (for each distinct word, count its occurrences in the
+    * token array) instead of an explode + groupBy, so a 100 TB corpus
+    * pays zero shuffle: the explode shape would shuffle every token of
+    * every document just to find each row's own maximum. The inner
+    * loop is O(words × distinct) per row — bounded by document length,
+    * not corpus size, and fully codegen'd.
+    *
+    * Tokenization is a bare single-space split (no lower-casing, no
+    * empty-token filter) so DuckDB's `string_split(text, ' ')` mirrors
+    * it exactly — both engines count identical token multisets. */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    val d = array_distinct(t)
+    val nWords = size(t).cast("long")
+    val nDistinct = size(d).cast("long")
+    val topFreq = aggregate(d, lit(0L), (acc, w) =>
+      greatest(acc, size(filter(t, x => x === w)).cast("long")))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      nDistinct.as("n_distinct_words"),
+      round(lit(1.0) - nDistinct.cast("double") / nWords, 6)
+        .as("dup_word_frac"),
+      round(topFreq.cast("double") / nWords, 6).as("top_word_frac"))
+  }
+
   /** Corpus token frequencies (the BPE-ish regex keeps alnum runs):
     * one explode + one count shuffle; at 100 TB this is the classic
     * word-count with map-side partial aggregation. */

@@ -145,20 +145,20 @@ object TextDedup {
     // `shared` for the materialization tradeoff.
     val grams = shared(explodedShingles(docs, idCol, textCol, n),
       materializeGrams)
-    val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
-    val laneAggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
-    val sigs = gh.groupBy(col("id"))
-      .agg(laneAggs.head, laneAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    // checkpoint the band keys: (id, bk) is 16 bytes × bands per doc,
-    // but its lineage holds the 128-lane signature aggregate — left
-    // lazy, the bucket-size guard, the semi-join, and BOTH sides of
-    // the candidate self-join each re-run that aggregate (4×)
-    val buckets = sigs.select(col("id"), explode(
-      bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .localCheckpoint(true)
+    val cand = minhashCandidatesFromGrams(grams, numHashes, bands,
+      maxBucketSize)
+    verifyJaccardFromGrams(grams, cand, minJaccard)
+  }
+
+  /** MinHash-LSH candidate id pairs (a < b) from an existing (id, g)
+    * gram table — the PRE-verification volume of [[minhashLshPairs]],
+    * public so cost contracts can count it directly
+    * (ScaleContractSpec asserts ~linear growth under replica
+    * scaling; banding keys never cross replicas because gram sets
+    * don't). */
+  def minhashCandidatesFromGrams(grams: DataFrame, numHashes: Int,
+      bands: Int, maxBucketSize: Long): DataFrame = {
+    val buckets = bandBucketsFromGrams(grams, numHashes, bands)
     // degenerate-bucket guard: a bucket of m docs emits m²/2 pairs, so
     // one pathological bucket (boilerplate-heavy corpora) can go
     // quadratic at 100 TB — cap it and surrender recall inside that
@@ -167,10 +167,91 @@ object TextDedup {
       .agg(count(lit(1)).as("m")).filter(col("m") <= maxBucketSize)
       .select(col("bk"))
     val bounded = buckets.join(healthy, Seq("bk"), "left_semi")
-    val cand = bounded.as("x").join(bounded.as("y"),
+    bounded.as("x").join(bounded.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    verifyJaccardFromGrams(grams, cand, minJaccard)
+  }
+
+  /** MinHash band-bucket keys (id, bk) from an (id, g) gram table —
+    * the LSH index rows. Checkpointed: (id, bk) is 16 bytes × bands
+    * per doc, but its lineage holds the `numHashes`-lane signature
+    * aggregate — left lazy, the bucket-size guard and both sides of
+    * any candidate join each re-run that aggregate. At true corpus
+    * scale THIS is the table a pipeline persists as its dedup index
+    * (see [[incrementalNearDupPairs]]). */
+  def bandBucketsFromGrams(grams: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
+    val laneAggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+    val sigs = gh.groupBy(col("id"))
+      .agg(laneAggs.head, laneAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    sigs.select(col("id"), explode(
+      bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .localCheckpoint(true)
+  }
+
+  /** Near-dup pairs between an INCOMING batch and an EXISTING corpus —
+    * the shape an operating pipeline actually runs every ingest cycle
+    * (dedup today's crawl against the index), NOT the all-pairs
+    * self-join: no existing×existing or incoming×incoming pair is ever
+    * generated, so the per-cycle cost is |incoming|-proportional while
+    * the existing side contributes only its (id, band-key) index rows
+    * — the table a real deployment precomputes once and persists
+    * ([[bandBucketsFromGrams]]); here both sides derive in one job
+    * because the sandbox gate reads plain parquet.
+    *
+    * Verification is the exact cross-side n-gram Jaccard (precision 1;
+    * banding only affects recall, same contract as
+    * [[minhashLshPairs]]). Returns (existing_id, incoming_id, jaccard)
+    * with jaccard ≥ `minJaccard`. Same-id pairs (a re-crawled known
+    * document) are excluded — exact re-ingest is [[exactGroups]]'
+    * cheaper job. */
+  def incrementalNearDupPairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, minJaccard: Double = 0.8,
+      maxBucketSize: Long = 100000,
+      materializeGrams: Boolean = true): DataFrame = {
+    val exG = shared(explodedShingles(existing, idCol, textCol, n),
+      materializeGrams)
+    val inG = shared(explodedShingles(incoming, idCol, textCol, n),
+      materializeGrams)
+    val exB = bandBucketsFromGrams(exG, numHashes, bands)
+    val inB = bandBucketsFromGrams(inG, numHashes, bands)
+    // cross-side bucket guard: a bucket holding mEx×mIn members emits
+    // that product of pairs — cap each side independently (the
+    // existing/index side is the unbounded one at corpus scale)
+    def healthy(b: DataFrame) = b.join(
+      b.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= maxBucketSize).select(col("bk")),
+      Seq("bk"), "left_semi")
+    val cand = healthy(exB).as("x").join(healthy(inB).as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .localCheckpoint(true)
+    // exact cross-side Jaccard on the survivors only: grams semi-join
+    // down to candidate ids per side, one cross gram join for
+    // intersections, per-side sizes joined back in
+    val exCand = exG.join(cand.select(col("a").as("id")).distinct(),
+      Seq("id"), "left_semi").localCheckpoint(true)
+    val inCand = inG.join(cand.select(col("b").as("id")).distinct(),
+      Seq("id"), "left_semi").localCheckpoint(true)
+    val inter = exCand.as("x").join(inCand.as("y"), col("x.g") === col("y.g"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("a", "b"), "left_semi")
+    val szA = exCand.groupBy(col("id").as("a")).agg(count(lit(1)).as("sza"))
+    val szB = inCand.groupBy(col("id").as("b")).agg(count(lit(1)).as("szb"))
+    inter.join(szA, Seq("a")).join(szB, Seq("b"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a").as("existing_id"), col("b").as("incoming_id"),
+        col("jaccard"))
   }
 
   /** 64-bit SimHash from PRE-HASHED shingles — one aggregate
@@ -203,6 +284,16 @@ object TextDedup {
     // with the verify phase (see `shared` for the tradeoff)
     val grams = shared(explodedShingles(docs, idCol, textCol, n),
       materializeGrams)
+    val cand = simhashCandidatesFromGrams(grams, numChunks, maxHamming)
+    verifyJaccardFromGrams(grams, cand, minJaccard)
+  }
+
+  /** SimHash chunk-banding candidate id pairs (a < b, Hamming ≤
+    * `maxHamming`) from an existing (id, g) gram table — the
+    * PRE-verification volume of [[simhashPairs]], public for the same
+    * cost-contract reason as [[minhashCandidatesFromGrams]]. */
+  def simhashCandidatesFromGrams(grams: DataFrame, numChunks: Int,
+      maxHamming: Int): DataFrame = {
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -227,14 +318,13 @@ object TextDedup {
           shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1)))
       }.toSeq: _*)).as("ck"))
       .localCheckpoint(true)
-    val cand = chunked.as("x").join(chunked.as("y"),
+    chunked.as("x").join(chunked.as("y"),
         col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.sim").as("sa"), col("y.sim").as("sb"))
       .distinct()
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
       .select(col("a"), col("b"))
-    verifyJaccardFromGrams(grams, cand, minJaccard)
   }
 
   /** The set of ids to DROP given near-dup pairs (a < b): every id

@@ -60,6 +60,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("scale-aware LSH params tighten with n, keep the miss bound") {
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    var lastRatio = Double.MaxValue
+    Seq(1000L, 10000L, 100000L, 1000000L).foreach { n =>
+      val (planes, tables) = Similarity.lshParamsForScale(0.9, n, 32.0)
+      val ratio = tables.toDouble / math.pow(2.0, planes)
+      assert(ratio <= 32.0 / n,
+        s"n=$n: collision cap violated ($planes, $tables)")
+      assert(ratio <= lastRatio, s"n=$n: cap not monotone")
+      lastRatio = ratio
+      val miss = math.pow(1.0 - math.pow(p, planes), tables)
+      assert(miss <= 1e-4, s"n=$n: miss $miss too high")
+    }
+    // beyond the 32-plane key width the derive degrades gracefully
+    // (returns the tightest config instead of throwing)
+    val (pl, _) = Similarity.lshParamsForScale(0.9, 100000000000L, 1.0)
+    assert(pl == 32)
+  }
+
   test("default (derived) near-dup LSH finds the identical pair") {
     // planes/tables omitted → lshParamsFor(0.99) drives the bucketing
     val p = Similarity.cosineNearDupPairsLsh(

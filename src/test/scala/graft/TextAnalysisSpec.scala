@@ -54,6 +54,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(f == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("repetition metrics match hand-computed values") {
+    val df = Seq(
+      (1L, "a b a b a"),          // 5 words, 2 distinct, top 'a' ×3
+      (2L, "x y z"),              // no repetition
+      (3L, "w w w w")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((5L, 2L, 0.6, 0.6)))
+    assert(m(2L) == ((3L, 3L, 0.0, round6(1.0 / 3))))
+    assert(m(3L) == ((4L, 1L, 0.75, 1.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("rolling hash differs when order differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
       .toDF("doc_id", "text")

@@ -112,4 +112,52 @@ class TextDedupSpec extends AnyFunSuite {
     // shingles shared by docs 0,1,2 (df=3) must be gone
     assert(g.groupBy($"g").count().filter($"count" > 2).count() == 0)
   }
+
+  test("incremental near-dup finds only cross-side pairs") {
+    // existing corpus: 0 and its exact dup 1; incoming batch: a
+    // near-dup of 0 (10), an unrelated doc (11), and an exact dup of
+    // base (12). Within-side pairs (0,1) and any incoming×incoming
+    // pair must NOT appear.
+    val existing = Seq((0L, base), (1L, base), (3L,
+      "completely different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, nearDup), (11L,
+      "yet another unrelated block of words that matches nothing"),
+      (12L, base)).toDF("doc_id", "text")
+    val got = TextDedup.incrementalNearDupPairs(existing, incoming,
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val keys = got.map(p => (p._1, p._2))
+    // base vs nearDup trigram jaccard: 18 grams each, 15 shared
+    val jNear = BigDecimal(15.0 / 21.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(keys == Set((0L, 10L), (1L, 10L), (0L, 12L), (1L, 12L)))
+    assert(got.contains((0L, 12L, 1.0)))
+    assert(got.contains((0L, 10L, jNear)))
+  }
+
+  test("incremental near-dup equals the full self-join's cross slice") {
+    // on the harness corpus: splitting by content hash and running the
+    // incremental path must recover exactly the cross-side subset of
+    // the all-pairs MinHash result (same banding, same verification)
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val full = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val side = docs.select($"doc_id",
+        (substring(md5($"text"), 1, 1) >= "c").as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = full.collect {
+      case (a, b) if side(a) != side(b) =>
+        if (side(b)) (a, b) else (b, a)  // (existing, incoming)
+    }
+    val got = TextDedup.incrementalNearDupPairs(
+        docs.filter(substring(md5($"text"), 1, 1) < "c"),
+        docs.filter(substring(md5($"text"), 1, 1) >= "c"),
+        "doc_id", "text", minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no cross-side pairs")
+  }
 }
