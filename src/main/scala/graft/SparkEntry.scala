@@ -69,6 +69,7 @@ object SparkEntry {
         Reports.q59ValueStatsApprox(s, d)),
     "q62_dedup_incremental" -> (Curation.q62DedupIncremental _),
     "q63_repetition"       -> (Curation.q63Repetition _),
+    "q64_decontamination"  -> (Curation.q64Decontamination _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -261,6 +262,19 @@ object SparkEntry {
         | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
         |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // eval-set decontamination: distinct 8-gram intersection counts
+    // between the non-src0 (train) and src0 (eval) sides
+    "q64_decontamination" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id, source,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${graft.operators.Curation.Q64GramN - 1}], ' ') AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-${graft.operators.Curation.Q64GramN - 2})) AS t(i))
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM grams t JOIN grams e ON t.g = e.g
+        | AND t.source <> '${graft.operators.Curation.Q64EvalSource}'
+        | AND e.source = '${graft.operators.Curation.Q64EvalSource}'
+        |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     // per-doc repetition metrics: bare single-space split on both
     // engines (string_split ≡ split — same token multisets, empties

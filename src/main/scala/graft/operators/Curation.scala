@@ -93,6 +93,28 @@ object Curation {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** The eval-set marker for q64: docs from this source play the
+    * benchmark; everything else is the training corpus. */
+  val Q64EvalSource = "src0"
+
+  /** Contamination window for q64 — 8-gram overlap, the common
+    * decontamination setting (long enough that chance collisions are
+    * negligible in real text). */
+  val Q64GramN = 8
+
+  /** Eval-set decontamination (see
+    * [[TextDedup.contaminationPairs]]): training docs sharing ≥ 1
+    * 8-gram with any eval doc, with the shared-gram count. Oracle:
+    * the same distinct-gram intersection in SQL. */
+  def q64Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextDedup.contaminationPairs(
+        docs.filter(col("source") =!= Q64EvalSource),
+        docs.filter(col("source") === Q64EvalSource),
+        "doc_id", "text", n = Q64GramN)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   // ── Similarity search ──────────────────────────────────────────────
   def q24EmbedKnn(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

@@ -327,6 +327,30 @@ object TextDedup {
       .select(col("a"), col("b"))
   }
 
+  /** Eval-set decontamination sweep: for every (training doc,
+    * eval doc) pair sharing at least one word `n`-gram, the count of
+    * distinct shared n-grams — the standard pre-training hygiene step
+    * (drop or flag training docs that contain benchmark text; n = 8
+    * is the common contamination window, long enough that chance
+    * collisions are negligible).
+    *
+    * Scale shape: the eval side is SMALL by nature (benchmarks are
+    * KBs–MBs against a 100 TB corpus), so its gram table is broadcast
+    * (`broadcastEval`, default) and the train side streams through a
+    * map-side hash join — the corpus is never shuffled, only scanned.
+    * With a large eval side pass `broadcastEval = false` for a plain
+    * gram-keyed shuffle join. Returns (train_id, eval_id, n_shared). */
+  def contaminationPairs(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val tg = explodedShingles(train, idCol, textCol, n)
+    val eg0 = explodedShingles(evalSet, idCol, textCol, n)
+    val eg = if (broadcastEval) broadcast(eg0) else eg0
+    tg.as("t").join(eg.as("e"), col("t.g") === col("e.g"))
+      .groupBy(col("t.id").as("train_id"), col("e.id").as("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The set of ids to DROP given near-dup pairs (a < b): every id
     * that has a smaller near-duplicate. Keeps exactly the minimal id
     * of each duplicate chain while never dropping documents that are

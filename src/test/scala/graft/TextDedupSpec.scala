@@ -137,6 +137,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.contains((0L, 10L, jNear)))
   }
 
+  test("contamination pairs count shared 8-grams, train×eval only") {
+    // base is 20 words → 13 8-gram windows; nearDup differs at word 18
+    // (1-based), so windows starting at 11..13 differ → 10 shared
+    val train = Seq((0L, base), (1L,
+      "completely different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((10L, nearDup), (11L, base)).toDF("doc_id", "text")
+    val got = TextDedup.contaminationPairs(train, evalSet,
+        "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((0L, 10L) -> 10L, (0L, 11L) -> 13L))
+  }
+
   test("incremental near-dup equals the full self-join's cross slice") {
     // on the harness corpus: splitting by content hash and running the
     // incremental path must recover exactly the cross-side subset of
