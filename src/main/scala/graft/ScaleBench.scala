@@ -32,7 +32,8 @@ object ScaleBench {
     * LSH/IVF variants exist for. */
   private val Family = Seq(
     "q20_dedup_exact", "q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh",
-    "q23_dedup_simhash", "q52_dedup_corpus",
+    "q23_dedup_simhash", "q52_dedup_corpus", "q62_dedup_incremental",
+    "q64_decontamination",
     "q48_embed_near_dup_lsh", "q51_embed_near_dup_lsh_hi",
     "q53_embed_ann_ivf_clustered")
 

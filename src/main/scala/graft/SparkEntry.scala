@@ -70,6 +70,7 @@ object SparkEntry {
     "q62_dedup_incremental" -> (Curation.q62DedupIncremental _),
     "q63_repetition"       -> (Curation.q63Repetition _),
     "q64_decontamination"  -> (Curation.q64Decontamination _),
+    "q65_corpus_mix"       -> (Curation.q65CorpusMix _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -275,6 +276,17 @@ object SparkEntry {
         | AND t.source <> '${graft.operators.Curation.Q64EvalSource}'
         | AND e.source = '${graft.operators.Curation.Q64EvalSource}'
         |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // data-mixture rollup: exact integer counts; shares derived from
+    // them, rounded
+    "q65_corpus_mix" ->
+      """WITH agg AS (SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars) AS n_chars FROM documents GROUP BY 1, 2),
+        | tot AS (SELECT sum(n_docs) AS td, sum(n_chars) AS tc FROM agg)
+        |SELECT lang, source, n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+        | round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
+        | round(CAST(n_chars AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS char_share
+        |FROM agg CROSS JOIN tot
         |ORDER BY 1, 2""".stripMargin,
     // per-doc repetition metrics: bare single-space split on both
     // engines (string_split ≡ split — same token multisets, empties

@@ -367,6 +367,29 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Data-mixture report: per (lang, source) doc counts, char volume,
+    * and corpus share — the mix summary a training run pins before
+    * sampling weights are chosen. One hash aggregation; shares derive
+    * from exact integer counts so the doubles are engine-portable.
+    * At 100 TB this is the classic map-side-combined rollup: the
+    * shuffle carries one row per (lang, source), never per doc. */
+  def q65CorpusMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val agg = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .localCheckpoint(true) // tiny; feeds the totals join + output
+    val tot = agg.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_chars")).as("tot_chars"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 6)
+          .as("doc_share"),
+        round(col("n_chars").cast("double") / col("tot_chars"), 6)
+          .as("char_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(

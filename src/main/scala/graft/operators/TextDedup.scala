@@ -215,30 +215,55 @@ object TextDedup {
       bands: Int = 32, minJaccard: Double = 0.8,
       maxBucketSize: Long = 100000,
       materializeGrams: Boolean = true): DataFrame = {
-    val exG = shared(explodedShingles(existing, idCol, textCol, n),
-      materializeGrams)
-    val inG = shared(explodedShingles(incoming, idCol, textCol, n),
-      materializeGrams)
-    val exB = bandBucketsFromGrams(exG, numHashes, bands)
-    val inB = bandBucketsFromGrams(inG, numHashes, bands)
+    // ONE tagged lineage for both sides: a doc's band keys depend only
+    // on its gram set, never on which side it sits, so the gram
+    // explode and the numHashes-lane signature aggregation run once
+    // over existing ∪ incoming — the sides separate only at the
+    // 16-byte bucket-row level. Total signature work equals the
+    // per-side formulation (same doc count), but the corpus is
+    // scanned and its gram table materialized once instead of twice —
+    // the scan is what dominates at real corpus scale. Docs are keyed
+    // (id, side) internally so a re-crawled id appearing on both
+    // sides never conflates grams.
+    def side(df: DataFrame, tag: Int) = df.select(
+      col(idCol).as("id"), col(textCol).as("t"), lit(tag).as("side"))
+    val tagged = side(existing, 0).unionByName(side(incoming, 1))
+    val grams = shared(tagged.select(col("id"), col("side"),
+      explode(shingleArray(col("t"), n)).as("g")), materializeGrams)
+    val gh = grams.select(col("id"), col("side"), xxhash64(col("g")).as("h"))
+    val laneAggs = (0 until numHashes).map(seed =>
+      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+    val sigs = gh.groupBy(col("id"), col("side"))
+      .agg(laneAggs.head, laneAggs.tail: _*)
+      .select(col("id"), col("side"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val buckets = sigs.select(col("id"), col("side"), explode(
+      bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .localCheckpoint(true)
     // cross-side bucket guard: a bucket holding mEx×mIn members emits
     // that product of pairs — cap each side independently (the
     // existing/index side is the unbounded one at corpus scale)
-    def healthy(b: DataFrame) = b.join(
-      b.groupBy(col("bk")).agg(count(lit(1)).as("m"))
-        .filter(col("m") <= maxBucketSize).select(col("bk")),
-      Seq("bk"), "left_semi")
-    val cand = healthy(exB).as("x").join(healthy(inB).as("y"),
+    val healthy = buckets.join(
+      buckets.groupBy(col("bk"), col("side"))
+        .agg(count(lit(1)).as("m")).filter(col("m") <= maxBucketSize)
+        .select(col("bk"), col("side")),
+      Seq("bk", "side"), "left_semi")
+    val cand = healthy.filter(col("side") === 0).as("x")
+      .join(healthy.filter(col("side") === 1).as("y"),
         col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
       .localCheckpoint(true)
     // exact cross-side Jaccard on the survivors only: grams semi-join
     // down to candidate ids per side, one cross gram join for
     // intersections, per-side sizes joined back in
-    val exCand = exG.join(cand.select(col("a").as("id")).distinct(),
-      Seq("id"), "left_semi").localCheckpoint(true)
-    val inCand = inG.join(cand.select(col("b").as("id")).distinct(),
-      Seq("id"), "left_semi").localCheckpoint(true)
+    val exCand = grams.filter(col("side") === 0)
+      .join(cand.select(col("a").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .select(col("id"), col("g")).localCheckpoint(true)
+    val inCand = grams.filter(col("side") === 1)
+      .join(cand.select(col("b").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .select(col("id"), col("g")).localCheckpoint(true)
     val inter = exCand.as("x").join(inCand.as("y"), col("x.g") === col("y.g"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
