@@ -113,19 +113,33 @@ object TextDedup {
     * xxhash64 long per shingle): `numHashes` column-wise minima of
     * seeded long-rehashes — per-row, no shuffle. Hashing the string
     * once and deriving lanes from the long keeps the inner loop at
-    * 8-byte hashes instead of `numHashes` full string hashes. */
+    * 8-byte hashes instead of `numHashes` full string hashes.
+    *
+    * Shaped as ONE fold with a `numHashes`-wide accumulator (not
+    * `numHashes` independent `array_min(transform(...))` branches):
+    * lane values are identical (min over xxhash64(h, seed) — the
+    * TextDedupSpec equality test pins them to the batch aggregation),
+    * but the expression TREE is O(1) lambdas instead of O(numHashes)
+    * branches — the branchy shape cost ~15 s of analysis+codegen per
+    * fresh plan, which a streaming consumer pays EVERY micro-batch
+    * (plans re-optimize per batch; measured 6.5 min → ~1 min for the
+    * DocStream equivalence gate). */
   def minhashSignature(gramHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(gramHashes, h => xxhash64(h, seed))))
+    aggregate(gramHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, seed) => least(m, xxhash64(h, seed))))
 
   /** LSH band keys: hash of each `rowsPerBand`-element signature
-    * slice, band index folded into the key. */
+    * slice, band index folded into the key. Single-lambda shape for
+    * the same plan-size reason as [[minhashSignature]]; key values
+    * are unchanged (xxhash64 of an int column equals xxhash64 of the
+    * same int literal). */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-          v => v.cast("string"))))
-    }: _*)
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string")))))
 
   /** Candidate pairs from MinHash LSH banding, verified with the EXACT
     * n-gram Jaccard (precision 1; banding only affects recall).

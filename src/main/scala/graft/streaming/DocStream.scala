@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming document-ingest operators: the continuous twins of the
+  * batch corpus-curation jobs, mirroring how EventStream twins the
+  * event queries.
+  */
+object DocStream {
+
+  /** Streaming ingest near-dup detection — the continuous twin of
+    * [[graft.operators.TextDedup.incrementalNearDupPairs]]: an
+    * incoming document STREAM is checked against a STATIC indexed
+    * corpus, emitting (existing_id, incoming_id, jaccard ≥ τ) in
+    * append mode.
+    *
+    * The whole pipeline is STATELESS: no watermark, no streaming
+    * aggregation, no dedup state —
+    *  - the stream side computes shingles, gram hashes, the MinHash
+    *    signature and band keys entirely per-row
+    *    ([[TextDedup.minhashSignature]]/[[TextDedup.bandKeys]] are HOF
+    *    expressions; TextDedupSpec proves they equal the batch
+    *    aggregation's values),
+    *  - candidates come from a stream-static equi-join on the band
+    *    key, payloads from a second stream-static equi-join on the
+    *    existing id,
+    *  - a pair colliding in several bands would duplicate output, so
+    *    each pair keeps only its SMALLEST shared band key — a per-row
+    *    filter (`bk = array_min(array_intersect(bks, bks))`), not a
+    *    stateful distinct,
+    *  - exact Jaccard verification intersects the two docs' distinct
+    *    gram SETS in-row (`array_intersect`) — precision 1, banding
+    *    only affects recall, the same contract as the batch path.
+    *
+    * Scale: the static side is the persisted dedup index a deployment
+    * maintains ([[TextDedup.bandBucketsFromGrams]] rows + per-doc gram
+    * sets); store it bucketed by band key / id so the per-micro-batch
+    * joins co-locate instead of re-shuffling the index. Here it is
+    * localCheckpointed once per query start (`materializeIndex`) —
+    * stream-static joins re-evaluate an unmaterialized static plan
+    * EVERY micro-batch. */
+  def nearDupAgainstIndex(stream: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, minJaccard: Double = 0.8,
+      materializeIndex: Boolean = true): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def enrich(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          array_distinct(TextDedup.shingleArray(col(textCol), n))
+            .as(s"${idAs}_gset"))
+        // docs with no grams (shorter than n words) have no index
+        // entries on the batch side either — drop before the null
+        // signature lanes could mint a shared "empty" band key
+        .filter(size(col(s"${idAs}_gset")) > 0)
+        .withColumn(s"${idAs}_bks",
+          TextDedup.bandKeys(
+            TextDedup.minhashSignature(
+              transform(col(s"${idAs}_gset"), g => xxhash64(g)),
+              numHashes),
+            bands, rowsPerBand))
+    val ex0 = enrich(existing, "existing_id")
+    val ex = if (materializeIndex) ex0.localCheckpoint(true) else ex0
+    val exKeys = ex.select(col("existing_id"),
+      explode(col("existing_id_bks")).as("bk"))
+    val in = enrich(stream, "incoming_id")
+      .select(col("incoming_id"), col("incoming_id_gset"),
+        col("incoming_id_bks"),
+        explode(col("incoming_id_bks")).as("bk"))
+    in.join(exKeys, Seq("bk"))
+      .join(ex, Seq("existing_id"))
+      .filter(col("incoming_id") =!= col("existing_id"))
+      // stateless pair dedup: of all shared bands, only the smallest
+      // key's row survives — exactly one output row per true pair
+      .filter(col("bk") === array_min(array_intersect(
+        col("incoming_id_bks"), col("existing_id_bks"))))
+      .withColumn("inter", size(array_intersect(
+        col("incoming_id_gset"), col("existing_id_gset"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (size(col("incoming_id_gset")) + size(col("existing_id_gset"))
+            - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("existing_id"), col("incoming_id"), col("jaccard"))
+  }
+}

@@ -96,6 +96,23 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed near-dup degenerated to a cross join:\n$plan")
   }
 
+  test("q64: eval gram side broadcasts — the corpus is never shuffled") {
+    val plan = executedPlan(
+      graft.operators.Curation.q64Decontamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q62: incremental dedup is equi-joins only, no cross join") {
+    val plan = executedPlan(
+      graft.operators.Curation.q62DedupIncremental(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degenerated to a cross join:\n$plan")
+  }
+
   test("ANN plan construction launches zero Spark jobs (no driver probes)") {
     import graft.operators.Similarity
     // round-8 verdict #2: lshTopK/saltedKeysAgg used to run a take(1)
