@@ -225,13 +225,7 @@ object Similarity {
     // is lost only if ALL its lists go unprobed)
     val assigned = assign(c, centroids, assignments)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("list_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosineFast(col("qv"), col("centroid")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("list_id"))
+    val probes = probeLists(q, centroids, nProbe)
     val scored = probes.join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
@@ -239,6 +233,72 @@ object Similarity {
       // multi-assignment — dedup before scoring
       .distinct()
     scored
+  }
+
+  /** Persist an IVF index to `dir`: centroids + per-list corpus
+    * assignments. This is the economics q47's scaladoc calls out —
+    * an ANN index only beats brute force when its BUILD amortizes
+    * over many query batches, which requires the build to be a
+    * separate, storable artifact. Layout:
+    *  - `centroids.parquet` (list_id, centroid) — tiny, broadcast at
+    *    query time;
+    *  - `assignments.parquet` partitioned BY list_id — so a probe of
+    *    nProbe lists touches nProbe/nLists of the files (Spark prunes
+    *    partitions via dynamic partition pruning on the list_id join),
+    *    the on-disk analog of an inverted file.
+    * Same deterministic build as [[ivfCandidates]] (hash-seeded
+    * k-means, checkpointed Lloyd rounds, √n default list count from
+    * the bounded sampled row count). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nLists: Int = 0, iterations: Int = 2,
+      assignments: Int = 1): Unit = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16,
+        math.ceil(math.sqrt(approxRowCount(c).toDouble)).toInt)
+    var centroids = deterministicSeeds(c, lists).localCheckpoint(true)
+    for (_ <- 0 until iterations)
+      centroids = recomputeCentroids(assign(c, centroids, 1))
+        .localCheckpoint(true)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    assign(c, centroids, assignments)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assignments.parquet")
+  }
+
+  /** Query a persisted IVF index ([[buildIvfIndex]]): probe the
+    * `nProbe` nearest lists per query, score candidates with the
+    * shared two-phase ranker. Identical results to an in-memory
+    * [[ivfTopK]] built with the same parameters (SimilaritySpec pins
+    * the equivalence); the index scan reads only probed list
+    * partitions. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = probeLists(q, centroids, nProbe)
+      .join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+      .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
+    rerankExact(scored, k)
+  }
+
+  /** The `nProbe` nearest lists per query (centroids broadcast). */
+  private def probeLists(q: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("list_id").asc)
+    q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosineFast(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
   }
 
   /** Bounded-cost row-count estimate: count at most 16 partitions and

@@ -106,6 +106,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("persisted IVF index answers queries identically to in-memory") {
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_index").toString
+    try {
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 8, iterations = 2)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", dir,
+          k = 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      val inMemory = Similarity.ivfTopK(
+          e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10,
+          nLists = 8, nProbe = 4, iterations = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      assert(fromIndex == inMemory)
+      assert(fromIndex.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("pinned τ=0.4 LSH equals the exact all-pairs scan (oracle compat)") {
     // moved here from the shipped q48 entry (round-8 verdict #3): the
     // τ=0.4 regime has NO selective LSH configuration (lshParamsFor
