@@ -254,30 +254,82 @@ object TextDedup {
     val buckets = sigs.select(col("id"), col("side"), explode(
       bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .localCheckpoint(true)
+    crossSidePairs(
+      buckets.filter(col("side") === 0).select(col("id"), col("bk")),
+      buckets.filter(col("side") === 1).select(col("id"), col("bk")),
+      grams.filter(col("side") === 0).select(col("id"), col("g")),
+      grams.filter(col("side") === 1).select(col("id"), col("g")),
+      maxBucketSize, minJaccard)
+  }
+
+  /** Persist a near-dup index for [[incrementalNearDupPairsFromIndex]]
+    * — the artifact an operating pipeline maintains between ingest
+    * cycles so the existing corpus's signatures are computed ONCE,
+    * not per cycle:
+    *  - `keys.parquet` (id, bk): the band-key rows, 16 bytes × bands
+    *    per doc;
+    *  - `grams.parquet` (id, g): the exploded distinct shingles the
+    *    exact-Jaccard verifier needs (≈ 5× the text; a deployment
+    *    trading exactness for space can store xxhash64(g) longs
+    *    instead and verify on hashes — collision odds ~2⁻⁶⁴ per gram
+    *    pair, but then the DuckDB-style exact oracle no longer gates
+    *    it bit-for-bit, so the reference layout keeps strings). */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    val grams = explodedShingles(corpus, idCol, textCol, n)
+      .localCheckpoint(true)
+    bandBucketsFromGrams(grams, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/keys.parquet")
+    grams.write.mode("overwrite").parquet(s"$dir/grams.parquet")
+  }
+
+  /** [[incrementalNearDupPairs]] against a PERSISTED index
+    * ([[buildNearDupIndex]]): only the incoming batch's signatures are
+    * computed this cycle — the existing side contributes stored
+    * 16-byte key rows to the bucket join and stored grams to the
+    * verify semi-join. Same banding parameters as the build are the
+    * caller's contract (keys are meaningless across configs). */
+  def incrementalNearDupPairsFromIndex(
+      spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      indexDir: String, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, minJaccard: Double = 0.8,
+      maxBucketSize: Long = 100000,
+      materializeGrams: Boolean = true): DataFrame = {
+    val exB = spark.read.parquet(s"$indexDir/keys.parquet")
+    val exG = spark.read.parquet(s"$indexDir/grams.parquet")
+    val inG = shared(explodedShingles(incoming, idCol, textCol, n),
+      materializeGrams)
+    val inB = bandBucketsFromGrams(inG, numHashes, bands)
+    crossSidePairs(exB, inB, exG, inG, maxBucketSize, minJaccard)
+  }
+
+  /** Shared tail of the incremental paths: per-side bucket caps, the
+    * cross-side band-key join, and exact cross-side Jaccard
+    * verification of the surviving candidates. Expects (id, bk) key
+    * tables and (id, g) gram tables per side; emits (existing_id,
+    * incoming_id, jaccard ≥ minJaccard). */
+  private def crossSidePairs(exB: DataFrame, inB: DataFrame,
+      exG: DataFrame, inG: DataFrame, maxBucketSize: Long,
+      minJaccard: Double): DataFrame = {
     // cross-side bucket guard: a bucket holding mEx×mIn members emits
     // that product of pairs — cap each side independently (the
     // existing/index side is the unbounded one at corpus scale)
-    val healthy = buckets.join(
-      buckets.groupBy(col("bk"), col("side"))
-        .agg(count(lit(1)).as("m")).filter(col("m") <= maxBucketSize)
-        .select(col("bk"), col("side")),
-      Seq("bk", "side"), "left_semi")
-    val cand = healthy.filter(col("side") === 0).as("x")
-      .join(healthy.filter(col("side") === 1).as("y"),
+    def healthy(b: DataFrame) = b.join(
+      b.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+        .filter(col("m") <= maxBucketSize).select(col("bk")),
+      Seq("bk"), "left_semi")
+    val cand = healthy(exB).as("x").join(healthy(inB).as("y"),
         col("x.bk") === col("y.bk") && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
       .localCheckpoint(true)
     // exact cross-side Jaccard on the survivors only: grams semi-join
     // down to candidate ids per side, one cross gram join for
     // intersections, per-side sizes joined back in
-    val exCand = grams.filter(col("side") === 0)
-      .join(cand.select(col("a").as("id")).distinct(), Seq("id"),
-        "left_semi")
-      .select(col("id"), col("g")).localCheckpoint(true)
-    val inCand = grams.filter(col("side") === 1)
-      .join(cand.select(col("b").as("id")).distinct(), Seq("id"),
-        "left_semi")
-      .select(col("id"), col("g")).localCheckpoint(true)
+    val exCand = exG.join(cand.select(col("a").as("id")).distinct(),
+      Seq("id"), "left_semi").localCheckpoint(true)
+    val inCand = inG.join(cand.select(col("b").as("id")).distinct(),
+      Seq("id"), "left_semi").localCheckpoint(true)
     val inter = exCand.as("x").join(inCand.as("y"), col("x.g") === col("y.g"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))

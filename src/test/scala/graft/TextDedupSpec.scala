@@ -151,6 +151,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Map((0L, 10L) -> 10L, (0L, 11L) -> 13L))
   }
 
+  test("persisted near-dup index answers ingest cycles identically") {
+    val existing = Seq((0L, base), (1L, base), (3L,
+      "completely different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, nearDup), (12L, base)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_index").toString
+    try {
+      TextDedup.buildNearDupIndex(existing, "doc_id", "text", dir)
+      val fromIndex = TextDedup.incrementalNearDupPairsFromIndex(
+          spark, incoming, dir, "doc_id", "text", minJaccard = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = TextDedup.incrementalNearDupPairs(existing, incoming,
+          "doc_id", "text", minJaccard = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fromIndex == direct)
+      assert(fromIndex.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("incremental near-dup equals the full self-join's cross slice") {
     // on the harness corpus: splitting by content hash and running the
     // incremental path must recover exactly the cross-side subset of
