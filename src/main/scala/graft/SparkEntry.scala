@@ -71,6 +71,7 @@ object SparkEntry {
     "q63_repetition"       -> (Curation.q63Repetition _),
     "q64_decontamination"  -> (Curation.q64Decontamination _),
     "q65_corpus_mix"       -> (Curation.q65CorpusMix _),
+    "q66_token_entropy"    -> (Curation.q66TokenEntropy _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -277,6 +278,19 @@ object SparkEntry {
         | AND e.source = '${graft.operators.Curation.Q64EvalSource}'
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // unigram entropy: −p·log2(p) terms computed in double on both
+    // engines, then summed as DECIMAL(28,18) so addition order cannot
+    // move the 6-dp rounding
+    "q66_token_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        | n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        | round(CAST(sum(CAST(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |   * log2(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE), 6)
+        |  AS token_entropy
+        |FROM c JOIN n ON c.doc_id = n.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // data-mixture rollup: exact integer counts; shares derived from
     // them, rounded
     "q65_corpus_mix" ->

@@ -93,6 +93,12 @@ object Curation {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Per-doc unigram entropy (perplexity proxy) — per-row, zero
+    * shuffle (see [[TextAnalysis.tokenEntropy]]). */
+  def q66TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** The eval-set marker for q64: docs from this source play the
     * benchmark; everything else is the training corpus. */
   val Q64EvalSource = "src0"

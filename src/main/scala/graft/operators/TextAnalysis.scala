@@ -121,6 +121,32 @@ object TextAnalysis {
       round(topFreq.cast("double") / nWords, 6).as("top_word_frac"))
   }
 
+  /** Per-document unigram (token) entropy in bits — the cheap
+    * perplexity proxy a curation pipeline uses where a model-based
+    * scorer is too expensive (low entropy ⇒ repetitive/templated
+    * text; with [[repetitionMetrics]] it completes the repetition
+    * family). Per-row nested HOF like repetitionMetrics — zero
+    * shuffle. Each −p·log₂p term is cast to DECIMAL(28,18) and the
+    * fold accumulates exactly, so the sum is order-independent (the
+    * oracle's GROUP BY addition order differs from the fold's
+    * first-occurrence order; a double accumulator would diverge in
+    * the last ulps) — the only cross-engine risk left is the final
+    * 6-dp rounding of log₂'s own last-ulp variation. */
+  def tokenEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    val nTok = size(t).cast("double")
+    val d = array_distinct(t)
+    val h = aggregate(d,
+      lit(0).cast("decimal(38,18)"),
+      (acc, w) => {
+        val p = size(filter(t, x => x === w)).cast("double") / nTok
+        (acc + (-p * log2(p)).cast("decimal(28,18)"))
+          .cast("decimal(38,18)")
+      })
+    df.select(col(idCol), round(h.cast("double"), 6).as("token_entropy"))
+  }
+
   /** Corpus token frequencies (the BPE-ish regex keeps alnum runs):
     * one explode + one count shuffle; at 100 TB this is the classic
     * word-count with map-side partial aggregation. */

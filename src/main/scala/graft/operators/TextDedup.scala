@@ -282,6 +282,27 @@ object TextDedup {
     bandBucketsFromGrams(grams, numHashes, bands)
       .write.mode("overwrite").parquet(s"$dir/keys.parquet")
     grams.write.mode("overwrite").parquet(s"$dir/grams.parquet")
+    // band keys are meaningless under any other (n, numHashes, bands)
+    // — record the build config so a mismatched read fails loudly
+    // instead of silently finding nothing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""")
+  }
+
+  /** Fail-fast config check for [[incrementalNearDupPairsFromIndex]]:
+    * a key join under mismatched banding parameters is not an error
+    * Spark can see — it just finds (almost) nothing. */
+  private def requireIndexConfig(indexDir: String, n: Int,
+      numHashes: Int, bands: Int): Unit = {
+    val p = java.nio.file.Paths.get(s"$indexDir/_meta.json")
+    if (java.nio.file.Files.exists(p)) {
+      val meta = java.nio.file.Files.readString(p)
+      val expect = s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}"""
+      require(meta == expect,
+        s"near-dup index at $indexDir was built with $meta, queried " +
+          s"with $expect — rebuild or match the build parameters")
+    }
   }
 
   /** [[incrementalNearDupPairs]] against a PERSISTED index
@@ -296,6 +317,7 @@ object TextDedup {
       numHashes: Int = 128, bands: Int = 32, minJaccard: Double = 0.8,
       maxBucketSize: Long = 100000,
       materializeGrams: Boolean = true): DataFrame = {
+    requireIndexConfig(indexDir, n, numHashes, bands)
     val exB = spark.read.parquet(s"$indexDir/keys.parquet")
     val exG = spark.read.parquet(s"$indexDir/grams.parquet")
     val inG = shared(explodedShingles(incoming, idCol, textCol, n),

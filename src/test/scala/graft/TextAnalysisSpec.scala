@@ -70,6 +70,20 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("token entropy matches hand-computed values") {
+    val df = Seq(
+      (1L, "a b a b a"),   // p = 3/5, 2/5
+      (2L, "x y z"),       // uniform over 3
+      (3L, "w w w w")).toDF("doc_id", "text")
+    val h = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def ent(ps: Seq[Double]) =
+      round6(ps.map(p => -p * math.log(p) / math.log(2)).sum)
+    assert(h(1L) == ent(Seq(0.6, 0.4)))
+    assert(h(2L) == ent(Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)))
+    assert(h(3L) == 0.0)
+  }
+
   test("rolling hash differs when order differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
       .toDF("doc_id", "text")
