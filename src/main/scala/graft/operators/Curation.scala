@@ -384,15 +384,19 @@ object Curation {
     val agg = d.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"))
-      .localCheckpoint(true) // tiny; feeds the totals join + output
-    val tot = agg.agg(sum(col("n_docs")).as("tot_docs"),
-      sum(col("n_chars")).as("tot_chars"))
-    agg.crossJoin(broadcast(tot))
-      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
-        round(col("n_docs").cast("double") / col("tot_docs"), 6)
-          .as("doc_share"),
-        round(col("n_chars").cast("double") / col("tot_chars"), 6)
-          .as("char_share"))
+    // totals as an unpartitioned window over the POST-aggregation rows
+    // (one row per group — at most a few thousand for any real mix):
+    // the single-partition window is intentional and avoids both a
+    // second corpus aggregation and a plan-construction-time
+    // materialization (a query entry must build lazily — no driver
+    // job before execution; the literal key suppresses Spark's
+    // global-window WARN)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    agg.select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w), 6).as("doc_share"),
+        round(col("n_chars").cast("double") /
+          sum(col("n_chars")).over(w), 6).as("char_share"))
       .orderBy(col("lang"), col("source"))
   }
 

@@ -38,7 +38,11 @@ object ScaleCorpus {
 
   /** m× documents. Tokenization (single-space split) matches
     * [[TextDedup.shingleArray]] so the no-shared-shingles guarantee is
-    * exact. `n_chars` is recomputed for the rewritten text. */
+    * exact — PROVIDED original tokens never end in `~<digit>` (a token
+    * "foo~1" in replica 0 would equal replica 1's suffixed "foo"); the
+    * harness vocabulary has no tildes, and ScaleContractSpec's
+    * distinct-gram m× equality would catch a violating corpus.
+    * `n_chars` is recomputed for the rewritten text. */
   def documents(docs: DataFrame, mult: Int): DataFrame = {
     require(mult >= 1, s"mult must be >= 1, got $mult")
     (0 until mult).map { r =>
