@@ -72,6 +72,7 @@ object SparkEntry {
     "q64_decontamination"  -> (Curation.q64Decontamination _),
     "q65_corpus_mix"       -> (Curation.q65CorpusMix _),
     "q66_token_entropy"    -> (Curation.q66TokenEntropy _),
+    "q67_curation_pipeline" -> (Curation.q67CurationPipeline _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -278,6 +279,39 @@ object SparkEntry {
         | AND e.source = '${graft.operators.Curation.Q64EvalSource}'
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // end-to-end curation pipeline: the q28 quality formula + lang
+    // gate, then q52's two dedup phases over the gated subset, then
+    // q57's content-hash split
+    "q67_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, ' ' || lower(text) || ' ' AS p,
+        |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        | m AS (SELECT doc_id, lang, text,
+        |   CAST(len(toks) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |   ${langScoreSql("en")} AS stopword_hits
+        |  FROM t),
+        | gated AS (SELECT doc_id, text FROM m WHERE lang = 'en' AND
+        |   round(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) * 0.4
+        |     + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.3 ELSE 0.0 END)
+        |     + (CASE WHEN round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6)
+        |    >= ${graft.operators.Curation.Q67MinQuality}),
+        | keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        | docs2 AS (SELECT g.doc_id, g.text FROM gated g JOIN keepers USING (doc_id)),
+        | toks2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks2 CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | drops AS (SELECT DISTINCT i.b AS doc_id
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8)
+        |SELECT doc_id,
+        | CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'val' ELSE 'train' END AS split
+        |FROM docs2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY 1""".stripMargin,
     // unigram entropy: −p·log2(p) terms computed in double on both
     // engines, then summed as DECIMAL(28,18) so addition order cannot
     // move the 6-dp rounding

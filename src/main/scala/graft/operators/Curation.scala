@@ -400,6 +400,32 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** q67's quality floor — documents scoring below it never reach the
+    * expensive dedup phase. */
+  val Q67MinQuality = 0.5
+
+  /** The end-to-end curation pipeline as ONE lazy composition — what a
+    * corpus run actually executes: cheap per-row gates first (quality
+    * score ≥ floor, language = en — cutting the corpus before anything
+    * expensive), exact + near dedup over the survivors
+    * ([[TextDedup.dedupedCorpus]]), then the deterministic
+    * content-hash train/val split. Emits (doc_id, split). Ordering of
+    * phases is the scale design: per-row filters are free at 100 TB,
+    * the gram machinery only ever sees the gated subset. */
+  def q67CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val good = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .filter(col("quality") >= Q67MinQuality).select(col("doc_id"))
+    val gated = docs.filter(col("lang") === "en")
+      .join(good, Seq("doc_id"), "left_semi")
+    TextDedup.dedupedCorpus(gated, "doc_id", "text", n = 3,
+        minJaccard = 0.8)
+      .select(col("doc_id"),
+        when(substring(md5(col("text")), 1, 2) < "0a", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(
