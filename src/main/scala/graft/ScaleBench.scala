@@ -32,6 +32,12 @@ object ScaleBench {
     * LSH/IVF variants exist for. */
   private val Family = Seq(
     "q20_dedup_exact", "q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh",
+    // q67 (the composed pipeline) is NOT in the family: ScaleCorpus
+    // preserves replica SHINGLE structure but not stopword content
+    // (suffixed tokens stop matching the quality scorer's markers), so
+    // its quality gate rejects most replicas and a 10× point would
+    // measure the gate's protectiveness, not the pipeline's scaling —
+    // the dedup phase it composes is covered by q52/q62
     "q23_dedup_simhash", "q52_dedup_corpus", "q62_dedup_incremental",
     "q64_decontamination",
     "q48_embed_near_dup_lsh", "q51_embed_near_dup_lsh_hi",
