@@ -58,4 +58,33 @@ object Tables {
     spread(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(load(s, d, "embeddings"))
+
+  /** EXACT row count of a parquet table from file footers — driver-side
+    * metadata reads only, never a Spark job. The footer already stores
+    * per-block row counts, so the cost is O(files) small reads no
+    * matter how many rows the table holds; at 100 TB this is what a
+    * catalog would serve from statistics. Used where a plan-CONSTRUCTION
+    * step needs the corpus size (q48's scale-derived LSH parameters):
+    * a runJob-based estimate there was both a blocking driver job
+    * before execution and partition-layout-dependent — the footer count
+    * is exact, layout-independent, and job-free. */
+  def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    files(root).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -268,7 +268,14 @@ object Curation {
     Similarity.cosineNearDupPairsLsh(
         flippedNearDupCorpus(Tables.embeddings(s, dir)),
         "vec_id", "embedding", minCosine = 0.9,
-        candidatesPerVector = Q48CandidatesPerVector)
+        candidatesPerVector = Q48CandidatesPerVector,
+        // the flip fixture doubles the corpus; the base count comes
+        // from parquet footers — exact, partition-layout-independent,
+        // and NO Spark job at plan construction (the sampled-count
+        // fallback ran a blocking runJob here and made the derived
+        // (planes, tables) depend on maxPartitionBytes/file sizes)
+        corpusSizeHint =
+          2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
       .orderBy(col("a"), col("b"))
 
   /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per

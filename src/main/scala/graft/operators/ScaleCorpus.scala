@@ -58,23 +58,34 @@ object ScaleCorpus {
     }.reduce(_ unionByName _)
   }
 
-  /** m× embeddings. Replica r's rotation amount is r mod dims (a
-    * zero-rotation replica would collide with the original's structure
-    * only in the degenerate mult > dims case — callers stay below the
-    * vector dimensionality, asserted against the 64-dim harness
-    * fixture's floor). */
+  /** m× embeddings. Replica r rotates by r positions, which is only an
+    * injective replica map while r < dims — a vector of dims ≤ mult
+    * would rotate onto (or past) itself and silently break the
+    * no-cross-replica-structure guarantee. The static [1, 32] require
+    * assumes the 64-dim harness floor; because `mult` can't see the
+    * ACTUAL dimensionality at plan time, every rotated row also
+    * carries a runtime `assert_true(size > mult)` so a shorter vector
+    * fails the job loudly instead of yielding empty/negative slices. */
   def embeddings(vecs: DataFrame, mult: Int): DataFrame = {
     require(mult >= 1 && mult <= 32,
       s"mult must be in [1, 32] (rotation stays below 64 dims), got $mult")
     (0 until mult).map { r =>
       if (r == 0) vecs.select(col("vec_id"), col("embedding"), col("label"))
-      else vecs.select(
-        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
-        concat(
+      else {
+        val rotated = concat(
           slice(col("embedding"), lit(r + 1),
             size(col("embedding")) - r),
-          slice(col("embedding"), lit(1), lit(r))).as("embedding"),
-        col("label"))
+          slice(col("embedding"), lit(1), lit(r)))
+        vecs.select(
+          (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+          // assert_true returns null on success — the `when` wrapper
+          // just sequences the check before the rotation per row
+          when(assert_true(size(col("embedding")) > lit(mult),
+            concat(lit(s"ScaleCorpus.embeddings(mult=$mult) needs " +
+              "dims > mult, got dims="), size(col("embedding")))).isNull,
+            rotated).as("embedding"),
+          col("label"))
+      }
     }.reduce(_ unionByName _)
   }
 }

@@ -493,20 +493,29 @@ object Similarity {
     * warning naming the derived alternative.
     *
     * `candidatesPerVector` > 0 switches the derivation to
-    * [[lshParamsForScale]] with a bounded sampled row-count (the same
-    * 16-partition estimate the IVF √n heuristic uses — never a full
-    * pre-scan), holding candidate volume ~linear in corpus size
-    * instead of a constant cartesian fraction. This is the setting a
+    * [[lshParamsForScale]], holding candidate volume ~linear in corpus
+    * size instead of a constant cartesian fraction — the setting a
     * 100 TB run wants; the plain derive is kept as the default for
-    * small-corpus compat (and the oracle gates). */
+    * small-corpus compat (and the oracle gates). The corpus size for
+    * that derivation comes from `corpusSizeHint` when the caller knows
+    * it (q48 reads it from parquet footers —
+    * [[graft.Tables.parquetRowCount]] — so plan construction launches
+    * ZERO Spark jobs and the derived parameters are exact and
+    * partition-layout-independent; PlanSpec gates this). Only when no
+    * hint is given does the bounded 16-partition sampled count run —
+    * a blocking driver job at construction time, acceptable
+    * interactively but never on the gated query paths. */
   def cosineNearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, planes: Int = 0, tables: Int = 0,
-      candidatesPerVector: Double = 0.0): DataFrame = {
+      candidatesPerVector: Double = 0.0,
+      corpusSizeHint: Long = 0L): DataFrame = {
     val (pl, tb) =
       if (planes > 0 && tables > 0) (planes, tables)
-      else if (candidatesPerVector > 0)
-        lshParamsForScale(minCosine, math.max(1L, approxRowCount(
-          vecs.select(col(idCol)))), candidatesPerVector)
+      else if (candidatesPerVector > 0) {
+        val n = if (corpusSizeHint > 0) corpusSizeHint
+          else math.max(1L, approxRowCount(vecs.select(col(idCol))))
+        lshParamsForScale(minCosine, n, candidatesPerVector)
+      }
       else lshParamsFor(minCosine)
     val degenerate = tb.toDouble / (1L << pl) >= 1.0
     if (degenerate) {
@@ -521,12 +530,20 @@ object Similarity {
       // checkpoint before the self-join: both sides of x⋈y would
       // otherwise re-run the planes×tables projection — the
       // materialized form is (id, bucket) at 16 bytes × tables rows
-      // per vector, negligible next to the embeddings themselves
-      val keyed = saltedKeysAgg(vecs, idCol, vecCol, pl, tb)
-        .localCheckpoint(true)
+      // per vector, negligible next to the embeddings themselves.
+      // persist(), NOT localCheckpoint: construction must launch zero
+      // Spark jobs (the lshTopK contract, PlanSpec-gated) and even a
+      // lazy checkpoint .execute()s its child at construction — under
+      // AQE that materializes the upstream shuffle stages right there.
+      // The CacheManager swaps both self-join branches for ONE
+      // InMemoryRelation computed at first action; these narrow
+      // (id, long-key) rows are exactly what the columnar cache is
+      // good at (the gram-array case where cache measured 2× worse —
+      // TextDedup.shared — does not apply here)
+      val keyed = saltedKeysAgg(vecs, idCol, vecCol, pl, tb).persist()
       val withV = keyed.join(
         vecs.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
-        .localCheckpoint(true)
+        .persist()
       withV.as("x").join(withV.as("y"),
           col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"),
@@ -556,10 +573,12 @@ object Similarity {
     * embedding rides it. */
   def lshCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, tables: Int): DataFrame = {
-    // checkpoint before the self-join: both sides of x⋈y would
-    // otherwise re-run the planes×tables key projection
+    // persist before the self-join: both sides of x⋈y would otherwise
+    // re-run the planes×tables key projection. persist (not
+    // localCheckpoint) keeps construction job-free — see
+    // cosineNearDupPairsLsh's note on AQE and lazy checkpoints
     val keyed = saltedKeysAgg(vecs, idCol, vecCol, planes, tables)
-      .localCheckpoint(true)
+      .persist()
     keyed.as("x").join(keyed.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()

@@ -101,12 +101,25 @@ object TextAnalysis {
     * loop is O(words × distinct) per row — bounded by document length,
     * not corpus size, and fully codegen'd.
     *
+    * THE LENGTH ASSUMPTION: O(words × distinct) is quadratic in the
+    * worst case, so one pathological document (100k+ distinct tokens)
+    * costs ~10⁹ comparisons inside a single task — far worse than the
+    * explode+groupBy shape it replaces, and invisible until that row
+    * arrives. `maxTokens > 0` caps it: metrics are computed over the
+    * first `maxTokens` tokens only (a deliberate semantic truncation —
+    * repetition signals saturate long before 10k tokens; a mirrored
+    * oracle must slice identically). The default 0 keeps the exact
+    * full-document semantics for the oracle-gated entries, whose
+    * corpus is length-bounded; a 100 TB crawl pipeline should set
+    * ~10k.
+    *
     * Tokenization is a bare single-space split (no lower-casing, no
     * empty-token filter) so DuckDB's `string_split(text, ' ')` mirrors
     * it exactly — both engines count identical token multisets. */
   def repetitionMetrics(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val t = split(col(textCol), " ")
+      textCol: String, maxTokens: Int = 0): DataFrame = {
+    val t0 = split(col(textCol), " ")
+    val t = if (maxTokens > 0) slice(t0, 1, maxTokens) else t0
     val d = array_distinct(t)
     val nWords = size(t).cast("long")
     val nDistinct = size(d).cast("long")
@@ -126,15 +139,19 @@ object TextAnalysis {
     * scorer is too expensive (low entropy ⇒ repetitive/templated
     * text; with [[repetitionMetrics]] it completes the repetition
     * family). Per-row nested HOF like repetitionMetrics — zero
-    * shuffle. Each −p·log₂p term is cast to DECIMAL(28,18) and the
+    * shuffle, and the same O(words × distinct) per-row bound:
+    * `maxTokens > 0` truncates to the first `maxTokens` tokens for
+    * pathologically long rows (see [[repetitionMetrics]]'s length
+    * note). Each −p·log₂p term is cast to DECIMAL(28,18) and the
     * fold accumulates exactly, so the sum is order-independent (the
     * oracle's GROUP BY addition order differs from the fold's
     * first-occurrence order; a double accumulator would diverge in
     * the last ulps) — the only cross-engine risk left is the final
     * 6-dp rounding of log₂'s own last-ulp variation. */
   def tokenEntropy(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val t = split(col(textCol), " ")
+      textCol: String, maxTokens: Int = 0): DataFrame = {
+    val t0 = split(col(textCol), " ")
+    val t = if (maxTokens > 0) slice(t0, 1, maxTokens) else t0
     val nTok = size(t).cast("double")
     val d = array_distinct(t)
     val h = aggregate(d,

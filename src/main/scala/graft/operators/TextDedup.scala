@@ -296,13 +296,19 @@ object TextDedup {
   private def requireIndexConfig(indexDir: String, n: Int,
       numHashes: Int, bands: Int): Unit = {
     val p = java.nio.file.Paths.get(s"$indexDir/_meta.json")
-    if (java.nio.file.Files.exists(p)) {
-      val meta = java.nio.file.Files.readString(p)
-      val expect = s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}"""
-      require(meta == expect,
-        s"near-dup index at $indexDir was built with $meta, queried " +
-          s"with $expect — rebuild or match the build parameters")
-    }
+    // a missing meta file is itself a failure: buildNearDupIndex always
+    // writes one, so its absence means a partial build or a manual
+    // copy — treating it as "assume matching config" would let the
+    // silent-empty-result failure mode this check exists for back in
+    require(java.nio.file.Files.exists(p),
+      s"near-dup index at $indexDir has no _meta.json — not a complete " +
+        "buildNearDupIndex artifact (partial build or manual copy); " +
+        "rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    val expect = s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}"""
+    require(meta == expect,
+      s"near-dup index at $indexDir was built with $meta, queried " +
+        s"with $expect — rebuild or match the build parameters")
   }
 
   /** [[incrementalNearDupPairs]] against a PERSISTED index

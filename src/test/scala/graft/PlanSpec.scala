@@ -131,15 +131,38 @@ class PlanSpec extends AnyFunSuite {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        if (s.time >= t0) groups.add(
-          Option(s.properties)
-            .map(_.getProperty("spark.jobGroup.id", "none")).getOrElse("none"))
+        if (s.time >= t0) {
+          val props = Option(s.properties)
+          val grp = props.map(_.getProperty("spark.jobGroup.id", "none"))
+            .getOrElse("none")
+          // carry the callsite so a failure NAMES the probe
+          val site = props
+            .map(_.getProperty("spark.job.description", "")).getOrElse("")
+          val detail = s.stageInfos.headOption.map(_.details.linesIterator
+            .take(3).mkString(" | ")).getOrElse("")
+          groups.add(if (grp == "ann-marker") grp
+            else s"$grp [$site] $detail")
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
       Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
         planes = 4, tables = 4)
+      // the round-9 regression spot (ADVICE r9 #1): the scale-derived
+      // near-dup path used to run a sampled-count runJob at plan
+      // construction when candidatesPerVector > 0. With a size hint
+      // (q48 reads parquet footers — driver metadata, not a Spark job)
+      // construction must stay job-free.
+      Similarity.cosineNearDupPairsLsh(
+        graft.operators.Curation.flippedNearDupCorpus(e),
+        "vec_id", "embedding", minCosine = 0.9,
+        candidatesPerVector = 32.0, corpusSizeHint = 4000L)
+      // (the shipped q48 entry is NOT constructed here: its
+      // Tables.embeddings read triggers Spark's own footer/schema jobs
+      // — read machinery, not operator probes, same reason the table
+      // load above sits before the watch window. Its footer-count hint
+      // is driver-side Hadoop I/O, covered by the parquetRowCount test)
       // marker action: the listener bus is FIFO, so once the marker's
       // jobs arrive, any construction-time job would already have been
       // recorded — and would carry a different (or no) job group
@@ -158,6 +181,18 @@ class PlanSpec extends AnyFunSuite {
       assert(nonMarker.isEmpty,
         s"ANN construction launched ${nonMarker.size} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("parquetRowCount: footer count is exact and layout-independent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("footer").toString
+    // multi-file layout: the count must be the SUM over part files
+    (1 to 137).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(5).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.parquetRowCount(spark, s"$dir/t.parquet") == 137L)
+    // and on the harness table it equals the true count
+    val n = Tables.embeddings(spark, sf).count()
+    assert(Tables.parquetRowCount(spark, s"$sf/embeddings.parquet") == n)
   }
 
   test("q21: exactly ONE grams-to-grams self-join in the plan") {

@@ -42,6 +42,22 @@ class ScaleContractSpec extends AnyFunSuite {
     // checked in the LSH contract below instead)
   }
 
+  test("embeddings replication fails loudly when dims <= mult") {
+    import spark.implicits._
+    // rotation by r >= dims is no longer an injective replica map —
+    // a 3-dim corpus under mult=4 must fail the job at runtime, not
+    // silently emit broken replicas (ADVICE r9 #2)
+    val short = Seq((1L, Seq(1.0f, 2.0f, 3.0f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      ScaleCorpus.embeddings(short, 4).collect()
+    }
+    assert(e.getMessage.contains("dims"),
+      s"wrong failure: ${e.getMessage}")
+    // and the harness 64-dim corpus passes the same runtime check
+    assert(ScaleCorpus.embeddings(e1.limit(5), 4).count() == 20)
+  }
+
   test("exact n-gram Jaccard pairs grow exactly m× under replication") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,

@@ -175,6 +175,50 @@ class SimilaritySpec extends AnyFunSuite {
       s"candidates miss true pairs: ${(truePairs -- candSet).take(5)}")
   }
 
+  test("lshParamsForScale: the 32-plane cap binds at huge n") {
+    // past n ≈ 3M·candidatesPerVector no config clears the per-vector
+    // collision cap inside the kernel's 32-bit key width — the
+    // warn-and-degrade branch must return the TIGHTEST config (32
+    // planes, max tables) rather than throw; this is the live path a
+    // billion-vector corpus hits and the scaladoc's "shard the corpus"
+    // advice applies
+    val n = 4_000_000_000L
+    val (planes, tables) = Similarity.lshParamsForScale(0.9, n,
+      candidatesPerVector = 32.0)
+    assert(planes == 32)
+    // tables is still derived from the miss-rate bound at 32 planes
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val pSig = math.pow(p, 32)
+    val expectTables = math.max(1,
+      math.ceil(math.log(1e-4) / math.log1p(-pSig)).toInt)
+    assert(tables == expectTables)
+    // and the returned config indeed misses the cap — the degradation
+    // is real, not a rounding accident
+    assert(tables.toDouble / math.pow(2.0, 32) > 32.0 / n)
+    // a modest n still clears the cap with room (the non-degenerate
+    // contract the scale bench relies on)
+    val (p2, t2) = Similarity.lshParamsForScale(0.9, 10000L,
+      candidatesPerVector = 32.0)
+    assert(p2 < 32 && t2.toDouble / math.pow(2.0, p2) <= 32.0 / 10000L)
+  }
+
+  test("corpusSizeHint derives the same params as the sampled count") {
+    // q48's footer-count hint must land on the identical (planes,
+    // tables) the sampled estimate would pick at the same true n —
+    // the hint changes WHERE the size comes from, never the math
+    val e = graft.operators.Curation.flippedNearDupCorpus(
+      Tables.embeddings(spark, SparkTestSession.sf))
+    val n = e.count()
+    val viaHint = Similarity.lshParamsForScale(0.9, n,
+      graft.operators.Curation.Q48CandidatesPerVector)
+    val footerN = 2L * Tables.parquetRowCount(spark,
+      s"${SparkTestSession.sf}/embeddings.parquet")
+    assert(footerN == n, s"footer count $footerN != true count $n")
+    val viaFooter = Similarity.lshParamsForScale(0.9, footerN,
+      graft.operators.Curation.Q48CandidatesPerVector)
+    assert(viaHint == viaFooter)
+  }
+
   test("dot product is exact decimal (partition-order independent)") {
     val big = spark.range(0, 1000).select($"id".cast("long").as("vec_id"),
       transform(sequence(lit(0), lit(63)),

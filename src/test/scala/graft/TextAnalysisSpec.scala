@@ -84,6 +84,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(h(3L) == 0.0)
   }
 
+  test("maxTokens caps the per-row repetition/entropy loop") {
+    // the O(words × distinct) guard: capped metrics equal the metrics
+    // of the truncated prefix (a semantic truncation, documented), and
+    // docs at-or-under the cap are byte-identical to the uncapped path
+    val longDoc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, longDoc), (2L, "a b a b a")).toDF("doc_id", "text")
+    val capped = TextAnalysis.repetitionMetrics(df, "doc_id", "text",
+        maxTokens = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped(1L) == ((10L, 10L)))   // first 10 tokens only
+    assert(capped(2L) == ((5L, 2L)))     // under the cap: unchanged
+    val prefix = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hCap = TextAnalysis.tokenEntropy(df, "doc_id", "text",
+      maxTokens = 10).filter($"doc_id" === 1L).head().getDouble(1)
+    val hPrefix = TextAnalysis.tokenEntropy(prefix, "doc_id", "text")
+      .head().getDouble(1)
+    assert(hCap == hPrefix)
+  }
+
   test("rolling hash differs when order differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
       .toDF("doc_id", "text")

@@ -179,6 +179,37 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("index without _meta.json fails loudly, mismatched config too") {
+    val existing = Seq((0L, base)).toDF("doc_id", "text")
+    val incoming = Seq((10L, nearDup)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("neardup_index_meta").toString
+    try {
+      TextDedup.buildNearDupIndex(existing, "doc_id", "text", dir)
+      // mismatched banding parameters → loud failure
+      val eCfg = intercept[IllegalArgumentException] {
+        TextDedup.incrementalNearDupPairsFromIndex(
+          spark, incoming, dir, "doc_id", "text", bands = 16)
+      }
+      assert(eCfg.getMessage.contains("built with"))
+      // a deleted meta file (partial build / manual copy) must fail
+      // too — assuming a matching config would silently find nothing
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/_meta.json"))
+      val eMissing = intercept[IllegalArgumentException] {
+        TextDedup.incrementalNearDupPairsFromIndex(
+          spark, incoming, dir, "doc_id", "text")
+      }
+      assert(eMissing.getMessage.contains("_meta.json"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("incremental near-dup equals the full self-join's cross slice") {
     // on the harness corpus: splitting by content hash and running the
     // incremental path must recover exactly the cross-side subset of
