@@ -150,7 +150,17 @@ object Bench {
       .mkString("{", ",", "}")
     val bestTotal = results
       .map { case (k, v) => math.min(v, prior.getOrElse(k, v)) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bestKnown":$best,"bestKnownTotal":$bestTotal,"sf":"$sfDir"}"""
+    // drift record IN the artifact (round-9 verdict #3): bestKnown is a
+    // cross-round minimum and can only improve, so a regression in the
+    // CURRENT code is invisible in the minima — persist every query
+    // whose current run exceeds its cross-round best by >1.5× (the
+    // stderr flag alone vanished with the session). Auditable as
+    // current = "queries", reference = "bestKnown", ratio here.
+    val driftedMap = results.flatMap { case (k, v) =>
+      prior.get(k).filter(p => p > 0.05 && v > p * 1.5)
+        .map(p => "\"" + k + "\":" + f"${v / p}%.2f")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bestKnown":$best,"bestKnownTotal":$bestTotal,"drifted":$driftedMap,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json wraps stdout in a bounded "tail"
     // field that has truncated the head of the query map in past

@@ -18,7 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleContractSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private val Mult = 4
+  // m = 10, matching the measured SCALEBENCH multiplier (round-9
+  // verdict #4 raised it from the original m=4): the counter
+  // assertions are cheap and deterministic, so CI pins the SAME growth
+  // factor the published BASELINE.md table demonstrates — wall-time
+  // stays out of CI by design
+  private val Mult = 10
   private lazy val docs1 = Tables.documents(spark, SparkTestSession.sf)
     .localCheckpoint(true)
   private lazy val docsM = ScaleCorpus.documents(docs1, Mult)
@@ -102,6 +107,31 @@ class ScaleContractSpec extends AnyFunSuite {
     // the verifier prices stays ~linear
     assert(cM <= 3 * Mult * math.max(c1, 25),
       s"simhash candidates grew super-linearly: $c1 -> $cM")
+  }
+
+  test("decontamination pairs grow exactly m× under replication") {
+    // q64's growth law had no counter pinning it (round-9 verdict #4):
+    // eval docs replicate with the corpus, but replica-r eval grams
+    // match replica-r train grams ONLY (suffixed tokens), so both the
+    // pair count and the total shared-gram volume must grow exactly
+    // m× — any cross-replica pair would be super-linear contamination
+    // growth, i.e. an algorithmic bug, not data
+    def volumes(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val p = TextDedup.contaminationPairs(
+        df.filter(col("source") =!= Curation.Q64EvalSource),
+        df.filter(col("source") === Curation.Q64EvalSource),
+        "doc_id", "text", n = Curation.Q64GramN)
+        .agg(count(lit(1)).as("pairs"), sum(col("n_shared")).as("shared"))
+        .head()
+      (p.getLong(0), p.getLong(1))
+    }
+    val (pairs1, shared1) = volumes(docs1)
+    assert(pairs1 > 0, "fixture has no contamination pairs at 1x")
+    val (pairsM, sharedM) = volumes(docsM)
+    assert(pairsM == Mult * pairs1,
+      s"contamination pairs not m×: $pairs1 -> $pairsM")
+    assert(sharedM == Mult * shared1,
+      s"shared-gram volume not m×: $shared1 -> $sharedM")
   }
 
   test("near-dup sign-LSH stays sub-cartesian and complete at m×") {
