@@ -226,7 +226,12 @@ object Similarity {
     val assigned = assign(c, centroids, assignments)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = probeLists(q, centroids, nProbe)
-    val scored = probes.join(assigned, Seq("list_id"))
+    // probes = queries × nProbe rows — small by the same contract that
+    // broadcasts the query set everywhere else. The explicit hint
+    // matters because size ESTIMATES here are crossJoin-inflated (no
+    // CBO): without it the planner may shuffle the corpus-sized
+    // assignment table instead of map-side-joining it
+    val scored = broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       // a (query, neighbor) pair can meet in several probed lists under
@@ -280,8 +285,26 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     val assigned = spark.read.parquet(s"$dir/assignments.parquet")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = probeLists(q, centroids, nProbe)
-      .join(assigned, Seq("list_id"))
+    val probes = probeLists(q, centroids, nProbe)
+    // STATIC partition pruning, by construction: resolve the probed
+    // list ids driver-side (bounded — at most queries × nProbe rows
+    // of one int; this is the inherent "plan the read" phase of any
+    // index lookup) and filter the partition column with literals, so
+    // the file listing itself skips every unprobed list directory.
+    // Dynamic partition pruning was tried and is NOT trustworthy
+    // here: its broadcast-reuse-only default plans the leaf scan
+    // stage before any broadcast stage exists under AQE, and the
+    // filter silently degrades to `true` — a full scan that erases
+    // the index read-side economics. IndexPathSpec pins partitions
+    // read == lists probed.
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // probes = queries × nProbe rows — broadcast by the same contract
+    // that broadcasts the query set everywhere else, so the (pruned)
+    // assignments scan map-side-joins without a shuffle
+    val scored = broadcast(probes)
+      .join(assigned.filter(col("list_id")
+        .isin(probedIds.toSeq: _*)), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .distinct()

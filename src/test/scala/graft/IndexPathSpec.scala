@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Curation, Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CORRECTNESS-style gates for the PERSISTED-index query paths
+  * (round-9 verdict #2): the build-then-query flow over a real
+  * on-disk index must answer exactly what the one-job derivations
+  * (q47 / q62) answer on the same corpus, and the IVF assignments
+  * scan must be PRUNED to the probed list_id partitions — the
+  * property that makes a stored inverted file an index at all (a
+  * full-scan "index" read would erase the build's entire economics
+  * at 100 TB).
+  *
+  * The index builds are staged here in the test driver (never at
+  * plan-construction time — query entries must stay side-effect
+  * free), mirroring how a deployment stages its index between ingest
+  * cycles. */
+class IndexPathSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf
+  import spark.implicits._
+
+  private def withTempDir[A](tag: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    try f(dir)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("IVF index path answers exactly the q47 result on the harness corpus") {
+    withTempDir("ivf_q47") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      // same build parameters as the q47 entry (nLists=16,
+      // assignments=2, default Lloyd iterations) — the build is
+      // deterministic (hash-picked seeds), so the on-disk index must
+      // reproduce the in-memory derivation bit-for-bit
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+          k = 10, nProbe = 12)
+        .filter(col("rank") <= Curation.AnnOracleK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val q47 = Curation.q47EmbedAnnIvf(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(q47.nonEmpty)
+      assert(fromIndex == q47,
+        s"index path diverges from q47: missing ${(q47 -- fromIndex).take(5)}"
+          + s", extra ${(fromIndex -- q47).take(5)}")
+    }
+  }
+
+  /** Every FileSourceScanExec in an executed plan, descending through
+    * AQE query stages (scans live inside materialized stages, which
+    * are leaves to a plain collect). */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(allScans)
+  }
+
+  test("IVF assignments scan reads only the probed list_id partitions") {
+    withTempDir("ivf_prune") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 1)
+      // at test scale everything is broadcast-sized — at 100 TB the
+      // assignments table never is. Disable auto broadcast so the
+      // plan shape under test is the scale shape (only the operator's
+      // own explicit probes-side broadcast hint survives).
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // ONE query probing 2 of 16 lists — the scan must touch 2
+        // partition directories, not 16
+        val q = Similarity.ivfTopKFromIndex(spark,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", dir,
+          k = 5, nProbe = 2)
+        q.collect()
+        val plan = q.queryExecution.executedPlan
+        val scans = allScans(plan).filter(
+          _.metadata.get("Location").exists(_.contains("assignments")))
+        assert(scans.nonEmpty, s"no assignments FileScan in:\n$plan")
+        // the scan carries a STATIC partition filter on list_id (the
+        // probed ids resolved as literals — pruning by construction,
+        // not an optimizer heuristic: DPP's broadcast-reuse-only
+        // default planned this leaf stage with a `true` filter)…
+        assert(scans.exists(s =>
+          s.toString.contains("PartitionFilters") &&
+            s.toString.contains("list_id") && s.toString.contains("IN")),
+          s"assignments scan has no static list_id partition filter:\n$plan")
+        // …and its metrics prove the pruning happened: of the 16
+        // list_id partitions only the probed 2 were read
+        val partsRead = scans.map(_.metrics("numPartitions").value).max
+        assert(partsRead == 2,
+          s"expected 2 probed partitions read, got $partsRead; scans:\n" +
+            scans.map(s => s.toString + "\n  metrics: " +
+              s.metrics.map { case (k, m) => s"$k=${m.value}" }
+                .mkString(", ")).mkString("\n"))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("near-dup index path answers exactly the q62 result on the harness corpus") {
+    withTempDir("neardup_q62") { dir =>
+      val docs = Tables.documents(spark, sf)
+      val existing = docs.filter(
+        substring(md5(col("text")), 1, 1) < Curation.Q62IncomingHex)
+      val incoming = docs.filter(
+        substring(md5(col("text")), 1, 1) >= Curation.Q62IncomingHex)
+      TextDedup.buildNearDupIndex(existing, "doc_id", "text", dir)
+      val fromIndex = TextDedup.incrementalNearDupPairsFromIndex(
+          spark, incoming, dir, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val q62 = Curation.q62DedupIncremental(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(q62.nonEmpty, "fixture produced no cross-side pairs")
+      assert(fromIndex == q62,
+        s"index path diverges from q62: missing ${(q62 -- fromIndex).take(5)}"
+          + s", extra ${(fromIndex -- q62).take(5)}")
+    }
+  }
+}
