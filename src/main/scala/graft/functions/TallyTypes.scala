@@ -116,8 +116,14 @@ object TallyTypes {
   def tallyRound(value: Column, precision: Int): Column = {
     val p = pow(lit(10.0), lit(precision))
     val scaled = value * p
-    // trunc toward zero (negatives never round away — reference quirk)
-    val tz = when(scaled >= 0, floor(scaled)).otherwise(ceil(scaled))
+    // trunc toward zero (negatives never round away — reference quirk).
+    // x − (x mod 1.0) IS Math.trunc in the double domain (mod keeps the
+    // dividend's sign; ≥ 2^53 the mod is 0 and trunc = identity, like
+    // JS). floor()/ceil() here would be WRONG: Spark's return BIGINT,
+    // which under ANSI mode overflows for |value|·10^p > 2^63 — values
+    // inside decimal(17,2)'s range at precision 4 already hit it
+    // (caught by the TallyTypesSpec property sweep).
+    val tz = scaled - (scaled % lit(1.0))
     when(scaled - tz > 0.5, (tz + 1) / p).otherwise(tz / p)
   }
 

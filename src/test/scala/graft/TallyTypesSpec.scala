@@ -72,6 +72,50 @@ class TallyTypesSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(2.0, 3.0, 2.0, -2.0, -2.0))
   }
 
+  test("tallyRound: property parity with the reference algorithm") {
+    // the reference round (src/utility.mts:158-166) in Scala, same
+    // IEEE-double semantics as Node: value scaled by 10^p, truncated
+    // TOWARD ZERO, +1 away from zero only when the fraction EXCEEDS
+    // 0.5 (so x.5 truncates, and negatives never round away — the two
+    // quirks that differ from both HALF_UP and banker's). Report
+    // parity depends on reproducing this bit-for-bit, so the sweep
+    // compares the Column implementation against this oracle over the
+    // (17,2)/(15,4) boundary magnitudes and a dense half-way grid.
+    def refRound(value: Double, precision: Int): Double =
+      if (value == 0.0) 0.0
+      else {
+        val p = math.pow(10, precision)
+        val scaled = value * p
+        val tz = if (scaled < 0) math.ceil(scaled) else math.floor(scaled)
+        (if (scaled - tz > 0.5) tz + 1 else tz) / p
+      }
+    val rnd = new scala.util.Random(20260813)
+    // exhaustive x.xx5-style grid: every half-way and near-half-way
+    // point at 3 decimals in [-2, 2] hits the >0.5-vs-==0.5 boundary
+    // for precisions 0 and 2
+    val grid = (-2000 to 2000).map(_ / 1000.0)
+    // magnitude sweep up to the DDL boundaries: decimal(17,2) holds
+    // |x| < 10^15, decimal(15,4) holds |x| < 10^11
+    val magnitudes = Seq(1.0, 1e2, 1e6, 1e11, 1e15)
+    val randoms = Seq.fill(2000) {
+      (rnd.nextDouble() - 0.5) * 2 *
+        magnitudes(rnd.nextInt(magnitudes.length))
+    }
+    // explicit half-cent cases at amount scale: n + 0.005 for (17,2)
+    val halfCents = (-500 to 500).map(k => k + (if (k < 0) -0.005 else 0.005))
+    val values = (grid ++ randoms ++ halfCents).distinct
+    for (precision <- Seq(0, 2, 4)) {
+      val got = values.toDF("v")
+        .select(tallyRound($"v", precision).as("r"))
+        .collect().map(_.getDouble(0))
+      values.zip(got).foreach { case (v, g) =>
+        val want = refRound(v, precision)
+        assert(g == want,
+          s"tallyRound($v, $precision) = $g, reference says $want")
+      }
+    }
+  }
+
   test("decimal precisions match the reference DDL") {
     assert(TAmount.sparkType.toString.contains("17,2"))
     assert(TQuantity.sparkType.toString.contains("15,4"))
