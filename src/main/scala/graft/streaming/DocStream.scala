@@ -36,35 +36,79 @@ object DocStream {
     *
     * Scale: the static side is the persisted dedup index a deployment
     * maintains ([[TextDedup.bandBucketsFromGrams]] rows + per-doc gram
-    * sets); store it bucketed by band key / id so the per-micro-batch
-    * joins co-locate instead of re-shuffling the index. Here it is
-    * localCheckpointed once per query start (`materializeIndex`) —
-    * stream-static joins re-evaluate an unmaterialized static plan
-    * EVERY micro-batch. */
+    * sets); [[writeIndexTables]] stores exactly that, BUCKETED by band
+    * key / id, so the per-micro-batch joins co-locate instead of
+    * re-shuffling the index (no Exchange on the static side —
+    * DocStreamSpec asserts the plan; use [[nearDupAgainstIndexTables]]
+    * over the stored tables). In THIS derive-inline convenience form
+    * the static side is localCheckpointed once per query start
+    * (`materializeIndex`) — stream-static joins re-evaluate an
+    * unmaterialized static plan EVERY micro-batch. */
   def nearDupAgainstIndex(stream: DataFrame, existing: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
       bands: Int = 32, minJaccard: Double = 0.8,
       materializeIndex: Boolean = true): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def enrich(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          array_distinct(TextDedup.shingleArray(col(textCol), n))
-            .as(s"${idAs}_gset"))
-        // docs with no grams (shorter than n words) have no index
-        // entries on the batch side either — drop before the null
-        // signature lanes could mint a shared "empty" band key
-        .filter(size(col(s"${idAs}_gset")) > 0)
-        .withColumn(s"${idAs}_bks",
-          TextDedup.bandKeys(
-            TextDedup.minhashSignature(
-              transform(col(s"${idAs}_gset"), g => xxhash64(g)),
-              numHashes),
-            bands, rowsPerBand))
-    val ex0 = enrich(existing, "existing_id")
+    val ex0 = enrich(existing, "existing_id", idCol, textCol,
+      n, numHashes, bands)
     val ex = if (materializeIndex) ex0.localCheckpoint(true) else ex0
     val exKeys = ex.select(col("existing_id"),
       explode(col("existing_id_bks")).as("bk"))
-    val in = enrich(stream, "incoming_id")
+    nearDupAgainstIndexTables(stream, exKeys, ex, idCol, textCol,
+      n, numHashes, bands, minJaccard)
+  }
+
+  /** Per-doc enrichment shared by both sides: distinct gram set +
+    * per-row MinHash band keys (all HOF expressions — stateless). */
+  private def enrich(df: DataFrame, idAs: String, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+        array_distinct(TextDedup.shingleArray(col(textCol), n))
+          .as(s"${idAs}_gset"))
+      // docs with no grams (shorter than n words) have no index
+      // entries on the batch side either — drop before the null
+      // signature lanes could mint a shared "empty" band key
+      .filter(size(col(s"${idAs}_gset")) > 0)
+      .withColumn(s"${idAs}_bks",
+        TextDedup.bandKeys(
+          TextDedup.minhashSignature(
+            transform(col(s"${idAs}_gset"), g => xxhash64(g)),
+            numHashes),
+          bands, numHashes / bands))
+
+  /** Write the static index as two BUCKETED tables — the layout the
+    * nearDupAgainstIndex scaladoc promises: `keysTable` (existing_id,
+    * bk) bucketed by the band key and `payloadTable` (existing_id,
+    * gset, bks) bucketed by the id, each sorted within buckets. The
+    * per-micro-batch stream-static joins then co-locate against the
+    * bucket layout: the STATIC side is read bucket-aligned with NO
+    * Exchange in any micro-batch (DocStreamSpec asserts the plan),
+    * only the small incoming batch shuffles. At 100 TB this is the
+    * difference between re-shuffling the corpus index every batch and
+    * never shuffling it at all. */
+  def writeIndexTables(existing: DataFrame, idCol: String,
+      textCol: String, keysTable: String, payloadTable: String,
+      buckets: Int, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    val ex = enrich(existing, "existing_id", idCol, textCol,
+      n, numHashes, bands).localCheckpoint(true)
+    ex.select(col("existing_id"), explode(col("existing_id_bks")).as("bk"))
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .mode("overwrite").saveAsTable(keysTable)
+    ex.write.bucketBy(buckets, "existing_id").sortBy("existing_id")
+      .mode("overwrite").saveAsTable(payloadTable)
+  }
+
+  /** [[nearDupAgainstIndex]] against PRE-BUILT index tables
+    * ([[writeIndexTables]] or any equivalent (existing_id, bk) /
+    * (existing_id, gset, bks) pair): the shape a deployment runs,
+    * where the existing side's signatures were computed once at index
+    * time and each micro-batch only pays for its own rows. */
+  def nearDupAgainstIndexTables(stream: DataFrame, exKeys: DataFrame,
+      ex: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.8): DataFrame = {
+    val in = enrich(stream, "incoming_id", idCol, textCol,
+        n, numHashes, bands)
       .select(col("incoming_id"), col("incoming_id_gset"),
         col("incoming_id_bks"),
         explode(col("incoming_id_bks")).as("bk"))

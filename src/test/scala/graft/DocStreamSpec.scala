@@ -49,6 +49,111 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed index tables join with no Exchange on the static side") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the layout contract nearDupAgainstIndex's scaladoc promises
+    // (round-9 verdict #5): with the index stored bucketBy(bk) /
+    // bucketBy(existing_id), each micro-batch's stream-static joins
+    // read the static side bucket-aligned — the ONLY Exchanges in the
+    // plan sit on the (small) incoming side, the corpus-sized index is
+    // never re-shuffled
+    Seq("ds_idx_keys", "ds_idx_payload").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val existing = docs.filter(substring(md5($"text"), 1, 1) < "c")
+    val incoming = docs.filter(substring(md5($"text"), 1, 1) >= "c")
+    DocStream.writeIndexTables(existing, "doc_id", "text",
+      "ds_idx_keys", "ds_idx_payload", buckets = 4)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = DocStream.nearDupAgainstIndexTables(
+      src.toDF().toDF("doc_id", "text"),
+      spark.table("ds_idx_keys"), spark.table("ds_idx_payload"),
+      "doc_id", "text", minJaccard = 0.8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q = out.writeStream.format("memory").queryName("ingest_bucketed")
+      .outputMode("append").start()
+    try {
+      src.addData(incoming.select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      // correctness first: same pairs as the batch incremental path
+      val streamed = spark.table("ingest_bucketed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = TextDedup.incrementalNearDupPairs(
+          existing, incoming, "doc_id", "text", minJaccard = 0.8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"bucketed-index stream diverges: only-streamed=" +
+          s"${(streamed -- batch).take(3)} only-batch=" +
+          s"${(batch -- streamed).take(3)}")
+      // then the layout claim, on the ACTUAL micro-batch plan. The
+      // contract: each static table is scanned exactly ONCE, and that
+      // scan reaches its join through wrapper nodes only — no Exchange
+      // between a bucketed scan and the join it feeds. (Join 2's
+      // stream side DOES shuffle join 1's small candidate output,
+      // which transitively contains keys-table columns — that shuffle
+      // is of candidates, not of the index, and is expected.)
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime
+            .StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(s.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      // scans reachable from `p` without crossing a shuffle boundary
+      def unshuffledScans(p: SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => Nil
+          case _: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Nil
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(s)
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            Nil // a deeper join's inputs are its own contract
+          case other => other.children.flatMap(unshuffledScans)
+        }
+      val nodes = flatten(exec)
+      val idxScans = nodes.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains("ds_idx_") => s
+      }
+      assert(idxScans.size == 2,
+        s"each index table must be scanned exactly once:\n$exec")
+      assert(idxScans.forall(_.toString.contains("SelectedBucketsCount")),
+        s"static side not read as buckets:\n$exec")
+      val joins = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      val directlyJoined = joins.flatMap(_.children.flatMap(unshuffledScans))
+        .map(_.toString).filter(_.contains("ds_idx_"))
+      assert(
+        directlyJoined.exists(_.contains("ds_idx_keys")) &&
+          directlyJoined.exists(_.contains("ds_idx_payload")),
+        s"a bucketed scan does not feed its join exchange-free:\n$exec")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("pair dedup is stateless: multi-band collisions emit one row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
