@@ -23,9 +23,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *   - `/tally-status` posts an empty body to Tally and relays the
   *                     response ("" on failure, src/server.mts:143-153)
   *   - `/log`          returns captured sync log lines from an index
-  *                     (`?from=N`) — a poll substitute for the
-  *                     reference's WebSocket log stream, which needs a
-  *                     ws library this build intentionally lacks
+  *                     (`?from=N`) — the poll fallback next to the
+  *                     live WebSocket stream
+  *   - `/ws-port`      the port of the companion WebSocket log stream
+  *                     ([[LogWebSocket]], the reference's `ws` server
+  *                     on its own port, src/server.mts:8,13-15): every
+  *                     log line is pushed to connected clients and `~`
+  *                     marks sync completion (src/server.mts:35-39)
   *
   * The Tally transport and the sync body are injected so tests drive
   * every endpoint with a canned transport and a controllable job; the
@@ -47,9 +51,15 @@ final class GraftServer(
     HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   private val syncThread = new AtomicReference[Thread](null)
   private val logLines = new java.util.concurrent.CopyOnWriteArrayList[String]
+  private val ws = new LogWebSocket(bindHost = bindHost)
 
-  /** Visible to the sync body for progress reporting. */
-  def log(line: String): Unit = logLines.add(line)
+  /** Visible to the sync body for progress reporting: recorded for the
+    * `/log` poll fallback AND pushed live to WebSocket clients (the
+    * reference's syncProcess.on('message') relay). */
+  def log(line: String): Unit = {
+    logLines.add(line)
+    ws.broadcast(line)
+  }
 
   /** Company-table TDL probe (reference src/server.mts:131: a one-field
     * report over the Company collection). Built with the same envelope
@@ -141,7 +151,12 @@ final class GraftServer(
             catch {
               case _: InterruptedException => log("sync aborted")
               case e: Exception => log(s"sync failed: ${e.getMessage}")
-            }, "graft-sync")
+            } finally
+              // completion marker, pushed to stream clients only — the
+              // reference sends '~' on child-process close
+              // (src/server.mts:36-39); the poll log keeps real lines
+              ws.broadcast("~"),
+            "graft-sync")
           t.setDaemon(true)
           syncThread.set(t)
           t.start()
@@ -169,6 +184,8 @@ final class GraftServer(
           .map(_.group(1).toInt).getOrElse(0)
         val lines = (from until logLines.size).map(logLines.get)
         respond(ex, lines.mkString("\n"))
+      case "/ws-port" =>
+        respond(ex, ws.boundPort.toString)
       case _ =>
         ex.sendResponseHeaders(404, -1)
         ex.close()
@@ -178,7 +195,8 @@ final class GraftServer(
   server.createContext("/", handle _)
   server.setExecutor(null) // single-threaded dispatch, like the reference
 
-  def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def start(): Unit = { server.start(); ws.start() }
+  def stop(): Unit = { server.stop(0); ws.stop() }
   def boundPort: Int = server.getAddress.getPort
+  def boundWsPort: Int = ws.boundPort
 }

@@ -106,7 +106,7 @@ class GraftServerSpec extends AnyFunSuite {
       val fetched = "fetch\\('([^'?]+)".r.findAllMatchIn(page)
         .map(_.group(1)).toSet
       assert(fetched == Set("/loadconfig", "/saveconfig", "/sync",
-        "/abort", "/tally-status", "/list-company", "/log"))
+        "/abort", "/tally-status", "/list-company", "/log", "/ws-port"))
       // drive the page's exact flow over those endpoints:
       assert(get(port, "/loadconfig").contains("localhost")) // loadConfig()
       val formCfg =                                          // configFromForm()
@@ -123,6 +123,51 @@ class GraftServerSpec extends AnyFunSuite {
       assert(get(port, "/log?from=0")                        // startPolling()
         .contains("EXTRACT mst_ledger"))
       get(port, "/abort")                                    // abortSync()
+    }
+  }
+
+  test("WebSocket stream pushes a sync's log lines and the '~' terminator") {
+    // functional parity with the reference's ws server
+    // (src/server.mts:8,13-15,35-39): connect with the JDK's own
+    // WebSocket CLIENT (so the handshake + framing are validated by an
+    // independent implementation), run a sync, and receive its log
+    // lines pushed — no polling — then '~' when the sync ends
+    var srvRef: GraftServer = null
+    withServer(sync = _ => {
+      srvRef.log("EXTRACT mst_ledger 10 rows")
+      srvRef.log("LOAD mst_ledger")
+    }) { (srv, port) =>
+      srvRef = srv
+      val wsPort = get(port, "/ws-port").toInt
+      assert(wsPort > 0)
+      val messages = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        override def onText(ws: java.net.http.WebSocket,
+            data: CharSequence, last: Boolean)
+            : java.util.concurrent.CompletionStage[_] = {
+          messages.add(data.toString)
+          ws.request(1)
+          null
+        }
+      }
+      val sock = client.newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:$wsPort/"), listener)
+        .join()
+      try {
+        assert(post(port, "/sync", """{"server":"localhost"}""") ==
+          "Sync started")
+        def next(): String = {
+          val m = messages.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+          assert(m != null, "no WebSocket message within 10s")
+          m
+        }
+        assert(next() == "EXTRACT mst_ledger 10 rows")
+        assert(next() == "LOAD mst_ledger")
+        assert(next() == "~")
+        // the poll fallback saw the same lines (minus the marker)
+        assert(post(port, "/log") ==
+          "EXTRACT mst_ledger 10 rows\nLOAD mst_ledger")
+      } finally sock.abort()
     }
   }
 
