@@ -139,12 +139,22 @@ object ScaleBench {
       val nFlip = flipped.count()
       val (sp, st) = Similarity.lshParamsForScale(0.9, nFlip,
         Curation.Q48CandidatesPerVector)
+      val nDocs = docs.count()
+      val (scaledChunks, _) = TextDedup.simhashParamsForScale(nDocs)
       Seq(
-        "docs" -> docs.count(),
+        "docs" -> nDocs,
         "minhash_cand" -> TextDedup.minhashCandidatesFromGrams(
           grams, 128, 32, 100000).count(),
         "simhash_cand" -> TextDedup.simhashCandidatesFromGrams(
           grams, 12, 11).count(),
+        // pre-Hamming chunk-join volume: fixed 12-chunk (the q23
+        // oracle pin — ~n²/5, quadratic) vs the n-derived chunk count
+        // (volume ~linear at a shrinking guaranteed radius) — the
+        // SimHash analog of the fixed-vs-scaled sign-LSH contrast
+        "simhash_prefilter_fixed" -> TextDedup.simhashChunkPairVolume(
+          grams, 12),
+        "simhash_prefilter_scaled" -> TextDedup.simhashChunkPairVolume(
+          grams, scaledChunks),
         "jaccard_pairs" -> Curation.q21DedupNgram(spark, dir).count(),
         // fixed collision cap (constant cartesian fraction — grows
         // ~quadratically) vs the scale-aware derive (per-vector

@@ -41,8 +41,14 @@ object Curation {
     * Hamming/chunk analysis landed). Dataset-conditional like every
     * approximate gate: the Jaccard↔Hamming relation is probabilistic,
     * so regenerated data could place a 0.8-pair beyond Hamming 11 —
-    * re-tune numChunks on a future failure. The scale default stays
-    * 8×8 (see TextDedup.simhashPairs). */
+    * re-tune numChunks on a future failure. THIS PIN IS THE ORACLE
+    * REGIME, NOT THE SCALE PATH: 12 chunks = 5-bit keys, whose
+    * pre-Hamming join volume is ~n²/5 (quadratic — the worst 10×
+    * bench ratio in the family, 5.3×). At corpus scale derive the
+    * chunk count from n with [[TextDedup.simhashParamsForScale]]
+    * (volume ~linear, guaranteed radius shrinking as 64/log₂n − 1,
+    * the inherent pigeonhole trade) or use the MinHash path, which is
+    * this library's 100 TB near-dup default. */
   def q23DedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, maxHamming = 11, minJaccard = 0.8, numChunks = 12)

@@ -407,12 +407,87 @@ object TextDedup {
     verifyJaccardFromGrams(grams, cand, minJaccard)
   }
 
+  /** Scale-aware SimHash banding parameters: the largest chunk count
+    * (= widest guaranteed Hamming radius, numChunks − 1) whose
+    * pre-Hamming-filter join volume stays within `candidatesPerVector`
+    * per document. A FIXED chunk count is quadratic in disguise: a
+    * random pair collides on one w-bit chunk with ~2^−w, so the chunk
+    * join generates ~numChunks·n²/2^(64/numChunks) candidate rows —
+    * the q23 oracle config (12 chunks, 5-bit keys) costs ~n²/5 rows
+    * BEFORE the cheap bit_count filter runs, which is exactly the
+    * growth the 10× bench's q23 wall ratio (5.3×, worst in the
+    * family) shows. Holding volume linear forces chunk width ≈
+    * log₂(numChunks·n/budget), and the 64-bit sketch then only
+    * affords 64/w chunks — i.e. the GUARANTEED radius shrinks as
+    * ~64/log₂(n) − 1. That trade is inherent to exact pigeonhole
+    * banding (beating it needs combinatorial multi-block tables whose
+    * count explodes with the radius — or the MinHash path, which
+    * trades exactness for probabilistic recall and IS this library's
+    * 100 TB near-dup default). This derivation makes the trade
+    * explicit instead of letting a pinned config go quadratic
+    * silently: at n = 500 it affords Hamming ≤ 7, at 5·10⁴ Hamming
+    * ≤ 3, at 10⁹ only Hamming ≤ 1. Callers needing a wider radius at
+    * scale should
+    * shard the corpus (e.g. by language/source) or use
+    * [[minhashLshPairs]]. */
+  def simhashParamsForScale(n: Long,
+      candidatesPerVector: Double = 32.0): (Int, Int) = {
+    require(n > 0 && candidatesPerVector > 0)
+    // k chunks of width ~64/k: expected join rows per doc ≈ k·n/2^w.
+    // Scan from the widest radius down; 2 chunks (radius 1) is the
+    // floor — below that banding cannot find anything.
+    val k = (16 to 2 by -1).find { k =>
+      val w = 64 / k
+      k.toDouble * n / math.pow(2.0, w) <= candidatesPerVector
+    }.getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhashParamsForScale(n=$n): even 2 chunks of 32 bits exceed " +
+          "the per-vector budget — volume degrades toward quadratic, " +
+          "shard the corpus or use the MinHash path")
+      2
+    }
+    (k, k - 1)
+  }
+
+  /** Pre-Hamming-filter join volume of [[simhashCandidatesFromGrams]]
+    * at `numChunks` — Σ over chunk-key buckets of m(m−1)/2, computed
+    * from a bucket-size aggregation (no join). This is the quantity
+    * [[simhashParamsForScale]] budgets; ScaleBench records it at both
+    * scales and ScaleContractSpec pins its growth law. */
+  def simhashChunkPairVolume(grams: DataFrame, numChunks: Int): Long =
+    chunkKeys(grams, numChunks)
+      .groupBy(col("ck")).agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("v"))
+      .head().getAs[Any]("v") match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValue()
+        case l: Long => l
+        case o => o.toString.toDouble.toLong
+      }
+
   /** SimHash chunk-banding candidate id pairs (a < b, Hamming ≤
     * `maxHamming`) from an existing (id, g) gram table — the
     * PRE-verification volume of [[simhashPairs]], public for the same
     * cost-contract reason as [[minhashCandidatesFromGrams]]. */
   def simhashCandidatesFromGrams(grams: DataFrame, numChunks: Int,
       maxHamming: Int): DataFrame = {
+    // checkpoint the chunk keys: both sides of the candidate self-join
+    // would otherwise re-run the 64 bit-sum aggregate
+    val chunked = chunkKeys(grams, numChunks).localCheckpoint(true)
+    chunked.as("x").join(chunked.as("y"),
+        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sim").as("sa"), col("y.sim").as("sb"))
+      .distinct()
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
+      .select(col("a"), col("b"))
+  }
+
+  /** (id, sim, ck) chunk-key rows: the 64-bit per-doc SimHash (bit-sum
+    * aggregation in hash-agg codegen) exploded into `numChunks` banded
+    * keys. Near-even bit split — the first (64 mod numChunks) chunks
+    * carry one extra bit; chunk index tagged into the high key bits. */
+  private def chunkKeys(grams: DataFrame, numChunks: Int): DataFrame = {
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -423,27 +498,15 @@ object TextDedup {
         (0 until 64).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sim"))
-    // near-even bit split: the first (64 mod numChunks) chunks carry
-    // one extra bit; chunk index tagged into the high key bits
     val base = 64 / numChunks
     val widths = Seq.fill(64 % numChunks)(base + 1) ++
       Seq.fill(numChunks - 64 % numChunks)(base)
     val offsets = widths.scanLeft(0)(_ + _).init
-    // checkpoint the chunk keys: both sides of the candidate self-join
-    // would otherwise re-run the 64 bit-sum aggregate
-    val chunked = withSim.select(col("id"), col("sim"), explode(array(
+    withSim.select(col("id"), col("sim"), explode(array(
       widths.lazyZip(offsets).lazyZip(widths.indices).map { (w, off, c) =>
         lit(c.toLong << 32).bitwiseOR(
           shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1)))
       }.toSeq: _*)).as("ck"))
-      .localCheckpoint(true)
-    chunked.as("x").join(chunked.as("y"),
-        col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.sim").as("sa"), col("y.sim").as("sb"))
-      .distinct()
-      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
-      .select(col("a"), col("b"))
   }
 
   /** Eval-set decontamination sweep: for every (training doc,

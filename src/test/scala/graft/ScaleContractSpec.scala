@@ -109,6 +109,33 @@ class ScaleContractSpec extends AnyFunSuite {
       s"simhash candidates grew super-linearly: $c1 -> $cM")
   }
 
+  test("scale-derived SimHash chunks keep per-doc prefilter volume ~flat") {
+    // the SimHash analog of the sign-LSH scale contract: a FIXED chunk
+    // count's pre-Hamming join volume is ~numChunks·n²/2^w (replica
+    // sketches are hash-decorrelated, so cross-replica chunk
+    // collisions arrive at the random rate ⇒ per-doc volume grows
+    // ~m×); deriving the chunk count from n re-widens the keys and
+    // must hold per-doc volume roughly flat
+    def volumes(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val grams = TextDedup.explodedShingles(df, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val n = df.count()
+      val (k, _) = TextDedup.simhashParamsForScale(n)
+      (TextDedup.simhashChunkPairVolume(grams, 12).toDouble / n,
+        TextDedup.simhashChunkPairVolume(grams, k).toDouble / n)
+    }
+    val (fixed1, scaled1) = volumes(docs1)
+    val (fixedM, scaledM) = volumes(docsM)
+    // fixed 12-chunk: per-doc volume must show the quadratic law
+    // (expected ~m× growth; conservative floor 3×)
+    assert(fixedM >= 3.0 * fixed1,
+      s"fixed-chunk prefilter unexpectedly flat: $fixed1 -> $fixedM")
+    // derived: roughly flat (3× slack absorbs true-pair structure and
+    // chunk-width discreteness — the quadratic law would show ~m×)
+    assert(scaledM <= 3.0 * math.max(scaled1, 32.0),
+      s"derived-chunk prefilter grew ~quadratically: $scaled1 -> $scaledM")
+  }
+
   test("decontamination pairs grow exactly m× under replication") {
     // q64's growth law had no counter pinning it (round-9 verdict #4):
     // eval docs replicate with the corpus, but replica-r eval grams

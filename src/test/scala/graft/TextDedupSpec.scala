@@ -179,6 +179,32 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashParamsForScale trades guaranteed radius for chunk width") {
+    // the pigeonhole trade, pinned: wider corpora force wider chunk
+    // keys, shrinking the exact Hamming guarantee
+    assert(TextDedup.simhashParamsForScale(500L) == ((8, 7)))
+    assert(TextDedup.simhashParamsForScale(5000L) == ((6, 5)))
+    assert(TextDedup.simhashParamsForScale(50000L) == ((4, 3)))
+    assert(TextDedup.simhashParamsForScale(1000000000L) == ((2, 1)))
+    // monotone: radius never widens as n grows
+    val radii = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(n => TextDedup.simhashParamsForScale(n)._2)
+    assert(radii == radii.sorted.reverse)
+    // past ~7e10 even 32-bit chunks blow the budget — degrade to the
+    // floor config rather than throw (the warn-and-degrade branch)
+    assert(TextDedup.simhashParamsForScale(100000000000L) == ((2, 1)))
+    // and the derived config still FINDS near-identical docs: an exact
+    // duplicate has Hamming 0, inside every radius
+    val docs = Seq((1L, base), (2L, base), (3L,
+      "completely different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val grams = TextDedup.explodedShingles(docs, "doc_id", "text", 3)
+    val (k, h) = TextDedup.simhashParamsForScale(50000L)
+    val cand = TextDedup.simhashCandidatesFromGrams(grams, k, h)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
   test("index without _meta.json fails loudly, mismatched config too") {
     val existing = Seq((0L, base)).toDF("doc_id", "text")
     val incoming = Seq((10L, nearDup)).toDF("doc_id", "text")
