@@ -73,6 +73,13 @@ object SparkEntry {
     "q65_corpus_mix"       -> (Curation.q65CorpusMix _),
     "q66_token_entropy"    -> (Curation.q66TokenEntropy _),
     "q67_curation_pipeline" -> (Curation.q67CurationPipeline _),
+    "q68_dup_clusters"     -> (Curation.q68DupClusters _),
+    "q69_boilerplate"      -> (Curation.q69Boilerplate _),
+    "q70_quality_sample"   -> (Curation.q70QualitySample _),
+    "q71_source_overlap"   -> (Curation.q71SourceOverlap _),
+    "q72_cluster_reps"     -> (Curation.q72ClusterReps _),
+    "q73_gram_novelty"     -> (Curation.q73GramNovelty _),
+    "q74_redaction"        -> (Curation.q74Redaction _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -365,6 +372,161 @@ object SparkEntry {
         |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8)
         |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY 1""".stripMargin,
+    // duplicate clusters: min reachable id over the symmetric exact
+    // τ=0.8 Jaccard pair graph, via recursive CTE (components are
+    // small, so the reach sets stay tiny); singletons reach only
+    // themselves
+    "q68_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | pairs AS (SELECT i.a, i.b
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8),
+        | sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        | r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT r.id, s.b FROM r JOIN sym s ON s.a = r.reach)
+        |SELECT id AS doc_id, min(reach) AS cluster_id FROM r
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // boilerplate fraction: distinct-gram doc frequencies, top-K by
+    // (df DESC, g ASC) row_number (deterministic at the K boundary),
+    // per-doc membership fraction
+    "q69_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+        | topk AS (SELECT g FROM (
+        |   SELECT g, row_number() OVER (ORDER BY df DESC, g ASC) AS rn FROM dfreq) z
+        |  WHERE rn <= ${graft.operators.Curation.Q69TopK})
+        |SELECT gr.doc_id,
+        | CAST(count(*) AS INT) AS n_grams,
+        | CAST(sum(CASE WHEN tk.g IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+        | round(CAST(sum(CASE WHEN tk.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_frac
+        |FROM grams gr LEFT JOIN topk tk USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // quality-weighted deterministic sampling: the q28 quality formula,
+    // kept iff the text's 6-hex md5 prefix sorts below the score's
+    // 6-hex fixed-point rendering (quality·2^24 — a power-of-two scale,
+    // so the double multiply is exact on both engines)
+    "q70_quality_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+        |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        | m AS (SELECT doc_id, text,
+        |   CAST(len(toks) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |   ${langScoreSql("en")} AS stopword_hits
+        |  FROM t),
+        | q AS (SELECT doc_id, text,
+        |   round(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) * 0.4
+        |     + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.3 ELSE 0.0 END)
+        |     + (CASE WHEN round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+        |  FROM m)
+        |SELECT doc_id, quality FROM q
+        |WHERE substr(md5(text), 1, 6) < printf('%06x', CAST(floor(quality * 16777216) AS BIGINT))
+        |ORDER BY 1""".stripMargin,
+    // cross-source duplication matrix over the same exact-Jaccard
+    // pairs; least/greatest normalizes the cell key
+    "q71_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | pairs AS (SELECT i.a, i.b
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8)
+        |SELECT least(da.source, db.source) AS src_a,
+        | greatest(da.source, db.source) AS src_b,
+        | count(*) AS n_pairs
+        |FROM pairs p JOIN documents da ON da.doc_id = p.a
+        | JOIN documents db ON db.doc_id = p.b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // cluster representatives: q68's recursive-CTE clusters joined to
+    // q70's quality formula; best member per cluster by
+    // (quality DESC, doc_id ASC) row_number
+    "q72_cluster_reps" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | pairs AS (SELECT i.a, i.b
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8),
+        | sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        | r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT r.id, s.b FROM r JOIN sym s ON s.a = r.reach),
+        | cl AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+        | qt AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+        |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        | qm AS (SELECT doc_id,
+        |   CAST(len(tk) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
+        |   ${langScoreSql("en")} AS stopword_hits
+        |  FROM qt),
+        | qq AS (SELECT doc_id,
+        |   round(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) * 0.4
+        |     + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.3 ELSE 0.0 END)
+        |     + (CASE WHEN round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+        |  FROM qm),
+        | ranked AS (SELECT cl.cluster_id, qq.doc_id, qq.quality,
+        |   row_number() OVER (PARTITION BY cl.cluster_id
+        |     ORDER BY qq.quality DESC, qq.doc_id ASC) AS rn,
+        |   count(*) OVER (PARTITION BY cl.cluster_id) AS nm
+        |  FROM cl JOIN qq USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_id, CAST(nm AS INT) AS n_members,
+        | quality AS rep_quality
+        |FROM ranked WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // gram novelty: first-seen = min doc_id per distinct gram; docs
+    // too short for a trigram surface with zero grams via the left join
+    "q73_gram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | fs AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY 1),
+        | per AS (SELECT gr.doc_id,
+        |   CAST(count(*) AS INT) AS n_grams,
+        |   CAST(sum(CASE WHEN f.first_id = gr.doc_id THEN 1 ELSE 0 END) AS INT) AS n_novel
+        |  FROM grams gr JOIN fs f USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(n_grams, 0) AS n_grams,
+        | coalesce(n_novel, 0) AS n_novel,
+        | round(CASE WHEN coalesce(n_grams, 0) > 0
+        |   THEN CAST(n_novel AS DOUBLE) / n_grams ELSE 0.0 END, 6) AS novelty_frac
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY 1""".stripMargin,
+    // redaction audit: same portable regexes on both engines (DuckDB
+    // needs the explicit 'g' flag; Spark replaces all by default);
+    // red_hash pins the exact rewrite, not just the counts
+    "q74_redaction" ->
+      s"""WITH r1 AS (SELECT doc_id, text AS t0,
+        |   regexp_replace(text, '$q74BlockSql', '[TERM]', 'g') AS t1
+        |  FROM documents),
+        | r2 AS (SELECT *, regexp_replace(t1, '${Redaction.EmailPattern}', '[EMAIL]', 'g') AS t2 FROM r1),
+        | r3 AS (SELECT *, regexp_replace(t2, '${Redaction.PhonePattern}', '[PHONE]', 'g') AS t3 FROM r2)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t0, '$q74BlockSql')) AS INT) AS n_term,
+        | CAST(len(regexp_extract_all(t1, '${Redaction.EmailPattern}')) AS INT) AS n_email,
+        | CAST(len(regexp_extract_all(t2, '${Redaction.PhonePattern}')) AS INT) AS n_phone,
+        | CAST(len(regexp_extract_all(t3, '${Redaction.Ipv4Pattern}')) AS INT) AS n_ip,
+        | md5(regexp_replace(t3, '${Redaction.Ipv4Pattern}', '[IP]', 'g')) AS red_hash
+        |FROM r3 ORDER BY 1""".stripMargin,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle
@@ -520,6 +682,11 @@ object SparkEntry {
       |FROM dots
       |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.4
       |ORDER BY 1, 2""".stripMargin
+
+  /** q74's blocklist alternation, shared by the Spark entry and the
+    * oracle so the two regexes cannot drift. */
+  private def q74BlockSql: String =
+    Redaction.blocklistPattern(Curation.Q74Blocklist)
 
   /** Exact-KNN oracle: cosine top-`maxRank` per query vector, exact
     * decimal dot/norm accumulation mirroring [[Similarity.cosine]]. */

@@ -92,6 +92,143 @@ object Curation {
       .orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** Duplicate-CLUSTER assignment — the canonicalization step after
+    * pair finding: every doc labeled with the min doc_id of its
+    * near-dup connected component (singletons label themselves).
+    * Edges come from the q22 MinHash path (recall-1 at τ = 0.8 on this
+    * corpus, so the edge set equals the exact-Jaccard oracle's); the
+    * component closure is [[Components.dupClusters]] — bounded-round
+    * label propagation with pointer jumping, lazily composed (no
+    * driver job at plan construction). Oracle: a recursive CTE
+    * computing min reachable id over the same symmetric pair graph. */
+  def q68DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    Components.dupClusters(docs, "doc_id", edges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-hot n-gram count for the boilerplate detector (q69). */
+  val Q69TopK = 100
+
+  /** Per-doc boilerplate fraction vs the corpus's Q69TopK hottest
+    * trigrams (see [[TextAnalysis.boilerplateStats]] for the
+    * TakeOrdered + broadcast-array scale shape). */
+  def q69Boilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateStats(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, topK = Q69TopK)
+      .orderBy(col("doc_id"))
+
+  /** Deterministic quality-weighted sampling — the data-selection step
+    * of a corpus mix: keep each doc with probability equal to its
+    * quality score, decided by comparing the doc's content-hash prefix
+    * against the score (both as 6-hex-digit strings, so the compare is
+    * pure string ordering and engine-portable — the same md5 family as
+    * q57's split). Unlike rand()-based sampling the choice is a pure
+    * function of the text: re-runs, re-partitions, and retries keep
+    * the identical sample, and exact duplicates sample identically.
+    * Per-row, zero shuffle ([[TextAnalysis.qualityColumn]]). */
+  def q70QualitySample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityColumn(col("text")).as("quality"),
+        substring(md5(col("text")), 1, 6).as("u"))
+      .filter(col("u") <
+        lpad(lower(hex(floor(col("quality") * (1L << 24)).cast("long"))),
+          6, "0"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-source duplication matrix — corpus forensics: how many
+    * near-dup pairs join each (source, source) cell. Crawl snapshots
+    * and re-scraped dumps overlap heavily; this report is how a mix
+    * designer finds out BEFORE training. Pairs from the q22 MinHash
+    * path (= exact at this τ); sources joined on the slim (id, source)
+    * projection; pair keys normalized with least/greatest so the
+    * matrix is upper-triangular regardless of id order. */
+  def q71SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Cluster REPRESENTATIVES — the "keep one" decision after q68's
+    * cluster assignment: per duplicate cluster, the member with the
+    * best quality score (ties to the lowest doc_id), plus the member
+    * count. This is the actual curation output: q68 says who belongs
+    * together, q72 says which one survives.
+    *
+    * Scale shape: the row_number window runs ONLY over edge-incident
+    * members (the near-dup working set — tiny vs the corpus);
+    * singleton docs never enter the window and rejoin via one
+    * anti-join projection. The corpus is scanned twice (once per
+    * branch) but never shuffled whole — only (doc_id, quality) slims
+    * move, and quality itself is per-row ([[TextAnalysis.qualityColumn]],
+    * zero shuffle). */
+  def q72ClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val lbl = Components.connectedComponentsBounded(edges)
+    val slim = docs.select(col("doc_id"),
+      TextAnalysis.qualityColumn(col("text")).as("quality"))
+    val members = slim.join(
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
+      Seq("doc_id"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val reps = members
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("int"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col("n_members"), col("quality").as("rep_quality"))
+    val singles = slim
+      .join(lbl.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("doc_id").as("rep_id"),
+        lit(1).as("n_members"), col("quality").as("rep_quality"))
+    reps.unionByName(singles).orderBy(col("cluster_id"))
+  }
+
+  /** Per-doc gram novelty (corpus-contribution metric) — see
+    * [[TextAnalysis.gramNovelty]] for the one-gram-shuffle shape. */
+  def q73GramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
+  /** Blocklist terms for the q74 redaction gate — words that actually
+    * occur in the harness corpus, so the rewrite is exercised on real
+    * rows (the PII patterns match nothing in this synthetic corpus and
+    * are gated by RedactionSpec on synthetic strings instead). */
+  val Q74Blocklist = Seq("customer", "supplier", "window")
+
+  /** Redaction pass over the corpus: blocklist hits counted and
+    * rewritten to `[TERM]`, PII patterns stacked on top (audit counts
+    * prove they ran — zero hits on this corpus by construction), and
+    * the redacted text fingerprinted so the oracle verifies the exact
+    * rewrite, not just the counts. Fully per-row — zero shuffle
+    * ([[Redaction]]). */
+  def q74Redaction(s: SparkSession, dir: String): DataFrame = {
+    val block = Redaction.blocklistPattern(Q74Blocklist)
+    val passes = Seq("TERM" -> block) ++ Redaction.piiPatterns
+    val hits = Redaction.hitCounts(col("text"), passes)
+    Tables.documents(s, dir)
+      .select(Seq(col("doc_id")) ++
+        hits.map { case (l, c) => c.as(s"n_${l.toLowerCase}") } :+
+        md5(Redaction.redact(col("text"), passes)).as("red_hash"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc repetition metrics (Gopher-style quality filters) — fully
     * per-row, zero shuffle (see [[TextAnalysis.repetitionMetrics]]). */
   def q63Repetition(s: SparkSession, dir: String): DataFrame =

@@ -90,6 +90,26 @@ object TextAnalysis {
             .otherwise(0.0)) +
           (when(col("stopword_ratio") > 0.01, 0.2).otherwise(0.0)), 6))
 
+  /** The same composite score as a single per-row Column over the raw
+    * text — for plans that need the score WITHOUT the metrics
+    * projection (e.g. sampling gates that must keep other columns in
+    * flight, zero shuffle). The inner round(…,6)s mirror
+    * [[qualityMetrics]]'s rounded ratio columns exactly;
+    * TextAnalysisSpec pins columnar ≡ DataFrame equivalence so the two
+    * formulations cannot drift. */
+  def qualityColumn(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val nTok = size(t)
+    val distinctRatio =
+      round(size(array_distinct(t)).cast("double") / nTok, 6)
+    val stopRatio =
+      round(langScore(textCol, "en").cast("double") / nTok, 6)
+    round(
+      (distinctRatio * 0.4) +
+        (when(nTok >= 20 && nTok <= 200, 0.3).otherwise(0.0)) +
+        (when(stopRatio > 0.01, 0.2).otherwise(0.0)), 6)
+  }
+
   /** Per-document repetition metrics (the Gopher-style quality
     * signals a pretraining filter cuts on): word count, distinct-word
     * count, duplicate-word fraction, and the most-frequent-word
@@ -162,6 +182,72 @@ object TextAnalysis {
           .cast("decimal(38,18)")
       })
     df.select(col(idCol), round(h.cast("double"), 6).as("token_entropy"))
+  }
+
+  /** Per-document boilerplate fraction against the corpus's `topK`
+    * most-frequent n-grams — the C4/CCNet-style template detector: a
+    * doc whose shingles are mostly corpus-hot n-grams is navigation
+    * chrome / licence text / SEO spam, not prose, and a curation run
+    * cuts on this fraction.
+    *
+    * Scale shape (100 TB): the gram document-frequency aggregation is
+    * the classic map-side-combined count (one shuffle of (gram, 1)
+    * partials); the top-K selection is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject — per-partition top-K then a
+    * K-row driver merge, NO global sort shuffle. Scoring then
+    * broadcasts those K grams as ONE array row and intersects per-row
+    * (HOF, codegen'd) — the corpus itself is never shuffled to be
+    * scored, and the only wide exchange in the whole plan carries
+    * gram-count partials. Ties at the K boundary break
+    * deterministically by gram text, so the boundary is
+    * engine-portable. */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, topK: Int = 100): DataFrame = {
+    val grams = TextDedup.explodedShingles(df, idCol, textCol, n)
+    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g").asc).limit(topK)
+      .agg(sort_array(collect_list(col("g"))).as("bp"))
+    val garr = TextDedup.shingleArray(col(textCol), n)
+    df.crossJoin(broadcast(top))
+      .select(col(idCol),
+        size(garr).as("n_grams"),
+        size(array_intersect(garr, col("bp"))).as("n_boiler"))
+      .select(col(idCol), col("n_grams"), col("n_boiler"),
+        round(when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 6).as("boiler_frac"))
+  }
+
+  /** Per-document gram novelty — what fraction of a doc's distinct
+    * n-grams appear FIRST in that doc (first = min doc_id over the
+    * corpus, a deterministic arrival order)? The contribution metric
+    * behind dataset ablations: a source whose docs are mostly
+    * never-seen-before grams adds new text; one near 0 re-treads the
+    * corpus, however the pair-level dedup scored it.
+    *
+    * Scale shape (100 TB): one gram-keyed shuffle for the min-id
+    * aggregation, then the gram→doc join lands on the SAME gram
+    * hashing (no second exchange of the big side), then a per-doc
+    * count. Docs below the shingle width surface with zero grams via
+    * the final left join — the corpus is never re-shuffled for it. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = TextDedup.explodedShingles(df, idCol, textCol, n)
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    val perDoc = grams.join(firstSeen, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1).otherwise(0))
+          .cast("int").as("n_novel"))
+    df.select(col(idCol))
+      .join(perDoc.select(col("id").as(idCol), col("n_grams"), col("n_novel")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0)).as("n_novel"),
+        round(when(coalesce(col("n_grams"), lit(0)) > 0,
+          col("n_novel").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 6).as("novelty_frac"))
   }
 
   /** Corpus token frequencies (the BPE-ish regex keeps alnum runs):

@@ -93,6 +93,27 @@ class ScaleContractSpec extends AnyFunSuite {
       s"verified near-dup pairs not m×: $v1 -> $vM")
   }
 
+  test("duplicate clusters replicate exactly m× (and stay replica-local)") {
+    // q68's growth law: replicas share no shingles, so no edge crosses
+    // a replica boundary and every non-singleton cluster replicates
+    // exactly — cluster count and clustered-doc count both grow m×
+    import graft.operators.Components
+    def clusters(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val edges = TextDedup.minhashLshPairs(df, "doc_id", "text",
+        minJaccard = 0.8)
+      val members = Components.dupClusters(df, "doc_id", edges)
+      val sized = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz")).filter(col("sz") >= 2)
+      (sized.count(),
+        sized.agg(sum(col("sz"))).head().getLong(0))
+    }
+    val (c1, d1) = clusters(docs1)
+    val (cM, dM) = clusters(docsM)
+    assert(c1 > 0)
+    assert(cM == Mult * c1, s"cluster count not m×: $c1 -> $cM")
+    assert(dM == Mult * d1, s"clustered docs not m×: $d1 -> $dM")
+  }
+
   test("SimHash candidate volume grows ~linearly under replication") {
     def grams(df: org.apache.spark.sql.DataFrame) =
       TextDedup.explodedShingles(df, "doc_id", "text", 3)

@@ -38,6 +38,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m.getAs[Double]("mean_token_len") == 2.0)
   }
 
+  test("qualityColumn equals qualityScore's quality on the corpus") {
+    // the per-row Column and the metrics-DataFrame formulations must
+    // never drift (q70 samples on the former, q28/q67 gate the latter)
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val viaScore = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select($"doc_id", $"quality")
+    val viaColumn = docs.select($"doc_id",
+      TextAnalysis.qualityColumn($"text").as("quality"))
+    assert(viaScore.exceptAll(viaColumn).isEmpty &&
+      viaColumn.exceptAll(viaScore).isEmpty)
+  }
+
+  test("boilerplateStats scores template-heavy docs high") {
+    // three docs share the template trigrams; one is all-fresh text
+    val tpl = "terms of service apply here"
+    val docs = Seq(
+      (1L, s"$tpl alpha beta gamma"),
+      (2L, s"$tpl delta epsilon zeta"),
+      (3L, s"$tpl eta theta iota"),
+      (4L, "completely novel words appearing nowhere else at all"))
+      .toDF("doc_id", "text")
+    // topK = 3: exactly the three trigrams inside the shared template
+    // ("terms of service", "of service apply", "service apply here")
+    // have df 3; everything else df 1 and loses the tie-break window
+    val got = TextAnalysis.boilerplateStats(docs, "doc_id", "text",
+        n = 3, topK = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L)._2 == 3 && got(2L)._2 == 3 && got(3L)._2 == 3)
+    assert(got(4L)._2 == 0 && got(4L)._3 == 0.0)
+    // 8 tokens -> 6 trigrams, 3 of them boilerplate
+    assert(got(1L)._1 == 6 && got(1L)._3 == 0.5)
+  }
+
   test("fingerprint is invariant under token reordering") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
       (3L, "alpha beta delta")).toDF("doc_id", "text")
@@ -102,6 +136,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     val hPrefix = TextAnalysis.tokenEntropy(prefix, "doc_id", "text")
       .head().getDouble(1)
     assert(hCap == hPrefix)
+  }
+
+  test("gram novelty: first-seen by min doc_id; short docs get zero") {
+    val df = Seq(
+      (1L, "a b c d"),      // grams "a b c","b c d" — both first here
+      (2L, "a b c x"),      // "a b c" seen in 1; "b c x" novel
+      (3L, "hi")            // too short for a trigram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2, 2, 1.0)))
+    assert(got(2L) == ((2, 1, 0.5)))
+    assert(got(3L) == ((0, 0, 0.0)))
   }
 
   test("rolling hash differs when order differs") {
