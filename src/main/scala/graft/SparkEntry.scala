@@ -80,6 +80,9 @@ object SparkEntry {
     "q72_cluster_reps"     -> (Curation.q72ClusterReps _),
     "q73_gram_novelty"     -> (Curation.q73GramNovelty _),
     "q74_redaction"        -> (Curation.q74Redaction _),
+    "q75_sequence_packing" -> (Curation.q75SequencePacking _),
+    "q76_mixture_rebalance" -> (Curation.q76MixtureRebalance _),
+    "q77_unigram_surprisal" -> (Curation.q77UnigramSurprisal _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -527,6 +530,51 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(t3, '${Redaction.Ipv4Pattern}')) AS INT) AS n_ip,
         | md5(regexp_replace(t3, '${Redaction.Ipv4Pattern}', '[IP]', 'g')) AS red_hash
         |FROM r3 ORDER BY 1""".stripMargin,
+    // sequence packing: per-source running token sum in doc_id order;
+    // a doc belongs to the pack where it starts
+    "q75_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT *, sum(n_tokens) OVER (
+        |   PARTITION BY source ORDER BY doc_id) AS endc FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | CAST(floor(CAST(endc - n_tokens AS DOUBLE) / ${graft.operators.Curation.Q75PackBudget}) AS INT) AS pack_id,
+        | CAST((endc - n_tokens) % ${graft.operators.Curation.Q75PackBudget} AS INT) AS pack_offset
+        |FROM c ORDER BY 1""".stripMargin,
+    // mixture rebalance: suffix-derived weights, keep rate
+    // min(1, outF·total·w / (Σw·n)), q70's fixed-point-hex hash gate;
+    // every factor cast to DOUBLE so both engines do float math
+    // (DuckDB bare literals are DECIMAL)
+    "q76_mixture_rebalance" ->
+      """WITH cnt AS (SELECT source, count(*) AS n_grp,
+        |   (CAST(substr(source, 4) AS INT) % 4) + 1 AS w
+        |  FROM documents GROUP BY 1),
+        | tot AS (SELECT sum(n_grp) AS total, sum(w) AS sum_w FROM cnt),
+        | rates AS (SELECT source,
+        |   round(least(CAST(1.0 AS DOUBLE),
+        |     CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE) * CAST(w AS DOUBLE)
+        |       / (CAST(sum_w AS DOUBLE) * CAST(n_grp AS DOUBLE))), 6) AS keep_rate
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE r.keep_rate >= CAST(1.0 AS DOUBLE)
+        |   OR substr(md5(d.text), 1, 6) <
+        |      printf('%06x', CAST(floor(r.keep_rate * 16777216) AS BIGINT))
+        |ORDER BY 1""".stripMargin,
+    // unigram surprisal: corpus unigram p(t), per-doc mean of −log2 p
+    // over the token multiset; DECIMAL term-sum (the q66 trick) keeps
+    // the per-doc sum order-independent
+    "q77_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        | freq AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        | tot AS (SELECT sum(n) AS total FROM freq),
+        | term AS (SELECT doc_id,
+        |   CAST(-log2(CAST(n AS DOUBLE) / total) AS DECIMAL(28,18)) AS s
+        |  FROM tok JOIN freq USING (t) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle

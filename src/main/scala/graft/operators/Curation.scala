@@ -229,6 +229,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget for q75's sequence packs. */
+  val Q75PackBudget = 512
+
+  /** Sequence-packing manifest — docs laid into fixed-token-budget
+    * packs per source in doc_id order ([[Mixture.sequencePacking]]).
+    * One per-group window; the cumulative sums parallelize across
+    * sources. */
+  def q75SequencePacking(s: SparkSession, dir: String): DataFrame =
+    Mixture.sequencePacking(Tables.documents(s, dir),
+        "doc_id", "text", "source", budget = Q75PackBudget)
+      .orderBy(col("doc_id"))
+
+  /** Output fraction for q76's rebalanced sample. */
+  val Q76OutFraction = 0.5
+
+  /** Per-source mixture weight for q76, derived from the source name's
+    * numeric suffix ((suffix mod 4) + 1) so BOTH engines compute the
+    * target mix as a pure function of the data — no literal weight
+    * table to keep in sync between the Spark entry and the oracle. */
+  private def q76Weight: org.apache.spark.sql.Column =
+    pmod(substring(col("source"), 4, 8).cast("int"), lit(4)) + lit(1)
+
+  /** Mixture rebalancing — the corpus resampled to half its rows with
+    * sources weighted 1:2:3:4 by suffix class ([[Mixture.rebalance]]):
+    * per-source keep rates from one group-count aggregation, the kept
+    * set decided by the q70 content-hash gate (deterministic,
+    * re-partition-proof). */
+  def q76MixtureRebalance(s: SparkSession, dir: String): DataFrame =
+    Mixture.rebalance(Tables.documents(s, dir), "doc_id", "text",
+        "source", q76Weight, Q76OutFraction)
+      .orderBy(col("doc_id"))
+
+  /** Per-doc average unigram surprisal vs the corpus distribution —
+    * the statistical-LM quality proxy
+    * ([[TextAnalysis.unigramSurprisal]]). */
+  def q77UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Per-doc repetition metrics (Gopher-style quality filters) — fully
     * per-row, zero shuffle (see [[TextAnalysis.repetitionMetrics]]). */
   def q63Repetition(s: SparkSession, dir: String): DataFrame =

@@ -184,6 +184,44 @@ object TextAnalysis {
     df.select(col(idCol), round(h.cast("double"), 6).as("token_entropy"))
   }
 
+  /** Per-document average unigram SURPRISAL against the corpus's own
+    * unigram distribution: mean of −log₂ p(t) over the doc's token
+    * multiset, p(t) = corpus frequency / corpus token count. The
+    * statistical-LM quality proxy one step up from [[tokenEntropy]]
+    * (which is per-doc only): a doc of corpus-common tokens scores
+    * low (templated / boilerplate), one of corpus-rare tokens scores
+    * high (novel or noise) — the KenLM-style filter signal computable
+    * without a model artifact.
+    *
+    * Scale shape (100 TB): the frequency table is the classic
+    * word-count (map-side-combined, one row per vocab entry
+    * shuffles); the corpus total is an unpartitioned window over the
+    * POST-aggregation vocab rows (the q65 pattern — lazy, no driver
+    * job at construction); scoring joins exploded tokens to the
+    * frequency table on the token key — both sides hash the same key,
+    * and the per-doc sum is a map-side-combinable aggregation. Each
+    * −log₂p term is cast to DECIMAL(28,18) before summing (the
+    * [[tokenEntropy]] trick) so per-doc sums are exact and
+    * order-independent; only log₂'s final-ulp variation rides on the
+    * 6-dp round. */
+  def unigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val p = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wd))
+      .select(col("t"),
+        (col("n").cast("double") / col("total")).as("p"))
+    tok.join(p, Seq("t"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum((-log2(col("p"))).cast("decimal(28,18)")).as("s"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6)
+          .as("avg_surprisal"))
+  }
+
   /** Per-document boilerplate fraction against the corpus's `topK`
     * most-frequent n-grams — the C4/CCNet-style template detector: a
     * doc whose shingles are mostly corpus-hot n-grams is navigation
