@@ -258,6 +258,23 @@ class PlanSpec extends AnyFunSuite {
       Set((100L, 101L)), pairs.mkString(","))
   }
 
+  test("bounded CC reuses the edge exchange across rounds") {
+    // every propagation round joins the SAME symmetric edge set; the
+    // physical plan must compute that subplan once and ReusedExchange
+    // it in later rounds — with a full MinHash pipeline as the edge
+    // input (q68/q72), recomputing it per round would multiply the
+    // dominant cost by the round count
+    import graft.operators.Components
+    import spark.implicits._
+    val edges = (1L to 200L).map(i => (i, i % 97L + 1000L)).toDF("a", "b")
+    val df = Components.connectedComponentsBounded(edges)
+    val plan = executedPlan(df)
+    val fin = plan.split("== Initial Plan ==").head
+    val reused = "ReusedExchange".r.findAllMatchIn(fin).size
+    assert(reused >= 4,
+      s"expected the edge exchange reused in rounds 2-5, got $reused in:\n$fin")
+  }
+
   test("q55: the as-of composition is one key shuffle, no range join") {
     import graft.operators.AsOf
     import spark.implicits._
