@@ -83,6 +83,7 @@ object SparkEntry {
     "q75_sequence_packing" -> (Curation.q75SequencePacking _),
     "q76_mixture_rebalance" -> (Curation.q76MixtureRebalance _),
     "q77_unigram_surprisal" -> (Curation.q77UnigramSurprisal _),
+    "q78_split_leakage"    -> (Curation.q78SplitLeakage _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -645,9 +646,29 @@ object SparkEntry {
     // both engines hash md5 over the same bytes and hex lowercases
     // compare lexicographically — the split is engine-portable
     "q57_hash_split" ->
-      """SELECT doc_id,
-        | CASE WHEN substring(md5(text), 1, 2) < '0a' THEN 'val' ELSE 'train' END AS split
+      s"""SELECT doc_id,
+        | CASE WHEN substring(md5(text), 1, 2) < '${Curation.Q57ValHex}' THEN 'val' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // split leakage: q62's cross-side exact-Jaccard oracle with the
+    // sides derived from the q57 hash split (val = incoming)
+    "q78_split_leakage" ->
+      s"""WITH sides AS (SELECT doc_id, text,
+        |   CASE WHEN substr(md5(text), 1, 2) < '${Curation.Q57ValHex}' THEN 1 ELSE 0 END AS incoming
+        |  FROM documents),
+        | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
+        | grams AS (SELECT DISTINCT doc_id, incoming,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g
+        |   AND x.incoming = 0 AND y.incoming = 1
+        |  GROUP BY 1,2)
+        |SELECT i.a AS train_id, i.b AS val_id,
+        | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
     // Spark's exact `percentile` and DuckDB's quantile_cont both use
     // linear interpolation over the sorted values — bit-comparable
     // after the rounding discipline

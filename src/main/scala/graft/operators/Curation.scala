@@ -541,11 +541,36 @@ object Curation {
     * retried). '0a' bounds ≈ 10/256 ≈ 3.9% into val. Exact duplicates
     * hash identically, so they can never straddle the split and leak
     * eval content into train. */
+  /** q57's split boundary: md5 prefixes below this are "val" (10/256
+    * ≈ 3.9% of docs). Shared with q78's leakage check so the two
+    * queries agree on the split by construction. */
+  val Q57ValHex = "0a"
+
   def q57HashSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),
-        when(substring(md5(col("text")), 1, 2) < "0a", "val")
+        when(substring(md5(col("text")), 1, 2) < Q57ValHex, "val")
           .otherwise("train").as("split"))
       .orderBy(col("doc_id"))
+
+  /** Split LEAKAGE — near-dup pairs that CROSS the q57 train/val
+    * boundary: exact dedup can't catch a near-duplicate of a training
+    * doc landing in the eval split (the hash gate places the two
+    * different texts independently), so a leakage sweep after
+    * splitting is the check that keeps eval numbers honest. Same
+    * cross-side machinery as q62's ingest dedup — one tagged gram
+    * lineage, signatures computed once, cross-side band joins only —
+    * with the sides derived from the split gate instead of an arrival
+    * batch. */
+  def q78SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(substring(md5(col("text")), 1, 2) >= Q57ValHex)
+    val va = docs.filter(substring(md5(col("text")), 1, 2) < Q57ValHex)
+    TextDedup.incrementalNearDupPairs(train, va,
+        "doc_id", "text", n = 3, minJaccard = 0.8)
+      .select(col("existing_id").as("train_id"),
+        col("incoming_id").as("val_id"), col("jaccard"))
+      .orderBy(col("train_id"), col("val_id"))
+  }
 
   /** Per-language quota cap: at most `QuotaPerLang` docs per lang,
     * deterministic keep order (doc_id) — the per-source/per-domain
