@@ -653,7 +653,7 @@ object SparkEntry {
     // sides derived from the q57 hash split (val = incoming)
     "q78_split_leakage" ->
       s"""WITH sides AS (SELECT doc_id, text,
-        |   CASE WHEN substr(md5(text), 1, 2) < '${Curation.Q57ValHex}' THEN 1 ELSE 0 END AS incoming
+        |   CASE WHEN substr(md5(text), 1, 2) < '${Curation.Q78ValHex}' THEN 1 ELSE 0 END AS incoming
         |  FROM documents),
         | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
         | grams AS (SELECT DISTINCT doc_id, incoming,

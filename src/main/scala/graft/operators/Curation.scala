@@ -552,19 +552,26 @@ object Curation {
           .otherwise("train").as("split"))
       .orderBy(col("doc_id"))
 
-  /** Split LEAKAGE — near-dup pairs that CROSS the q57 train/val
-    * boundary: exact dedup can't catch a near-duplicate of a training
-    * doc landing in the eval split (the hash gate places the two
-    * different texts independently), so a leakage sweep after
-    * splitting is the check that keeps eval numbers honest. Same
-    * cross-side machinery as q62's ingest dedup — one tagged gram
-    * lineage, signatures computed once, cross-side band joins only —
-    * with the sides derived from the split gate instead of an arrival
-    * batch. */
+  /** q78's val boundary — wider than q57's "0a" (6.25% vs 3.9%): a
+    * leakage sweep needs enough val mass for crossing pairs to exist
+    * at all; on the smoke corpus the 3.9% slice catches zero of the
+    * engineered near-dup pairs and the sweep would be vacuous (its
+    * rows>0 smoke gate caught exactly that). */
+  val Q78ValHex = "10"
+
+  /** Split LEAKAGE — near-dup pairs that CROSS a train/val hash
+    * boundary (the q57 gate family, wider slice): exact dedup can't
+    * catch a near-duplicate of a training doc landing in the eval
+    * split (the hash gate places the two different texts
+    * independently), so a leakage sweep after splitting is the check
+    * that keeps eval numbers honest. Same cross-side machinery as
+    * q62's ingest dedup — one tagged gram lineage, signatures computed
+    * once, cross-side band joins only — with the sides derived from
+    * the split gate instead of an arrival batch. */
   def q78SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val train = docs.filter(substring(md5(col("text")), 1, 2) >= Q57ValHex)
-    val va = docs.filter(substring(md5(col("text")), 1, 2) < Q57ValHex)
+    val train = docs.filter(substring(md5(col("text")), 1, 2) >= Q78ValHex)
+    val va = docs.filter(substring(md5(col("text")), 1, 2) < Q78ValHex)
     TextDedup.incrementalNearDupPairs(train, va,
         "doc_id", "text", n = 3, minJaccard = 0.8)
       .select(col("existing_id").as("train_id"),
@@ -603,8 +610,9 @@ object Curation {
     // the single-partition window is intentional and avoids both a
     // second corpus aggregation and a plan-construction-time
     // materialization (a query entry must build lazily — no driver
-    // job before execution; the literal key suppresses Spark's
-    // global-window WARN)
+    // job before execution). Spark 4's EliminateWindowPartitions
+    // strips the foldable key and WARNs about a global window —
+    // expected and harmless on group-count-sized input
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     agg.select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
         round(col("n_docs").cast("double") /

@@ -354,9 +354,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val picked = c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nLists)
-    // partition by a literal: the input is ≤ nLists rows (post-limit),
-    // so the single-partition window is intentional — the literal key
-    // just keeps Spark from WARNing about a global window
+    // the input is ≤ nLists rows (post-limit), so the single-partition
+    // window is intentional and bounded (Spark 4's
+    // EliminateWindowPartitions strips the foldable key and WARNs —
+    // expected and harmless at this row count)
     val w = Window.partitionBy(lit(1))
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
     picked.withColumn("list_id", row_number().over(w) - 1)

@@ -38,17 +38,26 @@ object TextAnalysis {
       .reduce(_ + _)
 
   /** Heuristic language ID: argmax of stopword scores, deterministic
-    * tie-break by language code. Returns a struct-free label column. */
+    * tie-break by language code. Returns a struct-free label column.
+    *
+    * Shape matters here: a fold of nested `when(sc > best.s, …)
+    * .otherwise(best)` steps references `best` twice per step, so the
+    * expression tree doubles per language — five languages produced a
+    * tree janino could not compile (InternalCompilerException), and the
+    * whole per-doc projection silently fell back to interpreted mode.
+    * Instead each score is computed exactly once inside an
+    * array-of-structs and `array_max` does the argmax: struct ordering
+    * compares score first, then `r` — a rank that DESCENDS
+    * alphabetically — so ties keep the earliest language code, exactly
+    * the strict-> fold's semantics. Linear tree, stays in whole-stage
+    * codegen (TextAnalysisSpec pins this with codegen.fallback=false). */
   def langId(textCol: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
-    // fold: keep (bestScore, bestLang); strict > keeps earlier (alphabetical) on tie
-    langs.tail.foldLeft(
-      struct(langScore(textCol, langs.head).as("s"),
-        lit(langs.head).as("l"))) { (best, lang) =>
-      val sc = langScore(textCol, lang)
-      when(sc > best.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
-        .otherwise(best)
-    }.getField("l")
+    val entries = langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(textCol, l).as("s"),
+        lit(langs.size - i).as("r"), lit(l).as("l"))
+    }
+    array_max(array(entries: _*)).getField("l")
   }
 
   /** Whitespace token array (lower-cased). */
@@ -195,9 +204,16 @@ object TextAnalysis {
     *
     * Scale shape (100 TB): the frequency table is the classic
     * word-count (map-side-combined, one row per vocab entry
-    * shuffles); the corpus total is an unpartitioned window over the
-    * POST-aggregation vocab rows (the q65 pattern — lazy, no driver
-    * job at construction); scoring joins exploded tokens to the
+    * shuffles); the corpus total is an aggregation OVER that vocab
+    * aggregation, cross-joined back as a broadcast scalar — the vocab
+    * shuffle is computed once and ReusedExchange'd between the two
+    * consumers (PlanSpec asserts it), so the corpus explodes exactly
+    * once and no stage ever single-partitions the vocabulary (the
+    * previous global-window total moved EVERY vocab row through one
+    * task — vocabularies at corpus scale are hundreds of millions of
+    * entries; Spark 4's EliminateWindowPartitions also strips a
+    * foldable partition key, so `partitionBy(lit(1))` was the same
+    * global window with a WARN). Scoring joins exploded tokens to the
     * frequency table on the token key — both sides hash the same key,
     * and the per-doc sum is a map-side-combinable aggregation. Each
     * −log₂p term is cast to DECIMAL(28,18) before summing (the
@@ -208,9 +224,9 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("t"))
-    val wd = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val p = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
-      .withColumn("total", sum(col("n")).over(wd))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).as("total"))
+    val p = vocab.crossJoin(broadcast(total))
       .select(col("t"),
         (col("n").cast("double") / col("total")).as("p"))
     tok.join(p, Seq("t"))

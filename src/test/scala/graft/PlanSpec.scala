@@ -275,6 +275,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected the edge exchange reused in rounds 2-5, got $reused in:\n$fin")
   }
 
+  test("q77: surprisal reuses the vocab exchange; no global window") {
+    // the corpus-total scalar is an aggregation over the vocab
+    // aggregation, cross-joined back as a broadcast — the vocab
+    // shuffle must be computed once (ReusedExchange), and no stage may
+    // single-partition the vocabulary (the pre-round-10 global-window
+    // total did exactly that)
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = (1 to 50)
+      .map(i => (i.toLong, s"tok$i the and of common tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+    val plan = executedPlan(res)
+    val fin = plan.split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllMatchIn(fin).nonEmpty,
+      s"expected the vocab exchange reused by the total branch in:\n$fin")
+    assert(!fin.contains("Window"),
+      s"no window may remain in the surprisal plan:\n$fin")
+  }
+
   test("q55: the as-of composition is one key shuffle, no range join") {
     import graft.operators.AsOf
     import spark.implicits._

@@ -29,6 +29,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == "zh")
   }
 
+  test("langId ties break to the earliest language code") {
+    // "de la" scores 1 for es (" de ") and 1 for fr (" la "): the
+    // argmax must keep 'es' (alphabetically earlier), matching the
+    // oracle's first-lang-whose-score->=-all-later CASE chain
+    val df = Seq((1L, "de la"), (2L, "nothing matches here!")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "es")
+    assert(got(2L) == "de") // all-zero tie: first alphabetical
+  }
+
+  test("langId projection compiles under whole-stage codegen (no interpreted fallback)") {
+    // the pre-round-10 fold shape doubled the expression tree per
+    // language and janino refused to compile it — Spark fell back to
+    // interpreted projection for EVERY language-ID scan. fallback=false
+    // turns that silent degradation into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "the cat and the dog of a house"))
+        .toDF("doc_id", "text")
+      val rows = df.select($"doc_id",
+        TextAnalysis.langId($"text").as("l"),
+        TextAnalysis.qualityColumn($"text").as("q")).collect()
+      assert(rows.head.getString(1) == "en")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("quality metrics compute exact token statistics") {
     val df = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
     val m = TextAnalysis.qualityMetrics(df, "doc_id", "text").head()
