@@ -84,6 +84,7 @@ object SparkEntry {
     "q76_mixture_rebalance" -> (Curation.q76MixtureRebalance _),
     "q77_unigram_surprisal" -> (Curation.q77UnigramSurprisal _),
     "q78_split_leakage"    -> (Curation.q78SplitLeakage _),
+    "q79_importance_weights" -> (Curation.q79ImportanceWeights _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -576,6 +577,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
         |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DSIR unigram importance weights: both distributions add-one
+    // smoothed over the raw vocabulary; term-level DECIMAL(28,18)
+    // sums keep the per-doc total order-independent (q77's trick)
+    "q79_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |   CASE WHEN source = '${Curation.Q79TargetSource}' THEN 1 ELSE 0 END AS tgt,
+        |   unnest(string_split(text, ' ')) AS t FROM documents),
+        | vocab AS (SELECT t, count(*) AS n, sum(tgt) AS nt FROM tok GROUP BY 1),
+        | tot AS (SELECT sum(n) AS tot_raw, sum(nt) AS tot_tgt, count(*) AS v FROM vocab),
+        | term AS (SELECT t,
+        |   CAST(log2((CAST(nt AS DOUBLE) + 1) / (tot_tgt + v))
+        |      - log2((CAST(n AS DOUBLE) + 1) / (tot_raw + v)) AS DECIMAL(28,18)) AS s
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, CAST(max(tgt) AS INT) AS in_target,
+        | CAST(count(*) AS INT) AS n_tokens,
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_log_ratio
+        |FROM tok JOIN term USING (t) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle

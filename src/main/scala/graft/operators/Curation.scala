@@ -268,6 +268,21 @@ object Curation {
     TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q79's target domain — a source distinct from q64's eval source
+    * (src0 plays "benchmark", src1 plays "the domain we want more
+    * of"), so the two selection-adjacent queries exercise different
+    * slices. */
+  val Q79TargetSource = "src1"
+
+  /** DSIR-style importance weights for target-domain selection
+    * ([[TextAnalysis.importanceWeights]]): per-doc average unigram
+    * log-probability ratio between the target-source distribution and
+    * the whole-corpus distribution, add-one smoothed. */
+  def q79ImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.importanceWeights(Tables.documents(s, dir),
+        "doc_id", "text", col("source") === Q79TargetSource)
+      .orderBy(col("doc_id"))
+
   /** Per-doc repetition metrics (Gopher-style quality filters) — fully
     * per-row, zero shuffle (see [[TextAnalysis.repetitionMetrics]]). */
   def q63Repetition(s: SparkSession, dir: String): DataFrame =

@@ -238,6 +238,56 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Per-document n-gram-LM IMPORTANCE WEIGHT for target-domain data
+    * selection — the DSIR recipe (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") with unigram features:
+    * log w(x) = Σ_t [log₂ p̂_target(t) − log₂ p̂_raw(t)] over the doc's
+    * token multiset, both distributions add-one smoothed over the RAW
+    * corpus vocabulary (the target sample is small, so unsmoothed
+    * target probabilities would zero out every token it misses; raw is
+    * smoothed identically so the ratio is 0 for a token the target has
+    * never seen exactly when its raw count is the same — symmetric,
+    * not biased). A high average log-ratio means "looks like the
+    * target domain"; resampling by these weights is the selection
+    * step. `isTargetCol` marks the target-domain rows INSIDE the same
+    * corpus (a separate target corpus would union in with the flag
+    * set).
+    *
+    * Scale shape (100 TB): one token explode feeds ONE vocab shuffle
+    * whose conditional aggregate carries both counts (raw via
+    * count(*), target via sum(flag)) — the target distribution costs
+    * no second pass and no second exchange. The three totals
+    * (Σn_raw, Σn_target, |V|) are an aggregation over that vocab
+    * aggregation, broadcast back as a scalar row, so the vocab
+    * exchange is computed once and reused ([[unigramSurprisal]]'s
+    * pattern; PlanSpec asserts the ReusedExchange and that no global
+    * window appears). Scoring joins tokens to vocab on the token key
+    * and the per-doc sum is map-side combinable. Per-term
+    * DECIMAL(28,18) casts keep doc sums order-independent. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTargetCol: Column): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      when(isTargetCol, 1L).otherwise(0L).as("tgt"),
+      explode(split(col(textCol), " ")).as("t"))
+    val vocab = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("tgt")).as("nt"))
+    val tot = vocab.agg(sum(col("n")).as("tot_raw"),
+      sum(col("nt")).as("tot_tgt"), count(lit(1)).as("v"))
+    val term = vocab.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (log2((col("nt").cast("double") + 1) / (col("tot_tgt") + col("v"))) -
+          log2((col("n").cast("double") + 1) / (col("tot_raw") + col("v"))))
+          .cast("decimal(28,18)").as("s"))
+    tok.join(term, Seq("t"))
+      .groupBy(col("id"))
+      .agg(max(col("tgt")).cast("int").as("in_target"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("s")).as("lw"))
+      .select(col("id").as(idCol), col("in_target"), col("n_tokens"),
+        round(col("lw").cast("double") / col("n_tokens"), 6)
+          .as("avg_log_ratio"))
+  }
+
   /** Per-document boilerplate fraction against the corpus's `topK`
     * most-frequent n-grams — the C4/CCNet-style template detector: a
     * doc whose shingles are mostly corpus-hot n-grams is navigation

@@ -295,6 +295,26 @@ class PlanSpec extends AnyFunSuite {
       s"no window may remain in the surprisal plan:\n$fin")
   }
 
+  test("q79: importance weights reuse the vocab exchange; no global window") {
+    // one conditional vocab aggregation serves both distributions; the
+    // totals branch must reuse its exchange (not recompute the corpus
+    // explode) and nothing may single-partition the vocabulary
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val df = (1 to 50)
+      .map(i => (i.toLong, s"tok$i the and of common tok${i % 7}",
+        if (i % 5 == 0) "tgt" else "raw"))
+      .toDF("doc_id", "text", "source")
+    val res = TextAnalysis.importanceWeights(df, "doc_id", "text",
+      $"source" === "tgt")
+    val plan = executedPlan(res)
+    val fin = plan.split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllMatchIn(fin).nonEmpty,
+      s"expected the vocab exchange reused by the totals branch in:\n$fin")
+    assert(!fin.contains("Window"),
+      s"no window may remain in the importance-weight plan:\n$fin")
+  }
+
   test("q55: the as-of composition is one key shuffle, no range join") {
     import graft.operators.AsOf
     import spark.implicits._

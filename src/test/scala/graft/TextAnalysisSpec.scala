@@ -62,6 +62,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("importanceWeights matches the hand-computed DSIR log-ratios") {
+    // corpus: doc 1 (target) "a b", doc 2 (raw) "a c"
+    // vocab: a(n=2,nt=1) b(1,1) c(1,0); tot_raw=4 tot_tgt=2 |V|=3
+    // s(a)=log2((2/5)/(3/7))=log2(14/15)  s(b)=log2((2/5)/(2/7))=log2(7/5)
+    // s(c)=log2((1/5)/(2/7))=log2(7/10)
+    val df = Seq((1L, "a b", "tgt"), (2L, "a c", "other"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.importanceWeights(df, "doc_id", "text",
+        $"source" === "tgt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val sA = math.log(14.0 / 15) / math.log(2)
+    val sB = math.log(7.0 / 5) / math.log(2)
+    val sC = math.log(7.0 / 10) / math.log(2)
+    assert(got(1L)._1 == 1 && got(2L)._1 == 0)
+    assert(got(1L)._2 == 2 && got(2L)._2 == 2)
+    assert(math.abs(got(1L)._3 - (sA + sB) / 2) < 1e-6)
+    assert(math.abs(got(2L)._3 - (sA + sC) / 2) < 1e-6)
+    // target-looking doc scores above the raw-looking one
+    assert(got(1L)._3 > got(2L)._3)
+  }
+
   test("quality metrics compute exact token statistics") {
     val df = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
     val m = TextAnalysis.qualityMetrics(df, "doc_id", "text").head()
