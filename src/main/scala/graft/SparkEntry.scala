@@ -85,6 +85,7 @@ object SparkEntry {
     "q77_unigram_surprisal" -> (Curation.q77UnigramSurprisal _),
     "q78_split_leakage"    -> (Curation.q78SplitLeakage _),
     "q79_importance_weights" -> (Curation.q79ImportanceWeights _),
+    "q80_semantic_dedup"   -> (Curation.q80SemanticDedup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -594,6 +595,7 @@ object SparkEntry {
         | CAST(count(*) AS INT) AS n_tokens,
         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_log_ratio
         |FROM tok JOIN term USING (t) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_semantic_dedup" -> semanticDedupSql,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle
@@ -752,6 +754,35 @@ object SparkEntry {
       |FROM dots
       |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.9
       |ORDER BY 1, 2""".stripMargin
+
+  /** q80 oracle: exact all-pairs τ = 0.9 over the flip fixture (the
+    * nearDupHiSql pair set), closed into components by recursive
+    * min-label reach, keep = (id == component min). The LSH edge
+    * stream must reproduce the exact component structure. */
+  private val semanticDedupSql: String =
+    """WITH RECURSIVE aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, [-embedding[1]] || embedding[2:]
+      |  FROM embeddings),
+      | e1 AS (SELECT vec_id AS a, embedding AS av FROM aug),
+      | e2 AS (SELECT vec_id AS b, embedding AS bv FROM aug),
+      | flat AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM e1 JOIN e2 ON a < b),
+      | dots AS (SELECT a, b,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+      |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+      |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+      |  FROM flat GROUP BY 1,2),
+      | pairs AS (SELECT a, b FROM dots
+      |  WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.9),
+      | sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      | r AS (
+      |  SELECT vec_id AS id, vec_id AS reach FROM aug
+      |  UNION
+      |  SELECT r.id, s.b FROM r JOIN sym s ON s.a = r.reach)
+      |SELECT id AS vec_id, min(reach) AS cluster_id,
+      | CAST(CASE WHEN id = min(reach) THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) for
     * the exact q26 baseline (τ=0.4 is deliberately NOT served by an

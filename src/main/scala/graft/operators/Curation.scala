@@ -475,6 +475,35 @@ object Curation {
           2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
       .orderBy(col("a"), col("b"))
 
+  /** SEMANTIC dedup (q80) — the SemDeDup recipe (Abbas et al. 2023)
+    * re-expressed on the near-dup graph: vectors whose embeddings sit
+    * above τ are semantic duplicates even when their text differs, so
+    * cluster the near-dup pairs into components and KEEP exactly one
+    * representative (min vec_id) per component; singletons keep
+    * themselves. Emits the per-vector keep decision — the selection
+    * artifact a curation run applies.
+    *
+    * Scale shape (100 TB): the edge stream is q48's scale-derived LSH
+    * generator (per-vector candidate budget ⇒ linear candidate growth,
+    * parquet-footer corpus count, no plan-time driver job), the
+    * component pass runs only over edge-incident ids
+    * ([[Components.dupClusters]] — the corpus itself is scanned once
+    * for the singleton left join, never iterated), and the keep flag
+    * is a per-row comparison. Oracle: exact all-pairs τ = 0.9 over the
+    * same flip fixture + recursive min-label closure — the LSH path
+    * must reproduce the exact component structure, pair for pair. */
+  def q80SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val aug = flippedNearDupCorpus(Tables.embeddings(s, dir))
+    val edges = Similarity.cosineNearDupPairsLsh(aug, "vec_id", "embedding",
+      minCosine = 0.9, candidatesPerVector = Q48CandidatesPerVector,
+      corpusSizeHint =
+        2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+    Components.dupClusters(aug, "vec_id", edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per
     * pair at cosine c is 1 − (1 − p^planes)^tables with
     * p = 1 − arccos(c)/π. At c = 0.90: p = 0.856, p^10 = 0.21, miss =
