@@ -86,6 +86,7 @@ object SparkEntry {
     "q78_split_leakage"    -> (Curation.q78SplitLeakage _),
     "q79_importance_weights" -> (Curation.q79ImportanceWeights _),
     "q80_semantic_dedup"   -> (Curation.q80SemanticDedup _),
+    "q81_embed_outliers"   -> (Curation.q81EmbedOutliers _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -596,6 +597,30 @@ object SparkEntry {
         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_log_ratio
         |FROM tok JOIN term USING (t) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_semantic_dedup" -> semanticDedupSql,
+    // centroid = decimal-exact elementwise mean per label; score =
+    // exact decimal cosine (knnSql's accumulation); outlier = bottom-K
+    // rank per label with a vec_id tie-break
+    "q81_embed_outliers" ->
+      s"""WITH pos AS (SELECT vec_id, label, CAST(i AS INT) AS i,
+        |   CAST(list_extract(embedding, CAST(i AS INT)) AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN LATERAL unnest(range(1, len(embedding)+1)) AS t(i)),
+        | cent AS (SELECT label, i,
+        |   CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        |  FROM pos GROUP BY 1,2),
+        | dots AS (SELECT p.vec_id, p.label,
+        |   sum(CAST(p.x * c.c AS DECIMAL(28,12))) AS dot,
+        |   sum(CAST(p.x * p.x AS DECIMAL(28,12))) AS nv,
+        |   sum(CAST(c.c * c.c AS DECIMAL(28,12))) AS nc
+        |  FROM pos p JOIN cent c ON c.label = p.label AND c.i = p.i
+        |  GROUP BY 1,2),
+        | scored AS (SELECT vec_id, label,
+        |   round(CAST(dot AS DOUBLE)/(sqrt(CAST(nv AS DOUBLE))*sqrt(CAST(nc AS DOUBLE))), 6) AS cos_centroid
+        |  FROM dots)
+        |SELECT vec_id, label, cos_centroid,
+        | CAST(CASE WHEN row_number() OVER (PARTITION BY label
+        |   ORDER BY cos_centroid ASC, vec_id ASC) <= ${Curation.Q81BottomK}
+        |  THEN 1 ELSE 0 END AS INT) AS outlier
+        |FROM scored ORDER BY vec_id""".stripMargin,
     "q24_embed_knn" -> knnSql(10),
     // ANN entries emit only the exact-top-AnnOracleK prefix of their
     // approximate top-10 (see Curation scaladoc): the exact-KNN oracle

@@ -504,6 +504,18 @@ object Curation {
       .orderBy(col("vec_id"))
   }
 
+  /** q81's per-label outlier budget. */
+  val Q81BottomK = 5
+
+  /** Embedding outliers (q81) — cosine to the own-label centroid with
+    * the bottom-[[Q81BottomK]] per label flagged
+    * ([[Similarity.centroidOutliers]]): the embedding-QA sweep that
+    * surfaces mislabeled / off-manifold vectors. */
+  def q81EmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", bottomK = Q81BottomK)
+      .orderBy(col("vec_id"))
+
   /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per
     * pair at cosine c is 1 − (1 − p^planes)^tables with
     * p = 1 − arccos(c)/π. At c = 0.90: p = 0.856, p^10 = 0.21, miss =

@@ -392,6 +392,42 @@ object Similarity {
         transform(col("pm"), e => e.getField("m").cast("float"))
           .as("centroid"))
 
+  /** Embedding-space OUTLIERS per group: each vector's cosine to its
+    * group's centroid (element-wise mean), with the `bottomK` lowest
+    * scores per group flagged — the embedding-QA step that catches
+    * mislabeled / off-manifold vectors before they pollute a cluster
+    * or a training mix. Rank-based (not an absolute τ) so the flag is
+    * meaningful whatever the corpus's cohesion; the (score, id)
+    * tie-break keeps it deterministic and engine-portable.
+    *
+    * Scale shape (100 TB): the posexplode feeds a (group, pos) partial
+    * aggregation — map-side combined down to |groups|·dims rows, the
+    * only wide exchange over exploded data — and the rebuilt centroid
+    * arrays broadcast back, so SCORING never shuffles the corpus: one
+    * per-row HOF cosine against the broadcast centroid. The ranking
+    * window shuffles only the slim (id, group, score) projection,
+    * partitioned by group. Exact decimal dot/norm terms
+    * ([[dotExact]]) keep the 6-dp score engine-portable. */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, bottomK: Int = 5): DataFrame = {
+    val cent = vecs
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("i", "xf")))
+      .select(col("grp"), col("i"),
+        col("xf").cast("double").cast("decimal(28,12)").as("x"))
+      .groupBy(col("grp"), col("i"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    vecs.join(broadcast(cent), vecs(groupCol) === cent("grp"))
+      .select(col(idCol), col(groupCol),
+        cosine(col(vecCol), col("centroid")).as("cos_centroid"))
+      .withColumn("outlier",
+        (row_number().over(w) <= bottomK).cast("int"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
     * EXACT but O(n²) by construction (inequality join = cartesian) —
     * the correctness baseline and the oracle path for

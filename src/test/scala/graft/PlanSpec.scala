@@ -315,6 +315,25 @@ class PlanSpec extends AnyFunSuite {
       s"no window may remain in the importance-weight plan:\n$fin")
   }
 
+  test("q81: centroid scoring broadcasts — the corpus never shuffles to be scored") {
+    // the only wide exchange over exploded rows is the (group, pos)
+    // centroid aggregation; scoring must be a broadcast join (no
+    // sort-merge of the corpus against centroids, no cartesian)
+    import graft.operators.Similarity
+    import spark.implicits._
+    val df = (1 to 60)
+      .map(i => (i.toLong,
+        Array.tabulate(8)(j => ((i * 7 + j) % 13 + 1).toFloat / 13f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+    val plan = executedPlan(res)
+    val fin = plan.split("== Initial Plan ==").head
+    assert(fin.contains("BroadcastHashJoin"),
+      s"expected broadcast centroid scoring in:\n$fin")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("Cartesian"),
+      s"no corpus-wide join shuffle allowed in:\n$fin")
+  }
+
   test("q55: the as-of composition is one key shuffle, no range join") {
     import graft.operators.AsOf
     import spark.implicits._
