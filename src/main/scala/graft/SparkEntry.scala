@@ -251,9 +251,10 @@ object SparkEntry {
     // q21 runs with the stop-shingle cap (bounded gram join), so its
     // oracle drops the same hot shingles; q22's LSH path keeps the
     // full shingle sets and verifies against the uncapped Jaccard.
-    // q23's simhash banding at 12 chunks catches every Hamming ≤ 11
-    // pair and the corpus's Jaccard-0.8 pairs top out at Hamming 10,
-    // so its verified output equals the SAME uncapped exact set (see
+    // q23's simhash banding at 13 chunks catches every Hamming ≤ 12
+    // pair and the shipped corpora's Jaccard-0.8 pairs top out at
+    // Hamming 12 (sf0.001's worst pair; 10 at sf0.01/sf0.1), so its
+    // verified output equals the SAME uncapped exact set (see
     // Curation.q23DedupSimhash — dataset-conditional by construction).
     "q21_dedup_ngram_jaccard" ->
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),

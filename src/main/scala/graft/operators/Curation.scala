@@ -33,25 +33,28 @@ object Curation {
         n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
       .orderBy(col("a"), col("b"))
 
-  /** SimHash at the RECALL-1 configuration for this corpus: 12-chunk
-    * banding guarantees every pair with Hamming ≤ 11, and the corpus's
-    * exact-Jaccard-0.8 pairs measure Hamming ≤ 10 — so the verified
-    * output EQUALS the exact τ=0.8 Jaccard set and the q22 oracle
-    * gates it (rows-only in rounds 1–2; three-green since the
-    * Hamming/chunk analysis landed). Dataset-conditional like every
-    * approximate gate: the Jaccard↔Hamming relation is probabilistic,
-    * so regenerated data could place a 0.8-pair beyond Hamming 11 —
-    * re-tune numChunks on a future failure. THIS PIN IS THE ORACLE
-    * REGIME, NOT THE SCALE PATH: 12 chunks = 5-bit keys, whose
-    * pre-Hamming join volume is ~n²/5 (quadratic — the worst 10×
-    * bench ratio in the family, 5.3×). At corpus scale derive the
-    * chunk count from n with [[TextDedup.simhashParamsForScale]]
-    * (volume ~linear, guaranteed radius shrinking as 64/log₂n − 1,
-    * the inherent pigeonhole trade) or use the MinHash path, which is
-    * this library's 100 TB near-dup default. */
+  /** SimHash at the RECALL-1 configuration for this corpus: 13-chunk
+    * banding guarantees every pair with Hamming ≤ 12, and the shipped
+    * corpora's exact-Jaccard-0.8 pairs measure Hamming ≤ 12 (sf0.01
+    * and sf0.1 top out at 10; sf0.001 holds one pair at exactly 12 —
+    * the round-10 sweep that moved this pin off 12 chunks / radius
+    * 11, which missed it) — so the verified output EQUALS the exact
+    * τ=0.8 Jaccard set at every shipped scale and the q22 oracle
+    * gates it. Dataset-conditional like every approximate gate: the
+    * Jaccard↔Hamming relation is probabilistic, so regenerated data
+    * could place a 0.8-pair beyond Hamming 12 — re-tune numChunks on
+    * a future failure. THIS PIN IS THE ORACLE REGIME, NOT THE SCALE
+    * PATH: 13 chunks = 4-bit keys, whose pre-Hamming join volume is
+    * ~0.8·n² (quadratic; measured ≤ the 12-chunk wall time at sf0.1 —
+    * the bit_count prefilter, not the chunk join, dominates). At
+    * corpus scale derive the chunk count from n with
+    * [[TextDedup.simhashParamsForScale]] (volume ~linear, guaranteed
+    * radius shrinking as 64/log₂n − 1, the inherent pigeonhole trade)
+    * or use the MinHash path, which is this library's 100 TB near-dup
+    * default. */
   def q23DedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, maxHamming = 11, minJaccard = 0.8, numChunks = 12)
+        n = 3, maxHamming = 12, minJaccard = 0.8, numChunks = 13)
       .orderBy(col("a"), col("b"))
 
   /** The end-to-end corpus dedup a curation pipeline actually runs
