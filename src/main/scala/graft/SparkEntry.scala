@@ -87,6 +87,11 @@ object SparkEntry {
     "q79_importance_weights" -> (Curation.q79ImportanceWeights _),
     "q80_semantic_dedup"   -> (Curation.q80SemanticDedup _),
     "q81_embed_outliers"   -> (Curation.q81EmbedOutliers _),
+    "q82_vocab_stats"      -> (Curation.q82VocabStats _),
+    // HLL++ estimates are engine-specific — no SQL oracle (rows-only
+    // check); ReportsSpec gates each estimate within 5·rsd of q82's
+    // exact distinct count
+    "q83_vocab_stats_approx" -> (Curation.q83VocabStatsApprox _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -598,6 +603,17 @@ object SparkEntry {
         | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_log_ratio
         |FROM tok JOIN term USING (t) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_semantic_dedup" -> semanticDedupSql,
+    // two-level distinct (vocab partials then rollup) mirrored exactly;
+    // CAST sums to BIGINT (DuckDB sum() widens to HUGEINT)
+    "q82_vocab_stats" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        | vocab AS (SELECT source, t, count(*) AS n FROM tok GROUP BY 1,2),
+        | stats AS (SELECT source, count(*) AS n_distinct,
+        |   CAST(sum(n) AS BIGINT) AS n_tokens FROM vocab GROUP BY 1),
+        | d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_distinct,
+        | round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr
+        |FROM d JOIN stats USING (source) ORDER BY source""".stripMargin,
     // centroid = decimal-exact elementwise mean per label; score =
     // exact decimal cosine (knnSql's accumulation); outlier = bottom-K
     // rank per label with a vec_id tie-break

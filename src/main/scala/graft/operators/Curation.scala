@@ -507,6 +507,61 @@ object Curation {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-source vocabulary report (q82): docs, token volume, distinct
+    * vocabulary, type-token ratio — the corpus-diversity numbers a mix
+    * designer reads next to q65's share report.
+    *
+    * Scale shape (100 TB): the distinct count deliberately avoids
+    * Spark's countDistinct-over-explode plan (an Expand that triples
+    * the exploded token volume): the (source, token) aggregation is
+    * ONE map-side-combined shuffle of vocab partials, and the per-
+    * source rollup aggregates THAT — group-count-sized input. The doc
+    * count joins in from an unexploded scan. The sketch twin
+    * ([[q83VocabStatsApprox]]) is the one-pass no-vocab-shuffle
+    * version of the same report. */
+  def q82VocabStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val vocab = d.select(col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+    val stats = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("n")).as("n_tokens"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("ttr"))
+      .orderBy(col("source"))
+  }
+
+  /** q83's HLL++ relative standard deviation (Spark's
+    * `approx_count_distinct` rsd parameter). */
+  val Q83Rsd = 0.02
+
+  /** Sketch twin of [[q82VocabStats]] (q83) — same report shape with
+    * the distinct count from HyperLogLog++: ONE pass over the tokens,
+    * sketches merged map-side, NO vocab-keyed shuffle at all — the
+    * shape that survives a vocabulary too large to shuffle (q59→q61's
+    * exact→sketch pattern, applied to cardinality). Not hash-gated
+    * (sketch estimates are engine-specific); ReportsSpec gates each
+    * source's estimate within 5·rsd of the exact count. */
+  def q83VocabStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("source"),
+      explode(split(col("text"), " ")).as("t"))
+    val stats = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("t"), Q83Rsd).as("n_distinct"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("ttr"))
+      .orderBy(col("source"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -55,6 +55,20 @@ class ReportsSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 sketch vocab estimates stay within 5·rsd of q82's exact counts") {
+    import graft.operators.Curation
+    val exact = Curation.q82VocabStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Curation.q83VocabStatsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (src, a) =>
+      val e = exact(src).toDouble
+      assert(math.abs(a - e) / e <= 5 * Curation.Q83Rsd,
+        s"$src: approx=$a exact=$e exceeds 5·rsd")
+    }
+  }
+
   test("trial balance totals reconcile with raw order totals") {
     val tb = Reports.q02TrialBalance(spark, sf)
     // fulfilled/open_amt are edge-rounded doubles of exact 2-dp sums;
