@@ -128,4 +128,47 @@ object DocStream {
       .filter(col("jaccard") >= minJaccard)
       .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
+
+  /** Windowed INGEST-QUALITY monitor — the continuous twin of the
+    * batch corpus reports (q65's mix shares, q28's quality, q27's
+    * language check): per (event-time window × source) doc counts,
+    * token volume, mean quality score, and tagged-vs-predicted
+    * language mismatches, so a feed that degrades (scraper breaks,
+    * boilerplate flood, wrong-language spill) surfaces within one
+    * window instead of at the next batch audit.
+    *
+    * Every per-row signal is a stateless codegen expression
+    * ([[graft.operators.TextAnalysis.qualityColumn]]/`langId` — the
+    * same columns the batch queries use, so monitor numbers are
+    * comparable with audit numbers by construction); the only state
+    * is the windowed aggregation itself, bounded by the watermark
+    * horizon × active (window, source) groups. The quality mean
+    * accumulates in exact decimal, so a window's value is identical
+    * whatever arrival order / micro-batch split delivered its rows —
+    * DocStreamSpec pins streaming ≡ batch on the same rows. Runs
+    * unchanged on a static DataFrame (watermark is a no-op in batch):
+    * one definition, two execution modes. */
+  def qualityMonitor(docs: DataFrame, tsCol: String, sourceCol: String,
+      textCol: String, langCol: String, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .select(col(tsCol).as("ts"), col(sourceCol).as("source"),
+        col(langCol).as("tagged_lang"),
+        TextAnalysis.qualityColumn(col(textCol)).as("quality"),
+        TextAnalysis.langId(col(textCol)).as("pred_lang"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("quality").cast("decimal(28,12)")).as("qsum"),
+        sum(when(col("pred_lang") =!= col("tagged_lang"), 1L)
+          .otherwise(0L)).as("lang_mismatch"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        round(col("qsum").cast("double") / col("n_docs"), 6)
+          .as("mean_quality"),
+        col("lang_mismatch"))
+  }
 }

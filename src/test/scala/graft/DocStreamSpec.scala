@@ -154,6 +154,60 @@ class DocStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("quality monitor: streaming equals batch; too-late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // synthetic timed feed over real corpus text: two 1-hour windows,
+    // split across micro-batches mid-window, then a sentinel far ahead
+    // that advances the watermark past both windows (append mode emits
+    // them), then a TOO-LATE straggler that must be dropped
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select($"doc_id", $"source", $"lang", $"text")
+      .limit(40).collect()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) =
+      new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val timed = docs.zipWithIndex.map { case (r, i) =>
+      // rows 0-19 in window [10:00,11:00), 20-39 in [11:00,12:00)
+      (at(i * 3), r.getString(1), r.getString(2), r.getString(3))
+    }
+    val sentinel = (at(600), "late-src", "en", "sentinel doc text")
+    val straggler = (at(30), "late-src", "en", "dropped doc text")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val out = DocStream.qualityMonitor(
+      src.toDF().toDF("ts", "source", "lang", "text"),
+      "ts", "source", "text", "lang")
+    val q = out.writeStream.format("memory").queryName("quality_mon")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = timed.splitAt(25) // split mid-window-2
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+      src.addData(Seq(sentinel)); q.processAllAvailable()
+      src.addData(Seq(straggler)); q.processAllAvailable()
+      val streamed = spark.table("quality_mon").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+      // batch twin over the SAME rows minus the dropped straggler
+      // (the sentinel's windows never finalize — exclude like any
+      // still-open window)
+      val batch = DocStream.qualityMonitor(
+          timed.toSeq.toDF("ts", "source", "lang", "text"),
+          "ts", "source", "text", "lang")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"monitor streaming vs batch: only-streamed=" +
+          s"${(streamed -- batch).take(3)} only-batch=" +
+          s"${(batch -- streamed).take(3)}")
+      assert(!streamed.exists(t => t._2 == "late-src"),
+        "sentinel/straggler windows must not have emitted")
+    } finally q.stop()
+  }
+
   test("pair dedup is stateless: multi-band collisions emit one row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
