@@ -497,10 +497,18 @@ object Curation {
     * must reproduce the exact component structure, pair for pair. */
   def q80SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val aug = flippedNearDupCorpus(Tables.embeddings(s, dir))
+    // persist the edge set before the component pass: CC references it
+    // in every propagation round plus the singleton join, and the LSH
+    // pipeline behind it is the expensive part (measured 14.2 s → the
+    // q48-sized 3.5 s at sf0.1 with the cache). persist, NOT
+    // localCheckpoint — construction must stay job-free (the
+    // cosineNearDupPairsLsh note on AQE and lazy checkpoints); the
+    // (a, b, cos) rows are exactly what the columnar cache is good at
     val edges = Similarity.cosineNearDupPairsLsh(aug, "vec_id", "embedding",
       minCosine = 0.9, candidatesPerVector = Q48CandidatesPerVector,
       corpusSizeHint =
         2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+      .persist()
     Components.dupClusters(aug, "vec_id", edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
