@@ -146,13 +146,13 @@ object ScaleBench {
         "minhash_cand" -> TextDedup.minhashCandidatesFromGrams(
           grams, 128, 32, 100000).count(),
         "simhash_cand" -> TextDedup.simhashCandidatesFromGrams(
-          grams, 12, 11).count(),
-        // pre-Hamming chunk-join volume: fixed 12-chunk (the q23
-        // oracle pin — ~n²/5, quadratic) vs the n-derived chunk count
+          grams, 13, 12).count(),
+        // pre-Hamming chunk-join volume: fixed 13-chunk (the q23
+        // oracle pin — ~0.8·n², quadratic) vs the n-derived chunk count
         // (volume ~linear at a shrinking guaranteed radius) — the
         // SimHash analog of the fixed-vs-scaled sign-LSH contrast
         "simhash_prefilter_fixed" -> TextDedup.simhashChunkPairVolume(
-          grams, 12),
+          grams, 13),
         "simhash_prefilter_scaled" -> TextDedup.simhashChunkPairVolume(
           grams, scaledChunks),
         "jaccard_pairs" -> Curation.q21DedupNgram(spark, dir).count(),

@@ -117,11 +117,11 @@ class ScaleContractSpec extends AnyFunSuite {
   test("SimHash candidate volume grows ~linearly under replication") {
     def grams(df: org.apache.spark.sql.DataFrame) =
       TextDedup.explodedShingles(df, "doc_id", "text", 3)
-    val c1 = TextDedup.simhashCandidatesFromGrams(grams(docs1), 12, 11)
+    val c1 = TextDedup.simhashCandidatesFromGrams(grams(docs1), 13, 12)
       .count()
-    val cM = TextDedup.simhashCandidatesFromGrams(grams(docsM), 12, 11)
+    val cM = TextDedup.simhashCandidatesFromGrams(grams(docsM), 13, 12)
       .count()
-    // 12-chunk keys are 5 bits wide, so RANDOM cross-replica chunk
+    // 13-chunk keys are 4 bits wide, so RANDOM cross-replica chunk
     // collisions are expected (the Hamming prefilter kills them before
     // verification) — the law is still far from quadratic: m× docs may
     // collide ~m²/2⁵ randomly but the HAMMING-SURVIVING candidate set
@@ -142,12 +142,12 @@ class ScaleContractSpec extends AnyFunSuite {
         .localCheckpoint(true)
       val n = df.count()
       val (k, _) = TextDedup.simhashParamsForScale(n)
-      (TextDedup.simhashChunkPairVolume(grams, 12).toDouble / n,
+      (TextDedup.simhashChunkPairVolume(grams, 13).toDouble / n,
         TextDedup.simhashChunkPairVolume(grams, k).toDouble / n)
     }
     val (fixed1, scaled1) = volumes(docs1)
     val (fixedM, scaledM) = volumes(docsM)
-    // fixed 12-chunk: per-doc volume must show the quadratic law
+    // fixed 13-chunk: per-doc volume must show the quadratic law
     // (expected ~m× growth; conservative floor 3×)
     assert(fixedM >= 3.0 * fixed1,
       s"fixed-chunk prefilter unexpectedly flat: $fixed1 -> $fixedM")
