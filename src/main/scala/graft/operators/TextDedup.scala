@@ -389,10 +389,10 @@ object TextDedup {
     * pair with Hamming ≤ numChunks − 1 EXACTLY (pigeonhole), then
     * exact-Jaccard verification. The chunk count is the recall/cost
     * dial: 8 chunks (Hamming ≤ 7, the scale default) collide a random
-    * pair with ~8·2⁻⁸ of the corpus; 12 chunks (Hamming ≤ 11) with
-    * ~12·2⁻⁵ — an order of magnitude more candidates, needed when the
-    * corpus's Jaccard-0.8 pairs range up to Hamming ~10 (word-shingle
-    * text routinely does: measured max 10 on the harness corpus). */
+    * pair with ~8·2⁻⁸ of the corpus; 13 chunks (Hamming ≤ 12) with
+    * ~13·2⁻⁴ — an order of magnitude more candidates, needed when the
+    * corpus's Jaccard-0.8 pairs range up to Hamming ~12 (word-shingle
+    * text routinely does: measured max 12 across the harness corpora). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxHamming: Int = 7,
       minJaccard: Double = 0.8, numChunks: Int = 8,
@@ -413,10 +413,10 @@ object TextDedup {
     * per document. A FIXED chunk count is quadratic in disguise: a
     * random pair collides on one w-bit chunk with ~2^−w, so the chunk
     * join generates ~numChunks·n²/2^(64/numChunks) candidate rows —
-    * the q23 oracle config (12 chunks, 5-bit keys) costs ~n²/5 rows
+    * the q23 oracle config (13 chunks, 4-bit keys) costs ~0.8·n² rows
     * BEFORE the cheap bit_count filter runs, which is exactly the
-    * growth the 10× bench's q23 wall ratio (5.3×, worst in the
-    * family) shows. Holding volume linear forces chunk width ≈
+    * growth the 10× bench's q23 wall ratio (worst in the family)
+    * shows. Holding volume linear forces chunk width ≈
     * log₂(numChunks·n/budget), and the 64-bit sketch then only
     * affords 64/w chunks — i.e. the GUARANTEED radius shrinks as
     * ~64/log₂(n) − 1. That trade is inherent to exact pigeonhole
