@@ -39,20 +39,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]), so
-    * `ts` arrives as a nanos Long; expose it both ways:
-    * `ts_ns` (exact long, for total ordering) and `ts` (micros
-    * timestamp via integer division — double division would lose
-    * precision above 2^53 ns). */
+  /** `events.ts` has shipped in three parquet encodings across harness
+    * generations — TIMESTAMP(NANOS) (arrives as a nanos Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP_NTZ
+    * micros (the current generator), and adjusted-to-UTC TIMESTAMP —
+    * so normalize by the OBSERVED type, not an assumed one. Expose the
+    * column both ways: `ts_ns` (exact long, for total ordering; integer
+    * division/multiplication — double arithmetic would lose precision
+    * above 2^53 ns) and `ts` as session-zone TIMESTAMP (sessions pin
+    * UTC, so the NTZ→LTZ cast is a wall-clock identity and the DuckDB
+    * oracle, which reads the same file as a naive timestamp, agrees). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = spread(load(s, d, "events"))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns",
-      unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long legacy read
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(load(s, d, "documents"))
