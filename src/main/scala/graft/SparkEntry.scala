@@ -88,9 +88,9 @@ object SparkEntry {
     "q80_semantic_dedup"   -> (Curation.q80SemanticDedup _),
     "q81_embed_outliers"   -> (Curation.q81EmbedOutliers _),
     "q82_vocab_stats"      -> (Curation.q82VocabStats _),
-    // HLL++ estimates are engine-specific — no SQL oracle (rows-only
-    // check); ReportsSpec gates each estimate within 5·rsd of q82's
-    // exact distinct count
+    // self-gating: emits a within-5·rsd flag the SQL oracle CAN check
+    // (the raw HLL++ estimate is engine-specific and never could);
+    // ReportsSpec additionally gates the raw estimates
     "q83_vocab_stats_approx" -> (Curation.q83VocabStatsApprox _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -613,6 +613,16 @@ object SparkEntry {
         | d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
         |SELECT source, n_docs, n_tokens, n_distinct,
         | round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr
+        |FROM d JOIN stats USING (source) ORDER BY source""".stripMargin,
+    // tolerance-based oracle (round-10 ADVICE): the Spark side emits
+    // n_distinct_ok = 1 iff |HLL++ − exact| ≤ 5·rsd·exact, so the
+    // oracle asserts the sketch's accuracy contract by expecting a
+    // constant-1 flag next to exact doc/token counts
+    "q83_vocab_stats_approx" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        | stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+        | d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, CAST(1 AS INT) AS n_distinct_ok
         |FROM d JOIN stats USING (source) ORDER BY source""".stripMargin,
     // centroid = decimal-exact elementwise mean per label; score =
     // exact decimal cosine (knnSql's accumulation); outlier = bottom-K

@@ -547,26 +547,45 @@ object Curation {
     * `approx_count_distinct` rsd parameter). */
   val Q83Rsd = 0.02
 
-  /** Sketch twin of [[q82VocabStats]] (q83) — same report shape with
-    * the distinct count from HyperLogLog++: ONE pass over the tokens,
-    * sketches merged map-side, NO vocab-keyed shuffle at all — the
-    * shape that survives a vocabulary too large to shuffle (q59→q61's
-    * exact→sketch pattern, applied to cardinality). Not hash-gated
-    * (sketch estimates are engine-specific); ReportsSpec gates each
-    * source's estimate within 5·rsd of the exact count. */
+  /** Sketch production shape behind [[q83VocabStatsApprox]]: per-source
+    * token volume + HyperLogLog++ distinct estimate in ONE pass over
+    * the tokens, sketches merged map-side, NO vocab-keyed shuffle at
+    * all — the shape that survives a vocabulary too large to shuffle
+    * (q59→q61's exact→sketch pattern, applied to cardinality). The raw
+    * estimate is engine-specific, so THIS shape has no SQL oracle;
+    * ReportsSpec gates each source's estimate within 5·rsd of the
+    * exact count. */
+  def vocabStatsSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("t"), Q83Rsd).as("n_est"))
+
+  /** Self-gating sketch twin of [[q82VocabStats]] (q83): runs the
+    * one-pass HLL++ estimate ([[vocabStatsSketch]]) AND the exact
+    * two-level distinct, and emits `n_distinct_ok` = 1 iff the
+    * estimate lands within 5·rsd of the truth — which makes the
+    * accuracy contract itself SQL-expressible: the DuckDB oracle
+    * asserts every source's flag is 1 (round-10 ADVICE: the raw
+    * estimate can never hash-match across engines, the tolerance
+    * check can). The exact side exists only to gate; a production
+    * pipeline runs [[vocabStatsSketch]] alone. Deterministic: Spark's
+    * HLL++ has no seed parameter, so the flag is a pure function of
+    * the data and the gate cannot flake. */
   def q83VocabStatsApprox(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val tok = d.select(col("source"),
-      explode(split(col("text"), " ")).as("t"))
-    val stats = tok.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-        approx_count_distinct(col("t"), Q83Rsd).as("n_distinct"))
+    val exact = d
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(stats, Seq("source"))
+      .join(vocabStatsSketch(s, dir), Seq("source"))
+      .join(exact, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
-          .as("ttr"))
+        (abs(col("n_est") - col("n_exact")).cast("double") /
+          col("n_exact") <= lit(5 * Q83Rsd)).cast("int")
+          .as("n_distinct_ok"))
       .orderBy(col("source"))
   }
 

@@ -59,14 +59,19 @@ class ReportsSpec extends AnyFunSuite {
     import graft.operators.Curation
     val exact = Curation.q82VocabStats(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
-    val approx = Curation.q83VocabStatsApprox(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Curation.vocabStatsSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (src, a) =>
       val e = exact(src).toDouble
       assert(math.abs(a - e) / e <= 5 * Curation.Q83Rsd,
         s"$src: approx=$a exact=$e exceeds 5·rsd")
     }
+    // the self-gating q83 shape must agree: every source's flag is 1
+    val flags = Curation.q83VocabStatsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Int]("n_distinct_ok"))
+    assert(flags.nonEmpty && flags.forall(_._2 == 1),
+      s"q83 flags not all 1: ${flags.filter(_._2 != 1).mkString(",")}")
   }
 
   test("trial balance totals reconcile with raw order totals") {
