@@ -92,6 +92,10 @@ object SparkEntry {
     // (the raw HLL++ estimate is engine-specific and never could);
     // ReportsSpec additionally gates the raw estimates
     "q83_vocab_stats_approx" -> (Curation.q83VocabStatsApprox _),
+    "q84_passage_dedup"    -> (Curation.q84PassageDedup _),
+    "q85_containment"      -> (Curation.q85Containment _),
+    "q86_shard_manifest"   -> (Curation.q86ShardManifest _),
+    "q87_bigram_surprisal" -> (Curation.q87BigramSurprisal _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -624,6 +628,69 @@ object SparkEntry {
         | d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
         |SELECT source, n_docs, n_tokens, CAST(1 AS INT) AS n_distinct_ok
         |FROM d JOIN stats USING (source) ORDER BY source""".stripMargin,
+    // passage-level dedup: the same fixed 10-token windows (tail keeps
+    // its remainder; DuckDB slice bounds are inclusive and clip), a
+    // passage is duplicated when its text occurs anywhere else
+    "q84_passage_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | pass AS (SELECT doc_id,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${Curation.Q84PassageLen - 1}], ' ') AS p
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(w), 1)+1, ${Curation.Q84PassageLen})) AS t(i)),
+        | occ AS (SELECT p, count(*) AS df FROM pass GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_passages,
+        | CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_passages,
+        | round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM pass JOIN occ USING (p) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // asymmetric containment over the q21 kept trigram sets: ordered
+    // pairs, C(a→b) = inter / |kept grams(a)|
+    "q85_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | grams0 AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | kept AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= ${Curation.Q21MaxShingleDf}),
+        | grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN kept USING (g)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1,2),
+        | dirs AS (
+        |  SELECT i.a AS contained_id, i.b AS container_id,
+        |    round(CAST(i.inter AS DOUBLE) / sa.sz, 6) AS containment
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+        |  UNION ALL
+        |  SELECT i.b, i.a, round(CAST(i.inter AS DOUBLE) / sb.sz, 6)
+        |  FROM inter i JOIN sizes sb ON sb.doc_id = i.b)
+        |SELECT contained_id, container_id, containment
+        |FROM dirs WHERE containment >= ${Curation.Q85MinContainment}
+        |ORDER BY 1, 2""".stripMargin,
+    // deterministic shard manifest: first md5 hex digit → shard 0-15,
+    // in-shard position by (hash, doc_id)
+    "q86_shard_manifest" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h,
+        |   len(string_split(text, ' ')) AS n_tokens FROM documents),
+        | s AS (SELECT doc_id,
+        |   CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS shard,
+        |   h, n_tokens FROM m)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+        | CAST(n_tokens AS INT) AS n_tokens
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // bigram surprisal: q77's shape over the adjacent-pair multiset;
+    // DECIMAL(28,18) term sums keep per-doc totals order-independent
+    "q87_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | tok AS (SELECT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) AS t
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w))) AS t(i)),
+        | freq AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        | tot AS (SELECT sum(n) AS total FROM freq),
+        | term AS (SELECT doc_id,
+        |   CAST(-log2(CAST(n AS DOUBLE) / total) AS DECIMAL(28,18)) AS s
+        |  FROM tok JOIN freq USING (t) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_surprisal
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
     // centroid = decimal-exact elementwise mean per label; score =
     // exact decimal cosine (knnSql's accumulation); outlier = bottom-K
     // rank per label with a vec_id tie-break

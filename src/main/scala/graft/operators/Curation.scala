@@ -589,6 +589,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q84's passage width (tokens per window). */
+  val Q84PassageLen = 10
+
+  /** Passage-level duplication report — sub-document dedup
+    * ([[TextDedup.passageDupStats]]): per doc, how many of its
+    * 10-token windows occur verbatim elsewhere in the corpus. Oracle:
+    * the same fixed windows + occurrence counts in SQL. */
+  def q84PassageDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.passageDupStats(Tables.documents(s, dir), "doc_id", "text",
+        passageLen = Q84PassageLen)
+      .orderBy(col("doc_id"))
+
+  /** q85's containment threshold — C(a→b) = |A∩B|/|A| over kept
+    * trigram sets. 0.9 keeps it in the "roughly contained" regime
+    * (Broder) while the corpus's engineered near-dups (Jaccard ≥ 0.8
+    * ⇒ containment ≥ 0.8 on the smaller side, and concentrated near
+    * 1.0) still surface. */
+  val Q85MinContainment = 0.9
+
+  /** Asymmetric containment pairs ([[TextDedup.containmentDupPairs]])
+    * — quote-expansion duplicates Jaccard misses. Same stop-shingle
+    * cap as q21 so the gram self-join stays bounded; the oracle
+    * mirrors the kept-set semantics. */
+  def q85Containment(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentDupPairs(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, minContainment = Q85MinContainment,
+        maxShingleDf = Q21MaxShingleDf)
+      .orderBy(col("contained_id"), col("container_id"))
+
+  /** Deterministic training-shard manifest
+    * ([[Mixture.shardManifest]]): content-hash sharding + in-shard
+    * hash order — the corpus's final global shuffle, reproducible
+    * with no seed. Oracle: md5/strpos/row_number in SQL. */
+  def q86ShardManifest(s: SparkSession, dir: String): DataFrame =
+    Mixture.shardManifest(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Per-doc average BIGRAM surprisal vs the corpus bigram
+    * distribution ([[TextAnalysis.gramSurprisal]] at n = 2) — the
+    * sequence-sensitive step up from q77's unigram proxy. */
+  def q87BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gramSurprisal(Tables.documents(s, dir), "doc_id", "text",
+        n = 2)
+      .orderBy(col("doc_id"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -86,4 +86,35 @@ object Mixture {
         ((col("endc") - col("n_tokens")) % budget)
           .cast("int").as("pack_offset"))
   }
+
+  /** Deterministic TRAINING-SHARD manifest — the final global shuffle
+    * of a curated corpus: each doc lands in one of 16 shards by the
+    * first hex digit of its content hash, ordered inside the shard by
+    * (hash, id). Content-hash placement is the distributed shuffle a
+    * training run wants: (a) deterministic — re-runs and retries
+    * rebuild byte-identical shards with no seed to manage; (b) a
+    * hash-ordered shard is a uniform random sample of the corpus, so
+    * any shard prefix is an unbiased training subset and sequential
+    * shard reads ARE shuffled reads; (c) exact duplicates co-locate
+    * (same hash ⇒ same shard, adjacent positions), making residual
+    * dup auditing a per-shard local scan.
+    *
+    * Scale shape: one projection computes (hash, shard, token count)
+    * per row, then ONE window partitioned by shard numbers the rows —
+    * 16 parallel sort groups, each a shard's write order; no joins,
+    * nothing global. At 100 TB you'd raise the digit count (16ᵈ
+    * shards) to hold per-shard sort memory flat — the manifest shape
+    * is unchanged. */
+  def shardManifest(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("pos", row_number().over(byShard))
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+  }
 }

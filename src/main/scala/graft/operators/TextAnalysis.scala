@@ -238,6 +238,44 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** [[unigramSurprisal]] generalized to word n-GRAMS: per-doc average
+    * −log₂ of the corpus n-gram probability, over the doc's gram
+    * MULTISET (order and repeats kept — this is a sequence-model
+    * signal, not a set signal; bigrams at n=2 are the cheapest step up
+    * from the unigram proxy toward real LM perplexity: a doc of
+    * common words in an uncommon ORDER scores high here but low
+    * there). Docs shorter than `n` tokens have no grams and emit no
+    * row — same on any mirrored oracle.
+    *
+    * Scale shape: identical to [[unigramSurprisal]] with the gram
+    * table in place of the vocab table (one explode, one
+    * map-side-combined frequency shuffle ReusedExchange'd between
+    * total and scorer, broadcast scalar total, DECIMAL term sums) —
+    * the gram table is larger than a vocabulary but still
+    * sub-corpus-scale, and nothing single-partitions it. */
+  def gramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val w = split(col(textCol), " ")
+    val gramsArr = filter(
+      transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+        i => when(i + n <= size(w), concat_ws(" ", slice(w, i + 1, lit(n))))),
+      g => g.isNotNull)
+    val tok = df.select(col(idCol).as("id"), explode(gramsArr).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val p = freq.crossJoin(broadcast(total))
+      .select(col("t"),
+        (col("cnt").cast("double") / col("total")).as("p"))
+    tok.join(p, Seq("t"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum((-log2(col("p"))).cast("decimal(28,18)")).as("s"))
+      .select(col("id").as(idCol), col("n_grams"),
+        round(col("s").cast("double") / col("n_grams"), 6)
+          .as("avg_surprisal"))
+  }
+
   /** Per-document n-gram-LM IMPORTANCE WEIGHT for target-domain data
     * selection — the DSIR recipe (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") with unigram features:

@@ -25,6 +25,23 @@ class MixtureSpec extends AnyFunSuite {
     assert(got(10L) == ((6, 0, 0)))  // group b packs independently
   }
 
+  test("shard manifest: hex-digit shards, (hash, id) in-shard order") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "a b c"), (4L, "f"))
+      .toDF("doc_id", "text")
+    val got = Mixture.shardManifest(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    // exact duplicates (1, 3) share a shard and sit adjacent, id order
+    assert(got(1L)._1 == got(3L)._1)
+    assert(got(3L)._2 == got(1L)._2 + 1)
+    assert(got(1L)._3 == 3 && got(2L)._3 == 2 && got(4L)._3 == 1)
+    // shard = first md5 hex digit; positions are 1-based and dense
+    got.values.groupBy(_._1).values.foreach { members =>
+      assert(members.map(_._2).toSeq.sorted == (1 to members.size))
+    }
+    assert(got.values.forall(v => v._1 >= 0 && v._1 <= 15))
+  }
+
   test("keep rates follow weights and cap at 1.0") {
     // counts a=4, b=1; weights a=1, b=3; outF=0.5; total=5, Σw=4
     // rate_a = 0.5·5·1/(4·4) = 0.15625; rate_b = 1.875 → capped 1.0

@@ -215,4 +215,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) != h(2L))
   }
+
+  test("bigram surprisal: multiset grams, corpus p, short docs drop") {
+    // corpus bigrams: "a b"×2, "b a"×2, "c c"×1 → total 5
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "c c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gramSurprisal(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val s04 = BigDecimal(-math.log(0.4) / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s02 = BigDecimal(-math.log(0.2) / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3, s04)))   // grams: ab, ba, ab — all p = 2/5
+    assert(got(2L) == ((1, s04)))
+    assert(got(3L) == ((1, s02)))
+    assert(!got.contains(4L))       // one token → no bigram → no row
+  }
 }

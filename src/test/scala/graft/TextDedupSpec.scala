@@ -259,4 +259,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture produced no cross-side pairs")
   }
+
+  test("passage dup stats: fixed windows, tail remainder, corpus counts") {
+    // 5-token passages; doc 20 repeats doc 0's first block and doc 0's
+    // own second block is unique; doc 21 is 7 tokens → blocks of 5+2
+    val p = Seq(
+      (0L, "a b c d e f g h i j"),   // blocks: [a b c d e] [f g h i j]
+      (20L, "a b c d e"),            // duplicates doc 0's first block
+      (21L, "x y z w v u t"))        // [x y z w v] [u t] — both unique
+      .toDF("doc_id", "text")
+    val got = TextDedup.passageDupStats(p, "doc_id", "text", passageLen = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2, 1, 0.5)))
+    assert(got(20L) == ((1, 1, 1.0)))
+    assert(got(21L) == ((2, 0, 0.0)))
+  }
+
+  test("containment: subset doc scores 1.0 into its superset, not back") {
+    // doc 30's trigrams are a strict subset of doc 0's (a prefix), so
+    // C(30→0) = 1.0 while C(0→30) = 3/18 — below any real threshold
+    val sub = base.split(" ").take(5).mkString(" ")
+    val p = Seq((0L, base), (30L, sub)).toDF("doc_id", "text")
+    val got = TextDedup.containmentDupPairs(p, "doc_id", "text",
+        n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((30L, 0L, 1.0)))
+    // jaccard at the same threshold misses the pair entirely
+    assert(TextDedup.ngramJaccardPairs(p, "doc_id", "text",
+      n = 3, minJaccard = 0.5).collect().isEmpty)
+  }
 }
