@@ -93,6 +93,59 @@ class ScaleContractSpec extends AnyFunSuite {
       s"verified near-dup pairs not m×: $v1 -> $vM")
   }
 
+  test("passage dup stats replicate exactly m× under replication") {
+    // passages are token windows and replicas share no tokens, so no
+    // passage crosses replicas; salting preserves within-replica text
+    // equality, so every replica reproduces replica 0's duplication
+    // structure exactly — rows AND duplicated-passage volume are m×
+    def stats(df: org.apache.spark.sql.DataFrame) = {
+      val r = TextDedup.passageDupStats(df, "doc_id", "text",
+          passageLen = Curation.Q84PassageLen)
+        .agg(count(lit(1)), sum(col("n_passages")),
+          sum(col("n_dup_passages"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (rows1, pass1, dup1) = stats(docs1)
+    val (rowsM, passM, dupM) = stats(docsM)
+    assert(dup1 > 0, "fixture has no duplicated passages")
+    assert((rowsM, passM, dupM) ==
+      ((Mult * rows1, Mult * pass1, Mult * dup1)))
+  }
+
+  test("containment pairs grow exactly m× under replication") {
+    // kept-set semantics survive replication: gram document
+    // frequencies are per-replica identical to the 1× corpus (no gram
+    // crosses), so the stop-shingle cap drops the same grams in every
+    // replica and the ordered pair set replicates exactly
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.containmentDupPairs(df, "doc_id", "text", n = 3,
+        minContainment = Curation.Q85MinContainment,
+        maxShingleDf = Curation.Q21MaxShingleDf).count()
+    val p1 = pairs(docs1)
+    assert(p1 > 0)
+    assert(pairs(docsM) == Mult * p1)
+  }
+
+  test("bigram surprisal shifts by exactly log2(m) under replication") {
+    // replica-disjoint grams keep every gram's count at its 1× value
+    // while the corpus total grows m×, so every doc's average
+    // surprisal moves by +log2(m) and nothing else — a distribution-
+    // level growth law no counter can express
+    import graft.operators.TextAnalysis
+    def byDoc(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gramSurprisal(df, "doc_id", "text", n = 2)
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s1 = byDoc(docs1)
+    val sM = byDoc(docsM)
+    assert(sM.size == Mult * s1.size)
+    val shift = math.log(Mult) / math.log(2)
+    s1.foreach { case (id, v) =>
+      assert(math.abs(sM(id) - (v + shift)) <= 2e-6,
+        s"doc $id: ${sM(id)} vs ${v + shift}")
+    }
+  }
+
   test("duplicate clusters replicate exactly m× (and stay replica-local)") {
     // q68's growth law: replicas share no shingles, so no edge crosses
     // a replica boundary and every non-singleton cluster replicates
