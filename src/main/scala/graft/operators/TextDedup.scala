@@ -124,16 +124,23 @@ object TextDedup {
     * slims, never passage text; the per-doc rollup then groups on id.
     * Two shuffles total, both map-side combined, no joins against the
     * corpus. */
-  def passageDupStats(docs: DataFrame, idCol: String, textCol: String,
-      passageLen: Int = 10): DataFrame = {
+  /** md5 digest per consecutive `passageLen`-token window of `textCol`
+    * (tail keeps its remainder), as an array column — per-row, no
+    * shuffle; shared by [[passageDupStats]] and the streaming
+    * passage-hit twin ([[graft.streaming.DocStream]]). */
+  def passageDigestArray(textCol: Column, passageLen: Int): Column = {
     require(passageLen > 0, "passageLen must be positive")
-    val w = split(col(textCol), " ")
-    val blocks = transform(
+    val w = split(textCol, " ")
+    transform(
       sequence(lit(0L),
         greatest(floor((size(w) - 1) / passageLen), lit(0L))),
       i => md5(concat_ws(" ", slice(w, i * passageLen + 1, lit(passageLen)))))
+  }
+
+  def passageDupStats(docs: DataFrame, idCol: String, textCol: String,
+      passageLen: Int = 10): DataFrame = {
     val pass = docs.select(col(idCol).as("id"),
-      explode(blocks).as("d"))
+      explode(passageDigestArray(col(textCol), passageLen)).as("d"))
     val occ = pass.groupBy(col("d")).agg(count(lit(1)).as("df"))
     pass.join(occ, Seq("d"))
       .groupBy(col("id"))

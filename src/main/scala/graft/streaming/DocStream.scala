@@ -129,6 +129,43 @@ object DocStream {
       .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
 
+  /** Static passage-digest index for [[passageHitsAgainstIndex]]:
+    * (d, corpus_df) — one row per distinct passage digest in the
+    * indexed corpus with its occurrence count. At deployment scale
+    * this is a stored table (bucket it by `d` exactly like
+    * [[writeIndexTables]] buckets band keys) that an ingest job
+    * appends to; here it derives from the corpus in one
+    * map-side-combined aggregation. */
+  def passageIndex(existing: DataFrame, idCol: String, textCol: String,
+      passageLen: Int = 10): DataFrame =
+    existing.select(explode(
+        TextDedup.passageDigestArray(col(textCol), passageLen)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("corpus_df"))
+
+  /** Streaming PASSAGE-hit detection — the continuous twin of
+    * [[graft.operators.TextDedup.passageDupStats]]'s sub-document
+    * dedup, restricted (like every ingest twin) to incoming-vs-indexed:
+    * each incoming doc's fixed `passageLen`-token windows are checked
+    * against the static corpus index and every window already present
+    * emits (incoming_id, slot, digest, corpus_df) in append mode. The
+    * per-doc rollup (dup_frac etc.) is the consumer's batch job over
+    * the hit stream — a streaming groupBy(incoming_id) would need
+    * aggregation state for no benefit.
+    *
+    * STATELESS like [[nearDupAgainstIndex]]: digests are a per-row HOF
+    * expression, the only join is a stream-static equi-join on the
+    * 16-byte digest, no watermark, no dedup state. Per micro-batch
+    * cost ∝ incoming tokens; the corpus index is storage, not compute
+    * (bucketed on `d`, it is never re-shuffled). */
+  def passageHitsAgainstIndex(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, passageLen: Int = 10): DataFrame =
+    stream.select(col(idCol).as("incoming_id"),
+        posexplode(TextDedup.passageDigestArray(col(textCol), passageLen))
+          .as(Seq("slot", "d")))
+      .join(index, Seq("d"))
+      .select(col("incoming_id"), col("slot").cast("int").as("slot"),
+        col("d").as("digest"), col("corpus_df"))
+
   /** Windowed INGEST-QUALITY monitor — the continuous twin of the
     * batch corpus reports (q65's mix shares, q28's quality, q27's
     * language check): per (event-time window × source) doc counts,

@@ -154,6 +154,48 @@ class DocStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming passage hits equal the batch index join") {
+    // same transfer gate as the near-dup twin: md5 content split,
+    // incoming fed as two micro-batches (stateless — no state between
+    // them), hits compared row-for-row against the batch equi-join of
+    // incoming passage digests vs the existing-side index
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val existing = docs.filter(substring(md5($"text"), 1, 1) < "c")
+    val incoming = docs.filter(substring(md5($"text"), 1, 1) >= "c")
+    val index = DocStream.passageIndex(existing, "doc_id", "text")
+      .localCheckpoint(true)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = DocStream.passageHitsAgainstIndex(
+      src.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("passage_hits")
+      .outputMode("append").start()
+    try {
+      val rows = incoming.select($"doc_id", $"text")
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      src.addData(b1.toSeq)
+      q.processAllAvailable()
+      src.addData(b2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("passage_hits").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val batch = DocStream.passageHitsAgainstIndex(
+          incoming, index, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(batch.nonEmpty, "fixture produced no cross-side passage hits")
+      assert(streamed == batch,
+        s"streaming vs batch mismatch: only-streamed=" +
+          s"${(streamed -- batch).take(3)} only-batch=" +
+          s"${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("quality monitor: streaming equals batch; too-late rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
