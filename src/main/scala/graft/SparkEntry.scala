@@ -61,12 +61,12 @@ object SparkEntry {
     "q59_value_stats"      -> (Reports.q59ValueStats _),
     "q60_sessions_batch"   -> (Reports.q60SessionsBatch _),
     "q58_lang_quota"       -> (Curation.q58LangQuota _),
-    // sketch output is engine-specific — no SQL oracle (rows-only
-    // check); ReportsSpec gates it against q59 within 1/accuracy
-    // rank error
+    // self-gating (q83's pattern): emits within-rank-error flags the
+    // SQL oracle CAN check — the raw GK sketch values never could;
+    // ReportsSpec additionally gates the raw q59ValueStatsApprox
     "q61_value_stats_approx" ->
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        Reports.q59ValueStatsApprox(s, d)),
+        Reports.q61ValueStatsChecked(s, d)),
     "q62_dedup_incremental" -> (Curation.q62DedupIncremental _),
     "q63_repetition"       -> (Curation.q63Repetition _),
     "q64_decontamination"  -> (Curation.q64Decontamination _),
@@ -817,6 +817,17 @@ object SparkEntry {
         | round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
         | round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95,
         | round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99,
+        | round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tolerance-based oracle for the GK-sketch twin (q83's pattern):
+    // the Spark side emits pXX_ok = 1 iff approx(q) lies between the
+    // exact percentiles at ranks q ± 1/accuracy, so the oracle
+    // asserts the sketch's error contract as constant-1 flags
+    "q61_value_stats_approx" ->
+      """SELECT event_type, count(*) AS n,
+        | round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS mean,
+        | CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok,
+        | CAST(1 AS INT) AS p99_ok,
         | round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS vmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // gap sessionization via lag -> flag -> running-sum windows; both

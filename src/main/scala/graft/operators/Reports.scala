@@ -493,6 +493,56 @@ object Reports {
       .orderBy(col("event_type"))
   }
 
+  /** Self-gating twin of [[q59ValueStatsApprox]] (q61): runs the GK
+    * sketch, then verifies each approx value's exact RANK — emitting
+    * `pXX_ok` = 1 iff #(values ≤ approx) ≥ n·(q − 1/accuracy) − 1 and
+    * #(values < approx) ≤ n·(q + 1/accuracy) + 1 — the sketch's
+    * published rank-error contract made SQL-expressible, exactly the
+    * q83 pattern (raw sketch values are engine-specific and can never
+    * hash-match an oracle; the tolerance flags can, so the DuckDB
+    * oracle asserts constant-1 flags next to the exact n/mean/vmax).
+    * The check is on RANKS, not an exact-percentile value window: the
+    * sketch returns a data point, and at small n the interpolated
+    * window at q ± 1/accuracy is narrower than the gap between
+    * adjacent points — a zero-rank-error answer would fail a value
+    * window (measured at sf0.001); the ±1-row slack covers the
+    * boundary. Verification re-scans the group once against the
+    * broadcast sketch row; a production profile runs
+    * [[q59ValueStatsApprox]] alone. Deterministic — percentile_approx
+    * is seedless. */
+  def q61ValueStatsChecked(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val eps = 1.0 / accuracy
+    val qs = Seq(0.5 -> "50", 0.95 -> "95", 0.99 -> "99")
+    val skAggs = Seq(
+      fin(avg(dec(col("value")))).as("mean"),
+      fin(max(dec(col("value")))).as("vmax")) ++
+      qs.map { case (q, tag) =>
+        expr(f"percentile_approx(value, $q%.6f, $accuracy)").as(s"a$tag") }
+    val sk = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), skAggs: _*)
+    val rankAggs = qs.flatMap { case (_, tag) => Seq(
+      sum(when(col("value") <= col(s"a$tag"), 1L).otherwise(0L))
+        .as(s"le$tag"),
+      sum(when(col("value") < col(s"a$tag"), 1L).otherwise(0L))
+        .as(s"lt$tag")) } ++
+      Seq(max(col("n")).as("n"), max(col("mean")).as("mean"),
+        max(col("vmax")).as("vmax"))
+    val checked = e.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val flags = qs.map { case (q, tag) =>
+      (col(s"le$tag") >= col("n") * (q - eps) - 1.0 &&
+        col(s"lt$tag") <= col("n") * (q + eps) + 1.0).cast("int")
+        .as(s"p${tag}_ok")
+    }
+    checked
+      .select(Seq(col("event_type"), col("n"), col("mean")) ++ flags :+
+        col("vmax"): _*)
+      .orderBy(col("event_type"))
+  }
+
   // ── Salted skew join ───────────────────────────────────────────────
   /** Orders⋈lineitem through [[Skew.saltedJoin]] (salt 8, scattered by
     * the part key), aggregated per order status — row-identical to
