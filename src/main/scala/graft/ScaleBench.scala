@@ -41,7 +41,13 @@ object ScaleBench {
     "q23_dedup_simhash", "q52_dedup_corpus", "q62_dedup_incremental",
     "q64_decontamination",
     "q48_embed_near_dup_lsh", "q51_embed_near_dup_lsh_hi",
-    "q53_embed_ann_ivf_clustered")
+    "q53_embed_ann_ivf_clustered",
+    // round-11 additions, all documents-only: passage dedup (digest
+    // shuffle), containment (the q21 self-join under its cap), shard
+    // manifest (16-way window sort), bigram surprisal (gram-table
+    // word-count + join)
+    "q84_passage_dedup", "q85_containment", "q86_shard_manifest",
+    "q87_bigram_surprisal")
 
   private def timeQuery(spark: SparkSession, dir: String, reps: Int,
       fn: (SparkSession, String) => DataFrame): Double = {
@@ -156,6 +162,17 @@ object ScaleBench {
         "simhash_prefilter_scaled" -> TextDedup.simhashChunkPairVolume(
           grams, scaledChunks),
         "jaccard_pairs" -> Curation.q21DedupNgram(spark, dir).count(),
+        // replica laws pinned in ScaleContractSpec: both exactly m×
+        // (passages/grams never cross replicas; per-replica dfs match
+        // the 1x corpus so the stop-shingle cap drops identical sets)
+        "passage_dup_volume" -> TextDedup.passageDupStats(docs,
+          "doc_id", "text", Curation.Q84PassageLen)
+          .agg(org.apache.spark.sql.functions.sum(
+            col("n_dup_passages")).cast("long")).head().getLong(0),
+        "containment_pairs" -> TextDedup.containmentDupPairs(docs,
+          "doc_id", "text", n = 3,
+          minContainment = Curation.Q85MinContainment,
+          maxShingleDf = Curation.Q21MaxShingleDf).count(),
         // fixed collision cap (constant cartesian fraction — grows
         // ~quadratically) vs the scale-aware derive (per-vector
         // budget — grows ~linearly): the contrast the 100 TB design

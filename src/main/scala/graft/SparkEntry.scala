@@ -96,6 +96,8 @@ object SparkEntry {
     "q85_containment"      -> (Curation.q85Containment _),
     "q86_shard_manifest"   -> (Curation.q86ShardManifest _),
     "q87_bigram_surprisal" -> (Curation.q87BigramSurprisal _),
+    "q88_source_passage_matrix" -> (Curation.q88SourcePassageMatrix _),
+    "q89_effective_tokens" -> (Curation.q89EffectiveTokens _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -676,6 +678,34 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
         | CAST(n_tokens AS INT) AS n_tokens
         |FROM s ORDER BY doc_id""".stripMargin,
+    // cross-source passage matrix: distinct (source, passage) slims,
+    // digest self-join bounded by the source count per digest
+    "q88_source_passage_matrix" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        | pass AS (SELECT doc_id, source,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${Curation.Q84PassageLen - 1}], ' ') AS p
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(w), 1)+1, ${Curation.Q84PassageLen})) AS t(i)),
+        | sd AS (SELECT DISTINCT source, p FROM pass)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        | count(DISTINCT x.p) AS n_shared
+        |FROM sd x JOIN sd y ON x.p = y.p AND x.source < y.source
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // effective tokens: corpus-first passage occurrence keeps its
+    // tokens, every later occurrence is boilerplate; first = smallest
+    // (doc_id, start) exactly as the Spark window orders
+    "q89_effective_tokens" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        | pass AS (SELECT doc_id, source, CAST(i AS INT) AS slot,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${Curation.Q84PassageLen - 1}], ' ') AS p,
+        |   least(${Curation.Q84PassageLen}, len(w) - CAST(i AS INT) + 1) AS ptok
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(w), 1)+1, ${Curation.Q84PassageLen})) AS t(i)),
+        | ranked AS (SELECT source, ptok,
+        |   row_number() OVER (PARTITION BY p ORDER BY doc_id, slot) AS rn
+        |  FROM pass)
+        |SELECT source, CAST(sum(ptok) AS BIGINT) AS gross_tokens,
+        | CAST(sum(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS BIGINT) AS effective_tokens,
+        | round(CAST(sum(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS DOUBLE) / sum(ptok), 6) AS dedup_ratio
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

@@ -634,6 +634,76 @@ object Curation {
         n = 2)
       .orderBy(col("doc_id"))
 
+  /** Exploded passage table shared by q88/q89: one row per
+    * `Q84PassageLen`-token window with its digest, token count (the
+    * tail keeps its remainder, so the last window may be short), and
+    * the doc's id/source. Per-row HOF expressions, no shuffle. */
+  private def passageRows(docs: DataFrame): DataFrame = {
+    val L = Q84PassageLen
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("nw"),
+        posexplode(TextDedup.passageDigestArray(col("text"), L))
+          .as(Seq("slot", "d")))
+      .withColumn("ptok",
+        least(lit(L), col("nw") - col("slot") * L).cast("int"))
+      .select(col("doc_id"), col("source"), col("slot").cast("int")
+        .as("slot"), col("d"), col("ptok"))
+  }
+
+  /** Cross-source PASSAGE-sharing matrix (q88) — boilerplate
+    * provenance at sub-document granularity: for each unordered source
+    * pair, how many distinct passage digests occur in both. q71 asks
+    * "which sources re-crawl each other's documents"; this asks "which
+    * sources share templates/footers" — hits that never surface as
+    * document near-dups.
+    *
+    * Scale shape: distinct (source, digest) slims shuffle on the
+    * digest; the per-digest source set is bounded by the source count
+    * (tens), so the digest self-join fans out at most |sources|²/2 per
+    * digest — never corpus-quadratic. One distinct + one bounded
+    * self-join + one group-count. */
+  def q88SourcePassageMatrix(s: SparkSession, dir: String): DataFrame = {
+    val sd = passageRows(Tables.documents(s, dir))
+      .select(col("source"), col("d")).distinct()
+    sd.as("x").join(sd.as("y"),
+        col("x.d") === col("y.d") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      // (source, d) rows are distinct, so each (pair, digest) joins
+      // exactly once: count(*) == count(DISTINCT d) without the Expand
+      // a countDistinct would plan
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Per-source EFFECTIVE token volume (q89) — the number a mix
+    * designer actually budgets with: gross tokens, minus every token
+    * inside a passage occurrence that is not the corpus-first holder
+    * of its digest (first = smallest (doc_id, slot)). Passage-level
+    * dedup's yield, expressed as token counts: `dedup_ratio` near 1
+    * means the source's volume is real; near 0 means it is mostly
+    * boilerplate copies of itself or others.
+    *
+    * Scale shape: one row_number window partitioned by the 16-byte
+    * digest (the same key the q84 count shuffles on — per-group state
+    * is the occurrence list of one digest), then a per-source rollup.
+    * Nothing joins the corpus against itself. */
+  def q89EffectiveTokens(s: SparkSession, dir: String): DataFrame = {
+    val pass = passageRows(Tables.documents(s, dir))
+    val ranked = pass.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d"))
+        .orderBy(col("doc_id"), col("slot"))))
+    ranked.groupBy(col("source"))
+      .agg(sum(col("ptok")).as("gross_tokens"),
+        sum(when(col("rn") === 1, col("ptok")).otherwise(0))
+          .as("effective_tokens"))
+      .select(col("source"), col("gross_tokens"), col("effective_tokens"),
+        round(col("effective_tokens").cast("double") /
+          col("gross_tokens"), 6).as("dedup_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -21,6 +21,35 @@ class ReportsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
 
+  test("q61 self-gate emits all-1 flags on the harness events") {
+    // the oracle expects constant-1 pXX_ok columns; a sketch drift
+    // outside the rank window would fail here before the driver sees it
+    val rows = Reports.q61ValueStatsChecked(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("p50_ok", "p95_ok", "p99_ok").foreach { c =>
+      assert(rows.forall(_.getAs[Int](c) == 1),
+        s"$c not 1 for ${rows.filter(_.getAs[Int](c) != 1).toSeq}")
+    }
+  }
+
+  test("q89 gross tokens reconcile with q82; effective is a sane share") {
+    import graft.operators.Curation
+    // passages partition each doc's token list exactly (tail keeps its
+    // remainder), so per-source gross tokens must equal the vocab
+    // report's token volume — a cross-operator reconciliation
+    val vocab = Curation.q82VocabStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_tokens")).toMap
+    val eff = Curation.q89EffectiveTokens(spark, sf).collect()
+    assert(eff.map(_.getString(0)).toSet == vocab.keySet)
+    eff.foreach { r =>
+      val src = r.getString(0)
+      val gross = r.getAs[Long]("gross_tokens")
+      val kept = r.getAs[Long]("effective_tokens")
+      assert(gross == vocab(src), s"$src gross $gross != vocab ${vocab(src)}")
+      assert(kept > 0 && kept <= gross)
+    }
+  }
+
   test("q59 approx profile stays inside the sketch's rank-error bound") {
     // percentile_approx(accuracy=A) returns an actual SAMPLE whose
     // rank is within the sketch's error of the target — so the gate is

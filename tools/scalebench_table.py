@@ -18,6 +18,10 @@ LABELS = {
     "q48_embed_near_dup_lsh": "q48 near-dup LSH (scale-derived)",
     "q51_embed_near_dup_lsh_hi": "q51 near-dup LSH (pinned hi-τ)",
     "q53_embed_ann_ivf_clustered": "q53 IVF ANN clustered",
+    "q84_passage_dedup": "q84 passage dedup",
+    "q85_containment": "q85 containment pairs",
+    "q86_shard_manifest": "q86 shard manifest",
+    "q87_bigram_surprisal": "q87 bigram surprisal",
 }
 
 COUNTER_LABELS = {
@@ -25,6 +29,8 @@ COUNTER_LABELS = {
     "minhash_cand": "MinHash candidates",
     "simhash_cand": "SimHash candidates",
     "jaccard_pairs": "exact τ=0.8 Jaccard pairs (truth)",
+    "passage_dup_volume": "duplicated passages (truth)",
+    "containment_pairs": "containment pairs ≥0.9 (truth)",
     "neardup_lsh_cand_fixed": "sign-LSH candidates, FIXED cap",
     "neardup_lsh_cand_scaled": "sign-LSH candidates, SCALE-derived",
     "neardup_true_pairs": "exact τ=0.9 near-dup pairs (truth)",
