@@ -113,9 +113,15 @@ object Bench {
     // isolated re-pass: anything >1.5× its prior-round record re-runs
     // at the very end, after the suite's allocation churn settles —
     // the min of both passes is the recorded number
+    // drift = 1.5× the cross-round best AND at least 0.25 s of excess:
+    // the minima for sub-second queries are lucky-fast samples, and
+    // 1.5× of 0.15 s is scheduler noise, not a regression — absolute
+    // excess is what a human reviewer would call real
+    def isDrift(p: Double, secs: Double): Boolean =
+      p > 0.05 && secs > p * 1.5 && secs - p > 0.25
     val results = queries.map { case (name, fn) =>
       val first = firstPass(name)
-      val drifted = prior.get(name).exists(p => p > 0.05 && first > p * 1.5)
+      val drifted = prior.get(name).exists(p => isDrift(p, first))
       val secs =
         if (!drifted) first
         else {
@@ -129,7 +135,7 @@ object Bench {
       // blip: sustained machine load, a config change (q48's best
       // predates its r3 rework), or a real regression
       val drift = prior.get(name)
-        .filter(p => p > 0.05 && secs > p * 1.5)
+        .filter(p => isDrift(p, secs))
         .map(p => f" DRIFT ${secs / p}%.1fx vs prior $p%.2f s" +
           " — persists in the isolated re-pass: sustained load, config" +
           " change, or real regression")
@@ -157,7 +163,7 @@ object Bench {
     // stderr flag alone vanished with the session). Auditable as
     // current = "queries", reference = "bestKnown", ratio here.
     val driftedMap = results.flatMap { case (k, v) =>
-      prior.get(k).filter(p => p > 0.05 && v > p * 1.5)
+      prior.get(k).filter(p => isDrift(p, v))
         .map(p => "\"" + k + "\":" + f"${v / p}%.2f")
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bestKnown":$best,"bestKnownTotal":$bestTotal,"drifted":$driftedMap,"sf":"$sfDir"}"""

@@ -275,6 +275,42 @@ class PlanSpec extends AnyFunSuite {
       s"expected the edge exchange reused in rounds 2-5, got $reused in:\n$fin")
   }
 
+  test("q84: passage occurrence join reuses the digest exchange") {
+    // the occurrence count aggregates (id, digest) rows grouped on the
+    // digest and the per-doc rollup joins the SAME rows back on that
+    // key — one digest exchange, reused, and never any form of
+    // cartesian: the wide state is 16-byte digests end to end
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val df = (1 to 60)
+      .map(i => (i.toLong, s"w$i " * 3 + ("common block " * 5)))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(
+      TextDedup.passageDupStats(df, "doc_id", "text", passageLen = 5))
+    val fin = plan.split("== Initial Plan ==").head
+    // two acceptable shapes: the shuffle join reusing the digest
+    // exchange (what a corpus-scale run plans), or AQE demoting the
+    // tiny occurrence side to a broadcast hash join (what this
+    // fixture-sized run picks) — both keyed on the digest, neither
+    // any form of cartesian
+    assert("ReusedExchange".r.findAllMatchIn(fin).nonEmpty ||
+      fin.contains("BroadcastHashJoin"),
+      s"expected digest-exchange reuse or a broadcast digest join in:\n$fin")
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), s"cartesian in:\n$fin")
+  }
+
+  test("q86: shard manifest plans no join at all") {
+    // one projection + one shard-partitioned window (+ the final
+    // presentation sort): a join anywhere means the manifest stopped
+    // being a pure re-key of the corpus
+    val plan = executedPlan(
+      graft.operators.Curation.q86ShardManifest(spark, sf))
+    val fin = plan.split("== Initial Plan ==").head
+    assert(!fin.contains("Join"), s"unexpected join in:\n$fin")
+    assert(fin.contains("Window"), s"expected the shard window in:\n$fin")
+  }
+
   test("q77: surprisal reuses the vocab exchange; no global window") {
     // the corpus-total scalar is an aggregation over the vocab
     // aggregation, cross-joined back as a broadcast — the vocab

@@ -126,6 +126,37 @@ class ScaleContractSpec extends AnyFunSuite {
     assert(pairs(docsM) == Mult * p1)
   }
 
+  test("passage matrix cells and effective tokens grow exactly m×") {
+    // sources are SHARED across replicas while digests never cross
+    // them, so every (src_a, src_b) cell accumulates one replica-local
+    // copy of its 1× count per replica — cells exactly m×; likewise
+    // each replica elects its own corpus-first passage holder, so
+    // per-source gross AND effective tokens are both exactly m×
+    import org.apache.spark.sql.DataFrame
+    def viaTables(df: DataFrame)(
+        f: (org.apache.spark.sql.SparkSession, String) => DataFrame)
+        : DataFrame = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("scale_docs").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(spark, dir)
+    }
+    def matrix(df: DataFrame) = viaTables(df)(Curation.q88SourcePassageMatrix)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val m1 = matrix(docs1)
+    val mM = matrix(docsM)
+    assert(m1.nonEmpty && m1.values.sum > 0)
+    assert(mM == m1.map { case (k, v) => k -> Mult * v },
+      s"matrix cells not m×: 1x=$m1 m=$mM")
+    def eff(df: DataFrame) = viaTables(df)(Curation.q89EffectiveTokens)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e1c = eff(docs1)
+    val eMc = eff(docsM)
+    assert(eMc == e1c.map { case (k, (g, e)) => k -> ((Mult * g, Mult * e)) })
+  }
+
   test("bigram surprisal shifts by exactly log2(m) under replication") {
     // replica-disjoint grams keep every gram's count at its 1× value
     // while the corpus total grows m×, so every doc's average
