@@ -181,7 +181,9 @@ object Curation {
     val docs = Tables.documents(s, dir)
     val edges = TextDedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
-    val lbl = Components.connectedComponentsBounded(edges)
+    // rounds = 3: the dupClusters bound (near-clique radius ≤ 2 plus
+    // slack; measured exact at 2 on this corpus, oracle-gated)
+    val lbl = Components.connectedComponentsBounded(edges, rounds = 3)
     val slim = docs.select(col("doc_id"),
       TextAnalysis.qualityColumn(col("text")).as("quality"))
     val members = slim.join(
