@@ -98,6 +98,7 @@ object SparkEntry {
     "q87_bigram_surprisal" -> (Curation.q87BigramSurprisal _),
     "q88_source_passage_matrix" -> (Curation.q88SourcePassageMatrix _),
     "q89_effective_tokens" -> (Curation.q89EffectiveTokens _),
+    "q90_media_wav"        -> (Curation.q90MediaWav _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -706,6 +707,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS BIGINT) AS effective_tokens,
         | round(CAST(sum(CASE WHEN rn = 1 THEN ptok ELSE 0 END) AS DOUBLE) / sum(ptok), 6) AS dedup_ratio
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real-codec WAV decode: the oracle recomputes the features from
+    // the SynthWav generative law (doc d: 800 + (d%100)*8 samples,
+    // sample i = ((d*31 + i*17) mod 65536) - 32768 at 16 kHz), while
+    // the Spark side round-trips REAL RIFF/PCM16 bytes through the
+    // pure-JVM parser — hash-green proves encoder + walker
+    "q90_media_wav" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n FROM documents),
+        | s AS (SELECT doc_id, n, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i))
+        |SELECT doc_id,
+        | CAST(max(n) * 2 + 44 AS INT) AS n_bytes,
+        | CAST(16000 AS INT) AS sample_rate,
+        | CAST(max(n) AS INT) AS n_samples,
+        | CAST(max(n) * 1000000 // 16000 AS BIGINT) AS duration_us,
+        | round(sqrt(CAST(sum(CAST(CAST(v AS BIGINT) * v AS DECIMAL(28,0))) AS DOUBLE) / max(n)), 6) AS rms,
+        | CAST(max(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

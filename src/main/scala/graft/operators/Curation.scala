@@ -706,6 +706,20 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Real-codec media decode (q90): per-doc WAV payloads synthesized
+    * from [[Multimodal.SynthWav]]'s generative law, rendered into
+    * actual RIFF/PCM16 bytes, and decoded back through the pure-JVM
+    * [[Multimodal.WavCodec]] parser in the partition-batched shape.
+    * The oracle recomputes the features arithmetically from the same
+    * law, so hash-green means the encoder and the RIFF walker agree
+    * with the spec end to end — the one media format this engine
+    * decodes for real (see the Multimodal scaladoc; compressed
+    * codecs stay stubbed). */
+  def q90MediaWav(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -58,4 +58,81 @@ class MultimodalSpec extends AnyFunSuite {
       .map(new String(_, "UTF-8"))
     assert(frames == Seq("abcd", "cdef", "efgh", "ghij"))
   }
+
+  test("WavCodec round-trips a known signal exactly") {
+    import Multimodal.WavCodec
+    val samples = Array[Short](0, 100, -100, 30000, -30000, 7)
+    val f = WavCodec.decode(9L, WavCodec.encode(8000, samples))
+    assert(f.doc_id == 9L && f.n_bytes == 44 + 12)
+    assert(f.sample_rate == 8000 && f.n_samples == 6)
+    assert(f.duration_us == 6L * 1000000L / 8000)
+    assert(f.peak == 30000)
+    val expRms = math.floor(math.sqrt(
+      samples.map(s => s.toLong * s).sum.toDouble / 6) * 1e6 + 0.5) / 1e6
+    assert(f.rms == expRms)
+  }
+
+  test("WavCodec walks chunks: LIST before fmt, odd-size pad, trailing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import Multimodal.WavCodec
+    // handcraft: RIFF [ LIST(5 bytes + pad) | fmt | data | junk ]
+    val samples = Array[Short](1000, -1000, 500)
+    val canonical = WavCodec.encode(16000, samples)
+    val fmtAndData = java.util.Arrays.copyOfRange(canonical, 12,
+      canonical.length)
+    val junk = Array[Byte](9, 9, 9, 9)
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 42)
+    val padded = listBody.length + (listBody.length & 1)
+    val bb = ByteBuffer.allocate(12 + 8 + padded + fmtAndData.length +
+        8 + junk.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(bb.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+      .put(listBody).put(new Array[Byte](padded - listBody.length))
+    bb.put(fmtAndData)
+    bb.put("junk".getBytes("US-ASCII")).putInt(junk.length).put(junk)
+    val f = WavCodec.decode(1L, bb.array())
+    assert(f.n_samples == 3 && f.sample_rate == 16000 && f.peak == 1000)
+  }
+
+  test("WavCodec fails loudly on malformed input") {
+    import Multimodal.WavCodec
+    val good = WavCodec.encode(16000, Array[Short](1, 2, 3))
+    // truncated data chunk
+    val truncated = java.util.Arrays.copyOf(good, good.length - 2)
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode(1L, truncated)
+    }.getMessage.contains("truncated"))
+    // non-PCM format code
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode(1L, nonPcm)
+    }.getMessage.contains("non-PCM"))
+    // stereo rejected (only mono PCM16 supported)
+    val stereo = good.clone(); stereo(22) = 2
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode(1L, stereo)
+    }.getMessage.contains("only mono"))
+    // not RIFF at all
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode(1L, "hello world!".getBytes("US-ASCII"))
+    }.getMessage.contains("not a RIFF"))
+  }
+
+  test("SynthWav corpus round-trip matches the generative law") {
+    val docs = Seq(0L, 1L, 123L).toDF("doc_id")
+    val got = Multimodal.wavFeatures(spark, docs, "doc_id")
+      .collect().map(f => f.doc_id -> f).toMap
+    for (d <- Seq(0L, 1L, 123L)) {
+      val n = Multimodal.SynthWav.nSamples(d)
+      val f = got(d)
+      assert(f.n_samples == n && f.n_bytes == 44 + 2 * n)
+      assert(f.sample_rate == Multimodal.SynthWav.SampleRate)
+      val vals = (0 until n).map(i => Multimodal.SynthWav.sample(d, i).toInt)
+      assert(f.peak == vals.map(math.abs).max)
+      val expRms = math.floor(math.sqrt(
+        vals.map(v => v.toLong * v).sum.toDouble / n) * 1e6 + 0.5) / 1e6
+      assert(f.rms == expRms)
+    }
+  }
 }
