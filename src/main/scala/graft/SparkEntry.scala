@@ -99,6 +99,7 @@ object SparkEntry {
     "q88_source_passage_matrix" -> (Curation.q88SourcePassageMatrix _),
     "q89_effective_tokens" -> (Curation.q89EffectiveTokens _),
     "q90_media_wav"        -> (Curation.q90MediaWav _),
+    "q91_media_bmp"        -> (Curation.q91MediaBmp _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -724,6 +725,25 @@ object SparkEntry {
         | round(sqrt(CAST(sum(CAST(CAST(v AS BIGINT) * v AS DECIMAL(28,0))) AS DOUBLE) / max(n)), 6) AS rms,
         | CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real-codec BMP decode, q90's pattern for images: doc d is
+    // (16 + d%17) x (16 + d%13) px, channel c of (x,y) =
+    // (d*7 + x*3 + y*5 + c*11) mod 256; n_bytes adds the 54-byte
+    // header and the spec's 4-byte row padding
+    "q91_media_bmp" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |   (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |   (doc_id * 7 + x * 3 + y * 5 + 11) % 256 AS g,
+        |   (doc_id * 7 + x * 3 + y * 5 + 22) % 256 AS b
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h) AS INT) AS n_bytes,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+        | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+        | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

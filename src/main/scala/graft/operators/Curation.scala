@@ -720,6 +720,16 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real-codec image decode (q91) — [[q90MediaWav]]'s pattern for
+    * BMP: per-doc 24-bpp payloads from [[Multimodal.SynthBmp]]'s
+    * pixel law, rendered into real bottom-up row-padded BMP bytes,
+    * decoded back through [[Multimodal.BmpCodec]]; the oracle
+    * recomputes dims/byte-size/channel means arithmetically. */
+  def q91MediaBmp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.bmpFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

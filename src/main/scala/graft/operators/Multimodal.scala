@@ -141,6 +141,125 @@ object Multimodal {
     }
   }
 
+  /** Decoded image features for one BMP payload. */
+  final case class BmpFeature(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pure-JVM BMP codec — the uncompressed IMAGE format analog
+    * of [[WavCodec]]: `encode` writes a bottom-up 24-bpp
+    * BITMAPINFOHEADER file with spec-mandated 4-byte row padding;
+    * `decode` validates the magic/header, honors `bfOffBits` (pixel
+    * data need not start right after the headers), rejects
+    * compressed or non-24-bpp payloads loudly, and walks rows
+    * bottom-up with the pad skip. Channel means are exact integer
+    * sums divided once at the end — the property that lets a SQL
+    * oracle recompute them. */
+  object BmpCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** `pixels(y)(x)` = (r, g, b), row 0 = TOP row. */
+    def encode(width: Int, height: Int,
+        pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims $width x $height")
+      val rowBytes = width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val dataLen = (rowBytes + pad) * height
+      val bb = ByteBuffer.allocate(54 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putShort(0).putShort(0).putInt(54)         // bfOffBits
+      bb.putInt(40).putInt(width).putInt(height)    // BITMAPINFOHEADER
+        .putShort(1).putShort(24)                   // planes, bpp
+        .putInt(0)                                  // BI_RGB
+        .putInt(dataLen).putInt(2835).putInt(2835)  // 72 dpi
+        .putInt(0).putInt(0)
+      var y = height - 1                            // bottom-up rows
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          bb.put(b.toByte).put(g.toByte).put(r.toByte) // BGR order
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { bb.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      bb.array()
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): BmpFeature = {
+      require(bytes.length >= 54 &&
+        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"doc $docId: not a BMP file")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.position(10)
+      val offBits = bb.getInt()
+      val hdrSize = bb.getInt()
+      require(hdrSize >= 40, s"doc $docId: pre-v3 BMP header $hdrSize")
+      val width = bb.getInt()
+      val height = bb.getInt()
+      require(width > 0 && height > 0,
+        s"doc $docId: unsupported dims $width x $height (top-down " +
+          "negative-height BMPs not supported)")
+      bb.getShort()
+      val bpp = bb.getShort()
+      require(bpp == 24, s"doc $docId: only 24-bpp supported, got $bpp")
+      val compression = bb.getInt()
+      require(compression == 0,
+        s"doc $docId: compressed BMP (method $compression) unsupported")
+      val rowBytes = width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      require(bytes.length >= offBits + (rowBytes + pad) * height,
+        s"doc $docId: truncated pixel data")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < height) {
+        var base = offBits + (rowBytes + pad) * y
+        var x = 0
+        while (x < width) {
+          sb += bytes(base) & 0xFF
+          sg += bytes(base + 1) & 0xFF
+          sr += bytes(base + 2) & 0xFF
+          base += 3; x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      def mean(s: Long) = math.floor(s.toDouble / n * 1e6 + 0.5) / 1e6
+      BmpFeature(docId, bytes.length, width, height,
+        mean(sr), mean(sg), mean(sb))
+    }
+  }
+
+  /** Deterministic pixel pattern for the synthesized image corpus —
+    * the [[SynthWav]] pattern's image analog, shared with the q91
+    * oracle: doc d is `(16 + d mod 17) × (16 + d mod 13)` pixels,
+    * channel c of pixel (x, y) = (d·7 + x·3 + y·5 + c·11) mod 256. */
+  object SynthBmp {
+    def width(docId: Long): Int = (16 + docId % 17).toInt
+    def height(docId: Long): Int = (16 + docId % 13).toInt
+    def channel(docId: Long, x: Int, y: Int, c: Int): Int =
+      ((docId * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+    def bytes(docId: Long): Array[Byte] =
+      BmpCodec.encode(width(docId), height(docId),
+        (x, y) => (channel(docId, x, y, 0), channel(docId, x, y, 1),
+          channel(docId, x, y, 2)))
+  }
+
+  /** q91's synth → real-BMP-bytes → decode round trip (the
+    * [[wavFeatures]] shape for images). */
+  def bmpFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[BmpFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthBmp.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => BmpCodec.decode(id, bytes) }
+      }
+  }
+
   /** Deterministic PCM pattern for the synthesized corpus — shared
     * law between the Spark side (which renders it into REAL WAV bytes
     * and decodes them back) and the SQL oracle (which recomputes the

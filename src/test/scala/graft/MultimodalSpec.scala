@@ -119,6 +119,72 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("not a RIFF"))
   }
 
+  test("BmpCodec round-trips dims and exact channel means") {
+    import Multimodal.BmpCodec
+    // 3×2 px: row padding = (4 - 9%4)%4 = 3 bytes per row
+    val px = Map(
+      (0, 0) -> ((255, 0, 0)), (1, 0) -> ((0, 255, 0)),
+      (2, 0) -> ((0, 0, 255)), (0, 1) -> ((10, 20, 30)),
+      (1, 1) -> ((40, 50, 60)), (2, 1) -> ((70, 80, 90)))
+    val bytes = BmpCodec.encode(3, 2, (x, y) => px((x, y)))
+    assert(bytes.length == 54 + (9 + 3) * 2)
+    val f = BmpCodec.decode(5L, bytes)
+    assert(f.doc_id == 5L && f.width == 3 && f.height == 2)
+    def m(c: Int) = math.floor(px.values.map(v =>
+      c match { case 0 => v._1; case 1 => v._2; case _ => v._3 })
+      .sum.toDouble / 6 * 1e6 + 0.5) / 1e6
+    assert(f.mean_r == m(0) && f.mean_g == m(1) && f.mean_b == m(2))
+  }
+
+  test("BmpCodec honors bfOffBits and rejects malformed input") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import Multimodal.BmpCodec
+    val good = BmpCodec.encode(2, 2, (x, y) => (x * 10, y * 10, 99))
+    // shift pixel data 8 bytes later (gap between header and pixels)
+    val shifted = ByteBuffer.allocate(good.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    shifted.put(java.util.Arrays.copyOfRange(good, 0, 54))
+      .put(new Array[Byte](8))
+      .put(java.util.Arrays.copyOfRange(good, 54, good.length))
+    val arr = shifted.array()
+    ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 54 + 8) // bfOffBits
+    assert(BmpCodec.decode(1L, arr) ==
+      BmpCodec.decode(1L, good).copy(n_bytes = arr.length))
+    // malformed rejects
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(intercept[IllegalArgumentException] {
+      BmpCodec.decode(1L, bpp8)
+    }.getMessage.contains("24-bpp"))
+    val rle = good.clone(); rle(30) = 1
+    assert(intercept[IllegalArgumentException] {
+      BmpCodec.decode(1L, rle)
+    }.getMessage.contains("compressed"))
+    assert(intercept[IllegalArgumentException] {
+      BmpCodec.decode(1L, java.util.Arrays.copyOf(good, good.length - 3))
+    }.getMessage.contains("truncated"))
+    assert(intercept[IllegalArgumentException] {
+      BmpCodec.decode(1L, "PNGnotreally".getBytes("US-ASCII") ++
+        new Array[Byte](60))
+    }.getMessage.contains("not a BMP"))
+  }
+
+  test("SynthBmp corpus round-trip matches the pixel law") {
+    val docs = Seq(0L, 4L, 250L).toDF("doc_id")
+    val got = Multimodal.bmpFeatures(spark, docs, "doc_id")
+      .collect().map(f => f.doc_id -> f).toMap
+    for (d <- Seq(0L, 4L, 250L)) {
+      val (w, h) = (Multimodal.SynthBmp.width(d), Multimodal.SynthBmp.height(d))
+      val f = got(d)
+      assert(f.width == w && f.height == h)
+      val n = w * h
+      def m(c: Int) = math.floor((for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.SynthBmp.channel(d, x, y, c)).sum.toDouble /
+        n * 1e6 + 0.5) / 1e6
+      assert(f.mean_r == m(0) && f.mean_g == m(1) && f.mean_b == m(2))
+    }
+  }
+
   test("SynthWav corpus round-trip matches the generative law") {
     val docs = Seq(0L, 1L, 123L).toDF("doc_id")
     val got = Multimodal.wavFeatures(spark, docs, "doc_id")
