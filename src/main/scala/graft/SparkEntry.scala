@@ -100,6 +100,8 @@ object SparkEntry {
     "q89_effective_tokens" -> (Curation.q89EffectiveTokens _),
     "q90_media_wav"        -> (Curation.q90MediaWav _),
     "q91_media_bmp"        -> (Curation.q91MediaBmp _),
+    "q92_media_audio_gate" -> (Curation.q92MediaAudioGate _),
+    "q93_media_image_dedup" -> (Curation.q93MediaImageDedup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -744,6 +746,30 @@ object SparkEntry {
         | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
         | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // audio gate over the q90 signal law: clip/silence counts are
+    // exact integers; the flag thresholds mirror Multimodal's
+    "q92_media_audio_gate" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n FROM documents),
+        | s AS (SELECT doc_id, n, abs(((doc_id * 31 + i * 17) % 65536) - 32768) AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i)),
+        | agg AS (SELECT doc_id, max(n) AS n,
+        |   sum(CASE WHEN v >= 29491 THEN 1 ELSE 0 END) AS clip,
+        |   sum(CASE WHEN v <= 328 THEN 1 ELSE 0 END) AS silent
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS n_samples,
+        | round(CAST(clip AS DOUBLE) / n, 6) AS clip_ratio,
+        | round(CAST(silent AS DOUBLE) / n, 6) AS silence_ratio,
+        | CAST(CASE WHEN round(CAST(clip AS DOUBLE) / n, 6) < 0.10
+        |   AND round(CAST(silent AS DOUBLE) / n, 6) < 0.50
+        |   THEN 1 ELSE 0 END AS INT) AS ok
+        |FROM agg ORDER BY 1""".stripMargin,
+    // image dedup: pixel-digest groups equal the mod-40 congruence
+    // classes of the q93 pixel law (k*7 mod 256 separates classes),
+    // PROVIDED encode+decode are faithful — which q91 gates
+    "q93_media_image_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

@@ -730,6 +730,27 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Audio quality gate (q92) — decode-then-filter
+    * ([[Multimodal.wavQuality]]): per-payload clipping and
+    * near-silence ratios over the REAL decoded samples, plus the
+    * pass/fail flag. The synth signal is uniform over the int16
+    * range, so the clip ratio hovers at the 10% threshold and the
+    * flag genuinely discriminates (≈ half the corpus passes). */
+  def q92MediaAudioGate(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavQuality(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** Image-level dedup (q93) — [[Multimodal.imageDupGroups]]: group
+    * by a digest of the DECODED pixels (dims + top-down RGB), the
+    * invariant byte-level dedup misses when containers differ. The
+    * q93 corpus keys its pixel law on doc_id mod 40, so exact
+    * duplicate images exist across distinct files; the oracle
+    * recomputes the groups from the congruence law. */
+  def q93MediaImageDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDupGroups(s, Tables.documents(s, dir), "doc_id")
+      .orderBy(col("keeper"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -83,7 +83,32 @@ object Multimodal {
       bb.array()
     }
 
+    /** Parse and return just the PCM samples (the [[wavQuality]]
+      * consumer needs the raw signal, not the summary). */
+    def decodeSamples(docId: Long, bytes: Array[Byte]): Array[Short] =
+      parse(docId, bytes)._2
+
     def decode(docId: Long, bytes: Array[Byte]): WavFeature = {
+      val (rate, data) = parse(docId, bytes)
+      var sumSq = BigInt(0); var peak = 0
+      data.foreach { s =>
+        val v = s.toInt
+        sumSq += BigInt(v.toLong * v)
+        if (math.abs(v) > peak) peak = math.abs(v)
+      }
+      val n = data.length
+      // HALF_UP at 6 dp (floor(x·1e6 + 0.5)) — the rounding the SQL
+      // oracle's round() applies; rint's half-even would diverge on a
+      // .5 boundary
+      val rms =
+        if (n == 0) 0.0
+        else math.floor(math.sqrt(sumSq.toDouble / n) * 1e6 + 0.5) / 1e6
+      WavFeature(docId, bytes.length, rate, n,
+        n.toLong * 1000000L / rate, rms, peak)
+    }
+
+    private def parse(docId: Long,
+        bytes: Array[Byte]): (Int, Array[Short]) = {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def ascii4(): String = {
         val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
@@ -123,21 +148,7 @@ object Multimodal {
         bb.position(math.min(next, bb.limit()))
       }
       require(data != null, s"doc $docId: no data chunk")
-      var sumSq = BigInt(0); var peak = 0
-      data.foreach { s =>
-        val v = s.toInt
-        sumSq += BigInt(v.toLong * v)
-        if (math.abs(v) > peak) peak = math.abs(v)
-      }
-      val n = data.length
-      // HALF_UP at 6 dp (floor(x·1e6 + 0.5)) — the rounding the SQL
-      // oracle's round() applies; rint's half-even would diverge on a
-      // .5 boundary
-      val rms =
-        if (n == 0) 0.0
-        else math.floor(math.sqrt(sumSq.toDouble / n) * 1e6 + 0.5) / 1e6
-      WavFeature(docId, bytes.length, rate, n,
-        n.toLong * 1000000L / rate, rms, peak)
+      (rate, data)
     }
   }
 
@@ -189,7 +200,12 @@ object Multimodal {
       bb.array()
     }
 
-    def decode(docId: Long, bytes: Array[Byte]): BmpFeature = {
+    /** Walk every pixel TOP-DOWN row-major (the file stores rows
+      * bottom-up; we visit in image order so a content digest is
+      * orientation-canonical), calling `f(r, g, b)`. Returns
+      * (width, height). */
+    private def forEachPixel(docId: Long, bytes: Array[Byte])(
+        f: (Int, Int, Int) => Unit): (Int, Int) = {
       require(bytes.length >= 54 &&
         bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
         s"doc $docId: not a BMP file")
@@ -213,23 +229,44 @@ object Multimodal {
       val pad = (4 - rowBytes % 4) % 4
       require(bytes.length >= offBits + (rowBytes + pad) * height,
         s"doc $docId: truncated pixel data")
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < height) {
+      var y = height - 1 // file rows are bottom-up; start at top row
+      while (y >= 0) {
         var base = offBits + (rowBytes + pad) * y
         var x = 0
         while (x < width) {
-          sb += bytes(base) & 0xFF
-          sg += bytes(base + 1) & 0xFF
-          sr += bytes(base + 2) & 0xFF
+          f(bytes(base + 2) & 0xFF, bytes(base + 1) & 0xFF,
+            bytes(base) & 0xFF)
           base += 3; x += 1
         }
-        y += 1
+        y -= 1
+      }
+      (width, height)
+    }
+
+    def decode(docId: Long, bytes: Array[Byte]): BmpFeature = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val (width, height) = forEachPixel(docId, bytes) { (r, g, b) =>
+        sr += r; sg += g; sb += b
       }
       val n = width.toLong * height
       def mean(s: Long) = math.floor(s.toDouble / n * 1e6 + 0.5) / 1e6
       BmpFeature(docId, bytes.length, width, height,
         mean(sr), mean(sg), mean(sb))
+    }
+
+    /** Digest of the decoded image CONTENT: dims + top-down row-major
+      * RGB triples — identical for any two files holding the same
+      * pixels, whatever their container layout (bfOffBits gaps,
+      * trailing bytes). Hex string of the supplied MessageDigest. */
+    def pixelDigest(md: java.security.MessageDigest, docId: Long,
+        bytes: Array[Byte]): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val (w, h) = forEachPixel(docId, bytes) { (r, g, b) =>
+        buf.write(r); buf.write(g); buf.write(b)
+      }
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      md.update(buf.toByteArray)
+      md.digest().map(b => f"${b & 0xFF}%02x").mkString
     }
   }
 
@@ -290,6 +327,95 @@ object Multimodal {
         // per-partition codec init would go here (amortized setup)
         it.map { case (id, bytes) => WavCodec.decode(id, bytes) }
       }
+  }
+
+  /** Audio QUALITY gate row: the decode-derived signals an audio
+    * curation pass filters on. */
+  final case class WavQuality(
+      doc_id: Long, n_samples: Int, clip_ratio: Double,
+      silence_ratio: Double, ok: Int)
+
+  /** Clipping threshold: |sample| ≥ this counts as clipped (≈ 0.9 of
+    * int16 full scale). */
+  val ClipThreshold = 29491
+  /** Silence threshold: |sample| ≤ this counts as silent. */
+  val SilenceThreshold = 328
+  /** A payload passes the gate when < 10% clipped AND < 50% silent. */
+  val MaxClipRatio = 0.10
+  val MaxSilenceRatio = 0.50
+
+  /** Decode-then-gate for audio — the curation filter a speech/audio
+    * pipeline runs right after [[WavCodec]] decode: per-payload
+    * clipped-sample and near-silence ratios (exact integer counts
+    * divided once, so a SQL oracle recomputes them) and the pass/fail
+    * flag. Same partition-batched shape as [[wavFeatures]]. */
+  def wavQuality(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[WavQuality] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthWav.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val f = WavCodec.decodeSamples(id, bytes)
+          val n = f.length
+          var clip = 0; var silent = 0
+          f.foreach { s =>
+            val v = math.abs(s.toInt)
+            if (v >= ClipThreshold) clip += 1
+            if (v <= SilenceThreshold) silent += 1
+          }
+          def ratio(c: Int) = math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6
+          val ok = if (ratio(clip) < MaxClipRatio &&
+            ratio(silent) < MaxSilenceRatio) 1 else 0
+          WavQuality(id, n, ratio(clip), ratio(silent), ok)
+        }
+      }
+  }
+
+  /** Image-level EXACT dedup row: payloads grouped by a digest of the
+    * DECODED pixels. */
+  final case class ImageDupGroup(keeper: Long, n_copies: Long)
+
+  /** Pixel law for the image-dedup corpus ([[SynthBmp]]'s law keyed
+    * on `d mod 40` instead of d, so exact duplicate IMAGES exist:
+    * every congruence class shares one image rendered into distinct
+    * per-doc files). */
+  object SynthBmpDup {
+    val Classes = 40
+    def key(docId: Long): Long = docId % Classes
+    def bytes(docId: Long): Array[Byte] = {
+      val k = key(docId)
+      BmpCodec.encode((8 + k % 5).toInt, (8 + k % 3).toInt,
+        (x, y) => (
+          ((k * 7 + x * 3 + y * 5) % 256).toInt,
+          ((k * 7 + x * 3 + y * 5 + 11) % 256).toInt,
+          ((k * 7 + x * 3 + y * 5 + 22) % 256).toInt))
+    }
+  }
+
+  /** Image dedup over decoded CONTENT, not file bytes — the invariant
+    * that matters: two files differing only in container metadata
+    * (offsets, padding, dpi fields) hold the same image, and byte-
+    * level dedup misses them. Decode each payload, digest the pixel
+    * array (row-major RGB), group by digest: (keeper = min id,
+    * n_copies). Only the 16-byte digest shuffles — the q20 exact-dedup
+    * scale shape applied after a real decode. */
+  def imageDupGroups(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    val digests = docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthBmpDup.bytes(id)))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          (id, BmpCodec.pixelDigest(md, id, bytes))
+        }
+      }.toDF("doc_id", "pixel_digest")
+    digests.groupBy(col("pixel_digest"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
   }
 
   /** Attach a binary media column (here synthesized from text — in a

@@ -185,6 +185,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wavQuality ratios are exact counts over the decoded signal") {
+    val docs = Seq(3L, 77L).toDF("doc_id")
+    val got = Multimodal.wavQuality(spark, docs, "doc_id")
+      .collect().map(q => q.doc_id -> q).toMap
+    for (d <- Seq(3L, 77L)) {
+      val n = Multimodal.SynthWav.nSamples(d)
+      val vals = (0 until n).map(i =>
+        math.abs(Multimodal.SynthWav.sample(d, i).toInt))
+      val clip = vals.count(_ >= Multimodal.ClipThreshold)
+      val silent = vals.count(_ <= Multimodal.SilenceThreshold)
+      def ratio(c: Int) = math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6
+      val q = got(d)
+      assert(q.n_samples == n)
+      assert(q.clip_ratio == ratio(clip) &&
+        q.silence_ratio == ratio(silent))
+      val expOk = if (ratio(clip) < Multimodal.MaxClipRatio &&
+        ratio(silent) < Multimodal.MaxSilenceRatio) 1 else 0
+      assert(q.ok == expOk)
+    }
+  }
+
+  test("pixelDigest ignores container layout, sees content") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import Multimodal.BmpCodec
+    def digest(bytes: Array[Byte]) = BmpCodec.pixelDigest(
+      java.security.MessageDigest.getInstance("MD5"), 1L, bytes)
+    val a = BmpCodec.encode(3, 2, (x, y) => (x, y, x + y))
+    // same pixels, pixel data shifted by a bfOffBits gap
+    val shifted = ByteBuffer.allocate(a.length + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    shifted.put(java.util.Arrays.copyOfRange(a, 0, 54))
+      .put(new Array[Byte](4))
+      .put(java.util.Arrays.copyOfRange(a, 54, a.length))
+    val arr = shifted.array()
+    ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN).putInt(10, 58)
+    assert(digest(arr) == digest(a))
+    // one pixel differs → digest differs
+    val b = BmpCodec.encode(3, 2, (x, y) => (x, y, x + y + (if (x == 2 && y == 1) 1 else 0)))
+    assert(digest(b) != digest(a))
+    // same pixel bytes at different dims → digest differs (dims mixed in)
+    val tall = BmpCodec.encode(2, 3, (x, y) => (0, 0, 0))
+    val wide = BmpCodec.encode(3, 2, (x, y) => (0, 0, 0))
+    assert(digest(tall) != digest(wide))
+  }
+
+  test("imageDupGroups clusters identical decoded images") {
+    // docs 0..79 under the mod-40 law → 40 groups of exactly 2
+    val docs = (0L until 80L).toDF("doc_id")
+    val got = Multimodal.imageDupGroups(spark, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40)
+    assert(got.keys.toSeq.sorted == (0L until 40L))
+    assert(got.values.forall(_ == 2L))
+  }
+
   test("SynthWav corpus round-trip matches the generative law") {
     val docs = Seq(0L, 1L, 123L).toDF("doc_id")
     val got = Multimodal.wavFeatures(spark, docs, "doc_id")
