@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Multimodal.{BmpCodec, WavCodec}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the pure-JVM media codecs: the handcrafted
+  * MultimodalSpec cases pin known layouts; these pin the LAWS — any
+  * signal/image a generator can produce must round-trip exactly.
+  * ScalaCheck's runner is driven directly (no scalatest bridge in the
+  * offline cache). */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("WAV: any PCM16 signal round-trips bit-exactly") {
+    val gen = for {
+      rate <- Gen.choose(8000, 48000)
+      n <- Gen.choose(0, 400)
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, samples.toArray)
+    check("wav round trip", Prop.forAll(gen) { case (rate, samples) =>
+      val decoded = WavCodec.decodeSamples(1L,
+        WavCodec.encode(rate, samples))
+      val f = WavCodec.decode(1L, WavCodec.encode(rate, samples))
+      decoded.sameElements(samples) &&
+        f.sample_rate == rate && f.n_samples == samples.length &&
+        f.n_bytes == 44 + 2 * samples.length &&
+        f.duration_us == samples.length.toLong * 1000000L / rate &&
+        f.peak == (if (samples.isEmpty) 0
+          else samples.map(s => math.abs(s.toInt)).max)
+    })
+  }
+
+  test("BMP: any 24-bpp image round-trips dims and exact means") {
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, seed)
+    def px(seed: Long)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = seed + x * 7919L + y * 104729L
+      (((v * 31) % 256).toInt.abs, ((v * 37) % 256).toInt.abs,
+        ((v * 41) % 256).toInt.abs)
+    }
+    check("bmp round trip", Prop.forAll(gen) { case (w, h, seed) =>
+      val f = BmpCodec.decode(1L, BmpCodec.encode(w, h, px(seed)))
+      val all = for (x <- 0 until w; y <- 0 until h) yield px(seed)(x, y)
+      val n = w * h
+      def mean(sel: ((Int, Int, Int)) => Int) =
+        math.floor(all.map(sel).sum.toDouble / n * 1e6 + 0.5) / 1e6
+      f.width == w && f.height == h &&
+        f.n_bytes == 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h &&
+        f.mean_r == mean(_._1) && f.mean_g == mean(_._2) &&
+        f.mean_b == mean(_._3)
+    })
+  }
+
+  test("BMP: pixelDigest is content-determined and injective on dims") {
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 16)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, seed)
+    def px(seed: Long)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = seed + x * 13L + y * 17L
+      ((v % 256).toInt, ((v * 3) % 256).toInt, ((v * 5) % 256).toInt)
+    }
+    def digest(bytes: Array[Byte]) = BmpCodec.pixelDigest(
+      java.security.MessageDigest.getInstance("MD5"), 1L, bytes)
+    check("digest determinism", Prop.forAll(gen) { case (w, h, seed) =>
+      val a = digest(BmpCodec.encode(w, h, px(seed)))
+      val b = digest(BmpCodec.encode(w, h, px(seed)))
+      // deterministic, and a single-pixel perturbation changes it
+      val c = digest(BmpCodec.encode(w, h, (x, y) =>
+        if (x == 0 && y == 0) { val (r, g, bl) = px(seed)(x, y)
+          ((r + 1) % 256, g, bl) } else px(seed)(x, y)))
+      a == b && a != c
+    })
+  }
+}
