@@ -240,6 +240,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 2L))
   }
 
+  test("audio gate runs unchanged on a stream (stateless, append)") {
+    // decode + gate are a per-row typed map — one definition, two
+    // execution modes (the qualityMonitor property, for media): fed
+    // as two micro-batches, the hit-for-hit output equals batch
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = (0L until 40L)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val out = Multimodal.wavQuality(spark, src.toDF().toDF("doc_id"),
+      "doc_id")
+    val q = out.writeStream.format("memory").queryName("media_gate")
+      .outputMode("append").start()
+    try {
+      src.addData(ids.take(20))
+      q.processAllAvailable()
+      src.addData(ids.drop(20))
+      q.processAllAvailable()
+      val streamed = spark.table("media_gate").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3), r.getInt(4))).toSet
+      val batch = Multimodal.wavQuality(spark,
+          ids.toDF("doc_id"), "doc_id").collect()
+        .map(f => (f.doc_id, f.n_samples, f.clip_ratio,
+          f.silence_ratio, f.ok)).toSet
+      assert(streamed == batch && batch.size == 40)
+    } finally q.stop()
+  }
+
   test("SynthWav corpus round-trip matches the generative law") {
     val docs = Seq(0L, 1L, 123L).toDF("doc_id")
     val got = Multimodal.wavFeatures(spark, docs, "doc_id")
