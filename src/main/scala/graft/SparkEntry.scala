@@ -102,6 +102,7 @@ object SparkEntry {
     "q91_media_bmp"        -> (Curation.q91MediaBmp _),
     "q92_media_audio_gate" -> (Curation.q92MediaAudioGate _),
     "q93_media_image_dedup" -> (Curation.q93MediaImageDedup _),
+    "q94_media_image_neardup" -> (Curation.q94MediaImageNearDup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -770,6 +771,13 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
+    // perceptual near-dup: aHash groups equal the mod-30 classes of
+    // the q94 pixel law (within-class noise never crosses a block's
+    // mean margin; cross-class block patterns differ — spec-pinned)
+    "q94_media_image_neardup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY doc_id % 30 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

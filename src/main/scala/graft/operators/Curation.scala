@@ -751,6 +751,15 @@ object Curation {
     Multimodal.imageDupGroups(s, Tables.documents(s, dir), "doc_id")
       .orderBy(col("keeper"))
 
+  /** Perceptual image near-dup (q94) — see
+    * [[Multimodal.imageNearDupGroups]]: pixel-DISTINCT files grouped
+    * by the block-mean aHash of their decoded content, the rung of
+    * the image-dedup ladder q93's exact pixel digest cannot reach.
+    * Oracle: the class-congruence law (doc_id mod 30). */
+  def q94MediaImageNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupGroups(s, Tables.documents(s, dir), "doc_id")
+      .orderBy(col("keeper"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -243,6 +243,18 @@ object Multimodal {
       (width, height)
     }
 
+    /** Full pixel decode: (width, height, packed 0xRRGGBB ints,
+      * top-down row-major) — for consumers that need random access
+      * (the aHash block walk). */
+    def decodePixels(docId: Long,
+        bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val buf = scala.collection.mutable.ArrayBuilder.make[Int]
+      val (w, h) = forEachPixel(docId, bytes) { (r, g, b) =>
+        buf += (r << 16) | (g << 8) | b
+      }
+      (w, h, buf.result())
+    }
+
     def decode(docId: Long, bytes: Array[Byte]): BmpFeature = {
       var sr = 0L; var sg = 0L; var sb = 0L
       val (width, height) = forEachPixel(docId, bytes) { (r, g, b) =>
@@ -415,6 +427,100 @@ object Multimodal {
     digests.groupBy(col("pixel_digest"))
       .agg(min(col("doc_id")).as("keeper"),
         count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+  }
+
+  /** Block-mean average hash (aHash) over DECODED pixels: the image
+    * divided into an 8×8 grid, bit (by·8 + bx) = 1 iff the block's
+    * mean luma exceeds the whole image's mean luma — the classic
+    * perceptual near-dup signature: small pixel perturbations leave
+    * every block on its side of the global mean, so retouched copies
+    * hash together while byte- and pixel-level dedup both miss them.
+    * All block sums are exact integers scaled by block size, so the
+    * comparison `blockSum·64 > totalSum·(blockPixels·64/totalPixels)`
+    * reduces to cross-multiplied integer arithmetic — no float, and a
+    * SQL oracle can recompute it. Width and height must be multiples
+    * of 8 so blocks partition the image exactly (a general
+    * implementation resamples first; resampling belongs to the codec
+    * layer, see [[resizeDims]]). */
+  def aHash(docId: Long, bytes: Array[Byte]): Long = {
+    val (w, h, px) = BmpCodec.decodePixels(docId, bytes)
+    require(w % 8 == 0 && h % 8 == 0,
+      s"doc $docId: aHash needs dims divisible by 8, got $w x $h")
+    val bw = w / 8; val bh = h / 8
+    val sums = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val luma = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      val x = i % w; val y = i / w
+      sums((y / bh) * 8 + (x / bw)) += luma
+      total += luma
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      // blockMean > globalMean ⇔ sum_b/(bw·bh) > total/(w·h)
+      //                        ⇔ sum_b·64 > total  (blocks partition)
+      if (sums(b) * 64L > total) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** Pixel law for the perceptual near-dup corpus (q94): class
+    * k = d mod 30 fixes a 24×16 image of 8×8 blocks at luma 64 or
+    * 192 (an irregular per-class on/off pattern), and every doc adds
+    * its own ±2 per-pixel noise. Within a class the FILES differ
+    * (pixel digests distinct — q93's exact dedup misses them) but
+    * every block mean stays ≥ 12 luma points from the global mean,
+    * so the aHash is bit-identical; across classes the block
+    * patterns differ, so the hashes differ (both properties pinned
+    * in MultimodalSpec — deterministic, so checked once is checked
+    * forever). */
+  object SynthBmpPerceptual {
+    val Classes = 30
+    val W = 24; val H = 16
+    def blockOn(k: Long, bx: Int, by: Int): Boolean =
+      // STRUCTURAL distinctness: the first six blocks of row 0 spell
+      // the class id in binary, so no two classes can share a hash
+      // (a mixed-modulus pattern collided 2 of 30 classes and an
+      // earlier mod-7 draft collapsed them to 7 — the spec caught
+      // both); remaining blocks take an irregular mixed pattern for
+      // a realistic on/off ratio
+      if (by == 0 && bx < 6) ((k >> bx) & 1L) == 1L
+      else ((k * 1000003L + bx * 10007L + by * 101L + bx * by * 13L) *
+        2654435761L % 97) < 41
+    def noise(docId: Long, x: Int, y: Int): Int =
+      // period 7 is COPRIME to the 30-doc class stride, so same-class
+      // docs always get different noise (mod 5 divides 30: docs 0 and
+      // 30 rendered identical pixels and the spec caught it)
+      ((docId * 13 + x * 3 + y * 7) % 7).toInt - 3
+    def bytes(docId: Long): Array[Byte] = {
+      val k = docId % Classes
+      BmpCodec.encode(W, H, (x, y) => {
+        val v = (if (blockOn(k, x / (W / 8), y / (H / 8))) 192 else 64) +
+          noise(docId, x, y)
+        (v, v, v)
+      })
+    }
+  }
+
+  /** Perceptual image NEAR-dup groups — the third rung of the image
+    * dedup ladder: q93 groups byte-distinct files with identical
+    * pixels; this groups PIXEL-distinct files whose decoded content
+    * is visually the same (per-doc noise on a shared class image),
+    * by the block-mean [[aHash]]. Only the 8-byte hash shuffles. */
+  def imageNearDupGroups(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, aHash(id, SynthBmpPerceptual.bytes(id))))
+      .toDF("doc_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"))
   }
 

@@ -268,6 +268,35 @@ class MultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aHash: noise-distinct files hash together, classes apart") {
+    import Multimodal.{BmpCodec, SynthBmpPerceptual => P}
+    // all 30 class patterns produce DISTINCT hashes with a real
+    // on/off mix (deterministic law — checked once is checked forever)
+    val classHashes = (0L until P.Classes).map { k =>
+      Multimodal.aHash(k, P.bytes(k))
+    }
+    assert(classHashes.distinct.size == P.Classes)
+    classHashes.foreach { hs =>
+      val ones = java.lang.Long.bitCount(hs)
+      assert(ones >= 8 && ones <= 56, s"degenerate pattern: $ones bits")
+    }
+    // within a class: different docs have DIFFERENT pixels (exact
+    // dedup misses them) but the SAME perceptual hash
+    def pd(d: Long) = BmpCodec.pixelDigest(
+      java.security.MessageDigest.getInstance("MD5"), d, P.bytes(d))
+    for (k <- Seq(0L, 7L, 29L)) {
+      val (a, b) = (k, k + P.Classes)
+      assert(pd(a) != pd(b), s"noise failed to vary pixels in class $k")
+      assert(Multimodal.aHash(a, P.bytes(a)) ==
+        Multimodal.aHash(b, P.bytes(b)),
+        s"aHash split class $k")
+    }
+    // dims guard: non-multiple-of-8 images are rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.aHash(1L, BmpCodec.encode(10, 16, (_, _) => (0, 0, 0)))
+    }.getMessage.contains("divisible by 8"))
+  }
+
   test("SynthWav corpus round-trip matches the generative law") {
     val docs = Seq(0L, 1L, 123L).toDF("doc_id")
     val got = Multimodal.wavFeatures(spark, docs, "doc_id")
