@@ -103,6 +103,7 @@ object SparkEntry {
     "q92_media_audio_gate" -> (Curation.q92MediaAudioGate _),
     "q93_media_image_dedup" -> (Curation.q93MediaImageDedup _),
     "q94_media_image_neardup" -> (Curation.q94MediaImageNearDup _),
+    "q95_media_audio_neardup" -> (Curation.q95MediaAudioNearDup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -778,6 +779,13 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 30 ORDER BY 1""".stripMargin,
+    // audio fingerprint near-dup: loudness-profile groups equal the
+    // mod-25 classes of the q95 signal law (same margin + structural
+    // class-bit arguments as q94, spec-pinned)
+    "q95_media_audio_neardup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY doc_id % 25 ORDER BY 1""".stripMargin,
     // bigram surprisal: q77's shape over the adjacent-pair multiset;
     // DECIMAL(28,18) term sums keep per-doc totals order-independent
     "q87_bigram_surprisal" ->

@@ -760,6 +760,14 @@ object Curation {
     Multimodal.imageNearDupGroups(s, Tables.documents(s, dir), "doc_id")
       .orderBy(col("keeper"))
 
+  /** Audio fingerprint near-dup (q95) — q94's audio twin
+    * ([[Multimodal.audioNearDupGroups]]): sample-distinct recordings
+    * grouped by the loudness-profile fingerprint of their decoded
+    * PCM. Oracle: the class-congruence law (doc_id mod 25). */
+  def q95MediaAudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDupGroups(s, Tables.documents(s, dir), "doc_id")
+      .orderBy(col("keeper"))
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

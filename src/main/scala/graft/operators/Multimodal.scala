@@ -524,6 +524,83 @@ object Multimodal {
       .select(col("keeper"), col("n_copies"))
   }
 
+  /** 32-bit audio fingerprint over decoded PCM: the signal cut into
+    * 32 equal blocks, bit b = 1 iff block b's mean |amplitude|
+    * exceeds the whole signal's mean |amplitude| — the loudness-
+    * profile fingerprint (the simplest member of the
+    * energy-landmark family real audio dedup uses): re-noised or
+    * re-mastered copies of a recording keep their loudness shape and
+    * hash together. Exact integer cross-multiplied comparison
+    * (`blockSum·32 > totalSum` when blocks partition the signal);
+    * sample count must divide into 32 equal blocks (resample first
+    * otherwise — the codec layer's job). */
+  def audioFingerprint(docId: Long, bytes: Array[Byte]): Long = {
+    val samples = WavCodec.decodeSamples(docId, bytes)
+    val n = samples.length
+    require(n > 0 && n % 32 == 0,
+      s"doc $docId: fingerprint needs a multiple of 32 samples, got $n")
+    val block = n / 32
+    val sums = new Array[Long](32)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.abs(samples(i).toInt).toLong
+      sums(i / block) += v
+      total += v
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) * 32L > total) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  /** Signal law for the audio near-dup corpus (q95): class
+    * k = d mod 25 fixes a 1024-sample loudness profile (32 blocks of
+    * square-wave amplitude 2,000 or 20,000; the first five blocks
+    * spell k in binary — the [[SynthBmpPerceptual]] structural-
+    * distinctness trick), and every doc adds ±3 per-sample noise with
+    * period 7 (coprime to the class stride, so same-class docs always
+    * differ sample-wise). Block mean |amplitude| stays within ±3 of
+    * its base against a global mean ≥ 1,500 away — the fingerprint
+    * is class-determined, provably. */
+  object SynthWavClass {
+    val Classes = 25
+    val N = 1024
+    def blockLoud(k: Long, b: Int): Boolean =
+      if (b < 5) ((k >> b) & 1L) == 1L
+      else ((k * 1000003L + b * 10007L) * 2654435761L % 97) < 41
+    def noise(docId: Long, i: Int): Int =
+      ((docId * 13 + i * 5) % 7).toInt - 3
+    def bytes(docId: Long): Array[Byte] = {
+      val k = docId % Classes
+      WavCodec.encode(SynthWav.SampleRate,
+        Array.tabulate(N) { i =>
+          val amp = if (blockLoud(k, i / (N / 32))) 20000 else 2000
+          val sign = if (i % 2 == 0) 1 else -1
+          (sign * amp + noise(docId, i)).toShort
+        })
+    }
+  }
+
+  /** Audio near-dup groups (q95) — [[imageNearDupGroups]]'s audio
+    * twin: sample-DISTINCT recordings grouped by the loudness-profile
+    * fingerprint of their decoded signal. Only the 8-byte hash
+    * shuffles. */
+  def audioNearDupGroups(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, audioFingerprint(id, SynthWavClass.bytes(id))))
+      .toDF("doc_id", "fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+  }
+
   /** Attach a binary media column (here synthesized from text — in a
     * real pipeline this is the stored blob) plus pruning-friendly
     * top-level metadata columns. */

@@ -297,6 +297,30 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("divisible by 8"))
   }
 
+  test("audio fingerprint: noise-distinct signals hash together, classes apart") {
+    import Multimodal.{SynthWavClass => S, WavCodec}
+    val classFps = (0L until S.Classes).map { k =>
+      Multimodal.audioFingerprint(k, S.bytes(k))
+    }
+    assert(classFps.distinct.size == S.Classes)
+    for (k <- Seq(0L, 11L, 24L)) {
+      val (a, b) = (k, k + S.Classes)
+      // same-class docs differ sample-wise (noise period coprime to
+      // the stride) yet share the loudness fingerprint
+      assert(!WavCodec.decodeSamples(a, S.bytes(a)).sameElements(
+        WavCodec.decodeSamples(b, S.bytes(b))),
+        s"noise failed to vary samples in class $k")
+      assert(Multimodal.audioFingerprint(a, S.bytes(a)) ==
+        Multimodal.audioFingerprint(b, S.bytes(b)),
+        s"fingerprint split class $k")
+    }
+    // block-count guard
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(1L,
+        WavCodec.encode(8000, new Array[Short](33)))
+    }.getMessage.contains("multiple of 32"))
+  }
+
   test("SynthWav corpus round-trip matches the generative law") {
     val docs = Seq(0L, 1L, 123L).toDF("doc_id")
     val got = Multimodal.wavFeatures(spark, docs, "doc_id")
