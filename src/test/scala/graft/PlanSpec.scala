@@ -311,6 +311,22 @@ class PlanSpec extends AnyFunSuite {
     assert(fin.contains("Window"), s"expected the shard window in:\n$fin")
   }
 
+  test("q88/q89: passage forensics plan digest-keyed, never cartesian") {
+    // q88's source-pair matrix: the only join is the digest self-join
+    // (bounded per digest by the source count); q89's effective-token
+    // rollup: one digest-partitioned window, no join at all
+    val m = executedPlan(
+      graft.operators.Curation.q88SourcePassageMatrix(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!m.contains("CartesianProduct") &&
+      !m.contains("BroadcastNestedLoop"), s"cartesian in q88:\n$m")
+    val e = executedPlan(
+      graft.operators.Curation.q89EffectiveTokens(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!e.contains("Join"), s"unexpected join in q89:\n$e")
+    assert(e.contains("Window"), s"expected the digest window in q89:\n$e")
+  }
+
   test("q77: surprisal reuses the vocab exchange; no global window") {
     // the corpus-total scalar is an aggregation over the vocab
     // aggregation, cross-joined back as a broadcast — the vocab
