@@ -32,13 +32,33 @@ object Tables {
     else df.repartition(target)
   }
 
+  /** Normalize a time-ish column ONLY when the parquet-decoded type
+    * is the one encoding no query can consume: TIMESTAMP(NANOS) read
+    * as a nanos Long under `nanosAsLong=true` (the [[events]] lesson,
+    * applied proactively — the harness generator has flipped
+    * encodings between rounds, and a nanos flip on `o_orderdate` /
+    * `l_shipdate` would break ~40 queries at once). NTZ and
+    * UTC-adjusted timestamps pass through UNTOUCHED: both already
+    * work for every date-function consumer, and wrapping the column
+    * in a cast would block parquet predicate pushdown on the scan
+    * (PlanSpec pins q01/q03's PushedFilters). Integer division —
+    * doubles lose precision above 2^53 ns. */
+  private def normTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case _ => df
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "lineitem"), "l_shipdate")
   /** `events.ts` has shipped in three parquet encodings across harness
     * generations — TIMESTAMP(NANOS) (arrives as a nanos Long under
     * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP_NTZ
