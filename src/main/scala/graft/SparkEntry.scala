@@ -104,6 +104,7 @@ object SparkEntry {
     "q93_media_image_dedup" -> (Curation.q93MediaImageDedup _),
     "q94_media_image_neardup" -> (Curation.q94MediaImageNearDup _),
     "q95_media_audio_neardup" -> (Curation.q95MediaAudioNearDup _),
+    "q96_media_png"        -> (Curation.q96MediaPng _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -765,13 +766,33 @@ object SparkEntry {
         |   AND round(CAST(silent AS DOUBLE) / n, 6) < 0.50
         |   THEN 1 ELSE 0 END AS INT) AS ok
         |FROM agg ORDER BY 1""".stripMargin,
-    // image dedup: pixel-digest groups equal the mod-40 congruence
-    // classes of the q93 pixel law (k*7 mod 256 separates classes),
-    // PROVIDED encode+decode are faithful — which q91 gates
+    // image dedup over REAL PNG payloads: pixel-digest groups equal
+    // the mod-40 congruence classes of the q93 pixel law (k*7 mod
+    // 256 separates classes), PROVIDED encode+decode are faithful —
+    // which q96 gates for the PNG path
     "q93_media_image_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
+    // real COMPRESSED-codec PNG decode: the q91 pixel law decoded
+    // back out of real zlib'd PNG bytes (rotating filters 0-4, split
+    // IDAT, CRC-checked chunks). No n_bytes column — container size
+    // is deflate-dependent; the oracle recomputes the DECODED
+    // quantities, which is exactly what proves the decoder
+    "q96_media_png" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |   (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |   (doc_id * 7 + x * 3 + y * 5 + 11) % 256 AS g,
+        |   (doc_id * 7 + x * 3 + y * 5 + 22) % 256 AS b
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | round(CAST(sum(r) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+        | round(CAST(sum(g) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+        | round(CAST(sum(b) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // perceptual near-dup: aHash groups equal the mod-30 classes of
     // the q94 pixel law (within-class noise never crosses a block's
     // mean margin; cross-class block patterns differ — spec-pinned)

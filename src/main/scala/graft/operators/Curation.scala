@@ -730,6 +730,17 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real COMPRESSED-codec image decode (q96) — the q91 pixel law
+    * rendered through [[PngCodec.encode]] (rotating row filters,
+    * split IDAT, real zlib) and decoded back through the pure-JVM
+    * chunk walker + `Inflater` + unfilter pipeline; the oracle
+    * recomputes dims/channel means arithmetically, so hash-green
+    * proves the whole compressed path. */
+  def q96MediaPng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Audio quality gate (q92) — decode-then-filter
     * ([[Multimodal.wavQuality]]): per-payload clipping and
     * near-silence ratios over the REAL decoded samples, plus the

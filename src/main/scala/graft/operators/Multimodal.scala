@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * schema, partitioning, and batch shape are real. The AUDIO path is
   * decoded for REAL: [[WavCodec]] is a pure-JVM RIFF/PCM16 parser
   * (uncompressed containers need no codec library), oracle-gated end
-  * to end (q90). Compressed image/video codecs remain STUBBED (this
-  * container has no image/audio libraries) behind [[FakeCodec]], a
-  * clearly-marked deterministic fake with the same signature a real
-  * decoder (JNI/FFI or vectorized UDF) would have.
+  * to end (q90); [[BmpCodec]] is its image analog (q91); and
+  * [[PngCodec]] decodes REAL compressed PNGs — chunk walker, CRC32,
+  * `java.util.zip.Inflater`, all five row filters — oracle-gated by
+  * q96 and feeding the q93/q94 image-dedup payloads. The remaining
+  * lossy codecs (JPEG/FLAC/video) stay STUBBED (this container has
+  * no media libraries) behind [[FakeCodec]], a clearly-marked
+  * deterministic fake with the same signature a real decoder
+  * (JNI/FFI or vectorized UDF) would have.
   *
   * Scale notes: media blobs dominate row size, so (a) metadata-only
   * queries must never deserialize the blob — keep meta in separate
@@ -309,6 +313,35 @@ object Multimodal {
       }
   }
 
+  /** Decoded image features for one PNG payload. No `n_bytes`: a
+    * compressed container's size is deflate-dependent, so the
+    * arithmetic oracle can only recompute DECODED quantities. */
+  final case class PngFeature(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** q96's synth → real-PNG-bytes → decode round trip: the same
+    * [[SynthBmp]] pixel law as q91, but rendered through
+    * [[PngCodec.encode]] (per-row rotating filters 0–4, split IDAT,
+    * real zlib) and decoded back through the chunk walker +
+    * `Inflater` + unfilter pipeline. A hash-green gate against the
+    * q91-style arithmetic oracle therefore proves the COMPRESSED
+    * image path end to end — encoder filtering, CRC framing, deflate
+    * round trip, and all five unfilter branches. */
+  def pngFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[PngFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        (id, PngCodec.encode(SynthBmp.width(id), SynthBmp.height(id),
+          (x, y) => (SynthBmp.channel(id, x, y, 0),
+            SynthBmp.channel(id, x, y, 1), SynthBmp.channel(id, x, y, 2))))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => PngCodec.decode(id, bytes) }
+      }
+  }
+
   /** Deterministic PCM pattern for the synthesized corpus — shared
     * law between the Spark side (which renders it into REAL WAV bytes
     * and decodes them back) and the SQL oracle (which recomputes the
@@ -395,33 +428,45 @@ object Multimodal {
   object SynthBmpDup {
     val Classes = 40
     def key(docId: Long): Long = docId % Classes
+    private def dims(k: Long): (Int, Int) =
+      ((8 + k % 5).toInt, (8 + k % 3).toInt)
+    private def px(k: Long)(x: Int, y: Int): (Int, Int, Int) = (
+      ((k * 7 + x * 3 + y * 5) % 256).toInt,
+      ((k * 7 + x * 3 + y * 5 + 11) % 256).toInt,
+      ((k * 7 + x * 3 + y * 5 + 22) % 256).toInt)
     def bytes(docId: Long): Array[Byte] = {
-      val k = key(docId)
-      BmpCodec.encode((8 + k % 5).toInt, (8 + k % 3).toInt,
-        (x, y) => (
-          ((k * 7 + x * 3 + y * 5) % 256).toInt,
-          ((k * 7 + x * 3 + y * 5 + 11) % 256).toInt,
-          ((k * 7 + x * 3 + y * 5 + 22) % 256).toInt))
+      val k = key(docId); val (w, h) = dims(k)
+      BmpCodec.encode(w, h, px(k))
+    }
+    /** Same image rendered as a PNG — the compressed-container twin
+      * (identical pixels ⇒ identical [[PngCodec.pixelDigest]]). */
+    def bytesPng(docId: Long): Array[Byte] = {
+      val k = key(docId); val (w, h) = dims(k)
+      PngCodec.encode(w, h, px(k))
     }
   }
 
   /** Image dedup over decoded CONTENT, not file bytes — the invariant
     * that matters: two files differing only in container metadata
     * (offsets, padding, dpi fields) hold the same image, and byte-
-    * level dedup misses them. Decode each payload, digest the pixel
-    * array (row-major RGB), group by digest: (keeper = min id,
-    * n_copies). Only the 16-byte digest shuffles — the q20 exact-dedup
-    * scale shape applied after a real decode. */
+    * level dedup misses them. Payloads are REAL PNGs (compressed
+    * container, [[PngCodec]] decode) — and because the digest is
+    * computed over decoded pixels with the same byte layout as
+    * [[BmpCodec.pixelDigest]], a BMP and a PNG of the same image
+    * dedup together (the cross-container property CodecPropertySpec
+    * pins). Group by digest: (keeper = min id, n_copies). Only the
+    * 16-byte digest shuffles — the q20 exact-dedup scale shape
+    * applied after a real decode. */
   def imageDupGroups(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
     val digests = docs.select(col(idCol).cast("long")).as[Long]
-      .map(id => (id, SynthBmpDup.bytes(id)))
+      .map(id => (id, SynthBmpDup.bytesPng(id)))
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           md.reset()
-          (id, BmpCodec.pixelDigest(md, id, bytes))
+          (id, PngCodec.pixelDigest(md, id, bytes))
         }
       }.toDF("doc_id", "pixel_digest")
     digests.groupBy(col("pixel_digest"))
@@ -445,6 +490,13 @@ object Multimodal {
     * layer, see [[resizeDims]]). */
   def aHash(docId: Long, bytes: Array[Byte]): Long = {
     val (w, h, px) = BmpCodec.decodePixels(docId, bytes)
+    aHashPixels(docId, w, h, px)
+  }
+
+  /** [[aHash]] over already-decoded pixels — container-agnostic core
+    * shared by the BMP and PNG paths (same pixels ⇒ same hash,
+    * whatever the file format). */
+  def aHashPixels(docId: Long, w: Int, h: Int, px: Array[Int]): Long = {
     require(w % 8 == 0 && h % 8 == 0,
       s"doc $docId: aHash needs dims divisible by 8, got $w x $h")
     val bw = w / 8; val bh = h / 8
@@ -473,7 +525,7 @@ object Multimodal {
   /** Pixel law for the perceptual near-dup corpus (q94): class
     * k = d mod 30 fixes a 24×16 image of 8×8 blocks at luma 64 or
     * 192 (an irregular per-class on/off pattern), and every doc adds
-    * its own ±2 per-pixel noise. Within a class the FILES differ
+    * its own ±3 per-pixel noise. Within a class the FILES differ
     * (pixel digests distinct — q93's exact dedup misses them) but
     * every block mean stays ≥ 12 luma points from the global mean,
     * so the aHash is bit-identical; across classes the block
@@ -498,26 +550,35 @@ object Multimodal {
       // docs always get different noise (mod 5 divides 30: docs 0 and
       // 30 rendered identical pixels and the spec caught it)
       ((docId * 13 + x * 3 + y * 7) % 7).toInt - 3
-    def bytes(docId: Long): Array[Byte] = {
+    private def px(docId: Long)(x: Int, y: Int): (Int, Int, Int) = {
       val k = docId % Classes
-      BmpCodec.encode(W, H, (x, y) => {
-        val v = (if (blockOn(k, x / (W / 8), y / (H / 8))) 192 else 64) +
-          noise(docId, x, y)
-        (v, v, v)
-      })
+      val v = (if (blockOn(k, x / (W / 8), y / (H / 8))) 192 else 64) +
+        noise(docId, x, y)
+      (v, v, v)
     }
+    def bytes(docId: Long): Array[Byte] =
+      BmpCodec.encode(W, H, px(docId))
+    /** Same pixels in a PNG container — q94's deployment payload. */
+    def bytesPng(docId: Long): Array[Byte] =
+      PngCodec.encode(W, H, px(docId))
   }
 
   /** Perceptual image NEAR-dup groups — the third rung of the image
     * dedup ladder: q93 groups byte-distinct files with identical
     * pixels; this groups PIXEL-distinct files whose decoded content
     * is visually the same (per-doc noise on a shared class image),
-    * by the block-mean [[aHash]]. Only the 8-byte hash shuffles. */
+    * by the block-mean [[aHash]]. Payloads are REAL PNGs decoded
+    * through [[PngCodec]] (the hash core is container-agnostic —
+    * [[aHashPixels]]). Only the 8-byte hash shuffles. */
   def imageNearDupGroups(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .map(id => (id, aHash(id, SynthBmpPerceptual.bytes(id))))
+      .map { id =>
+        val (w, h, px) =
+          PngCodec.decodePixels(id, SynthBmpPerceptual.bytesPng(id))
+        (id, aHashPixels(id, w, h, px))
+      }
       .toDF("doc_id", "ahash")
       .groupBy(col("ahash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal.{BmpCodec, WavCodec}
+import graft.operators.PngCodec
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,5 +82,116 @@ class CodecPropertySpec extends AnyFunSuite {
           ((r + 1) % 256, g, bl) } else px(seed)(x, y)))
       a == b && a != c
     })
+  }
+
+  test("PNG: any 8-bit RGB image round-trips pixels exactly " +
+    "(all five filters + split IDAT by construction)") {
+    // height ≥ 5 guarantees the rotating encoder emits every filter
+    // type 0–4, so a pass here proves every unfilter branch
+    val gen = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(5, 40)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, seed)
+    def px(seed: Long)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = seed + x * 7919L + y * 104729L
+      (((v * 31) % 256).toInt.abs, ((v * 37) % 256).toInt.abs,
+        ((v * 41) % 256).toInt.abs)
+    }
+    check("png round trip", Prop.forAll(gen) { case (w, h, seed) =>
+      val (dw, dh, pix) =
+        PngCodec.decodePixels(1L, PngCodec.encode(w, h, px(seed)))
+      val want = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = px(seed)(x, y); (r << 16) | (g << 8) | b
+      }
+      dw == w && dh == h && pix.toSeq == want
+    })
+  }
+
+  test("PNG: feature decode matches exact means") {
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(5, 24)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, seed)
+    // floorMod: v*3/v*5 can overflow Long negative, and the codec
+    // stores bytes mod 256 — the test-side mean must use the same
+    // 0..255 value the encoder wrote
+    def px(seed: Long)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = seed + x * 13L + y * 17L
+      (Math.floorMod(v, 256).toInt, Math.floorMod(v * 3, 256).toInt,
+        Math.floorMod(v * 5, 256).toInt)
+    }
+    check("png means", Prop.forAll(gen) { case (w, h, seed) =>
+      val f = PngCodec.decode(1L, PngCodec.encode(w, h, px(seed)))
+      val all = for (x <- 0 until w; y <- 0 until h) yield px(seed)(x, y)
+      val n = w * h
+      def mean(sel: ((Int, Int, Int)) => Int) =
+        math.floor(all.map(sel).sum.toDouble / n * 1e6 + 0.5) / 1e6
+      f.width == w && f.height == h &&
+        f.mean_r == mean(_._1) && f.mean_g == mean(_._2) &&
+        f.mean_b == mean(_._3)
+    })
+  }
+
+  test("PNG + BMP: same pixels digest identically across containers") {
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(5, 16)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, seed)
+    def px(seed: Long)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = seed + x * 13L + y * 17L
+      ((v % 256).toInt, ((v * 3) % 256).toInt, ((v * 5) % 256).toInt)
+    }
+    def md() = java.security.MessageDigest.getInstance("MD5")
+    check("cross-container digest", Prop.forAll(gen) {
+      case (w, h, seed) =>
+        PngCodec.pixelDigest(md(), 1L, PngCodec.encode(w, h, px(seed))) ==
+          BmpCodec.pixelDigest(md(), 1L, BmpCodec.encode(w, h, px(seed)))
+    })
+  }
+
+  test("PNG: corruption is rejected loudly, never mis-decoded") {
+    val bytes = PngCodec.encode(9, 7, (x, y) => (x * 20, y * 30, x + y))
+    // flip one byte inside the first IDAT payload → CRC must catch it
+    val idatPos = {
+      var p = 8
+      while (new String(bytes, p + 4, 4, "US-ASCII") != "IDAT")
+        p += 12 + (((bytes(p) & 0xFF) << 24) | ((bytes(p + 1) & 0xFF) << 16) |
+          ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF))
+      p
+    }
+    val corrupted = bytes.clone()
+    corrupted(idatPos + 8) = (corrupted(idatPos + 8) ^ 0x55).toByte
+    val e1 = intercept[IllegalArgumentException] {
+      PngCodec.decode(1L, corrupted)
+    }
+    assert(e1.getMessage.contains("CRC"))
+    // truncation
+    val e2 = intercept[IllegalArgumentException] {
+      PngCodec.decode(1L, bytes.take(bytes.length - 20))
+    }
+    assert(e2.getMessage.toLowerCase.contains("trunc") ||
+      e2.getMessage.contains("missing"))
+    // wrong signature
+    val e3 = intercept[IllegalArgumentException] {
+      PngCodec.decode(1L, "not a png at all............".getBytes)
+    }
+    assert(e3.getMessage.contains("not a PNG"))
+    // unsupported color type (grayscale): rewrite IHDR byte + its CRC
+    val gray = bytes.clone()
+    gray(8 + 8 + 9) = 0.toByte // IHDR data starts at 16; color type at +9
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    gray(8 + 8 + 13) = (cv >>> 24).toByte
+    gray(8 + 8 + 14) = (cv >>> 16).toByte
+    gray(8 + 8 + 15) = (cv >>> 8).toByte
+    gray(8 + 8 + 16) = cv.toByte
+    val e4 = intercept[IllegalArgumentException] {
+      PngCodec.decode(1L, gray)
+    }
+    assert(e4.getMessage.contains("color type"))
   }
 }
