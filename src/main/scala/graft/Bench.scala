@@ -73,11 +73,25 @@ object Bench {
       // the "drifted" map holds RATIOS under the same "qXX": number
       // shape as the seconds maps — a 1.6× ratio for a 5 s query
       // parsed as a 1.6 s minimum would poison bestKnown and flag
-      // every honest future run. "queries"/"bestKnown" precede
-      // "drifted" in the emitted line, so cut the record there
-      // (raw or tail-escaped quoting).
-      val s = "\\\\?\"drifted\\\\?\"".r.findFirstMatchIn(raw)
-        .map(m => raw.substring(0, m.start)).getOrElse(raw)
+      // every honest future run. Extract the seconds maps BY KEY
+      // (brace-delimited value after "queries"/"bestKnown") rather
+      // than cutting the line at the first "drifted" occurrence —
+      // the cut silently broke if the emitter ever reordered fields
+      // (round-11 advice). The maps are flat string→number, so the
+      // first '}' after the opening brace closes the block.
+      def block(key: String): Option[String] =
+        ("\\\\?\"" + key + "\\\\?\"\\s*:\\s*\\{").r.findFirstMatchIn(raw)
+          .flatMap { m =>
+            val close = raw.indexOf('}', m.end - 1)
+            if (close < 0) None else Some(raw.substring(m.end - 1, close + 1))
+          }
+      val blocks = Seq("queries", "bestKnown").flatMap(block)
+      // pre-block-format records (none in this repo's history, but a
+      // hand-trimmed artifact could lack the keys): fall back to the
+      // old drifted-cut scan rather than dropping the round
+      val s = if (blocks.nonEmpty) blocks.mkString(" ")
+        else "\\\\?\"drifted\\\\?\"".r.findFirstMatchIn(raw)
+          .map(m => raw.substring(0, m.start)).getOrElse(raw)
       // sf check on the UNCUT text: the "sf":"…/sf0.1" field sits
       // after the drifted map in the emitted line
       if (!raw.contains(sfTag)) Iterator.empty

@@ -103,11 +103,14 @@ object Curation {
     * component closure is [[Components.dupClusters]] — bounded-round
     * label propagation with pointer jumping, lazily composed (no
     * driver job at plan construction). Oracle: a recursive CTE
-    * computing min reachable id over the same symmetric pair graph. */
+    * computing min reachable id over the same symmetric pair graph.
+    *
+    * Edges come from [[SharedPairs.textNearDupPairs]] — built once
+    * per corpus, shared with q71/q72/q78 (a curation sweep computes
+    * the pair set once, not per report). */
   def q68DupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val edges = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val edges = SharedPairs.textNearDupPairs(s, dir)
     Components.dupClusters(docs, "doc_id", edges)
       .orderBy(col("doc_id"))
   }
@@ -146,14 +149,15 @@ object Curation {
   /** Cross-source duplication matrix — corpus forensics: how many
     * near-dup pairs join each (source, source) cell. Crawl snapshots
     * and re-scraped dumps overlap heavily; this report is how a mix
-    * designer finds out BEFORE training. Pairs from the q22 MinHash
-    * path (= exact at this τ); sources joined on the slim (id, source)
-    * projection; pair keys normalized with least/greatest so the
-    * matrix is upper-triangular regardless of id order. */
+    * designer finds out BEFORE training. Pairs from the shared
+    * τ = 0.8 index ([[SharedPairs.textNearDupPairs]] — the q22
+    * MinHash path, = exact at this τ, built once for the q68 family);
+    * sources joined on the slim (id, source) projection; pair keys
+    * normalized with least/greatest so the matrix is upper-triangular
+    * regardless of id order. */
   def q71SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val pairs = SharedPairs.textNearDupPairs(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
@@ -179,8 +183,7 @@ object Curation {
     * zero shuffle). */
   def q72ClusterReps(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val edges = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val edges = SharedPairs.textNearDupPairs(s, dir)
     // rounds = 3: the dupClusters bound (near-clique radius ≤ 2 plus
     // slack; measured exact at 2 on this corpus, oracle-gated)
     val lbl = Components.connectedComponentsBounded(edges, rounds = 3)
@@ -467,17 +470,11 @@ object Curation {
     * check only — no shipped query pins a degenerate plan. Gate is
     * dataset-conditional — see the AnnOracleK scaladoc. */
   def q48EmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairsLsh(
-        flippedNearDupCorpus(Tables.embeddings(s, dir)),
-        "vec_id", "embedding", minCosine = 0.9,
-        candidatesPerVector = Q48CandidatesPerVector,
-        // the flip fixture doubles the corpus; the base count comes
-        // from parquet footers — exact, partition-layout-independent,
-        // and NO Spark job at plan construction (the sampled-count
-        // fallback ran a blocking runJob here and made the derived
-        // (planes, tables) depend on maxPartitionBytes/file sizes)
-        corpusSizeHint =
-          2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
+    // pair set shared with q80 via SharedPairs (one LSH sweep per
+    // corpus, not one per consumer); the derive inside still takes
+    // its corpus count from parquet footers — exact,
+    // partition-layout-independent, no plan-time sampled-count job
+    SharedPairs.cosineNearDupPairs(s, dir, Q48CandidatesPerVector)
       .orderBy(col("a"), col("b"))
 
   /** SEMANTIC dedup (q80) — the SemDeDup recipe (Abbas et al. 2023)
@@ -499,18 +496,13 @@ object Curation {
     * must reproduce the exact component structure, pair for pair. */
   def q80SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val aug = flippedNearDupCorpus(Tables.embeddings(s, dir))
-    // persist the edge set before the component pass: CC references it
-    // in every propagation round plus the singleton join, and the LSH
-    // pipeline behind it is the expensive part (measured 14.2 s → the
-    // q48-sized 3.5 s at sf0.1 with the cache). persist, NOT
-    // localCheckpoint — construction must stay job-free (the
-    // cosineNearDupPairsLsh note on AQE and lazy checkpoints); the
-    // (a, b, cos) rows are exactly what the columnar cache is good at
-    val edges = Similarity.cosineNearDupPairsLsh(aug, "vec_id", "embedding",
-      minCosine = 0.9, candidatesPerVector = Q48CandidatesPerVector,
-      corpusSizeHint =
-        2L * Tables.parquetRowCount(s, s"$dir/embeddings.parquet"))
-      .persist()
+    // edge set shared with q48 via SharedPairs: the LSH sweep is the
+    // expensive part (previously persist()-cached within this query,
+    // 14.2 s → 3.5 s; now materialized ONCE per corpus and read as a
+    // plain columnar scan by both consumers — and CC's per-round
+    // re-reference hits the parquet, not the pipeline)
+    val edges = SharedPairs.cosineNearDupPairs(s, dir,
+      Q48CandidatesPerVector)
     Components.dupClusters(aug, "vec_id", edges)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
@@ -895,18 +887,34 @@ object Curation {
     * catch a near-duplicate of a training doc landing in the eval
     * split (the hash gate places the two different texts
     * independently), so a leakage sweep after splitting is the check
-    * that keeps eval numbers honest. Same cross-side machinery as
-    * q62's ingest dedup — one tagged gram lineage, signatures computed
-    * once, cross-side band joins only — with the sides derived from
-    * the split gate instead of an arrival batch. */
+    * that keeps eval numbers honest. Pairs from the shared τ = 0.8
+    * index, filtered to side-crossing — see the inline note for why
+    * that equals the dedicated cross-side sweep. */
   def q78SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val train = docs.filter(substring(md5(col("text")), 1, 2) >= Q78ValHex)
-    val va = docs.filter(substring(md5(col("text")), 1, 2) < Q78ValHex)
-    TextDedup.incrementalNearDupPairs(train, va,
-        "doc_id", "text", n = 3, minJaccard = 0.8)
-      .select(col("existing_id").as("train_id"),
-        col("incoming_id").as("val_id"), col("jaccard"))
+    // Pairs come from the shared τ = 0.8 index
+    // (SharedPairs.textNearDupPairs) filtered to the pairs whose
+    // endpoints sit on OPPOSITE sides of the hash gate — sound
+    // because band keys depend only on a doc's gram set, never its
+    // side: the full self-join candidate set is a superset of the
+    // cross-side one and the exact-Jaccard verify is pairwise, so
+    // the crossing subset equals what the dedicated cross-side sweep
+    // (q62's machinery, the previous implementation) finds. A
+    // standalone leakage check still runs the cross-side shape; a
+    // curation PIPELINE — where the pair set already exists for
+    // q68/q72 — filters it.
+    val side = docs.select(col("doc_id"),
+      (substring(md5(col("text")), 1, 2) < Q78ValHex).as("is_val"))
+    SharedPairs.textNearDupPairs(s, dir)
+      .join(side.select(col("doc_id").as("a"), col("is_val").as("va")),
+        Seq("a"))
+      .join(side.select(col("doc_id").as("b"), col("is_val").as("vb")),
+        Seq("b"))
+      .filter(col("va") =!= col("vb"))
+      .select(
+        when(col("va"), col("b")).otherwise(col("a")).as("train_id"),
+        when(col("va"), col("a")).otherwise(col("b")).as("val_id"),
+        col("jaccard"))
       .orderBy(col("train_id"), col("val_id"))
   }
 

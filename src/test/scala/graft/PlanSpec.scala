@@ -327,6 +327,30 @@ class PlanSpec extends AnyFunSuite {
     assert(e.contains("Window"), s"expected the digest window in q89:\n$e")
   }
 
+  test("shared pair index: the q68 family scans materialized pairs, " +
+    "not the gram pipeline") {
+    // round-11 verdict #2: q68/q71/q72/q78 each rebuilt the MinHash
+    // edge set and q80 the cosine one — the pair sweep must run once
+    // per corpus and every consumer must plan a plain parquet scan of
+    // the shared index (location 'graft-pairidx-*') with no xxhash64
+    // gram/signature stage left in its own plan
+    import graft.operators.Curation
+    val textPlans = Seq(
+      "q68" -> executedPlan(Curation.q68DupClusters(spark, sf)),
+      "q71" -> executedPlan(Curation.q71SourceOverlap(spark, sf)),
+      "q72" -> executedPlan(Curation.q72ClusterReps(spark, sf)),
+      "q78" -> executedPlan(Curation.q78SplitLeakage(spark, sf)))
+    textPlans.foreach { case (n, p) =>
+      assert(p.contains("graft-pairidx-"),
+        s"$n does not scan the shared pair index:\n$p")
+      assert(!p.contains("xxhash64"),
+        s"$n still runs the gram/LSH pipeline in its own plan:\n$p")
+    }
+    val q80 = executedPlan(Curation.q80SemanticDedup(spark, sf))
+    assert(q80.contains("graft-pairidx-"),
+      s"q80 does not scan the shared cosine pair index:\n$q80")
+  }
+
   test("q77: surprisal reuses the vocab exchange; no global window") {
     // the corpus-total scalar is an aggregation over the vocab
     // aggregation, cross-joined back as a broadcast — the vocab
