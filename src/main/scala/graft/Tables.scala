@@ -42,13 +42,66 @@ object Tables {
     * work for every date-function consumer, and wrapping the column
     * in a cast would block parquet predicate pushdown on the scan
     * (PlanSpec pins q01/q03's PushedFilters). Integer division —
-    * doubles lose precision above 2^53 ns. */
-  private def normTs(df: DataFrame, c: String): DataFrame =
+    * doubles lose precision above 2^53 ns.
+    *
+    * A bare Spark LongType is NOT proof of the nanos encoding
+    * (round-11 advice): an int64 epoch-days or epoch-millis flip
+    * would decode as Long too, and div-1000 would misconvert it into
+    * confusingly-valid timestamps. Gate on the parquet LOGICAL type
+    * from the file footer — driver-side metadata, one file, the
+    * [[parquetRowCount]] precedent — and fail loudly on any other
+    * int64 annotation instead of guessing. Consumers note: under the
+    * nanos encoding the column surfaces as TimestampType, not DATE —
+    * the DuckDB oracle reads the same file and agrees on semantics. */
+  private def normTs(df: DataFrame, s: SparkSession, path: String,
+      c: String): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val ann = parquetLogicalType(s, path, c)
+        val isNanos = ann.exists {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+        if (!isNanos) throw new IllegalStateException(
+          s"$path: column '$c' decoded as Long but its parquet logical " +
+            s"type is ${ann.map(_.toString).getOrElse("<none>")}, not " +
+            "TIMESTAMP(NANOS) — the generator changed encodings again; " +
+            "extend Tables.normTs for the new type instead of letting " +
+            "div-1000 misconvert it")
         df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case _ => df
     }
+
+  /** Logical-type annotation of `column` from the FIRST parquet file's
+    * footer — driver-side metadata only, no Spark job (encodings are
+    * uniform within one generated table; this is a gate, not a scan). */
+  private def parquetLogicalType(s: SparkSession, path: String,
+      column: String): Option[org.apache.parquet.schema.LogicalTypeAnnotation] = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def firstFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.sortBy(_.getPath.getName).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Iterator.empty
+        else if (st.isDirectory) firstFile(st.getPath).iterator
+        else if (n.endsWith(".parquet")) Iterator.single(st)
+        else Iterator.empty
+      }.nextOption()
+    firstFile(root).flatMap { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField(column)) None
+        else Option(schema.getType(schema.getFieldIndex(column))
+          .getLogicalTypeAnnotation)
+      } finally r.close()
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -56,9 +109,9 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame =
-    normTs(load(s, d, "orders"), "o_orderdate")
+    normTs(load(s, d, "orders"), s, s"$d/orders.parquet", "o_orderdate")
   def lineitem(s: SparkSession, d: String): DataFrame =
-    normTs(load(s, d, "lineitem"), "l_shipdate")
+    normTs(load(s, d, "lineitem"), s, s"$d/lineitem.parquet", "l_shipdate")
   /** `events.ts` has shipped in three parquet encodings across harness
     * generations — TIMESTAMP(NANOS) (arrives as a nanos Long under
     * `spark.sql.legacy.parquet.nanosAsLong=true`), TIMESTAMP_NTZ

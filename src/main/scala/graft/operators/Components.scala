@@ -127,19 +127,22 @@ object Components {
     * runs only over edge-incident ids; singletons join back in one
     * left join — at 100 TB the corpus is scanned, never iterated.
     *
-    * `rounds` defaults to 3: near-dup clusters at high τ are
-    * near-cliques (members are mutually similar), so every member is
-    * 1–2 hops from the cluster's min-id vertex and 3 min-label rounds
-    * carry a round of slack. Measured against the fixpoint variant on
-    * the harness corpora at sf0.01/sf0.1: even TWO rounds are exact
-    * (0 mismatches over all 47/477 edge-incident vertices). Each
-    * round is a join+agg stage pair, so the bound is wall time; a
-    * low-τ similarity graph with genuine chains belongs on
-    * [[connectedComponents]] (verified fixpoint) instead — and any
-    * under-bounding here fails the recursive-CTE oracle gate loudly,
-    * not silently. */
+    * `rounds` defaults to 5 — the CONSERVATIVE bound (round-11
+    * advice): bounded min-label propagation silently mislabels any
+    * component whose radius from its min-id vertex exceeds
+    * `rounds − 1`, and a library caller with a chain-shaped near-dup
+    * graph gets silently split clusters under a tight default. The
+    * ORACLE-GATED query entries (q68/q80) pass `rounds = 3`
+    * explicitly: on those corpora near-dup clusters at high τ are
+    * near-cliques (every member 1–2 hops from the min-id vertex —
+    * measured exact at TWO rounds over all 47/477 edge-incident
+    * vertices at sf0.01/sf0.1), and any under-bounding there fails
+    * the recursive-CTE oracle gate loudly. Each round is a join+agg
+    * stage pair, so the bound is wall time; a low-τ similarity graph
+    * with genuine chains belongs on [[connectedComponents]]
+    * (verified fixpoint) instead. */
   def dupClusters(docs: DataFrame, idCol: String,
-      edges: DataFrame, rounds: Int = 3): DataFrame = {
+      edges: DataFrame, rounds: Int = 5): DataFrame = {
     val lbl = connectedComponentsBounded(edges, rounds = rounds)
     docs.select(col(idCol).as("doc_id"))
       .join(lbl.select(col("id").as("doc_id"), col("lbl")),

@@ -111,7 +111,9 @@ object Curation {
   def q68DupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val edges = SharedPairs.textNearDupPairs(s, dir)
-    Components.dupClusters(docs, "doc_id", edges)
+    // rounds = 3: oracle-gated corpus, near-clique radius ≤ 2 plus
+    // slack (the library default stays at the conservative 5)
+    Components.dupClusters(docs, "doc_id", edges, rounds = 3)
       .orderBy(col("doc_id"))
   }
 
@@ -503,7 +505,8 @@ object Curation {
     // re-reference hits the parquet, not the pipeline)
     val edges = SharedPairs.cosineNearDupPairs(s, dir,
       Q48CandidatesPerVector)
-    Components.dupClusters(aug, "vec_id", edges)
+    // rounds = 3: same oracle-gated near-clique argument as q68
+    Components.dupClusters(aug, "vec_id", edges, rounds = 3)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
       .orderBy(col("vec_id"))
