@@ -105,6 +105,7 @@ object SparkEntry {
     "q94_media_image_neardup" -> (Curation.q94MediaImageNearDup _),
     "q95_media_audio_neardup" -> (Curation.q95MediaAudioNearDup _),
     "q96_media_png"        -> (Curation.q96MediaPng _),
+    "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -278,6 +279,12 @@ object SparkEntry {
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
     "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
     "q23_dedup_simhash"       -> ngramJaccardSql(None),
+    // scale-derived SimHash: same exact τ=0.8 pair set, plus the
+    // per-pair pigeonhole-contract flag the Spark side computes
+    // (found by the derived banding OR beyond its guaranteed radius)
+    // — constant 1 when the contract holds, row-hash red otherwise
+    "q98_dedup_simhash_scaled" ->
+      ngramJaccardSql(None, ",\n | CAST(1 AS INT) AS ok"),
     // incremental ingest dedup: exact cross-side trigram Jaccard over
     // the md5 '>= c' incoming / '< c' existing split (the q22
     // recall-1 banding regime — every oracle pair must be found)
@@ -1122,7 +1129,8 @@ object SparkEntry {
     * engine's stop-shingle cap: grams in more than `maxDf` docs are
     * dropped BEFORE sizes/intersections, matching the kept-gram
     * Jaccard semantics of `TextDedup.explodedShingles`. */
-  private def ngramJaccardSql(maxDf: Option[Long]): String = {
+  private def ngramJaccardSql(maxDf: Option[Long],
+      extraCols: String = ""): String = {
     val keep = maxDf.map(n =>
       s"""| kept AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= $n),
           | grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN kept USING (g)),"""
@@ -1137,7 +1145,7 @@ object SparkEntry {
        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2)
        |SELECT i.a, i.b,
-       | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard$extraCols
        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
        |ORDER BY 1, 2""".stripMargin

@@ -57,6 +57,58 @@ object Curation {
         n = 3, maxHamming = 12, minJaccard = 0.8, numChunks = 13)
       .orderBy(col("a"), col("b"))
 
+  /** SimHash at the SCALE-DERIVED configuration (q98) — the
+    * deployment path q23's scaladoc points at, now executed and
+    * oracle-gated: [[TextDedup.simhashParamsForScale]] picks the
+    * widest guaranteed Hamming radius whose chunk-join volume stays
+    * ~linear (at this corpus's n that is a NARROWER radius than the
+    * corpus's τ=0.8 pairs span, so the derived config legitimately
+    * finds a subset — the inherent pigeonhole trade, priced openly).
+    *
+    * The gate verifies BOTH contracts per pair, over the full exact
+    * τ=0.8 pair set (which DuckDB recomputes):
+    *  - `ok` = 1 iff the derived banding FOUND the pair OR the pair's
+    *    true SimHash Hamming distance exceeds the derived radius —
+    *    i.e. pigeonhole recall inside the guaranteed radius has no
+    *    exceptions (a banding bug flips a flag to 0 and fails the
+    *    row hash);
+    *  - precision needs no flag: every emitted candidate is verified
+    *    by exact Jaccard inside [[TextDedup.simhashPairs]], and the
+    *    anti-join-free oracle equality would catch an extra pair.
+    *
+    * Cost shape: the exact pair set comes from the SHARED τ=0.8
+    * index (one columnar scan), the derived banding runs for real
+    * (ScaleContractSpec pins its ~linear volume law), and the
+    * verification SimHashes are computed only for pair-incident docs
+    * (semi-join first — at 100 TB the flags cost pairs, not corpus). */
+  def q98DedupSimhashScaled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (numChunks, maxHamming) = TextDedup.simhashParamsForScale(
+      Tables.parquetRowCount(s, s"$dir/documents.parquet"))
+    val found = TextDedup.simhashPairs(docs, "doc_id", "text",
+      n = 3, maxHamming = maxHamming, minJaccard = 0.8,
+      numChunks = numChunks)
+    val exact = SharedPairs.textNearDupPairs(s, dir)
+    val ids = exact.select(col("a").as("doc_id"))
+      .unionByName(exact.select(col("b").as("doc_id"))).distinct()
+    val sims = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextDedup.simhash64(
+        transform(TextDedup.shingleArray(col("text"), 3),
+          g => xxhash64(g))).as("sim"))
+    exact
+      .join(sims.select(col("doc_id").as("a"), col("sim").as("sima")),
+        Seq("a"))
+      .join(sims.select(col("doc_id").as("b"), col("sim").as("simb")),
+        Seq("b"))
+      .join(found.select(col("a"), col("b"), lit(1).as("f")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("jaccard"),
+        (col("f").isNotNull ||
+          bit_count(col("sima").bitwiseXOR(col("simb"))) > maxHamming)
+          .cast("int").as("ok"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** The end-to-end corpus dedup a curation pipeline actually runs
     * (exact first-wins THEN near-dup drop over the exact-kept set —
     * [[TextDedup.dedupedCorpus]]), emitting the kept doc ids. Oracle:
