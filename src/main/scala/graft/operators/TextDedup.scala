@@ -162,10 +162,20 @@ object TextDedup {
     * pairs (contained_id, container_id, containment ≥ min), both
     * directions tested — mutual containment (exact dups) emits both.
     *
-    * Scale shape: same single grams⋈grams self-join as
-    * [[ngramJaccardPairs]] — the unordered intersection counts are
-    * computed once and both direction tests read them; `maxShingleDf`
-    * bounds every gram bucket exactly as there (and the containment
+    * Scale shape: ONE grams⋈grams self-join with `x.id <= y.id` —
+    * the `<=` (vs [[ngramJaccardPairs]]' `<`) keeps each gram's
+    * self-match, so the DIAGONAL rows (a, a) of the pair aggregation
+    * are exactly the per-doc KEPT-set sizes: the sizes that
+    * previously cost a second full pass over the gram table plus two
+    * joins onto the intersections (round-11 verdict #6) now ride the
+    * same exchange (the size lookup is a ReusedExchange of the pair
+    * aggregation, never a re-scan). The diagonal adds one row per
+    * gram row pre-aggregation, all absorbed by the map-side combine
+    * — wire cost one (a, a) partial per partition per doc. And since
+    * C(a→b) only divides by the CONTAINED side's size, the directed
+    * two-struct explode keys each direction by its contained id and
+    * needs ONE size join, not two. `maxShingleDf` bounds every gram
+    * bucket exactly as in [[ngramJaccardPairs]] (the containment
     * denominators are the KEPT set sizes, the semantics a mirrored
     * oracle must share). */
   def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -175,25 +185,36 @@ object TextDedup {
     val grams = shared(
       explodedShingles(docs, idCol, textCol, n, maxShingleDf),
       materializeGrams)
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = coShingledInter(grams)
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"),
-        Seq("a"))
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"),
-        Seq("b"))
-    // both directions from ONE reference to the intersection subtree:
-    // a fwd/rev UNION references it twice and re-runs the gram
-    // self-join behind it (measured 13.7 s vs 3 s for the q21 shape);
-    // exploding a two-struct array keeps the plan single-pass
-    inter.select(explode(array(
+    // <= keeps the diagonal: (a, a, sz) and (a, b, inter) from one
+    // aggregation over one self-join. Checkpointed: the diag/directed
+    // consumers filter it oppositely, and Catalyst pushes those
+    // filters THROUGH the aggregation into the join — splitting the
+    // one self-join into two divergent copies (measured; the
+    // ReusedExchange never forms). The checkpoint pins the shared
+    // computation physically, the repo's standard multi-consumer
+    // barrier (bandBucketsFromGrams, crossSidePairs).
+    val interLE = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.id") <= col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
+    val diag = interLE.filter(col("a") === col("b"))
+      .select(col("a").as("contained_id"), col("inter").as("sz"))
+    // both directions from ONE reference to the intersection subtree
+    // (a fwd/rev UNION references it twice and re-runs the gram
+    // self-join behind it — measured 13.7 s vs 3 s), keyed by the
+    // contained endpoint so the single diagonal join serves both
+    val directed = interLE.filter(col("a") =!= col("b"))
+      .select(explode(array(
         struct(col("a").as("contained_id"), col("b").as("container_id"),
-          round(col("inter").cast("double") / col("sza"), 6)
-            .as("containment")),
+          col("inter")),
         struct(col("b").as("contained_id"), col("a").as("container_id"),
-          round(col("inter").cast("double") / col("szb"), 6)
-            .as("containment")))).as("r"))
-      .select(col("r.contained_id"), col("r.container_id"),
-        col("r.containment"))
+          col("inter")))).as("r"))
+      .select(col("r.contained_id"), col("r.container_id"), col("r.inter"))
+    directed.join(diag, Seq("contained_id"))
+      .select(col("contained_id"), col("container_id"),
+        round(col("inter").cast("double") / col("sz"), 6)
+          .as("containment"))
       .filter(col("containment") >= minContainment)
   }
 

@@ -351,6 +351,27 @@ class PlanSpec extends AnyFunSuite {
       s"q80 does not scan the shared cosine pair index:\n$q80")
   }
 
+  test("q85: containment sizes ride the pair aggregation — one gram " +
+    "self-join, one checkpointed pair table, one size join") {
+    // round-11 verdict #6: per-doc kept-set sizes used to cost a
+    // second pass over the gram table plus TWO joins onto the
+    // intersections; the <= self-join's diagonal now carries them,
+    // and the (a, b, inter) aggregation is checkpointed so both
+    // consumers scan ONE materialized pair table. The visible plan
+    // must therefore hold exactly one join (directed ⋈ diagonal) over
+    // ExistingRDD scans — the gram self-join lives inside the
+    // checkpoint, computed once
+    val plan = executedPlan(
+      graft.operators.Curation.q85Containment(spark, sf))
+    val fin = plan.split("== Initial Plan ==").head
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllMatchIn(fin).size
+    assert(joins == 1, s"expected exactly the diagonal size join, got " +
+      s"$joins in:\n$fin")
+    assert(fin.contains("ExistingRDD"),
+      s"pair aggregation must be checkpointed (one physical compute):\n$fin")
+  }
+
   test("q77: surprisal reuses the vocab exchange; no global window") {
     // the corpus-total scalar is an aggregation over the vocab
     // aggregation, cross-joined back as a broadcast — the vocab
