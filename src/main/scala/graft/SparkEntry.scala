@@ -105,6 +105,7 @@ object SparkEntry {
     "q94_media_image_neardup" -> (Curation.q94MediaImageNearDup _),
     "q95_media_audio_neardup" -> (Curation.q95MediaAudioNearDup _),
     "q96_media_png"        -> (Curation.q96MediaPng _),
+    "q97_stream_quality_monitor" -> (Curation.q97StreamQualityMonitor _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -285,6 +286,7 @@ object SparkEntry {
     // — constant 1 when the contract holds, row-hash red otherwise
     "q98_dedup_simhash_scaled" ->
       ngramJaccardSql(None, ",\n | CAST(1 AS INT) AS ok"),
+    "q97_stream_quality_monitor" -> streamQualityMonitorSql,
     // incremental ingest dedup: exact cross-side trigram Jaccard over
     // the md5 '>= c' incoming / '< c' existing split (the q22
     // recall-1 banding regime — every oracle pair must be found)
@@ -1177,6 +1179,42 @@ object SparkEntry {
        | CASE $cases ELSE '${langs.last}' END AS pred_lang,
        | lang AS tagged_lang
        |FROM scores ORDER BY 1""".stripMargin
+  }
+
+  /** q97 oracle: the windowed quality monitor recomputed in batch SQL
+    * — per (epoch-hour window × source) doc counts, token volume,
+    * exact-decimal quality mean, and tagged-vs-predicted language
+    * mismatches, with ts = epoch + doc_id minutes (the deterministic
+    * event time the Spark entry assigns). The Spark side ran a real
+    * availableNow stream in COMPLETE mode, so its final state must
+    * equal this batch aggregation exactly. */
+  private val streamQualityMonitorSql: String = {
+    val langs = graft.operators.TextAnalysis.langMarkers.keys.toSeq.sorted
+    val scoreCte = langs.map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, source, lang, text, ' ' || lower(text) || ' ' AS p,
+       |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       | scored AS (SELECT doc_id, source, lang, $scoreCte,
+       |   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |   CAST(len(toks) AS INT) AS n_toks,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |   (doc_id * 60 // 3600) * 3600 AS ws
+       |  FROM t),
+       | perdoc AS (SELECT source, ws, n_tokens, lang,
+       |   CASE $cases ELSE '${langs.last}' END AS pred_lang,
+       |   round(round(CAST(n_distinct AS DOUBLE) / n_toks, 6) * 0.4
+       |     + (CASE WHEN n_toks >= 20 AND n_toks <= 200 THEN 0.3 ELSE 0.0 END)
+       |     + (CASE WHEN round(CAST(s_en AS DOUBLE) / n_toks, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6) AS quality
+       |  FROM scored)
+       |SELECT CAST(ws AS BIGINT) AS window_start_s, source,
+       | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       | round(CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_quality,
+       | CAST(sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_mismatch
+       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   private val qualitySql: String =

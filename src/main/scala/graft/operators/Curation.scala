@@ -826,6 +826,56 @@ object Curation {
     Multimodal.audioNearDupGroups(s, Tables.documents(s, dir), "doc_id")
       .orderBy(col("keeper"))
 
+  /** Streaming ingest-quality monitor EXECUTED as a stream (q97) —
+    * the round-11 gap: the streaming twins were spec-gated only, and
+    * no oracle entry ever ran a micro-batch. This entry stages the
+    * corpus as four arrival files, assigns each doc a deterministic
+    * event time (epoch + doc_id minutes — DuckDB recomputes it), and
+    * drives [[graft.streaming.DocStream.qualityMonitor]] through a
+    * REAL `Trigger.AvailableNow` StreamExecution (4 micro-batches via
+    * `maxFilesPerTrigger = 1`) into a complete-mode memory sink; the
+    * returned table is the stream's final state.
+    *
+    * Complete mode is what makes the oracle comparison exact: append
+    * mode only emits watermark-finalized windows (the last watermark
+    * horizon's windows would be missing vs the batch oracle), while
+    * complete mode keeps every window's state — the stream result
+    * EQUALS the batch aggregation whatever the arrival split, because
+    * every per-row signal is stateless and the quality mean
+    * accumulates in exact decimal (the DocStreamSpec ≡-batch
+    * argument, now oracle-enforced per window × source).
+    *
+    * Scale notes: the monitor output is (windows × sources)-sized —
+    * inherently tiny — so the complete-mode memory sink is sound at
+    * any corpus scale; the staging write is one pass over the corpus
+    * standing in for the ingest feed a deployment already has. */
+  def q97StreamQualityMonitor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q97-").toString
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val sch = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val mon = graft.streaming.DocStream.qualityMonitor(
+      stream.withColumn("ts", timestamp_seconds(col("doc_id") * 60)),
+      "ts", "source", "text", "lang")
+    val qname = s"q97_mon_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = mon.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    // epoch-second window starts dodge timestamp-rendering semantics
+    // (the q60 convention); session is UTC so the cast is exact
+    s.table(qname)
+      .select(col("window_start").cast("long").as("window_start_s"),
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("lang_mismatch"))
+      .orderBy(col("window_start_s"), col("source"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 
