@@ -372,6 +372,21 @@ class PlanSpec extends AnyFunSuite {
       s"pair aggregation must be checkpointed (one physical compute):\n$fin")
   }
 
+  test("q43: sales register broadcasts its dimensions against the " +
+    "bulk voucher fact") {
+    // with the ~10k-voucher bulk fixture the register is a real
+    // fact-dims star: voucher type / ledger lookups must broadcast,
+    // never shuffle the accounting fact for a dimension join
+    val plan = executedPlan(
+      graft.tally.TallyReportQueries.queries("q43_tally_sales_register")(
+        spark, sf))
+    val fin = plan.split("== Initial Plan ==").head
+    assert(fin.contains("BroadcastHashJoin"),
+      s"register dimensions not broadcast:\n$fin")
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), s"cartesian in q43:\n$fin")
+  }
+
   test("q77: surprisal reuses the vocab exchange; no global window") {
     // the corpus-total scalar is an aggregation over the vocab
     // aggregation, cross-joined back as a broadcast — the vocab
