@@ -106,6 +106,7 @@ object SparkEntry {
     "q95_media_audio_neardup" -> (Curation.q95MediaAudioNearDup _),
     "q96_media_png"        -> (Curation.q96MediaPng _),
     "q97_stream_quality_monitor" -> (Curation.q97StreamQualityMonitor _),
+    "q99_media_flac"       -> (Curation.q99MediaFlac _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -783,6 +784,21 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
+    // real COMPRESSED-codec FLAC decode: the q90 signal law through
+    // fixed-predictor + Rice compression and back; lossless, so the
+    // oracle recomputes the decoded quantities exactly (no n_bytes —
+    // compressed size is encoder-dependent)
+    "q99_media_flac" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n FROM documents),
+        | s AS (SELECT doc_id, n, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i))
+        |SELECT doc_id,
+        | CAST(16000 AS INT) AS sample_rate,
+        | CAST(max(n) AS INT) AS n_samples,
+        | CAST(max(n) * 1000000 // 16000 AS BIGINT) AS duration_us,
+        | round(sqrt(CAST(sum(CAST(CAST(v AS BIGINT) * v AS DECIMAL(28,0))) AS DOUBLE) / max(n)), 6) AS rms,
+        | CAST(max(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // real COMPRESSED-codec PNG decode: the q91 pixel law decoded
     // back out of real zlib'd PNG bytes (rotating filters 0-4, split
     // IDAT, CRC-checked chunks). No n_bytes column — container size

@@ -788,6 +788,17 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real COMPRESSED-codec audio decode (q99) — [[q96MediaPng]]'s
+    * audio twin: the q90 signal law compressed through the pure-JVM
+    * FLAC encoder (fixed predictors, Rice residuals, CRC-protected
+    * frames) and decoded back through the real bitstream parser; the
+    * oracle recomputes the decoded quantities arithmetically, so
+    * hash-green proves the whole lossless-compression path. */
+  def q99MediaFlac(s: SparkSession, dir: String): DataFrame =
+    Multimodal.flacFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Audio quality gate (q92) — decode-then-filter
     * ([[Multimodal.wavQuality]]): per-payload clipping and
     * near-silence ratios over the REAL decoded samples, plus the

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * schema, partitioning, and batch shape are real. The AUDIO path is
   * decoded for REAL: [[WavCodec]] is a pure-JVM RIFF/PCM16 parser
   * (uncompressed containers need no codec library), oracle-gated end
-  * to end (q90); [[BmpCodec]] is its image analog (q91); and
+  * to end (q90); [[BmpCodec]] is its image analog (q91);
   * [[PngCodec]] decodes REAL compressed PNGs — chunk walker, CRC32,
   * `java.util.zip.Inflater`, all five row filters — oracle-gated by
-  * q96 and feeding the q93/q94 image-dedup payloads. The remaining
-  * lossy codecs (JPEG/FLAC/video) stay STUBBED (this container has
-  * no media libraries) behind [[FakeCodec]], a clearly-marked
-  * deterministic fake with the same signature a real decoder
-  * (JNI/FFI or vectorized UDF) would have.
+  * q96 and feeding the q93/q94 image-dedup payloads; and
+  * [[FlacCodec]] decodes REAL compressed FLAC — fixed predictors,
+  * Rice bitreading, CRC-8/CRC-16 frames — oracle-gated by q99.
+  * Every LOSSLESS format in scope is now a real codec; only the
+  * LOSSY ones (JPEG/video) stay STUBBED behind [[FakeCodec]], a
+  * clearly-marked deterministic fake with the signature a real
+  * decoder (JNI/FFI or vectorized UDF) would have — lossy decode
+  * output is codec-implementation-defined, so an arithmetic SQL
+  * oracle could not gate it bit-for-bit anyway.
   *
   * Scale notes: media blobs dominate row size, so (a) metadata-only
   * queries must never deserialize the blob — keep meta in separate
@@ -371,6 +375,36 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized setup)
         it.map { case (id, bytes) => WavCodec.decode(id, bytes) }
+      }
+  }
+
+  /** Decoded audio features for one FLAC payload (no `n_bytes`:
+    * compressed container size is encoder-dependent, so the
+    * arithmetic oracle checks DECODED quantities only — the PNG
+    * convention). */
+  final case class FlacFeature(
+      doc_id: Long, sample_rate: Int, n_samples: Int,
+      duration_us: Long, rms: Double, peak: Int)
+
+  /** q99's synth → real-FLAC-bytes → decode round trip: the same
+    * [[SynthWav]] signal law as q90, but compressed through
+    * [[FlacCodec.encode]] (fixed predictor order = doc mod 5,
+    * partition order = doc mod 2 — every predictor and a
+    * multi-partition layout all under the oracle gate) and decoded
+    * back through the real bitstream parser: CRC-8/CRC-16 checks,
+    * unary/Rice reads, predictor integration. Hash-green proves the
+    * COMPRESSED audio path end to end. */
+  def flacFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[FlacFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        (id, FlacCodec.encode(SynthWav.SampleRate,
+          Array.tabulate(SynthWav.nSamples(id))(i => SynthWav.sample(id, i)),
+          order = (id % 5).toInt, partitionOrder = (id % 2).toInt))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => FlacCodec.decode(id, bytes) }
       }
   }
 

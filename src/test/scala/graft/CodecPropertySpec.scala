@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal.{BmpCodec, WavCodec}
-import graft.operators.PngCodec
+import graft.operators.{FlacCodec, PngCodec}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -193,5 +193,53 @@ class CodecPropertySpec extends AnyFunSuite {
       PngCodec.decode(1L, gray)
     }
     assert(e4.getMessage.contains("color type"))
+  }
+
+  test("FLAC: any PCM16 signal round-trips bit-exactly through every " +
+    "fixed order and partition layout") {
+    val gen = for {
+      rate <- Gen.choose(8000, 48000)
+      n <- Gen.choose(8, 512).map(_ * 4) // divisible by 4 for pOrder 2
+      order <- Gen.choose(-1, 4)
+      pOrder <- Gen.choose(0, 2)
+      samples <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, order, pOrder, samples.toArray)
+    check("flac round trip", Prop.forAllNoShrink(gen) {
+      case (rate, order, pOrder, samples) =>
+        val bytes = FlacCodec.encode(rate, samples, order, pOrder)
+        val (dRate, decoded) = FlacCodec.decodeSamples(1L, bytes)
+        dRate == rate && decoded.sameElements(samples)
+    })
+  }
+
+  test("FLAC: compression is real and corruption is rejected loudly") {
+    // a smooth ramp compresses far below raw PCM through the
+    // order-2 predictor (constant second difference -> tiny residuals)
+    val ramp = Array.tabulate(1024)(i => (i * 7 - 3000).toShort)
+    val flac = FlacCodec.encode(16000, ramp, order = 2)
+    assert(flac.length < ramp.length * 2 / 4,
+      s"ramp should compress >4x, got ${flac.length} vs ${ramp.length * 2}")
+    // every byte position in the frame region must be CRC-protected:
+    // flipping any one fails the decode (header CRC-8, frame CRC-16,
+    // or a structural require)
+    val frames = Seq(flac.length - 20, flac.length - 3, 46, 50)
+    frames.foreach { p =>
+      val bad = flac.clone()
+      bad(p) = (bad(p) ^ 0x41).toByte
+      val threw =
+        try { FlacCodec.decodeSamples(1L, bad); false }
+        catch { case _: IllegalArgumentException => true
+          case _: ArrayIndexOutOfBoundsException => true }
+      assert(threw, s"flip at byte $p decoded silently")
+    }
+    // truncation
+    intercept[IllegalArgumentException] {
+      FlacCodec.decodeSamples(1L, flac.take(flac.length - 4))
+    }
+    // wrong magic
+    val e = intercept[IllegalArgumentException] {
+      FlacCodec.decodeSamples(1L, "not a flac stream at all".getBytes)
+    }
+    assert(e.getMessage.contains("not a FLAC"))
   }
 }
