@@ -107,6 +107,7 @@ object SparkEntry {
     "q96_media_png"        -> (Curation.q96MediaPng _),
     "q97_stream_quality_monitor" -> (Curation.q97StreamQualityMonitor _),
     "q99_media_flac"       -> (Curation.q99MediaFlac _),
+    "q100_gzip_ingest"     -> (Curation.q100GzipIngest _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -784,6 +785,15 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
+    // gzip text ingest: the oracle recomputes chars/tokens/md5 from
+    // the PLAIN text — the Spark side only matches if its gzip
+    // round trip reproduced every byte
+    "q100_gzip_ingest" ->
+      """SELECT doc_id,
+        | CAST(len(text) AS INT) AS n_chars,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | md5(text) AS text_md5
+        |FROM documents ORDER BY 1""".stripMargin,
     // real COMPRESSED-codec FLAC decode: the q90 signal law through
     // fixed-predictor + Rice compression and back; lossless, so the
     // oracle recomputes the decoded quantities exactly (no n_bytes —

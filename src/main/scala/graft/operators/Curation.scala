@@ -799,6 +799,15 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Gzip text ingest (q100) — see [[Multimodal.gzipTextFeatures]]:
+    * the .gz corpus path, decompression proven byte-for-byte by the
+    * md5 the oracle recomputes from plain text. */
+  def q100GzipIngest(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gzipTextFeatures(s, Tables.documents(s, dir),
+        "doc_id", "text")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Audio quality gate (q92) — decode-then-filter
     * ([[Multimodal.wavQuality]]): per-payload clipping and
     * near-silence ratios over the REAL decoded samples, plus the

@@ -696,6 +696,53 @@ object Multimodal {
       .select(col("keeper"), col("n_copies"))
   }
 
+  /** Decoded features of one gzip-compressed TEXT payload: the
+    * signals the ingest gate reads right after decompression. */
+  final case class GzipTextFeature(
+      doc_id: Long, n_chars: Int, n_tokens: Int, text_md5: String)
+
+  /** Gzip TEXT ingest (q100) — the compressed-corpus shape a real
+    * 100 TB pipeline reads (web corpora ship as .gz): each doc's
+    * text round-trips through REAL gzip (`java.util.zip.GZIP*Stream`
+    * — public JDK zlib, the [[PngCodec]] precedent for DEFLATE) as
+    * an opaque binary payload, decompressed batch-wise per
+    * partition, and the decoded text is fingerprinted and measured.
+    * The oracle recomputes the same quantities from the plain text,
+    * so hash-green proves the decompression path byte-for-byte
+    * (the md5 matches only if every decoded byte does). */
+  def gzipTextFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String): Dataset[GzipTextFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(text.getBytes("UTF-8")); gz.close()
+        (id, bos.toByteArray)
+      }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          val raw = out.toByteArray
+          val text = new String(raw, "UTF-8")
+          md.reset()
+          // codepoint count, not UTF-16 units — the length() semantics
+          // both engines' SQL layers use (differs beyond the BMP)
+          GzipTextFeature(id, text.codePointCount(0, text.length),
+            text.split(" ", -1).length,
+            md.digest(raw).map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+  }
+
   /** Attach a binary media column (here synthesized from text — in a
     * real pipeline this is the stored blob) plus pruning-friendly
     * top-level metadata columns. */
