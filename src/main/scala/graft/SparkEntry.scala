@@ -108,6 +108,7 @@ object SparkEntry {
     "q97_stream_quality_monitor" -> (Curation.q97StreamQualityMonitor _),
     "q99_media_flac"       -> (Curation.q99MediaFlac _),
     "q100_gzip_ingest"     -> (Curation.q100GzipIngest _),
+    "q101_stream_sessions" -> (Curation.q101StreamSessions _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -785,6 +786,26 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         | count(*) AS n_copies
         |FROM documents GROUP BY doc_id % 40 ORDER BY 1""".stripMargin,
+    // stateful streaming sessionization: q60's gap-split SQL rolled
+    // up per session — the Spark side ran flatMapGroupsWithState
+    // micro-batches for real, flushed by a sentinel-advanced
+    // watermark, totals in exact integer micros
+    "q101_stream_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, epoch_us(ts) AS tn, CAST(value AS DECIMAL(18,6)) AS v,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        | sess AS (
+        | SELECT user_id, tn, v,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tn
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, count(*) AS n_events,
+        | round(CAST(sum(v) AS DOUBLE), 6) AS total_value,
+        | min(tn) AS start_us, max(tn) AS end_us
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin,
     // gzip text ingest: the oracle recomputes chars/tokens/md5 from
     // the PLAIN text — the Spark side only matches if its gzip
     // round trip reproduced every byte

@@ -896,6 +896,65 @@ object Curation {
       .orderBy(col("window_start_s"), col("source"))
   }
 
+  /** STATEFUL streaming sessionization EXECUTED as a stream (q101) —
+    * q97 put a windowed aggregation under the oracle; this puts
+    * CUSTOM KEYED STATE there: [[graft.streaming.EventStream
+    * .sessionize]] (flatMapGroupsWithState, event-time timeouts)
+    * driven through a real availableNow run over the events table
+    * staged as ts-RANGE-ordered arrival files, so per-user event
+    * order across micro-batches matches event time (the condition a
+    * production watermark provides; arrival order is pinned with
+    * explicit file mtimes because the file source orders by them).
+    * A far-future sentinel event in the last file pushes the final
+    * watermark past every session's close, so event-time timeouts
+    * flush ALL sessions — the append-mode output then equals q60's
+    * batch session set exactly: boundaries by the same micros gap
+    * arithmetic, totals by exact integer-micros accumulation
+    * (order-independent by construction). Oracle: q60's gap-split
+    * SQL rolled up per session. */
+  def q101StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q101-").toString
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(stage)
+    def parts() = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val rangeFiles = parts().sortBy(_.getName) // part index = ts range
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        -1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000L),
+        -1L, "sentinel", 0.0)),
+      ev.schema)
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    val sentinelFiles = parts().filterNot(rangeFiles.contains)
+    // arrival order = event-time order: the file source processes by
+    // modification time under maxFilesPerTrigger
+    val t0 = System.currentTimeMillis() - 60000L
+    (rangeFiles ++ sentinelFiles).zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 2000L)
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val sessions = graft.streaming.EventStream.sessionize(s, stream)
+    val qname = s"q101_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = sessions.toDF().writeStream.format("memory")
+      .queryName(qname).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qname)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"),
+        unix_micros(col("started")).as("start_us"),
+        unix_micros(col("ended")).as("end_us"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

@@ -95,6 +95,18 @@ object EventStream {
     * ProcessingTimeTimeout — the engine does not have to run empty
     * wall-clock batches forever to fire them (which also makes
     * `processAllAvailable` hang, since the stream never quiesces). */
+  /** Per-event value as EXACT micros of its DECIMAL(18,6) form — the
+    * same double→decimal rounding Spark's Cast applies, so the
+    * session total accumulates in integer micros and is bit-identical
+    * whatever arrival order / micro-batch split delivered the events
+    * (double accumulation was order-dependent at ~1e-13 per term —
+    * fine for the spec's tolerance gate, fatal for q101's hash
+    * oracle). */
+  private def valUs(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30,
       watermarkDelay: String = "2 hours"): Dataset[SessionSummary] = {
@@ -105,15 +117,19 @@ object EventStream {
     val gapUs = gapMinutes * 60000000L
     val gapMs = gapMinutes * 60000L
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Double, Long, Long), SessionSummary](
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event],
-         state: GroupState[(Long, Long, Double, Long, Long)]) =>
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          def summary(st: (Long, Long, Long, Long)): SessionSummary = {
+            val (n, totalUs, started, ended) = st
+            SessionSummary(userId, n, totalUs / 1e6, tsOf(started),
+              tsOf(ended))
+          }
           if (state.hasTimedOut) {
-            val (n, _, total, started, ended) = state.get
+            val st = state.get
             state.remove()
-            Iterator(SessionSummary(userId, n, total, tsOf(started),
-              tsOf(ended)))
+            Iterator(summary(st))
           } else {
             val sorted = rows.toSeq.sortBy(e => usOf(e.ts))
             var out = List.empty[SessionSummary]
@@ -121,25 +137,24 @@ object EventStream {
             sorted.foreach { e =>
               val t = usOf(e.ts)
               cur match {
-                case Some((n, _, total, started, ended)) if t - ended <= gapUs =>
+                case Some((n, totalUs, started, ended)) if t - ended <= gapUs =>
                   // late events from an earlier micro-batch may precede
                   // the current span — extend, never move boundaries
                   // backwards (keeps started <= ended invariant)
-                  cur = Some((n + 1, 0L, total + e.value,
+                  cur = Some((n + 1, totalUs + valUs(e.value),
                     math.min(started, t), math.max(ended, t)))
-                case Some((n, _, total, started, ended)) =>
-                  out ::= SessionSummary(userId, n, total, tsOf(started),
-                    tsOf(ended))
-                  cur = Some((1L, 0L, e.value, t, t))
+                case Some(st) =>
+                  out ::= summary(st)
+                  cur = Some((1L, valUs(e.value), t, t))
                 case None =>
-                  cur = Some((1L, 0L, e.value, t, t))
+                  cur = Some((1L, valUs(e.value), t, t))
               }
             }
             cur.foreach { st =>
               state.update(st)
               // close at last-event + gap; if the watermark already
               // passed that (deep backfill), close at the next batch
-              state.setTimeoutTimestamp(math.max(st._5 / 1000L + gapMs,
+              state.setTimeoutTimestamp(math.max(st._4 / 1000L + gapMs,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.reverseIterator
