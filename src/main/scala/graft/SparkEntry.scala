@@ -109,6 +109,7 @@ object SparkEntry {
     "q99_media_flac"       -> (Curation.q99MediaFlac _),
     "q100_gzip_ingest"     -> (Curation.q100GzipIngest _),
     "q101_stream_sessions" -> (Curation.q101StreamSessions _),
+    "q102_stream_ingest_dedup" -> (Curation.q102StreamIngestDedup _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -294,6 +295,27 @@ object SparkEntry {
     // the md5 '>= c' incoming / '< c' existing split (the q22
     // recall-1 banding regime — every oracle pair must be found)
     "q62_dedup_incremental" ->
+      s"""WITH sides AS (SELECT doc_id, text,
+        |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
+        |  FROM documents),
+        | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
+        | grams AS (SELECT DISTINCT doc_id, incoming,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g
+        |   AND x.incoming = 0 AND y.incoming = 1
+        |  GROUP BY 1,2)
+        |SELECT i.a AS existing_id, i.b AS incoming_id,
+        | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // streaming ingest dedup: the SAME exact cross-side Jaccard
+    // oracle as q62 — the stateless stream's pair set must be
+    // independent of its micro-batch split
+    "q102_stream_ingest_dedup" ->
       s"""WITH sides AS (SELECT doc_id, text,
         |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
         |  FROM documents),

@@ -955,6 +955,39 @@ object Curation {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** Streaming INGEST near-dup detection EXECUTED as a stream (q102)
+    * — the third streaming promotion: q97 gated a windowed
+    * aggregation, q101 custom keyed state; this gates the STATELESS
+    * ingest shape ([[graft.streaming.DocStream.nearDupAgainstIndex]]:
+    * per-row HOF MinHash signatures, stream-static band-key joins, no
+    * watermark, no state). The q62 corpus boundary supplies the
+    * sides; the incoming batch streams in as four arrival files.
+    * Statelessness is the scale contract: the emitted pair set is
+    * independent of the micro-batch split, so the availableNow run
+    * must equal q62's exact cross-side Jaccard oracle row for row. */
+  def q102StreamIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(
+      substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
+    val existing = docs.filter(
+      substring(md5(col("text")), 1, 1) < Q62IncomingHex)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q102-").toString
+    incoming.select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val sch = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val pairs = graft.streaming.DocStream.nearDupAgainstIndex(
+      stream, existing, "doc_id", "text", minJaccard = 0.8)
+    val qname = s"q102_ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = pairs.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qname).orderBy(col("existing_id"), col("incoming_id"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 
