@@ -110,6 +110,7 @@ object SparkEntry {
     "q100_gzip_ingest"     -> (Curation.q100GzipIngest _),
     "q101_stream_sessions" -> (Curation.q101StreamSessions _),
     "q102_stream_ingest_dedup" -> (Curation.q102StreamIngestDedup _),
+    "q103_stream_passage_hits" -> (Curation.q103StreamPassageHits _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
   ) ++ graft.tally.TallyReportQueries.queries
 
@@ -332,6 +333,22 @@ object SparkEntry {
         | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
         |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // streaming passage hits: q84's fixed-window passage law per
+    // side of the q62 boundary — incoming windows joined to the
+    // existing-side digest occurrence counts
+    "q103_stream_passage_hits" ->
+      s"""WITH sides AS (SELECT doc_id, text,
+        |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
+        |  FROM documents),
+        | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
+        | pass AS (SELECT doc_id, incoming,
+        |   CAST((i - 1) // ${graft.operators.Curation.Q84PassageLen} AS INT) AS slot,
+        |   md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${graft.operators.Curation.Q84PassageLen - 1}], ' ')) AS d
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, greatest(len(w), 1)+1, ${graft.operators.Curation.Q84PassageLen})) AS t(i)),
+        | idx AS (SELECT d, count(*) AS corpus_df FROM pass WHERE incoming = 0 GROUP BY 1)
+        |SELECT p.doc_id AS incoming_id, p.slot, p.d AS digest, idx.corpus_df
+        |FROM pass p JOIN idx USING (d) WHERE p.incoming = 1
         |ORDER BY 1, 2""".stripMargin,
     // eval-set decontamination: distinct 8-gram intersection counts
     // between the non-src0 (train) and src0 (eval) sides

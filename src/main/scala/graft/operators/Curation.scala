@@ -988,6 +988,44 @@ object Curation {
     s.table(qname).orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** Streaming PASSAGE-hit detection EXECUTED as a stream (q103) —
+    * closes the last spec-only streaming twin (D16): incoming docs'
+    * fixed 10-token windows checked against the static corpus
+    * passage index ([[graft.streaming.DocStream
+    * .passageHitsAgainstIndex]] — per-row digest HOF, one
+    * stream-static equi-join on the 16-byte digest, stateless). The
+    * q62 boundary splits incoming/existing; the oracle recomputes
+    * the same hits with q84's passage law in SQL. Statelessness
+    * again makes the hit set independent of the micro-batch split. */
+  def q103StreamPassageHits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(
+      substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
+    val existing = docs.filter(
+      substring(md5(col("text")), 1, 1) < Q62IncomingHex)
+    val index = graft.streaming.DocStream.passageIndex(
+      existing, "doc_id", "text", passageLen = Q84PassageLen)
+      .localCheckpoint(true) // static side: computed once, not per batch
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q103-").toString
+    incoming.select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val sch = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val hits = graft.streaming.DocStream.passageHitsAgainstIndex(
+      stream, index, "doc_id", "text", passageLen = Q84PassageLen)
+    val qname = s"q103_ph_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = hits.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qname)
+      .select(col("incoming_id"), col("slot"), col("digest"),
+        col("corpus_df"))
+      .orderBy(col("incoming_id"), col("slot"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 
