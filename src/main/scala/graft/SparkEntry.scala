@@ -112,6 +112,7 @@ object SparkEntry {
     "q102_stream_ingest_dedup" -> (Curation.q102StreamIngestDedup _),
     "q103_stream_passage_hits" -> (Curation.q103StreamPassageHits _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
+    "q104_media_jpeg"      -> (Curation.q104MediaJpeg _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -874,6 +875,25 @@ object SparkEntry {
     // IDAT, CRC-checked chunks). No n_bytes column — container size
     // is deflate-dependent; the oracle recomputes the DECODED
     // quantities, which is exactly what proves the decoder
+    // real LOSSY-codec JPEG decode: luma constant per 8x8 block and
+    // chroma constant per 16x16 MCU make the DCT round trip exact
+    // (all energy in DC, DC quant step 8), so the oracle recomputes
+    // the DECODED planes straight from the block law — hash-green
+    // proves the Huffman + DCT + subsampling + restart pipeline
+    "q104_media_jpeg" ->
+      """WITH d AS (SELECT doc_id, 24 + doc_id % 41 AS w, 24 + doc_id % 37 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |   (doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256 AS yv,
+        |   (doc_id * 11 + (x // 16) * 17 + (y // 16) * 23) % 256 AS cb,
+        |   (doc_id * 13 + (x // 16) * 19 + (y // 16) * 31) % 256 AS cr
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | round(CAST(sum(yv) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_y,
+        | round(CAST(sum(cb) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_cb,
+        | round(CAST(sum(cr) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_cr
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_media_png" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
         | px AS (SELECT doc_id, w, h,

@@ -788,6 +788,17 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real LOSSY-codec image decode (q104) — the last rung of the
+    * media ladder: the [[Multimodal.SynthJpeg]] block law through the
+    * pure-JVM baseline JPEG encoder (FDCT, Annex-K Huffman, 4:2:0,
+    * restart markers) and back through the real decoder. The law
+    * keeps the lossy round trip exact (DC-only blocks, DC step 8),
+    * so the arithmetic oracle gates a REAL Huffman+DCT pipeline. */
+  def q104MediaJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Real COMPRESSED-codec audio decode (q99) — [[q96MediaPng]]'s
     * audio twin: the q90 signal law compressed through the pure-JVM
     * FLAC encoder (fixed predictors, Rice residuals, CRC-protected

@@ -346,6 +346,70 @@ object Multimodal {
       }
   }
 
+  /** Decoded image features for one JPEG payload, reported in the
+    * coding color space (Y/Cb/Cr): lossy RGB conversion rounding
+    * never enters, so the arithmetic oracle stays bit-exact. No
+    * `n_bytes` — compressed size is entropy-coder-dependent. */
+  final case class JpegFeature(
+      doc_id: Long, width: Int, height: Int,
+      mean_y: Double, mean_cb: Double, mean_cr: Double)
+
+  /** Deterministic per-BLOCK pixel law for the JPEG corpus — the
+    * trick that puts a LOSSY codec under an exact SQL oracle: luma is
+    * constant within each 8x8 block and chroma constant within each
+    * 16x16 MCU, so the forward DCT concentrates all energy in the DC
+    * coefficient and quantization (DC step 8) loses nothing. Docs
+    * where `doc_id % 3 == 0` additionally encode with a restart
+    * interval of 2 MCUs, putting RST-marker handling and DC-predictor
+    * resets under the same oracle gate. */
+  object SynthJpeg {
+    def width(docId: Long): Int = (24 + docId % 41).toInt
+    def height(docId: Long): Int = (24 + docId % 37).toInt
+    /** Luma of the 8x8 block at (bx, by). */
+    def lumaBlock(docId: Long, bx: Int, by: Int): Int =
+      ((docId * 7 + bx * 13 + by * 29) % 256).toInt
+    /** Chroma of the 16x16 MCU at (mx, my). */
+    def cbMcu(docId: Long, mx: Int, my: Int): Int =
+      ((docId * 11 + mx * 17 + my * 23) % 256).toInt
+    def crMcu(docId: Long, mx: Int, my: Int): Int =
+      ((docId * 13 + mx * 19 + my * 31) % 256).toInt
+    def restartInterval(docId: Long): Int = if (docId % 3 == 0) 2 else 0
+    def bytes(docId: Long): Array[Byte] =
+      JpegCodec.encode(width(docId), height(docId),
+        (x, y) => (lumaBlock(docId, x / 8, y / 8),
+          cbMcu(docId, x / 16, y / 16), crMcu(docId, x / 16, y / 16)),
+        subsample = true, restartInterval = restartInterval(docId))
+  }
+
+  /** q104's synth → real-JPEG-bytes → decode round trip: the
+    * [[SynthJpeg]] block law rendered through the REAL baseline
+    * encoder (FDCT, Annex-K Huffman, 4:2:0 box subsampling, restart
+    * markers, byte stuffing) and decoded back through the real marker
+    * walker + entropy decoder + IDCT + upsample + crop pipeline. The
+    * law makes the lossy round trip exact (see [[SynthJpeg]]), so a
+    * hash-green gate against the arithmetic oracle proves the
+    * COMPRESSED lossy-image path end to end. */
+  def jpegFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[JpegFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthJpeg.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = JpegCodec.decode(bytes)
+          val n = img.width * img.height
+          def mean(p: Array[Int]): Double = {
+            var s = 0L
+            var i = 0
+            while (i < n) { s += p(i); i += 1 }
+            math.round(s.toDouble / n * 1e6) / 1e6
+          }
+          JpegFeature(id, img.width, img.height,
+            mean(img.y), mean(img.cb), mean(img.cr))
+        }
+      }
+  }
+
   /** Deterministic PCM pattern for the synthesized corpus — shared
     * law between the Spark side (which renders it into REAL WAV bytes
     * and decodes them back) and the SQL oracle (which recomputes the
