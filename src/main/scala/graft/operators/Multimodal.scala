@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * `java.util.zip.Inflater`, all five row filters — oracle-gated by
   * q96 and feeding the q93/q94 image-dedup payloads; and
   * [[FlacCodec]] decodes REAL compressed FLAC — fixed predictors,
-  * Rice bitreading, CRC-8/CRC-16 frames — oracle-gated by q99.
-  * Every LOSSLESS format in scope is now a real codec; only the
-  * LOSSY ones (JPEG/video) stay STUBBED behind [[FakeCodec]], a
-  * clearly-marked deterministic fake with the signature a real
-  * decoder (JNI/FFI or vectorized UDF) would have — lossy decode
-  * output is codec-implementation-defined, so an arithmetic SQL
-  * oracle could not gate it bit-for-bit anyway.
+  * Rice bitreading, CRC-8/CRC-16 frames — oracle-gated by q99; and
+  * [[JpegCodec]] decodes REAL baseline JPEG — Annex-K Huffman,
+  * dequantization, IDCT, 4:2:0 upsampling, restart markers —
+  * oracle-gated by q104 (the corpus law keeps the lossy round trip
+  * exact) and cross-checked against `javax.imageio` on foreign
+  * files. Every image/audio format in scope is now a real codec;
+  * only VIDEO stays STUBBED behind [[FakeCodec]], a clearly-marked
+  * deterministic fake with the signature a real decoder (JNI/FFI or
+  * vectorized UDF) would have — inter-frame video decode needs a
+  * full motion-compensation stack that no pure-JDK facility
+  * provides.
   *
   * Scale notes: media blobs dominate row size, so (a) metadata-only
   * queries must never deserialize the blob — keep meta in separate
@@ -36,8 +40,10 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
       mean_byte: Double, head_hex: String)
 
-  /** STUB decoder — deterministic fake standing in for a real image
-    * decode (??? in production this is the JNI/FFI codec call ???).
+  /** STUB decoder — deterministic fake standing in for a real VIDEO
+    * decode (??? in production this is the JNI/FFI codec call ???);
+    * the image/audio formats all have real codecs now ([[WavCodec]],
+    * [[BmpCodec]], [[PngCodec]], [[FlacCodec]], [[JpegCodec]]).
     * Derives plausible dimensions and a "pixel mean" purely from the
     * bytes so tests are reproducible with zero native deps. */
   object FakeCodec {
@@ -61,9 +67,8 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, sample_rate: Int, n_samples: Int,
       duration_us: Long, rms: Double, peak: Int)
 
-  /** REAL pure-JVM WAV/PCM codec — the one media format this engine
-    * decodes for real (RIFF containers need no codec library; the
-    * compressed formats stay stubbed behind [[FakeCodec]]). `encode`
+  /** REAL pure-JVM WAV/PCM codec — the first rung of the media
+    * ladder (RIFF containers need no codec library). `encode`
     * writes a canonical 44-byte-header mono PCM16 file; `decode` is a
     * strict RIFF chunk WALKER, not a fixed-offset read: it accepts
     * any chunk order, skips unknown chunks (LIST/INFO/fact), honors
