@@ -113,6 +113,7 @@ object SparkEntry {
     "q103_stream_passage_hits" -> (Curation.q103StreamPassageHits _),
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
     "q104_media_jpeg"      -> (Curation.q104MediaJpeg _),
+    "q105_media_video"     -> (Curation.q105MediaVideo _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -893,6 +894,29 @@ object SparkEntry {
         | round(CAST(sum(yv) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_y,
         | round(CAST(sum(cb) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_cb,
         | round(CAST(sum(cr) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_cr
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real VIDEO (Motion-JPEG AVI) decode: every frame is a DC-exact
+    // JPEG under the q104 law with a frame axis mixed in; `motion`
+    // couples CONSECUTIVE frames, so the hash gate proves frame
+    // order/count through the container walk, not just pixel decode
+    "q105_media_video" ->
+      """WITH d AS (SELECT doc_id, 24 + doc_id % 33 AS w, 24 + doc_id % 29 AS h,
+        |   3 + doc_id % 4 AS nf FROM documents),
+        | px AS (SELECT doc_id, w, h, nf,
+        |   (doc_id * 7 + f * 37 + (x // 8) * 13 + (y // 8) * 29) % 256 AS yv,
+        |   CASE WHEN f > 0 THEN abs(
+        |     (doc_id * 7 + f * 37 + (x // 8) * 13 + (y // 8) * 29) % 256
+        |     - (doc_id * 7 + (f - 1) * 37 + (x // 8) * 13 + (y // 8) * 29) % 256)
+        |    ELSE 0 END AS dy
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) AS tf(f)
+        |        CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(nf) AS INT) AS n_frames,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | CAST(10 AS INT) AS fps,
+        | round(CAST(sum(yv) AS DOUBLE) / (max(w) * max(h) * max(nf)), 6) AS mean_y,
+        | round(CAST(sum(dy) AS DOUBLE) / (max(w) * max(h) * (max(nf) - 1)), 6) AS motion
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_media_png" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),

@@ -799,6 +799,17 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real VIDEO decode (q105) — the final media stub replaced: a
+    * Motion-JPEG AVI per doc ([[Multimodal.SynthVideo]]) through the
+    * real RIFF container walker and the real per-frame JPEG decoder.
+    * The `motion` feature (mean |luma delta| between CONSECUTIVE
+    * frames) makes the oracle sensitive to frame order and count,
+    * not just per-frame pixel fidelity. */
+  def q105MediaVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Real COMPRESSED-codec audio decode (q99) — [[q96MediaPng]]'s
     * audio twin: the q90 signal law compressed through the pure-JVM
     * FLAC encoder (fixed predictors, Rice residuals, CRC-protected

@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   * dequantization, IDCT, 4:2:0 upsampling, restart markers —
   * oracle-gated by q104 (the corpus law keeps the lossy round trip
   * exact) and cross-checked against `javax.imageio` on foreign
-  * files. Every image/audio format in scope is now a real codec;
-  * only VIDEO stays STUBBED behind [[FakeCodec]], a clearly-marked
-  * deterministic fake with the signature a real decoder (JNI/FFI or
-  * vectorized UDF) would have — inter-frame video decode needs a
-  * full motion-compensation stack that no pure-JDK facility
-  * provides.
+  * files; and [[AviCodec]] decodes REAL Motion-JPEG AVI video —
+  * RIFF container walk + per-frame JPEG — oracle-gated by q105
+  * whose motion feature couples consecutive frames. Every media
+  * format in the mandate now decodes for real; [[FakeCodec]] remains
+  * only as the generic-plumbing stand-in for q31's schema/batch
+  * tests (the shape a JNI/FFI decoder for formats beyond the mandate
+  * — H.264 and friends — would slot into).
   *
   * Scale notes: media blobs dominate row size, so (a) metadata-only
   * queries must never deserialize the blob — keep meta in separate
@@ -40,12 +41,13 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, width: Int, height: Int,
       mean_byte: Double, head_hex: String)
 
-  /** STUB decoder — deterministic fake standing in for a real VIDEO
-    * decode (??? in production this is the JNI/FFI codec call ???);
-    * the image/audio formats all have real codecs now ([[WavCodec]],
-    * [[BmpCodec]], [[PngCodec]], [[FlacCodec]], [[JpegCodec]]).
-    * Derives plausible dimensions and a "pixel mean" purely from the
-    * bytes so tests are reproducible with zero native deps. */
+  /** STUB decoder — deterministic fake standing in for a decoder of
+    * formats BEYOND the mandate (H.264 etc.; ??? in production this
+    * is the JNI/FFI codec call ???). Every format the mandate names
+    * has a real codec now ([[WavCodec]], [[BmpCodec]], [[PngCodec]],
+    * [[FlacCodec]], [[JpegCodec]], [[AviCodec]]); this fake remains
+    * only to exercise q31's generic schema/partitioning/batch
+    * plumbing with zero native deps. */
   object FakeCodec {
     def decode(docId: Long, bytes: Array[Byte]): MediaFeature = {
       val n = bytes.length
@@ -411,6 +413,84 @@ object Multimodal {
           }
           JpegFeature(id, img.width, img.height,
             mean(img.y), mean(img.cb), mean(img.cr))
+        }
+      }
+  }
+
+  /** Decoded video features for one MJPEG/AVI payload. `mean_y` is
+    * the luma mean over ALL frames; `motion` is the genuinely
+    * temporal quantity — the mean absolute luma delta between
+    * consecutive frames — that only a real multi-frame decode can
+    * produce. */
+  final case class VideoFeature(
+      doc_id: Long, n_frames: Int, width: Int, height: Int, fps: Int,
+      mean_y: Double, motion: Double)
+
+  /** Deterministic per-frame block law for the video corpus — the
+    * [[SynthJpeg]] trick extended with a frame axis: every frame is
+    * a DC-only JPEG (luma constant per 8x8 block, chroma per 16x16
+    * MCU), so each frame round-trips bit-exactly and the SQL oracle
+    * can recompute cross-FRAME quantities (motion) arithmetically.
+    * Frame f of doc d mixes f into every channel law; docs where
+    * `(d + f) % 3 == 0` encode that frame with a restart interval. */
+  object SynthVideo {
+    val Fps = 10
+    def width(docId: Long): Int = (24 + docId % 33).toInt
+    def height(docId: Long): Int = (24 + docId % 29).toInt
+    def nFrames(docId: Long): Int = (3 + docId % 4).toInt
+    def lumaBlock(docId: Long, f: Int, bx: Int, by: Int): Int =
+      ((docId * 7 + f * 37 + bx * 13 + by * 29) % 256).toInt
+    def cbMcu(docId: Long, f: Int, mx: Int, my: Int): Int =
+      ((docId * 11 + f * 41 + mx * 17 + my * 23) % 256).toInt
+    def crMcu(docId: Long, f: Int, mx: Int, my: Int): Int =
+      ((docId * 13 + f * 43 + mx * 19 + my * 31) % 256).toInt
+    def frameBytes(docId: Long, f: Int): Array[Byte] =
+      JpegCodec.encode(width(docId), height(docId),
+        (x, y) => (lumaBlock(docId, f, x / 8, y / 8),
+          cbMcu(docId, f, x / 16, y / 16), crMcu(docId, f, x / 16, y / 16)),
+        subsample = true,
+        restartInterval = if ((docId + f) % 3 == 0) 2 else 0)
+    def bytes(docId: Long): Array[Byte] =
+      AviCodec.encode(width(docId), height(docId), Fps,
+        (0 until nFrames(docId)).map(f => frameBytes(docId, f)))
+  }
+
+  /** q105's synth → real-AVI-bytes → decode round trip: the
+    * [[SynthVideo]] law rendered into a REAL Motion-JPEG AVI
+    * (RIFF/avih/strl/movi/idx1 via [[AviCodec.encode]], every frame
+    * a real baseline JPEG) and decoded back through the container
+    * walker + per-frame JPEG pipeline. The motion feature couples
+    * CONSECUTIVE frames, so a hash-green gate proves frame ORDER and
+    * count, not just per-frame decode. */
+  def videoFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[VideoFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthVideo.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = AviCodec.decode(bytes)
+          val n = v.width * v.height
+          var sumY = 0L
+          var sumDelta = 0L
+          var f = 0
+          while (f < v.frames.length) {
+            val cur = v.frames(f).y
+            val prev = if (f > 0) v.frames(f - 1).y else null
+            var i = 0
+            while (i < n) {
+              sumY += cur(i)
+              if (prev != null) sumDelta += math.abs(cur(i) - prev(i))
+              i += 1
+            }
+            f += 1
+          }
+          val meanY = sumY.toDouble / (n.toLong * v.frames.length)
+          val motion =
+            if (v.frames.length < 2) 0.0
+            else sumDelta.toDouble / (n.toLong * (v.frames.length - 1))
+          VideoFeature(id, v.frames.length, v.width, v.height, v.fps,
+            math.round(meanY * 1e6) / 1e6, math.round(motion * 1e6) / 1e6)
         }
       }
   }

@@ -242,4 +242,64 @@ class CodecPropertySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a FLAC"))
   }
+
+  test("JPEG: any block-constant image round-trips exactly " +
+    "(both subsampling modes, with and without restarts)") {
+    import graft.operators.JpegCodec
+    val gen = for {
+      w <- Gen.choose(8, 48)
+      h <- Gen.choose(8, 48)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+      sub <- Gen.oneOf(true, false)
+      rst <- Gen.oneOf(0, 1, 2, 3)
+    } yield (w, h, seed, sub, rst)
+    // luma constant per 8x8; chroma constant per MCU (16px when
+    // subsampled, 8px at 4:4:4) — the DC-exactness precondition
+    check("jpeg block-constant round trip",
+      Prop.forAll(gen) { case (w, h, seed, sub, rst) =>
+        val mcu = if (sub) 16 else 8
+        // floorMod: seed*3/seed*5 may overflow Long; channel values
+        // must land in 0..255 regardless (and shrinking may hand us
+        // a negative seed outside the generator's range)
+        def m(v: Long) = java.lang.Math.floorMod(v, 256L).toInt
+        def yv(bx: Int, by: Int) = m(seed + bx * 13L + by * 29L)
+        def cb(mx: Int, my: Int) = m(seed * 3 + mx * 17L + my * 23L)
+        def cr(mx: Int, my: Int) = m(seed * 5 + mx * 19L + my * 31L)
+        val bytes = JpegCodec.encode(w, h,
+          (x, y) => (yv(x / 8, y / 8), cb(x / mcu, y / mcu), cr(x / mcu, y / mcu)),
+          subsample = sub, restartInterval = rst)
+        val img = JpegCodec.decode(bytes)
+        img.width == w && img.height == h &&
+          (0 until h).forall(y => (0 until w).forall { x =>
+            val i = y * w + x
+            img.y(i) == yv(x / 8, y / 8) &&
+              img.cb(i) == cb(x / mcu, y / mcu) &&
+              img.cr(i) == cr(x / mcu, y / mcu)
+          })
+      })
+  }
+
+  test("AVI: any MJPEG frame sequence round-trips count, order, pixels") {
+    import graft.operators.{AviCodec, JpegCodec}
+    val gen = for {
+      w <- Gen.choose(8, 32)
+      h <- Gen.choose(8, 32)
+      n <- Gen.choose(1, 5)
+      seed <- Gen.choose(0L, Long.MaxValue / 2)
+    } yield (w, h, n, seed)
+    check("avi mjpeg round trip", Prop.forAll(gen) { case (w, h, n, seed) =>
+      def yv(f: Int)(bx: Int, by: Int) =
+        java.lang.Math.floorMod(seed + f * 37L + bx * 13L + by * 29L, 256L).toInt
+      val frames = (0 until n).map { f =>
+        JpegCodec.encode(w, h, (x, y) => (yv(f)(x / 8, y / 8), 128, 128))
+      }
+      val v = AviCodec.decode(AviCodec.encode(w, h, 10, frames))
+      v.width == w && v.height == h && v.fps == 10 &&
+        v.frames.length == n &&
+        v.frames.indices.forall { f =>
+          (0 until h).forall(y => (0 until w).forall(x =>
+            v.frames(f).y(y * w + x) == yv(f)(x / 8, y / 8)))
+        }
+    })
+  }
 }
