@@ -224,20 +224,18 @@ object TextDedup {
     * once and deriving lanes from the long keeps the inner loop at
     * 8-byte hashes instead of `numHashes` full string hashes.
     *
-    * Shaped as ONE fold with a `numHashes`-wide accumulator (not
-    * `numHashes` independent `array_min(transform(...))` branches):
-    * lane values are identical (min over xxhash64(h, seed) — the
-    * TextDedupSpec equality test pins them to the batch aggregation),
-    * but the expression TREE is O(1) lambdas instead of O(numHashes)
-    * branches — the branchy shape cost ~15 s of analysis+codegen per
-    * fresh plan, which a streaming consumer pays EVERY micro-batch
-    * (plans re-optimize per batch; measured 6.5 min → ~1 min for the
-    * DocStream equivalence gate). */
+    * Now a NATIVE Catalyst expression
+    * ([[graft.functions.MinHashSignatureExpr]]): the earlier
+    * single-fold HOF shape had already fixed the O(numHashes)
+    * plan-TREE blowup, but its runtime was still interpreted lambda
+    * machinery — two array allocations and three variable bindings
+    * per gram, measured ~20 s per sf0.1 micro-batch on the q102
+    * stream. The native tight loop is value-identical (pinned in
+    * MinHashExprSpec against the HOF formula and in TextDedupSpec
+    * against the batch aggregation) and runs the same workload in
+    * ~0.1 s inside whole-stage codegen. */
   def minhashSignature(gramHashes: Column, numHashes: Int): Column =
-    aggregate(gramHashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, seed) => least(m, xxhash64(h, seed))))
+    graft.functions.MinHashExpressions.minhashSignature(gramHashes, numHashes)
 
   /** LSH band keys: hash of each `rowsPerBand`-element signature
     * slice, band index folded into the key. Single-lambda shape for

@@ -58,22 +58,32 @@ object DocStream {
   }
 
   /** Per-doc enrichment shared by both sides: distinct gram set +
-    * per-row MinHash band keys (all HOF expressions — stateless). */
+    * per-row MinHash band keys (all HOF expressions — stateless).
+    *
+    * Docs with no grams (shorter than n words) get NULL band keys
+    * inside the projection rather than being dropped by a Filter:
+    * an empty gram set would otherwise mint a shared "all-MaxValue"
+    * signature (one common band key for every tiny doc), and a
+    * separate `size(gset) > 0` Filter gets predicate-pushed below
+    * the stream side's fan-out repartition with the whole gram
+    * expression substituted in — re-serializing the per-batch work
+    * this operator carefully parallelizes. A null array explodes to
+    * nothing (non-outer) or a null key (outer, filtered on the
+    * exploded column), so such docs are unreachable through the
+    * band-key join on either side — the same semantics the Filter
+    * enforced, at projection cost only. */
   private def enrich(df: DataFrame, idAs: String, idCol: String,
       textCol: String, n: Int, numHashes: Int, bands: Int): DataFrame =
     df.select(col(idCol).as(idAs),
         array_distinct(TextDedup.shingleArray(col(textCol), n))
           .as(s"${idAs}_gset"))
-      // docs with no grams (shorter than n words) have no index
-      // entries on the batch side either — drop before the null
-      // signature lanes could mint a shared "empty" band key
-      .filter(size(col(s"${idAs}_gset")) > 0)
       .withColumn(s"${idAs}_bks",
-        TextDedup.bandKeys(
-          TextDedup.minhashSignature(
-            transform(col(s"${idAs}_gset"), g => xxhash64(g)),
-            numHashes),
-          bands, numHashes / bands))
+        when(size(col(s"${idAs}_gset")) > 0,
+          TextDedup.bandKeys(
+            TextDedup.minhashSignature(
+              transform(col(s"${idAs}_gset"), g => xxhash64(g)),
+              numHashes),
+            bands, numHashes / bands)))
 
   /** Write the static index as two BUCKETED tables — the layout the
     * nearDupAgainstIndex scaladoc promises: `keysTable` (existing_id,
@@ -107,11 +117,30 @@ object DocStream {
       ex: DataFrame, idCol: String, textCol: String, n: Int = 3,
       numHashes: Int = 128, bands: Int = 32,
       minJaccard: Double = 0.8): DataFrame = {
-    val in = enrich(stream, "incoming_id", idCol, textCol,
+    // Fan the batch out BEFORE the expensive per-row enrichment: a
+    // micro-batch's partition count is whatever the source handed us
+    // (often ONE file ⇒ one task), and the MinHash signature is ~1e5
+    // hash evaluations per doc — without this exchange every batch
+    // serializes on a single core no matter how wide the cluster.
+    // The shuffle moves only the batch's raw (id, text) rows; the
+    // corpus-sized static side still never re-shuffles.
+    val fanned = stream.repartition(col(idCol))
+    // explode_OUTER, not explode: the non-outer Generate makes the
+    // optimizer infer a `size(bks) > 0` filter, and predicate
+    // pushdown drags that filter — with the ENTIRE minhash signature
+    // expression substituted into it — below the repartition, so
+    // every batch recomputed the signatures serially on the
+    // un-fanned scan partition (measured 16 s/batch at sf0.1, ~1 s
+    // after this pair of fixes). bks is never empty when gset is
+    // non-empty, so the outer variant emits the same rows; the
+    // null-filter below is belt-and-braces on the exploded column,
+    // which pushdown cannot re-substitute.
+    val in = enrich(fanned, "incoming_id", idCol, textCol,
         n, numHashes, bands)
       .select(col("incoming_id"), col("incoming_id_gset"),
         col("incoming_id_bks"),
-        explode(col("incoming_id_bks")).as("bk"))
+        explode_outer(col("incoming_id_bks")).as("bk"))
+      .filter(col("bk").isNotNull)
     in.join(exKeys, Seq("bk"))
       .join(ex, Seq("existing_id"))
       .filter(col("incoming_id") =!= col("existing_id"))
