@@ -272,4 +272,47 @@ class DocStreamSpec extends AnyFunSuite {
       assert(got.toSeq == Seq((1L, 10L, 1.0)))
     } finally q.stop()
   }
+
+  test("batch enrichment fans out and the signature stays above it") {
+    // the q102 regression pinned as a plan contract: the incoming
+    // side must (a) repartition before the expensive per-row
+    // signature and (b) never leak the signature into a Filter or
+    // scan predicate BELOW that exchange (the inferred size(bks) > 0
+    // filter used to be pushed under the fan-out with the whole
+    // expression substituted in, re-serializing every micro-batch)
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    import org.apache.spark.sql.functions.{col, explode, md5, substring}
+    val existing = docs.filter(substring(md5(col("text")), 1, 1) < "c")
+    val incoming = docs.filter(substring(md5(col("text")), 1, 1) >= "c")
+    val ex = DocStream.nearDupAgainstIndex(
+      incoming, existing, "doc_id", "text", minJaccard = 0.8)
+    val plan = ex.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(s.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(plan)
+    val offenders = nodes.filter {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("minhash_signature")
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.dataFilters.mkString(",").contains("minhash_signature")
+      case _ => false
+    }
+    assert(offenders.isEmpty,
+      s"signature leaked into a filter/scan predicate:\n" +
+        offenders.map(_.nodeName).mkString("\n"))
+    // and the signature projection itself exists exactly where
+    // intended: above at least one shuffle exchange
+    val hasRepartition = nodes.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.shuffleOrigin.toString.contains("REPARTITION")
+      case _ => false
+    }
+    assert(hasRepartition, "expected the fan-out repartition exchange")
+  }
 }
