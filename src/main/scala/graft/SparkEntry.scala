@@ -114,6 +114,7 @@ object SparkEntry {
     "q98_dedup_simhash_scaled" -> (Curation.q98DedupSimhashScaled _),
     "q104_media_jpeg"      -> (Curation.q104MediaJpeg _),
     "q105_media_video"     -> (Curation.q105MediaVideo _),
+    "q106_media_gif"       -> (Curation.q106MediaGif _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -917,6 +918,21 @@ object SparkEntry {
         | CAST(10 AS INT) AS fps,
         | round(CAST(sum(yv) AS DOUBLE) / (max(w) * max(h) * max(nf)), 6) AS mean_y,
         | round(CAST(sum(dy) AS DOUBLE) / (max(w) * max(h) * (max(nf) - 1)), 6) AS motion
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real GIF/LZW decode: lossless palette-indexed pixels, so the
+    // oracle recomputes the decoded channel means straight from the
+    // per-pixel index law through the fixed color table
+    "q106_media_gif" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 31 AS w, 20 + doc_id % 23 AS h FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |   (doc_id * 3 + x * 5 + y * 11) % 256 AS i
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | round(CAST(sum(i) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+        | round(CAST(sum((i * 7) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+        | round(CAST(sum((i * 13) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_media_png" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),

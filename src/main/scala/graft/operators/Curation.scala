@@ -810,6 +810,16 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real GIF/LZW decode (q106) — the palette-indexed image rung and
+    * the engine's real LZW inverse (variable-width codes, dictionary
+    * resets, KwKwK), ImageIO-pinned EXACT in GifCodecSpec; the
+    * arithmetic oracle recomputes the decoded channel means from the
+    * per-pixel palette law. */
+  def q106MediaGif(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Real COMPRESSED-codec audio decode (q99) — [[q96MediaPng]]'s
     * audio twin: the q90 signal law compressed through the pure-JVM
     * FLAC encoder (fixed predictors, Rice residuals, CRC-protected

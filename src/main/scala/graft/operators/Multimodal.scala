@@ -495,6 +495,53 @@ object Multimodal {
       }
   }
 
+  /** Decoded image features for one GIF payload (palette-indexed →
+    * true RGB via the global color table). */
+  final case class GifFeature(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic per-PIXEL law for the GIF corpus — lossless LZW
+    * needs no DC trick: index (doc*3 + x*5 + y*11) mod 256 through
+    * the fixed [[GifCodec.lawPalette]] (r = i, g = 7i mod 256,
+    * b = 13i mod 256), all exactly recomputable in SQL. */
+  object SynthGif {
+    def width(docId: Long): Int = (20 + docId % 31).toInt
+    def height(docId: Long): Int = (20 + docId % 23).toInt
+    def index(docId: Long, x: Int, y: Int): Int =
+      ((docId * 3 + x * 5 + y * 11) % 256).toInt
+    def bytes(docId: Long): Array[Byte] =
+      GifCodec.encode(width(docId), height(docId), GifCodec.lawPalette,
+        (x, y) => index(docId, x, y))
+  }
+
+  /** q106's synth → real-GIF-bytes → decode round trip: the palette
+    * law through the REAL variable-width LZW encoder (sub-blocks,
+    * early-change widths, dictionary resets) and back through the
+    * strict block walker + LZW inverse + color-table mapping. GIF is
+    * the engine's LZW rung (PNG = deflate, FLAC = Rice, JPEG =
+    * Huffman), ImageIO-pinned EXACT in GifCodecSpec. */
+  def gifFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[GifFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthGif.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = GifCodec.decode(bytes)
+          val n = img.width * img.height
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < n) {
+            sr += img.r(i); sg += img.g(i); sb += img.b(i)
+            i += 1
+          }
+          def m(s: Long) = math.round(s.toDouble / n * 1e6) / 1e6
+          GifFeature(id, img.width, img.height, m(sr), m(sg), m(sb))
+        }
+      }
+  }
+
   /** Deterministic PCM pattern for the synthesized corpus — shared
     * law between the Spark side (which renders it into REAL WAV bytes
     * and decodes them back) and the SQL oracle (which recomputes the
