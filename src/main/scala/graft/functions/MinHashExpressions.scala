@@ -92,10 +92,93 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash — same rationale as
+  * [[MinHashSignatureExpr]]: the per-row HOF form is 64 interpreted
+  * array-aggregates per document. Value-identical to that formula:
+  * bit j is set iff the count of grams with bit j set strictly
+  * exceeds half (Σ of ±1 > 0 ⇔ 2·cnt > n); a null gram hash
+  * contributes −1 to every bit-sum — the HOF's `when` condition is
+  * null for a null element, so its `otherwise(-1)` branch fires —
+  * which is "counted in the total, set in no bit". */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> gram hashes, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var total = 0
+    var g = 0
+    while (g < n) {
+      if (!arr.isNullAt(g)) {
+        val h = arr.getLong(g)
+        var j = 0
+        while (j < 64) {
+          cnt(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+      }
+      total += 1 // null grams count toward the total, set no bit
+      g += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (2 * cnt(j) > total) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt")
+      val total = ctx.freshName("total")
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[64];
+         |int $total = 0;
+         |for (int $g = 0; $g < $n; $g++) {
+         |  if (!$a.isNullAt($g)) {
+         |    long $h = $a.getLong($g);
+         |    for (int $j = 0; $j < 64; $j++) $cnt[$j] += (int) (($h >>> $j) & 1L);
+         |  }
+         |  $total++;
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if (2 * $cnt[$j] > $total) $out |= 1L << $j;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashExpressions {
   /** Column wrapper: MinHash signature of an ARRAY<BIGINT> of gram
     * hashes, value-identical to the HOF formulation it replaces. */
   def minhashSignature(gramHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSignatureExpr(ColumnBridge.expression(gramHashes), numHashes))
+
+  /** Column wrapper: 64-bit SimHash of an ARRAY<BIGINT> of gram
+    * hashes, value-identical to the HOF formulation it replaces. */
+  def simhash64(gramHashes: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(gramHashes)))
 }

@@ -480,17 +480,14 @@ object TextDedup {
         col("jaccard"))
   }
 
-  /** 64-bit SimHash from PRE-HASHED shingles — one aggregate
-    * expression per bit over the long array, fully per-row: bit j is
-    * the sign of Σ_grams (±1 by bit j of the gram hash). */
+  /** 64-bit SimHash from PRE-HASHED shingles, fully per-row: bit j is
+    * the sign of Σ_grams (±1 by bit j of the gram hash). Native
+    * codegen expression ([[graft.functions.SimHash64Expr]]) — the
+    * 64-aggregate HOF form it replaces was interpreted lambda
+    * machinery, the same pathology [[minhashSignature]] had; values
+    * are pinned identical in MinHashExprSpec and TextDedupSpec. */
   def simhash64(gramHashes: Column): Column =
-    (0 until 64).map { j =>
-      when(aggregate(gramHashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.MinHashExpressions.simhash64(gramHashes)
 
   /** SimHash near-dup pairs: `numChunks`-way chunk banding finds every
     * pair with Hamming ≤ numChunks − 1 EXACTLY (pigeonhole), then

@@ -48,6 +48,29 @@ class MinHashExprSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native simhash64 equals the HOF formula on random gram sets") {
+    import spark.implicits._
+    def hofSimhash(c: org.apache.spark.sql.Column) =
+      (0 until 64).map { j =>
+        when(aggregate(c, lit(0L),
+          (acc, h) => acc +
+            when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(60))(rng.nextLong()))
+    } :+ (998L, Seq.empty[Long])
+    val df = rows.toDF("id", "hs")
+    val bad = df.select(col("id"),
+        MinHashExpressions.simhash64(col("hs")).as("native"),
+        hofSimhash(col("hs")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0, s"native simhash != HOF for $bad rows")
+  }
+
   test("type check rejects non-long arrays") {
     import spark.implicits._
     val df = Seq((1, Seq("a", "b"))).toDF("id", "ss")
