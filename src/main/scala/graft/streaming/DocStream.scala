@@ -188,9 +188,17 @@ object DocStream {
     * (bucketed on `d`, it is never re-shuffled). */
   def passageHitsAgainstIndex(stream: DataFrame, index: DataFrame,
       idCol: String, textCol: String, passageLen: Int = 10): DataFrame =
-    stream.select(col(idCol).as("incoming_id"),
-        posexplode(TextDedup.passageDigestArray(col(textCol), passageLen))
+    // same fan-out + OUTER-generate discipline as
+    // [[nearDupAgainstIndexTables]]: repartition before the per-row
+    // digest expression so a one-file micro-batch doesn't serialize,
+    // and posexplode_OUTER so no inferred size-filter drags that
+    // expression below the exchange (nulls filtered on the exploded
+    // column, which pushdown cannot re-substitute)
+    stream.repartition(col(idCol))
+      .select(col(idCol).as("incoming_id"),
+        posexplode_outer(TextDedup.passageDigestArray(col(textCol), passageLen))
           .as(Seq("slot", "d")))
+      .filter(col("d").isNotNull)
       .join(index, Seq("d"))
       .select(col("incoming_id"), col("slot").cast("int").as("slot"),
         col("d").as("digest"), col("corpus_df"))
