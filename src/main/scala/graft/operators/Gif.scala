@@ -6,11 +6,11 @@ package graft.operators
   * variable-width LZW is the remaining compression family real
   * corpora carry). Everything here is public-spec GIF89a.
   *
-  * Scope: single-image GIFs, 8-bit global color table, no interlace,
-  * no transparency — extensions (0x21 blocks) are SKIPPED per spec,
-  * and unsupported structure (local color tables, interlace,
-  * truncation, LZW code overflow) fails loudly rather than
-  * mis-decoding.
+  * Scope: single-image GIFs, 8-bit global color table, interlaced
+  * (4-pass row re-sequencing) or progressive-free, no transparency —
+  * extensions (0x21 blocks) are SKIPPED per spec, and unsupported
+  * structure (local color tables, truncation, LZW code overflow)
+  * fails loudly rather than mis-decoding.
   *
   * `encode` writes header + logical screen descriptor + 256-entry
   * global color table + image descriptor + variable-width LZW
@@ -187,7 +187,7 @@ object GifCodec {
           val h = u16(pos + 7)
           val flags = u8(pos + 9)
           require((flags & 0x80) == 0, "gif: local color tables unsupported")
-          require((flags & 0x40) == 0, "gif: interlace unsupported")
+          val interlaced = (flags & 0x40) != 0
           require(w > 0 && h > 0, s"gif: bad image dims $w x $h")
           pos += 10
           val minCodeSize = u8(pos); pos += 1
@@ -202,7 +202,21 @@ object GifCodec {
             pos += 1 + len
           }
           pos += 1
-          val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+          val raw = lzwDecode(data.toByteArray, minCodeSize, w * h)
+          // interlaced streams carry rows in 4 passes (offsets
+          // 0/4/2/1, steps 8/8/4/2) — re-sequence to raster order
+          val indices =
+            if (!interlaced) raw
+            else {
+              val seq = new Array[Int](w * h)
+              var src = 0
+              for ((off, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- off until h by step) {
+                System.arraycopy(raw, src, seq, y * w, w)
+                src += w
+              }
+              seq
+            }
           val rgb = new Array[Int](w * h)
           var i = 0
           while (i < rgb.length) {

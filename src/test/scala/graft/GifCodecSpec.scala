@@ -102,6 +102,40 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("our decoder re-sequences ImageIO INTERLACED files identically") {
+    val (w, h) = (33, 29)
+    def f(x: Int, y: Int) = lawIndex(13L)(x, y)
+    val r = new Array[Byte](256); val g = new Array[Byte](256)
+    val b = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = ((palette(i) >> 16) & 0xFF).toByte
+      g(i) = ((palette(i) >> 8) & 0xFF).toByte
+      b(i) = (palette(i) & 0xFF).toByte
+    }
+    val icm = new IndexColorModel(8, 256, r, g, b)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, f(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    // confirm the file really is interlaced (flag bit in the image
+    // descriptor), else this test silently stops covering the path
+    val bytes = out.toByteArray
+    var p = 13 + 768
+    while ((bytes(p) & 0xFF) != 0x2C) p += 1
+    assert((bytes(p + 9) & 0x40) != 0, "ImageIO did not interlace")
+    val ours = GifCodec.decode(bytes)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ours.rgb(y * w + x) == palette(f(x, y)),
+        s"interlaced pixel mismatch at ($x,$y)")
+  }
+
   test("corruption fails loudly") {
     val good = GifCodec.encode(30, 20, palette, lawIndex(3L))
     intercept[IllegalArgumentException](

@@ -157,6 +157,36 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(worst <= 2)
   }
 
+  test("16-bit (Pq=1) quantization tables decode identically") {
+    // splice the same DQT values re-encoded as 16-bit words — the
+    // spec's other precision branch, which no encoder here emits
+    val bytes = SynthJpeg.bytes(7L)
+    def u8(p: Int) = bytes(p) & 0xFF
+    var p = 2
+    while (!(u8(p) == 0xFF && u8(p + 1) == 0xDB)) p += 1
+    val len = (u8(p + 2) << 8) | u8(p + 3)
+    val body = bytes.slice(p + 4, p + 2 + len)
+    val wide = new java.io.ByteArrayOutputStream()
+    var q = 0
+    while (q < body.length) {
+      val pqtq = body(q) & 0xFF
+      assert((pqtq >> 4) == 0, "fixture DQT already 16-bit?")
+      wide.write(0x10 | (pqtq & 0xF)) // Pq=1, same Tq
+      for (i <- 0 until 64) { wide.write(0); wide.write(body(q + 1 + i)) }
+      q += 65
+    }
+    val wb = wide.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, p + 2)
+    out.write(((wb.length + 2) >> 8) & 0xFF); out.write((wb.length + 2) & 0xFF)
+    out.write(wb, 0, wb.length)
+    out.write(bytes, p + 2 + len, bytes.length - (p + 2 + len))
+    val a = JpegCodec.decode(bytes)
+    val b = JpegCodec.decode(out.toByteArray)
+    assert(a.y.sameElements(b.y) && a.cb.sameElements(b.cb) &&
+      a.cr.sameElements(b.cr), "16-bit DQT decode diverged")
+  }
+
   // ---- 3. loud failures -------------------------------------------
 
   test("truncated entropy data fails loudly") {
