@@ -115,6 +115,7 @@ object SparkEntry {
     "q104_media_jpeg"      -> (Curation.q104MediaJpeg _),
     "q105_media_video"     -> (Curation.q105MediaVideo _),
     "q106_media_gif"       -> (Curation.q106MediaGif _),
+    "q107_compressed_ingest" -> (Curation.q107CompressedIngest _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -851,6 +852,15 @@ object SparkEntry {
     // gzip text ingest: the oracle recomputes chars/tokens/md5 from
     // the PLAIN text — the Spark side only matches if its gzip
     // round trip reproduced every byte
+    // zstd/lz4 corpus ingest: md5 of the decompressed bytes proves
+    // the round trip for both codec families
+    "q107_compressed_ingest" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'zstd' ELSE 'lz4' END AS codec,
+        | CAST(len(text) AS INT) AS n_chars,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | md5(text) AS text_md5
+        |FROM documents ORDER BY 1""".stripMargin,
     "q100_gzip_ingest" ->
       """SELECT doc_id,
         | CAST(len(text) AS INT) AS n_chars,

@@ -820,6 +820,15 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Modern compressed-text ingest (q107) — zstd + LZ4 frames, the
+    * codecs at-scale corpora actually use; see
+    * [[Multimodal.compressedTextFeatures]]. */
+  def q107CompressedIngest(s: SparkSession, dir: String): DataFrame =
+    Multimodal.compressedTextFeatures(s, Tables.documents(s, dir),
+        "doc_id", "text")
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Real COMPRESSED-codec audio decode (q99) — [[q96MediaPng]]'s
     * audio twin: the q90 signal law compressed through the pure-JVM
     * FLAC encoder (fixed predictors, Rice residuals, CRC-protected

@@ -939,6 +939,66 @@ object Multimodal {
       }
   }
 
+  /** One decoded row of the zstd/lz4 corpus path. */
+  final case class CompressedTextFeature(
+      doc_id: Long, codec: String, n_chars: Int, n_tokens: Int,
+      text_md5: String)
+
+  /** q107: the MODERN compressed-text ingest path — zstd and LZ4
+    * frames, the two codecs large-scale corpora actually ship in
+    * (gzip is q100's legacy rung). Even docs compress through
+    * zstd-jni's frame API, odd docs through lz4-java's frame stream —
+    * both are public OSS libraries already on Spark's own classpath
+    * (parquet/shuffle codecs), so the engine adds no dependency. The
+    * oracle recomputes chars/tokens/md5 from plain text: the md5 only
+    * matches if every decompressed byte does, for BOTH codecs. Decode
+    * batches per partition (codec contexts amortize) and the text
+    * never shuffles — only the fixed-width feature row. */
+  def compressedTextFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String): Dataset[CompressedTextFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val bytes =
+          if (id % 2 == 0) com.github.luben.zstd.Zstd.compress(raw)
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+            out.write(raw); out.close()
+            bos.toByteArray
+          }
+        (id, if (id % 2 == 0) "zstd" else "lz4", bytes)
+      }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, codec, bytes) =>
+          val raw =
+            if (codec == "zstd") {
+              val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+              require(n >= 0 && n < Int.MaxValue, s"zstd frame size $n")
+              com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+            } else {
+              val in = new net.jpountz.lz4.LZ4FrameInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var k = in.read(buf)
+              while (k > 0) { out.write(buf, 0, k); k = in.read(buf) }
+              in.close()
+              out.toByteArray
+            }
+          val text = new String(raw, "UTF-8")
+          md.reset()
+          CompressedTextFeature(id, codec,
+            text.codePointCount(0, text.length),
+            text.split(" ", -1).length,
+            md.digest(raw).map(b => f"${b & 0xFF}%02x").mkString)
+        }
+      }
+  }
+
   /** Attach a binary media column (here synthesized from text — in a
     * real pipeline this is the stored blob) plus pruning-friendly
     * top-level metadata columns. */

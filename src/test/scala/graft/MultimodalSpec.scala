@@ -337,4 +337,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.rms == expRms)
     }
   }
+
+  test("zstd and lz4 text frames round-trip unicode exactly") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, "zstd doc with unicode: ñ, 漢字, emoji 😀 and spaces"),
+      (1L, "lz4 doc — em-dash and tabs\tok plus trailing space "),
+      (2L, ""), (3L, "x"))
+    val docs = cases.toDF("doc_id", "text")
+    val got = Multimodal.compressedTextFeatures(spark, docs, "doc_id", "text")
+      .collect().map(f => f.doc_id -> f).toMap
+    for ((id, text) <- cases) {
+      val f = got(id)
+      assert(f.codec == (if (id % 2 == 0) "zstd" else "lz4"), s"codec doc $id")
+      assert(f.n_chars == text.codePointCount(0, text.length), s"chars doc $id")
+      assert(f.n_tokens == text.split(" ", -1).length, s"tokens doc $id")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val exp = md.digest(text.getBytes("UTF-8"))
+        .map(b => "%02x".format(b & 0xFF)).mkString
+      assert(f.text_md5 == exp, s"md5 doc $id — a decompressed byte differs")
+    }
+  }
 }
