@@ -339,4 +339,29 @@ class ScaleContractSpec extends AnyFunSuite {
       s"IVF candidate fraction did not shrink: 1x $f1 -> ${Mult}x $fM")
     assert(f1 < 0.5, s"IVF 1x fraction not sub-brute-force: $f1")
   }
+
+  test("ingest probe volume is corpus-size independent for disjoint data") {
+    // the D6/D7 operating claim behind per-cycle cost ∝ batch: a
+    // batch whose content overlaps only ITS shard of the corpus
+    // produces the same band-key candidate volume whether the index
+    // holds 1× or m× total data — replicas share no shingles, so the
+    // m× index adds rows to the key table but none that collide with
+    // replica-0 content. If banding ever minted cross-replica
+    // collisions (the shared-empty-key bug class), this count would
+    // jump ~m×.
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val batch = docs1.filter(substring(md5(col("text")), 1, 1) >= "c")
+    def candidates(corpus: org.apache.spark.sql.DataFrame): Long = {
+      val existing = corpus.filter(substring(md5(col("text")), 1, 1) < "c")
+      val pairs = graft.streaming.DocStream.nearDupAgainstIndex(
+        batch, existing, "doc_id", "text", minJaccard = 0.0)
+      pairs.count() // τ=0 keeps every banding candidate visible
+    }
+    val c1 = candidates(docs1)
+    val cM = candidates(docsM)
+    assert(c1 > 0, "fixture produced no cross-side candidates")
+    assert(cM == c1,
+      s"probe volume grew with corpus size: 1x $c1 -> ${Mult}x $cM — " +
+        "the ingest path is no longer corpus-size independent")
+  }
 }
