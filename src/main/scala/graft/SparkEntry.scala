@@ -116,6 +116,8 @@ object SparkEntry {
     "q105_media_video"     -> (Curation.q105MediaVideo _),
     "q106_media_gif"       -> (Curation.q106MediaGif _),
     "q107_compressed_ingest" -> (Curation.q107CompressedIngest _),
+    "q108_media_resize"    -> (Curation.q108MediaResize _),
+    "q109_frame_sample"    -> (Curation.q109FrameSample _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -852,6 +854,44 @@ object SparkEntry {
     // gzip text ingest: the oracle recomputes chars/tokens/md5 from
     // the PLAIN text — the Spark side only matches if its gzip
     // round trip reproduced every byte
+    // real frame sampling: luma mean over frames 0, 2, 4, ... only —
+    // an off-by-one or all-frames fallback shifts the mean
+    "q109_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 24 + doc_id % 33 AS w, 24 + doc_id % 29 AS h,
+        |   3 + doc_id % 4 AS nf FROM documents),
+        | px AS (SELECT doc_id, w, h, nf, f,
+        |   (doc_id * 7 + f * 37 + (x // 8) * 13 + (y // 8) * 29) % 256 AS yv
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf, 2)) AS tf(f)
+        |        CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        | CAST(max(nf) AS INT) AS n_frames,
+        | CAST(count(DISTINCT f) AS INT) AS n_sampled,
+        | round(CAST(sum(yv) AS DOUBLE) / (max(w) * max(h) * count(DISTINCT f)), 6) AS mean_y
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // real pixel resample: per-output-pixel box means (integer sums,
+    // round-half-away — both engines agree on positives) over the
+    // q96 pixel law, then channel means of the RESIZED image
+    "q108_media_resize" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
+        | o AS (SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM d),
+        | box AS (SELECT doc_id, w, h, ow, oh, i, j,
+        |   CAST(round(CAST(sum((doc_id * 7 + x * 3 + y * 5) % 256) AS DOUBLE) / count(*), 0) AS BIGINT) AS r,
+        |   CAST(round(CAST(sum((doc_id * 7 + x * 3 + y * 5 + 11) % 256) AS DOUBLE) / count(*), 0) AS BIGINT) AS g,
+        |   CAST(round(CAST(sum((doc_id * 7 + x * 3 + y * 5 + 22) % 256) AS DOUBLE) / count(*), 0) AS BIGINT) AS b
+        |  FROM o
+        |  CROSS JOIN LATERAL unnest(range(0, ow)) AS ti(i)
+        |  CROSS JOIN LATERAL unnest(range(0, oh)) AS tj(j)
+        |  CROSS JOIN LATERAL unnest(range(2 * i, least(2 * i + 2, w))) AS tx(x)
+        |  CROSS JOIN LATERAL unnest(range(2 * j, least(2 * j + 2, h))) AS ty(y)
+        |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        |SELECT doc_id,
+        | CAST(max(w) AS INT) AS in_w, CAST(max(h) AS INT) AS in_h,
+        | CAST(max(ow) AS INT) AS out_w, CAST(max(oh) AS INT) AS out_h,
+        | round(CAST(sum(r) AS DOUBLE) / (max(ow) * max(oh)), 6) AS mean_r,
+        | round(CAST(sum(g) AS DOUBLE) / (max(ow) * max(oh)), 6) AS mean_g,
+        | round(CAST(sum(b) AS DOUBLE) / (max(ow) * max(oh)), 6) AS mean_b
+        |FROM box GROUP BY 1 ORDER BY 1""".stripMargin,
     // zstd/lz4 corpus ingest: md5 of the decompressed bytes proves
     // the round trip for both codec families
     "q107_compressed_ingest" ->

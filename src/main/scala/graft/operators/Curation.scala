@@ -820,6 +820,25 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Real pixel RESAMPLE over the real PNG corpus (q108): decode →
+    * box-filtered half-scale downsample → features, so the mandated
+    * multimodal "resize" step operates on actual pixels (the q31
+    * dimension algebra is the metadata-level companion). See
+    * [[Multimodal.resizeHalfBox]]. */
+  def q108MediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeFeatures(s, Tables.documents(s, dir), "doc_id")
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** Real frame sampling over decoded video (q109) — every 2nd frame
+    * of the q105 MJPEG corpus; see
+    * [[Multimodal.frameSampleFeatures]]. */
+  def q109FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSampleFeatures(s, Tables.documents(s, dir),
+        "doc_id", stride = 2)
+      .toDF()
+      .orderBy(col("doc_id"))
+
   /** Modern compressed-text ingest (q107) — zstd + LZ4 frames, the
     * codecs at-scale corpora actually use; see
     * [[Multimodal.compressedTextFeatures]]. */

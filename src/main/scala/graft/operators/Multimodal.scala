@@ -999,6 +999,119 @@ object Multimodal {
       }
   }
 
+  /** One resized-image row: input dims, output dims, channel means
+    * AFTER the resample. */
+  final case class ResizeFeature(
+      doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pixel resample — box-filtered half-scale downsample over a
+    * decoded RGB plane set: output pixel (i, j) is the rounded mean
+    * of the 2×2 (edge: 1×2 / 2×1 / 1×1) input box it covers. This is
+    * the codec-level resample that [[resizeDims]]' dimension algebra
+    * plugs into; integer box sums keep it exactly recomputable by
+    * the SQL oracle (q108), unlike fractional-weight bilinear. */
+  def resizeHalfBox(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    def out(i: Int, j: Int): (Int, Int, Int) = {
+      var sr = 0; var sg = 0; var sb = 0; var cnt = 0
+      var y = 2 * j
+      while (y <= math.min(2 * j + 1, h - 1)) {
+        var x = 2 * i
+        while (x <= math.min(2 * i + 1, w - 1)) {
+          val (r, g, b) = px(x, y)
+          sr += r; sg += g; sb += b; cnt += 1
+          x += 1
+        }
+        y += 1
+      }
+      (math.round(sr.toDouble / cnt).toInt,
+        math.round(sg.toDouble / cnt).toInt,
+        math.round(sb.toDouble / cnt).toInt)
+    }
+    (ow, oh, out)
+  }
+
+  /** q108: decode the REAL PNG corpus (the q96 payloads), run the
+    * real box resample, report resized-image channel means — decode →
+    * RESAMPLE → feature, the full multimodal column pipeline with
+    * actual pixels at every step. */
+  def resizeFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[ResizeFeature] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        (id, PngCodec.encode(SynthBmp.width(id), SynthBmp.height(id),
+          (x, y) => (SynthBmp.channel(id, x, y, 0),
+            SynthBmp.channel(id, x, y, 1), SynthBmp.channel(id, x, y, 2))))
+      }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, packed) = PngCodec.decodePixels(id, bytes)
+          def px(x: Int, y: Int): (Int, Int, Int) = {
+            val p = packed(y * w + x)
+            ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          }
+          val (ow, oh, out) = resizeHalfBox(w, h, px)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < oh) {
+            var i = 0
+            while (i < ow) {
+              val (r, g, b) = out(i, j)
+              sr += r; sg += g; sb += b
+              i += 1
+            }
+            j += 1
+          }
+          val n = ow * oh
+          def m(s: Long) = math.round(s.toDouble / n * 1e6) / 1e6
+          ResizeFeature(id, w, h, ow, oh, m(sr), m(sg), m(sb))
+        }
+      }
+  }
+
+  /** One frame-sampled video row: which frames a stride-2 sample
+    * keeps and the luma mean over ONLY those frames. */
+  final case class FrameSampleFeature(
+      doc_id: Long, n_frames: Int, n_sampled: Int, mean_y: Double)
+
+  /** q109: REAL frame sampling — decode the MJPEG/AVI corpus and keep
+    * every `stride`-th frame (the training-data video practice:
+    * decode once, featurize a temporal subsample). The oracle
+    * recomputes the sampled-frame luma mean from the law, so a
+    * hash-green gate proves the sampler keeps exactly frames
+    * 0, stride, 2·stride … — an off-by-one or an all-frames fallback
+    * shifts the mean. [[frameSample]] remains the byte-level window
+    * shape for opaque payloads; this is its decoded-pixel twin. */
+  def frameSampleFeatures(spark: SparkSession, docs: DataFrame,
+      idCol: String, stride: Int = 2): Dataset[FrameSampleFeature] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, SynthVideo.bytes(id)))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = AviCodec.decode(bytes)
+          val n = v.width * v.height
+          var sumY = 0L
+          var kept = 0
+          var f = 0
+          while (f < v.frames.length) {
+            val y = v.frames(f).y
+            var i = 0
+            while (i < n) { sumY += y(i); i += 1 }
+            kept += 1
+            f += stride
+          }
+          FrameSampleFeature(id, v.frames.length, kept,
+            math.round(sumY.toDouble / (n.toLong * kept) * 1e6) / 1e6)
+        }
+      }
+  }
+
   /** Attach a binary media column (here synthesized from text — in a
     * real pipeline this is the stored blob) plus pruning-friendly
     * top-level metadata columns. */
