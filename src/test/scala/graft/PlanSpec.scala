@@ -466,4 +466,25 @@ class PlanSpec extends AnyFunSuite {
       .findAllMatchIn(finalPlan).size
     assert(exchanges == 1, s"expected 1 key exchange, got $exchanges in:\n$plan")
   }
+
+  test("media decode family: decode runs in-pipeline, only the final " +
+    "sort exchanges") {
+    // q104 (JPEG) and q109 (video frame sampling) stand for the whole
+    // encode→mapPartitions-decode→feature family: per-row media work
+    // must stay inside the scan pipeline — the ONLY exchange a decode
+    // query may carry is the orderBy's range partitioning; a hash
+    // exchange would mean pixels or payload bytes started shuffling
+    for (q <- Seq(
+        graft.operators.Curation.q104MediaJpeg(spark, sf),
+        graft.operators.Curation.q109FrameSample(spark, sf))) {
+      val plan = executedPlan(q)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllMatchIn(finalPlan).isEmpty,
+        s"media decode shuffled by hash:\n$plan")
+      assert("Exchange rangepartitioning".r.findAllMatchIn(finalPlan).size <= 1,
+        s"more than the sort exchange:\n$plan")
+      assert(plan.contains("MapPartitions"),
+        s"decode not batched per partition:\n$plan")
+    }
+  }
 }
