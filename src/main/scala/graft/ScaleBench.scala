@@ -47,7 +47,12 @@ object ScaleBench {
     // manifest (16-way window sort), bigram surprisal (gram-table
     // word-count + join)
     "q84_passage_dedup", "q85_containment", "q86_shard_manifest",
-    "q87_bigram_surprisal")
+    "q87_bigram_surprisal",
+    // round-12 additions: one media-decode representative (JPEG — the
+    // per-row encode→decode shape all of q90–q109 share) and the
+    // compressed-text ingest; both must scale ~linearly, being
+    // shuffle-free per-row pipelines
+    "q104_media_jpeg", "q107_compressed_ingest")
 
   private def timeQuery(spark: SparkSession, dir: String, reps: Int,
       fn: (SparkSession, String) => DataFrame): Double = {

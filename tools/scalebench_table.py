@@ -22,6 +22,8 @@ LABELS = {
     "q85_containment": "q85 containment pairs",
     "q86_shard_manifest": "q86 shard manifest",
     "q87_bigram_surprisal": "q87 bigram surprisal",
+    "q104_media_jpeg": "q104 JPEG decode (media family rep)",
+    "q107_compressed_ingest": "q107 zstd/LZ4 ingest",
 }
 
 COUNTER_LABELS = {
