@@ -226,6 +226,14 @@ object DocStream {
       textCol: String, langCol: String, windowDur: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     import graft.operators.TextAnalysis
+    // NO pre-scoring fan-out here, deliberately: unlike the minhash
+    // ingest path (~17 s/batch of per-row work, which must
+    // repartition), quality + langId cost ~0.2 s per sf0.1 batch and
+    // the windowed agg's map-side partials already run on the arrival
+    // partitions — an explicit repartition of the raw text measured
+    // ~10% SLOWER (4.3 → 4.8 s). If per-row scoring ever grows past
+    // the shuffle cost of the batch's text, add the
+    // nearDupAgainstIndexTables fan-out discipline back.
     docs
       .select(col(tsCol).as("ts"), col(sourceCol).as("source"),
         col(langCol).as("tagged_lang"),
