@@ -118,6 +118,7 @@ object SparkEntry {
     "q107_compressed_ingest" -> (Curation.q107CompressedIngest _),
     "q108_media_resize"    -> (Curation.q108MediaResize _),
     "q109_frame_sample"    -> (Curation.q109FrameSample _),
+    "q110_url_dedup"       -> (Curation.q110UrlDedup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -854,6 +855,18 @@ object SparkEntry {
     // gzip text ingest: the oracle recomputes chars/tokens/md5 from
     // the PLAIN text — the Spark side only matches if its gzip
     // round trip reproduced every byte
+    // URL dedup: the canonical form in closed form — scheme by
+    // parity, host/path/params straight off the id laws; group sizes
+    // shift if ANY normalization rule (case, www, ports, utm,
+    // param sort, trailing slash, fragment) misfires
+    "q110_url_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://example' ||
+        |  (doc_id % 3) || '.com/Path/' || (doc_id % 5) || '/item?a=' || (doc_id % 2) ||
+        |  '&b=' || (doc_id % 3) AS url_canonical FROM documents)
+        |SELECT url_canonical, count(*) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // real frame sampling: luma mean over frames 0, 2, 4, ... only —
     // an off-by-one or all-frames fallback shifts the mean
     "q109_frame_sample" ->

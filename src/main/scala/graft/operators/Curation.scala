@@ -839,6 +839,18 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** URL canonicalization + dedup (q110) — the crawl-curation step
+    * before content dedup; see [[Urls]]. The corpus synthesizes
+    * messy URLs from the doc_id law (case noise, www, default ports,
+    * utm params, param order, fragments) and the oracle writes the
+    * canonical form down in closed form. */
+  def q110UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), Urls.synthUrl(col("doc_id")).as("url"))
+    Urls.dupGroups(docs, "doc_id", "url")
+      .orderBy(col("url_canonical"))
+  }
+
   /** Modern compressed-text ingest (q107) — zstd + LZ4 frames, the
     * codecs at-scale corpora actually use; see
     * [[Multimodal.compressedTextFeatures]]. */
