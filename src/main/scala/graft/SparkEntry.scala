@@ -671,7 +671,7 @@ object SparkEntry {
         |  FROM vocab CROSS JOIN tot)
         |SELECT doc_id, CAST(max(tgt) AS INT) AS in_target,
         | CAST(count(*) AS INT) AS n_tokens,
-        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS avg_log_ratio
+        | round(CAST(sum(s) AS DOUBLE) / count(*), 6) + 0 AS avg_log_ratio
         |FROM tok JOIN term USING (t) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_semantic_dedup" -> semanticDedupSql,
     // two-level distinct (vocab partials then rollup) mirrored exactly;

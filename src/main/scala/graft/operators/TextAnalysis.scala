@@ -322,7 +322,13 @@ object TextAnalysis {
         count(lit(1)).cast("int").as("n_tokens"),
         sum(col("s")).as("lw"))
       .select(col("id").as(idCol), col("in_target"), col("n_tokens"),
-        round(col("lw").cast("double") / col("n_tokens"), 6)
+        // + 0.0 normalizes IEEE negative zero: the two engines' log2
+        // differ in the last ulp, so a ~zero ratio sum can land at
+        // -1e-18 on one side and exactly 0 on the other — round()
+        // then renders -0.0 vs 0.0 and the hash gate splits on the
+        // SIGN of nothing (first seen at sf0.1; the oracle adds the
+        // same + 0)
+        (round(col("lw").cast("double") / col("n_tokens"), 6) + lit(0.0))
           .as("avg_log_ratio"))
   }
 
