@@ -119,6 +119,7 @@ object SparkEntry {
     "q108_media_resize"    -> (Curation.q108MediaResize _),
     "q109_frame_sample"    -> (Curation.q109FrameSample _),
     "q110_url_dedup"       -> (Curation.q110UrlDedup _),
+    "q111_html_extract"    -> (Curation.q111HtmlExtract _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -855,6 +856,14 @@ object SparkEntry {
     // gzip text ingest: the oracle recomputes chars/tokens/md5 from
     // the PLAIN text — the Spark side only matches if its gzip
     // round trip reproduced every byte
+    // HTML extraction: the law makes the extracted text a closed
+    // form, so the md5 only matches if markup stripping, block
+    // removal, entity decode and whitespace collapse ALL land
+    "q111_html_extract" ->
+      """SELECT doc_id,
+        | CAST(len('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS INT) AS n_chars,
+        | md5('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS text_md5
+        |FROM documents ORDER BY 1""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

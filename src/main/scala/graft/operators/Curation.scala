@@ -839,6 +839,22 @@ object Curation {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** HTML → text extraction (q111) — step zero of web curation; see
+    * [[Html]]. The law wraps each doc in a full noisy document and
+    * extraction must recover "T{id} Doc {id} " + text EXACTLY — the
+    * oracle checks the md5, so one leaked tag fragment or missed
+    * entity fails the hash. */
+  def q111HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+        Html.extractText(Html.synthHtml(col("doc_id"), col("text")))
+          .as("extracted"))
+      .select(col("doc_id"),
+        length(col("extracted")).cast("int").as("n_chars"),
+        md5(col("extracted")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization + dedup (q110) — the crawl-curation step
     * before content dedup; see [[Urls]]. The corpus synthesizes
     * messy URLs from the doc_id law (case noise, www, default ports,
