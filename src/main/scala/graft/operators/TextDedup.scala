@@ -304,12 +304,18 @@ object TextDedup {
       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
-    val laneAggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
-    val sigs = gh.groupBy(col("id"))
-      .agg(laneAggs.head, laneAggs.tail: _*)
+    // collect the (tiny: 8 bytes/gram) hash list per doc and run the
+    // NATIVE signature once, instead of `numHashes` separate min-agg
+    // columns: same shuffle volume, identical values (min is
+    // order-invariant, pinned in Q62-era probes + MinHashExprSpec),
+    // but one tight loop replaces 128 codegen'd agg-buffer updates —
+    // measured 0.64 → 0.42 s warm and 1.84 → 0.71 s cold at sf0.1
+    // (the 128-column agg plan itself was the cold cost, paid per
+    // consumer query)
+    val sigs = gh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        graft.functions.MinHashExpressions
+          .minhashSignature(col("hs"), numHashes).as("sig"))
     sigs.select(col("id"), explode(
       bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .localCheckpoint(true)
@@ -352,12 +358,12 @@ object TextDedup {
     val grams = shared(tagged.select(col("id"), col("side"),
       explode(shingleArray(col("t"), n)).as("g")), materializeGrams)
     val gh = grams.select(col("id"), col("side"), xxhash64(col("g")).as("h"))
-    val laneAggs = (0 until numHashes).map(seed =>
-      min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+    // collect-list + native signature (see [[bandBucketsFromGrams]])
     val sigs = gh.groupBy(col("id"), col("side"))
-      .agg(laneAggs.head, laneAggs.tail: _*)
+      .agg(collect_list(col("h")).as("hs"))
       .select(col("id"), col("side"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        graft.functions.MinHashExpressions
+          .minhashSignature(col("hs"), numHashes).as("sig"))
     val buckets = sigs.select(col("id"), col("side"), explode(
       bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .localCheckpoint(true)
