@@ -56,6 +56,35 @@ object Bench {
     }.min
   }
 
+  /** Cross-round minima are only comparable while the query measures
+    * the same work: when a fixture or regime legitimately changes, the
+    * old cells become stale references that flag the same explained
+    * "drift" every run and drown real regressions (the round-12 ledger
+    * carried 11 such artifacts). Each entry here names the first round
+    * whose records are valid for that query; older rounds' cells are
+    * ignored when seeding bestKnown. */
+  private val bestKnownValidFrom: Map[String, Int] = {
+    // r12: the Tally bulk fixture scaled ~1000× (10k vouchers / 20k
+    // legs) — every report over it costs legitimately more since
+    val tallyRescale = Seq("q32_tally_trial_balance",
+      "q33_tally_account_ledger", "q34_tally_accounting_voucher_view",
+      "q35_tally_daily_cash_movement", "q36_tally_group_tree_parent_child",
+      "q37_tally_group_tree_children_parent", "q38_tally_profit_loss",
+      "q39_tally_sales_daily", "q40_tally_sales_monthly",
+      "q41_tally_purchase_daily", "q42_tally_purchase_monthly",
+      "q43_tally_sales_register", "q44_tally_purchase_register",
+      "q45_tally_stock_summary", "q46_tally_stock_voucher_view",
+      "q49_tally_forex_register", "q50_tally_fk_register")
+      .map(_ -> 12)
+    // r13: q23/q51 retired their pinned quadratic regimes for
+    // scale-derived configs (different executed plans AND different
+    // result shapes), and q36/q37 gate on the deepened group trees
+    val r13Regimes = Seq("q23_dedup_simhash", "q51_embed_near_dup_lsh_hi",
+      "q36_tally_group_tree_parent_child",
+      "q37_tally_group_tree_children_parent").map(_ -> 13)
+    (tallyRescale ++ r13Regimes).toMap
+  }
+
   /** Best (minimum) recorded seconds per query across ALL prior
     * BENCH_r*.json rounds — the latest round alone may itself be an
     * ambient-load artifact (r5/r6 recorded 1.5–4× real costs), so the
@@ -68,6 +97,8 @@ object Bench {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
     files.flatMap { f =>
+      val round = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt).getOrElse(0)
       val text = scala.io.Source.fromFile(f)
       val raw = try text.mkString finally text.close()
       // the "drifted" map holds RATIOS under the same "qXX": number
@@ -100,6 +131,9 @@ object Bench {
         // (\"q01\":1.94) — accept both raw and escaped quoting
         "\\\\?\"(q[0-9a-z_]+)\\\\?\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble)
+          // drop cells a fixture/regime change invalidated
+          .filter { case (q, _) =>
+            bestKnownValidFrom.get(q).forall(round >= _) }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 

@@ -171,6 +171,7 @@ object AviCodec {
         need(8, "movi chunk")
         val id = bb.getInt()
         val len = bb.getInt()
+        require(len >= 0, "avi: bad chunk length") // signed overflow would seek backwards
         need(len, "movi chunk body")
         if (id == Dc00) {
           val f = new Array[Byte](len)
@@ -194,6 +195,7 @@ object AviCodec {
       need(8, "chunk header")
       val id = bb.getInt()
       val len = bb.getInt()
+      require(len >= 0, "avi: bad chunk length")
       need(math.min(len, 4), "chunk body")
       if (id == LIST) {
         val kind = bb.getInt()
@@ -205,6 +207,7 @@ object AviCodec {
             need(8, "hdrl chunk")
             val hid = bb.getInt()
             val hlen = bb.getInt()
+            require(hlen >= 0, "avi: bad chunk length")
             if (hid == Avih) {
               need(hlen, "avih")
               require(hlen >= 56, s"avi: avih too short ($hlen)")

@@ -183,6 +183,12 @@ object GifCodec {
           }
           pos += 1
         case 0x2C =>
+          // single-image decode: a nonzero left/top offset means the
+          // sub-image is NOT the whole logical screen — fail loudly
+          // like every other unsupported structure, never silently
+          // treat the sub-image as the frame
+          require(u16(pos + 1) == 0 && u16(pos + 3) == 0,
+            "gif: nonzero image offset unsupported")
           val w = u16(pos + 5)
           val h = u16(pos + 7)
           val flags = u8(pos + 9)

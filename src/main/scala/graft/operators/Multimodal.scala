@@ -959,26 +959,56 @@ object Multimodal {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val raw = text.getBytes("UTF-8")
-        val bytes =
-          if (id % 2 == 0) com.github.luben.zstd.Zstd.compress(raw)
-          else {
-            val bos = new java.io.ByteArrayOutputStream()
-            val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
-            out.write(raw); out.close()
-            bos.toByteArray
-          }
-        (id, if (id % 2 == 0) "zstd" else "lz4", bytes)
+      .mapPartitions { it =>
+        // partition-reused codec machinery (the decode stage's
+        // MessageDigest pattern): one zstd context, one LZ4 block
+        // compressor + frame checksum hasher, one output buffer. The
+        // per-row `new LZ4FrameOutputStream(bos)` this replaces
+        // allocated the frame default's 4 MB block buffer (plus the
+        // compressed-side buffer) PER DOCUMENT — tens of GB of churn
+        // across a corpus, invisible on a quiet heap and brutal under
+        // full-suite heap pressure (the round-12 17.2 s bench record
+        // vs the ~1.9 s quiet number). 64 KB blocks bound the one
+        // per-stream buffer this API cannot share.
+        val zctx = new com.github.luben.zstd.ZstdCompressCtx()
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => zctx.close())
+        }
+        val lz4Comp = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .fastCompressor()
+        val xxh32 = net.jpountz.xxhash.XXHashFactory.fastestInstance()
+          .hash32()
+        val bos = new java.io.ByteArrayOutputStream(1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val bytes =
+            if (id % 2 == 0) zctx.compress(raw)
+            else {
+              bos.reset()
+              val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+                net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+                -1L, lz4Comp, xxh32,
+                net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE)
+              out.write(raw); out.close()
+              bos.toByteArray
+            }
+          (id, if (id % 2 == 0) "zstd" else "lz4", bytes)
+        }
       }
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val zdctx = new com.github.luben.zstd.ZstdDecompressCtx()
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => zdctx.close())
+        }
         it.map { case (id, codec, bytes) =>
           val raw =
             if (codec == "zstd") {
               val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
               require(n >= 0 && n < Int.MaxValue, s"zstd frame size $n")
-              com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+              zdctx.decompress(bytes, n.toInt)
             } else {
               val in = new net.jpountz.lz4.LZ4FrameInputStream(
                 new java.io.ByteArrayInputStream(bytes))

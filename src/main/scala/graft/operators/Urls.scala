@@ -37,7 +37,11 @@ object Urls {
     val path = when(path0 === "" , lit("/"))
       .otherwise(when(path0 =!= "/" ,
         regexp_replace(path0, "/$", "")).otherwise(path0))
-    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE query extraction: a '?' inside the
+    // fragment (http://h/p#a?b=1) must not leak into the canonical
+    // query — the query regex may only match before '#'
+    val query0 = regexp_extract(regexp_replace(url, "#.*", ""),
+      "\\?([^#]*)", 1)
     val params = filter(split(query0, "&"),
       p => p =!= "" && !p.startsWith("utm_"))
     val query = array_join(array_sort(params), "&")
