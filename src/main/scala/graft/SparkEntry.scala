@@ -284,19 +284,16 @@ object SparkEntry {
     // q21 runs with the stop-shingle cap (bounded gram join), so its
     // oracle drops the same hot shingles; q22's LSH path keeps the
     // full shingle sets and verifies against the uncapped Jaccard.
-    // q23's simhash banding at 13 chunks catches every Hamming ≤ 12
-    // pair and the shipped corpora's Jaccard-0.8 pairs top out at
-    // Hamming 12 (sf0.001's worst pair; 10 at sf0.01/sf0.1), so its
-    // verified output equals the SAME uncapped exact set (see
-    // Curation.q23DedupSimhash — dataset-conditional by construction).
     "q21_dedup_ngram_jaccard" ->
       ngramJaccardSql(Some(graft.operators.Curation.Q21MaxShingleDf)),
     "q22_dedup_minhash_lsh"   -> ngramJaccardSql(None),
-    "q23_dedup_simhash"       -> ngramJaccardSql(None),
-    // scale-derived SimHash: same exact τ=0.8 pair set, plus the
-    // per-pair pigeonhole-contract flag the Spark side computes
-    // (found by the derived banding OR beyond its guaranteed radius)
-    // — constant 1 when the contract holds, row-hash red otherwise
+    // q23/q98: scale-derived SimHash at the wide-radius / default
+    // candidate budgets — same exact τ=0.8 pair set plus the per-pair
+    // pigeonhole-contract flag the Spark side computes (found by the
+    // derived banding OR beyond its guaranteed radius) — constant 1
+    // when the contract holds, row-hash red otherwise
+    "q23_dedup_simhash" ->
+      ngramJaccardSql(None, ",\n | CAST(1 AS INT) AS ok"),
     "q98_dedup_simhash_scaled" ->
       ngramJaccardSql(None, ",\n | CAST(1 AS INT) AS ok"),
     "q97_stream_quality_monitor" -> streamQualityMonitorSql,
@@ -1088,9 +1085,10 @@ object SparkEntry {
     // derived-parameter selective LSH over the deterministic sign-flip
     // near-dup corpus (Curation.q48EmbedNearDupLsh): the bucketed
     // generator must reproduce the exact all-pairs τ=0.9 result
-    "q48_embed_near_dup_lsh" -> nearDupHiSql,
-    // same fixture at the expert-pinned (Q51Planes, Q51Tables) point
-    "q51_embed_near_dup_lsh_hi" -> nearDupHiSql,
+    "q48_embed_near_dup_lsh" -> nearDupHiSql(0.9),
+    // same fixture, scale-derived at the ultra-selective τ=0.95 point
+    "q51_embed_near_dup_lsh_hi" ->
+      nearDupHiSql(graft.operators.Curation.Q51MinCosine),
     "q27_text_langid" -> langIdSql,
     "q28_text_quality" -> qualitySql,
     "q29_token_freq" ->
@@ -1220,12 +1218,12 @@ object SparkEntry {
         |FROM documents ORDER BY 1""".stripMargin,
   ) ++ graft.tally.TallyReportQueries.oracleSql
 
-  /** q48/q51 oracle: exact all-pairs at τ = 0.9 over the corpus
+  /** q48/q51 oracle: exact all-pairs at τ = `tau` over the corpus
     * unioned with its first-dimension-sign-flipped copy — float sign
     * flip is exact on both engines, so the augmented corpora are
     * bit-identical (mirrors Curation.flippedNearDupCorpus). */
-  private val nearDupHiSql: String =
-    """WITH aug AS (
+  private def nearDupHiSql(tau: Double): String =
+    s"""WITH aug AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 1000000, [-embedding[1]] || embedding[2:]
@@ -1240,7 +1238,7 @@ object SparkEntry {
       |  FROM flat GROUP BY 1,2)
       |SELECT a, b, round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
       |FROM dots
-      |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.9
+      |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= $tau
       |ORDER BY 1, 2""".stripMargin
 
   /** q80 oracle: exact all-pairs τ = 0.9 over the flip fixture (the

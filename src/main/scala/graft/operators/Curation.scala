@@ -33,37 +33,22 @@ object Curation {
         n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
       .orderBy(col("a"), col("b"))
 
-  /** SimHash at the RECALL-1 configuration for this corpus: 13-chunk
-    * banding guarantees every pair with Hamming ≤ 12, and the shipped
-    * corpora's exact-Jaccard-0.8 pairs measure Hamming ≤ 12 (sf0.01
-    * and sf0.1 top out at 10; sf0.001 holds one pair at exactly 12 —
-    * the round-10 sweep that moved this pin off 12 chunks / radius
-    * 11, which missed it) — so the verified output EQUALS the exact
-    * τ=0.8 Jaccard set at every shipped scale and the q22 oracle
-    * gates it. Dataset-conditional like every approximate gate: the
-    * Jaccard↔Hamming relation is probabilistic, so regenerated data
-    * could place a 0.8-pair beyond Hamming 12 — re-tune numChunks on
-    * a future failure. THIS PIN IS THE ORACLE REGIME, NOT THE SCALE
-    * PATH: 13 chunks = 4-bit keys, whose pre-Hamming join volume is
-    * ~0.8·n² (quadratic; measured ≤ the 12-chunk wall time at sf0.1 —
-    * the bit_count prefilter, not the chunk join, dominates). At
-    * corpus scale derive the chunk count from n with
-    * [[TextDedup.simhashParamsForScale]] (volume ~linear, guaranteed
-    * radius shrinking as 64/log₂n − 1, the inherent pigeonhole trade)
-    * or use the MinHash path, which is this library's 100 TB near-dup
-    * default. */
-  def q23DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, maxHamming = 12, minJaccard = 0.8, numChunks = 13)
-      .orderBy(col("a"), col("b"))
+  /** q23's per-doc candidate budget: 8× the q98 default, buying a
+    * WIDER guaranteed Hamming radius at the same corpus size (at the
+    * sf0.01 gate size: radius 11 vs q98's 7) while the chunk-join
+    * volume law stays ~linear — the budget is a constant, so the
+    * derivation just lands on wider keys later. The two entries are
+    * the two operating points a practitioner actually toggles between:
+    * q98 = default cost, q23 = pay a constant factor more candidates
+    * for more recall radius. */
+  val Q23WideRadiusBudget = 256.0
 
-  /** SimHash at the SCALE-DERIVED configuration (q98) — the
-    * deployment path q23's scaladoc points at, now executed and
-    * oracle-gated: [[TextDedup.simhashParamsForScale]] picks the
-    * widest guaranteed Hamming radius whose chunk-join volume stays
-    * ~linear (at this corpus's n that is a NARROWER radius than the
-    * corpus's τ=0.8 pairs span, so the derived config legitimately
-    * finds a subset — the inherent pigeonhole trade, priced openly).
+  /** SimHash near-dup under the per-pair PIGEONHOLE CONTRACT, at the
+    * scale-derived configuration for the given per-doc candidate
+    * budget ([[TextDedup.simhashParamsForScale]]) — the q23/q98
+    * shared body. The derived radius is generally NARROWER than the
+    * corpus's τ=0.8 pairs span, so the banding legitimately finds a
+    * subset — the inherent pigeonhole trade, priced openly.
     *
     * The gate verifies BOTH contracts per pair, over the full exact
     * τ=0.8 pair set (which DuckDB recomputes):
@@ -81,10 +66,12 @@ object Curation {
     * (ScaleContractSpec pins its ~linear volume law), and the
     * verification SimHashes are computed only for pair-incident docs
     * (semi-join first — at 100 TB the flags cost pairs, not corpus). */
-  def q98DedupSimhashScaled(s: SparkSession, dir: String): DataFrame = {
+  private def simhashScaledContract(s: SparkSession, dir: String,
+      candidatesPerDoc: Double): DataFrame = {
     val docs = Tables.documents(s, dir)
     val (numChunks, maxHamming) = TextDedup.simhashParamsForScale(
-      Tables.parquetRowCount(s, s"$dir/documents.parquet"))
+      Tables.parquetRowCount(s, s"$dir/documents.parquet"),
+      candidatesPerDoc)
     val found = TextDedup.simhashPairs(docs, "doc_id", "text",
       n = 3, maxHamming = maxHamming, minJaccard = 0.8,
       numChunks = numChunks)
@@ -108,6 +95,24 @@ object Curation {
           .cast("int").as("ok"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** SimHash dedup, WIDE-RADIUS operating point: the scale derivation
+    * at an 8× candidate budget ([[Q23WideRadiusBudget]]), gated by the
+    * per-pair pigeonhole contract. This entry historically executed a
+    * PINNED 13-chunk / radius-12 config — recall-1 on the shipped
+    * corpora but ~0.8·n² chunk-join volume (quadratic in disguise;
+    * the 10× bench measured 5.6M → 559M rows). That pin is now a
+    * TextDedupSpec equivalence test (the exact precedent of the
+    * retired τ=0.4 LSH pin) and the executed plan is the derived,
+    * ~linear config — no shipped query pins a super-linear candidate
+    * law. */
+  def q23DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashScaledContract(s, dir, Q23WideRadiusBudget)
+
+  /** SimHash at the DEFAULT scale-derived configuration (q98) — see
+    * [[simhashScaledContract]] for the contract and cost shape. */
+  def q98DedupSimhashScaled(s: SparkSession, dir: String): DataFrame =
+    simhashScaledContract(s, dir, 32.0)
 
   /** The end-to-end corpus dedup a curation pipeline actually runs
     * (exact first-wins THEN near-dup drop over the exact-kept set —
@@ -1126,35 +1131,42 @@ object Curation {
         "vec_id", "embedding", "label", bottomK = Q81BottomK)
       .orderBy(col("vec_id"))
 
-  /** q51 LSH selectivity (true near-dup regime, τ = 0.9): recall per
-    * pair at cosine c is 1 − (1 − p^planes)^tables with
-    * p = 1 − arccos(c)/π. At c = 0.90: p = 0.856, p^10 = 0.21, miss =
-    * 0.79^32 ≈ 5e-4 — and the q51 pairs concentrate at c ≥ 0.92 where
-    * the miss rate falls another order of magnitude. A random pair
-    * (c ≈ 0) collides per table with ~2^-10, so candidate volume is
-    * ~32·n²/2048 ≈ n²/64 — the bucketed join prunes ~60× of the
-    * cartesian BEFORE the cheap prefilter, where the τ=0.4 q48 regime
-    * generates ~6× MORE than the cartesian (see q48 note). */
-  val Q51Planes = 10
-  val Q51Tables = 32
+  /** q51's threshold — the ULTRA-selective near-dup point (τ = 0.95),
+    * one notch above q48's 0.9: the exact-copy / boilerplate-mirror
+    * regime an embedding-dedup pass runs when it only wants to kill
+    * true duplicates, never paraphrases. */
+  val Q51MinCosine = 0.95
 
-  /** High-selectivity near-dup (the 100 TB regime q48 cannot claim):
-    * τ = 0.9, planes = 10, tables = 32. The harness embeddings are
-    * Gaussian (max natural pair cosine ≈ 0.51 — no real near-dups), so
-    * the entry builds a DETERMINISTIC near-dup corpus inside the
-    * query: the corpus unioned with a copy of itself (vec_id + 10⁶)
-    * whose first dimension's sign is flipped. Each (v, copy) pair then
-    * sits at cos = 1 − 2·x₀²/‖x‖² ≈ 0.92–0.997 (Beta-distributed mass
-    * just under 1), while cross pairs stay ≤ ~0.55 — a sharp, fully
-    * SQL-reproducible high-τ fixture. The oracle is the exact
-    * all-pairs scan over the SAME augmented corpus at τ = 0.9, so one
-    * missed near-dup fails the hash (dataset-conditional — see the
-    * AnnOracleK scaladoc). */
+  /** Ultra-selective near-dup, SCALE-DERIVED (q51): τ = 0.95 with the
+    * same per-vector candidate budget as q48, so
+    * [[Similarity.lshParamsForScale]] picks planes/tables holding
+    * candidate volume ~linear in n at per-pair miss ≤ 1e-4. This
+    * entry historically pinned planes = 10 / tables = 32 at τ = 0.9 —
+    * candidates ~n²/64, a constant cartesian fraction the 10× bench
+    * measured growing 99.6× — that pin is now a SimilaritySpec
+    * equivalence test (the τ=0.4 precedent) and no shipped query pins
+    * a super-linear candidate law.
+    *
+    * The harness embeddings are Gaussian (max natural pair cosine
+    * ≈ 0.51 — no real near-dups), so the entry builds a DETERMINISTIC
+    * near-dup corpus inside the query: the corpus unioned with a copy
+    * of itself (vec_id + 10⁶) whose first dimension's sign is
+    * flipped. Each (v, copy) pair sits at cos = 1 − 2·x₀²/‖x‖²
+    * ≈ 0.92–0.997, while cross pairs stay ≤ ~0.55; the τ = 0.95 cut
+    * keeps the upper mass of that Beta distribution. The oracle is
+    * the exact all-pairs scan over the SAME augmented corpus at
+    * τ = 0.95, so one missed near-dup fails the hash
+    * (dataset-conditional — see the AnnOracleK scaladoc). The corpus
+    * size for the derivation comes from parquet footers (×2 for the
+    * augmentation) — zero plan-time Spark jobs. */
   def q51EmbedNearDupLshHi(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairsLsh(
         flippedNearDupCorpus(Tables.embeddings(s, dir)),
         "vec_id", "embedding",
-        minCosine = 0.9, planes = Q51Planes, tables = Q51Tables)
+        minCosine = Q51MinCosine,
+        candidatesPerVector = Q48CandidatesPerVector,
+        corpusSizeHint = 2L * Tables.parquetRowCount(s,
+          s"$dir/embeddings.parquet"))
       .orderBy(col("a"), col("b"))
 
   /** Deterministic near-dup embedding corpus (shared by q48 and q51):

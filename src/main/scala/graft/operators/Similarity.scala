@@ -468,7 +468,7 @@ object Similarity {
     * p_sig = (1 − arccos(τ)/π)^planes — the q48 defaults put it at
     * ~5e-6 for τ = 0.4 (and far lower for anything more similar) at
     * the price of coarse buckets; true near-dup thresholds (τ ≥ 0.9)
-    * should raise `planes` to prune hard (see Curation.Q51Planes).
+    * should raise `planes` to prune hard (the scale derivation does).
     *
     * Scale shape, parameter-driven: in the SELECTIVE regime
     * (tables/2^planes < 1 — each pair expects < 1 shared bucket),

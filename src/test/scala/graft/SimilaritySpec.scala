@@ -151,6 +151,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("pinned planes=10/tables=32 τ=0.9 LSH equals the exact scan (retired q51 pin)") {
+    // moved here from the shipped q51 entry (round-12 verdict #3): the
+    // fixed cap keeps candidates a constant cartesian fraction
+    // (~n²/64 — the 10× bench measured 99.6× growth for 10× data), so
+    // like the τ=0.4 pin above it must never be a shipped query plan.
+    // q51 now runs the scale-derived τ=0.95 regime; the pinned
+    // config's recall on the flip fixture is still worth guarding.
+    val aug = graft.operators.Curation.flippedNearDupCorpus(
+      Tables.embeddings(spark, SparkTestSession.sf))
+    val exact = Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(aug, "vec_id", "embedding",
+        minCosine = 0.9, planes = 10, tables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("derived near-dup params generate a sub-cartesian candidate set") {
     // the q48 cost contract: at the lshParamsFor-derived parameters
     // the bucketed candidate volume is a small fraction of n(n−1)/2,

@@ -290,4 +290,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextDedup.ngramJaccardPairs(p, "doc_id", "text",
       n = 3, minJaccard = 0.5).collect().isEmpty)
   }
+
+  test("pinned 13-chunk SimHash equals the exact τ=0.8 set (retired q23 pin)") {
+    // moved here from the shipped q23 entry (round-12 verdict #2, the
+    // τ=0.4 LSH precedent): 13-chunk / radius-12 banding is recall-1
+    // on the shipped corpora — every exact-Jaccard-0.8 pair measures
+    // Hamming ≤ 12 (sf0.001 holds one pair at exactly 12, the
+    // round-10 sweep that moved the pin off 12 chunks) — but its
+    // 4-bit chunk keys cost ~0.8·n² pre-Hamming join rows, quadratic
+    // by construction, so it must never be a shipped query plan. The
+    // equivalence is still worth guarding; q23 now executes the
+    // scale-derived config under the per-pair pigeonhole contract.
+    val d = Tables.documents(spark, SparkTestSession.sf)
+    val exact = TextDedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = TextDedup.simhashPairs(d, "doc_id", "text",
+        n = 3, maxHamming = 12, minJaccard = 0.8, numChunks = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinned == exact)
+    assert(exact.nonEmpty)
+  }
 }
