@@ -120,6 +120,10 @@ object SparkEntry {
     "q109_frame_sample"    -> (Curation.q109FrameSample _),
     "q110_url_dedup"       -> (Curation.q110UrlDedup _),
     "q111_html_extract"    -> (Curation.q111HtmlExtract _),
+    "q112_media_foreign"   -> ((s: SparkSession, dir: String) =>
+      graft.operators.ForeignMedia.features(s, dir).toDF()
+        .orderBy("doc_id")),
+    "q113_stream_exact_dedup" -> (Curation.q113StreamExactDedup _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -861,6 +865,52 @@ object SparkEntry {
         | CAST(len('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS INT) AS n_chars,
         | md5('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS text_md5
         |FROM documents ORDER BY 1""".stripMargin,
+    // streaming exact dedup: one kept row per text digest — the
+    // original (min id), never the later-arriving re-keyed duplicate
+    // wave the entry stages; an undropped re-arrival duplicates a
+    // digest row and fails the compare
+    "q113_stream_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // foreign-media decode: javax.imageio wrote the stored payloads
+    // (independent encoder — PNG filter choices, GIF palette/LZW,
+    // JPEG entropy coding outside this repo's control); the repo's
+    // codecs decode them and the oracle recomputes the exact
+    // per-channel pixel sums from the generative laws (see
+    // ForeignMedia for why each format's law is lossless-exact)
+    "q112_media_foreign" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        | png AS (SELECT id, CAST(8 + (id % 9) AS INT) AS w,
+        |   CAST(8 + (id % 7) AS INT) AS h FROM ids WHERE id % 3 = 0),
+        | pngf AS (SELECT id AS doc_id, 'png' AS fmt, w, h,
+        |   CAST(sum((id*7 + x) % 256) AS BIGINT) AS sum_c1,
+        |   CAST(sum((id*11 + y) % 256) AS BIGINT) AS sum_c2,
+        |   CAST(sum((id*13 + x + y) % 256) AS BIGINT) AS sum_c3
+        |  FROM png CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |           CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y)
+        |  GROUP BY 1,2,3,4),
+        | gif AS (SELECT id, CAST(8 + 2*(id % 5) AS INT) AS w,
+        |   CAST(8 + 2*(id % 4) AS INT) AS h FROM ids WHERE id % 3 = 1),
+        | giff AS (SELECT id AS doc_id, 'gif' AS fmt, w, h,
+        |   CAST(sum((id + 3*x + 7*y) % 256) AS BIGINT) AS sum_c1,
+        |   CAST(sum(((id + 3*x + 7*y) % 256) * 3 % 256) AS BIGINT) AS sum_c2,
+        |   CAST(sum(((id + 3*x + 7*y) % 256) * 7 % 256) AS BIGINT) AS sum_c3
+        |  FROM gif CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |           CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y)
+        |  GROUP BY 1,2,3,4),
+        | jpg AS (SELECT id, CAST(16*(1 + id % 3) AS INT) AS w,
+        |   CAST(16*(1 + id % 2) AS INT) AS h FROM ids WHERE id % 3 = 2),
+        | jpgf AS (SELECT id AS doc_id, 'jpeg' AS fmt, w, h,
+        |   CAST(sum(((id*37 + bx*11 + by*5) % 256) * 64) AS BIGINT) AS sum_c1,
+        |   CAST(128 * w * h AS BIGINT) AS sum_c2,
+        |   CAST(128 * w * h AS BIGINT) AS sum_c3
+        |  FROM jpg CROSS JOIN LATERAL unnest(range(0, w // 8)) AS tb(bx)
+        |           CROSS JOIN LATERAL unnest(range(0, h // 8)) AS tc(by)
+        |  GROUP BY 1,2,3,4)
+        |SELECT doc_id, fmt, w, h, sum_c1, sum_c2, sum_c3
+        |FROM (SELECT * FROM pngf UNION ALL SELECT * FROM giff
+        |      UNION ALL SELECT * FROM jpgf)
+        |ORDER BY doc_id""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

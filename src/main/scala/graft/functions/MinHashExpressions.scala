@@ -170,6 +170,93 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash signature as a NATIVE AGGREGATE over exploded gram-hash
+  * rows — the scale-safe batch formulation (round-12 advice): the
+  * collect_list + [[MinHashSignatureExpr]] rewrite shuffles every
+  * gram hash (8 B × grams/doc) and buffers whole per-doc lists,
+  * which regresses on large-doc corpora (grams ≫ numHashes). This
+  * aggregate keeps BOTH wins at once: the fixed `numHashes`-long
+  * buffer of the old 128-column min-agg plan (map-side partial
+  * aggregation — the shuffle carries one 128-long partial per (doc,
+  * map partition), never the grams) and the single tight lane loop
+  * of the native expression (the 128-column plan's cold codegen cost
+  * was the reason it lost). Runs under ObjectHashAggregateExec.
+  *
+  * Value compatibility: identical lane law — min over grams of
+  * `hashInt(seed, hashLong(h, 42))`, a null gram hash contributing
+  * base 42 — pinned equal to both prior formulations in
+  * MinHashExprSpec. Merge is element-wise min (associative,
+  * commutative ⇒ split-independent). */
+case class MinHashSigAgg(child: Expression, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]] {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT gram hash, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    val base = if (v == null) 42L
+      else XXH64.hashLong(v.asInstanceOf[Long], 42L)
+    var i = 0
+    while (i < numHashes) {
+      val h = XXH64.hashInt(i, base)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * numHashes)
+    var i = 0
+    while (i < numHashes) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object MinHashExpressions {
   /** Column wrapper: MinHash signature of an ARRAY<BIGINT> of gram
     * hashes, value-identical to the HOF formulation it replaces. */
@@ -181,4 +268,12 @@ object MinHashExpressions {
     * hashes, value-identical to the HOF formulation it replaces. */
   def simhash64(gramHashes: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(gramHashes)))
+
+  /** Column wrapper: MinHash signature AGGREGATE over a BIGINT gram
+    * hash column — fixed-width partials, map-side combine; see
+    * [[MinHashSigAgg]]. */
+  def minhashSignatureAgg(gramHash: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSigAgg(ColumnBridge.expression(gramHash), numHashes)
+        .toAggregateExpression())
 }

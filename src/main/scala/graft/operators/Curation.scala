@@ -1119,6 +1119,73 @@ object Curation {
       .orderBy(col("incoming_id"), col("slot"))
   }
 
+  /** Streaming EXACT dedup EXECUTED as a stream (q113) — the last
+    * spec-only stream promoted under the oracle (D7,
+    * [[graft.streaming.EventStream.dedupWithinWatermark]] /
+    * `dropDuplicatesWithinWatermark`). The corpus has no duplicate
+    * texts at the gate scale, so the entry constructs the ingest
+    * shape deterministically: the originals stage as three
+    * doc_id-ranged arrival files (rows sorted within each), then a
+    * DUPLICATE WAVE — every doc_id % 7 == 0 text re-keyed to
+    * doc_id + 10⁶, the flip-fixture precedent — arrives strictly
+    * AFTER them (explicit file mtimes, the q101 trick), so the
+    * cross-micro-batch drop path runs for real: the stream must keep
+    * each digest's first arrival (the original) and drop every
+    * later re-arrival from a different micro-batch. The watermark
+    * horizon (10 years) exceeds the staged event-time span, so no
+    * state evicts mid-run and the kept set is exactly one row per
+    * digest — eviction itself stays spec-gated (EventStreamSpec),
+    * where the watermark clock can be driven directly.
+    *
+    * Oracle: min-id per text digest over the original corpus (the
+    * duplicate wave adds no digests, and min() also covers natural
+    * same-digest originals at larger SFs, which the ranged+sorted
+    * arrival order keeps first). State is digest-keyed and bounded
+    * by rate × horizon — the 100 TB/day contract in the operator's
+    * scaladoc. */
+  def q113StreamExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q113-").toString
+    docs.repartitionByRange(3, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    def parts() = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val origFiles = parts().sortBy(_.getName) // part index = id range
+    docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(stage)
+    val dupFiles = parts().filterNot(origFiles.contains)
+    // arrival order: originals in id order, then the duplicate wave
+    // (the file source processes by mtime under maxFilesPerTrigger)
+    val t0 = System.currentTimeMillis() - 60000L
+    (origFiles ++ dupFiles).zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 2000L)
+    }
+    val sch = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val deduped = graft.streaming.EventStream.dedupWithinWatermark(
+      stream
+        // +1 h offset: the INITIAL watermark is epoch 0 and the late
+        // filter drops ts <= watermark, so a doc_id-0 row timed at
+        // exactly epoch 0 would be discarded before dedup ever saw it
+        .withColumn("ts", timestamp_seconds(col("doc_id") * 60 + 3600))
+        .withColumn("digest", md5(col("text"))),
+      keyCols = Seq("digest"), horizon = "3650 days")
+    val qname =
+      s"q113_dd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = deduped.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qname)
+      .select(col("digest"), col("doc_id"))
+      .orderBy(col("digest"))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

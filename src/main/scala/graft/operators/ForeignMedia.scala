@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FOREIGN-payload media decode (q112) — the round-12 verdict's gap
+  * #2/#5: every prior media query decoded bytes the repo's own
+  * encoders produced inside the query, so the decoders were proven
+  * against independent encoders only in sbt (JpegCodecSpec /
+  * GifCodecSpec vs `javax.imageio`). This operator closes the loop
+  * under the ORACLE: a stored binary-column parquet corpus whose
+  * PNG / GIF / JPEG payloads are written by `javax.imageio` — an
+  * independent encoder whose byte layout (PNG filter choices, GIF
+  * palette/LZW encoder, JPEG entropy coding) this repo does not
+  * control — is decoded by the repo's own pure-JVM codecs, and the
+  * DuckDB oracle recomputes the decoded-pixel sums from the
+  * generative laws. A hash-green gate therefore proves the decoders
+  * on files they didn't write, inside the correctness gate.
+  *
+  * Exactness by construction (each format's law avoids the encoder's
+  * lossy degrees of freedom):
+  *  - PNG is lossless — any per-pixel RGB law survives whatever
+  *    filter strategy ImageIO picks per row;
+  *  - GIF: the image is born indexed (`TYPE_BYTE_INDEXED` over an
+  *    explicit 256-entry palette), so the writer quantizes nothing —
+  *    only palette-resolved COLORS are asserted, leaving the writer
+  *    free to reorder or trim its color table;
+  *  - JPEG: grayscale (no chroma conversion or subsampling), pixel
+  *    values constant per 8×8 block (all DCT energy in DC), written
+  *    at compression quality 1.0 (all-ones quantization tables) — the
+  *    one operating point where baseline JPEG is bit-exact, the same
+  *    trick q104's self-encoded oracle uses with DC-step-8 tables.
+  *
+  * The fixture persists at the warehouse boundary ([[Warehouse]],
+  * keyed by corpus dir + file fingerprint) — the stored corpus IS the
+  * point: the decode query reads payload bytes it did not just
+  * synthesize in-plan. Scale shape: encode once per corpus; decode is
+  * per-row `mapPartitions` (the codec batch path), only fixed-width
+  * feature rows ever shuffle. */
+object ForeignMedia {
+
+  /** Which format doc `id` carries: a third each. */
+  def fmtOf(id: Long): String = (id % 3) match {
+    case 0 => "png"
+    case 1 => "gif"
+    case _ => "jpeg"
+  }
+
+  def pngDims(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+  def gifDims(id: Long): (Int, Int) =
+    (8 + 2 * (id % 5).toInt, 8 + 2 * (id % 4).toInt)
+  /** Multiples of 16: MCU-aligned whatever sampling the writer picks. */
+  def jpegDims(id: Long): (Int, Int) =
+    (16 * (1 + (id % 3).toInt), 16 * (1 + (id % 2).toInt))
+
+  /** PNG per-pixel law (truecolor). */
+  def pngRgb(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 7 + x) % 256).toInt, ((id * 11 + y) % 256).toInt,
+      ((id * 13 + x + y) % 256).toInt)
+
+  /** GIF palette index law + palette color law. */
+  def gifIndex(id: Long, x: Int, y: Int): Int =
+    ((id + 3 * x + 7 * y) % 256).toInt
+  def gifPalette(i: Int): (Int, Int, Int) =
+    (i, (i * 3) % 256, (i * 7) % 256)
+
+  /** JPEG block-constant gray law. */
+  def jpegGray(id: Long, bx: Int, by: Int): Int =
+    ((id * 37 + bx * 11 + by * 5) % 256).toInt
+
+  // ---- javax.imageio encoders (the FOREIGN side) -------------------
+
+  def encode(id: Long): Array[Byte] = fmtOf(id) match {
+    case "png" => encodePng(id)
+    case "gif" => encodeGif(id)
+    case _ => encodeJpeg(id)
+  }
+
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pngRgb(id, x, y)
+        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  def encodeGif(id: Long): Array[Byte] = {
+    val (w, h) = gifDims(id)
+    val rs = new Array[Byte](256)
+    val gs = new Array[Byte](256)
+    val bs = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      val (r, g, b) = gifPalette(i)
+      rs(i) = r.toByte; gs(i) = g.toByte; bs(i) = b.toByte
+      i += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, gifIndex(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", bos)
+    bos.toByteArray
+  }
+
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, jpegGray(id, x / 8, y / 8))
+        x += 1
+      }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    // quality 1.0 scales the Annex-K tables to all ones — the exact
+    // round-trip point (max(1, (base·scale + 50)/100) with scale 0)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  // ---- fixture (stored binary-column corpus) -----------------------
+
+  /** The stored foreign-media corpus for the docs at `dir`: one
+    * payload per documents doc_id, encoded by `javax.imageio`,
+    * persisted as a warehouse artifact and re-read as plain parquet —
+    * the decode query consumes STORED bytes, not in-plan synthesis. */
+  def fixture(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.materialized(spark, "media",
+      s"media:v1:$dir:${Warehouse.fingerprint(s"$dir/documents.parquet")}") {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { it =>
+          it.map(id => (id, fmtOf(id), encode(id)))
+        }
+        .toDF("doc_id", "fmt", "payload")
+    }
+
+  /** One decoded row: dims + exact per-channel pixel sums (for the
+    * grayscale JPEG third, c1 = Y and c2/c3 are the constant-128
+    * chroma planes the decoder reports). */
+  final case class ForeignMediaFeature(doc_id: Long, fmt: String,
+      w: Int, h: Int, sum_c1: Long, sum_c2: Long, sum_c3: Long)
+
+  /** q112: decode the stored foreign corpus with the repo's own
+    * codecs and emit the arithmetic features the oracle recomputes
+    * from the laws. */
+  def features(spark: SparkSession, dir: String)
+      : Dataset[ForeignMediaFeature] = {
+    import spark.implicits._
+    fixture(spark, dir).as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, bytes) =>
+          fmt match {
+            case "png" =>
+              val (w, h, px) = PngCodec.decodePixels(id, bytes)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                i += 1
+              }
+              ForeignMediaFeature(id, fmt, w, h, sr, sg, sb)
+            case "gif" =>
+              val img = GifCodec.decode(bytes)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val p = img.rgb(i)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF
+                sb += p & 0xFF
+                i += 1
+              }
+              ForeignMediaFeature(id, fmt, img.width, img.height,
+                sr, sg, sb)
+            case _ =>
+              val img = JpegCodec.decode(bytes)
+              var sy = 0L; var scb = 0L; var scr = 0L
+              var i = 0
+              while (i < img.y.length) {
+                sy += img.y(i); scb += img.cb(i); scr += img.cr(i)
+                i += 1
+              }
+              ForeignMediaFeature(id, fmt, img.width, img.height,
+                sy, scb, scr)
+          }
+        }
+      }
+  }
+}

@@ -304,18 +304,23 @@ object TextDedup {
       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val gh = grams.select(col("id"), xxhash64(col("g")).as("h"))
-    // collect the (tiny: 8 bytes/gram) hash list per doc and run the
-    // NATIVE signature once, instead of `numHashes` separate min-agg
-    // columns: same shuffle volume, identical values (min is
-    // order-invariant, pinned in Q62-era probes + MinHashExprSpec),
-    // but one tight loop replaces 128 codegen'd agg-buffer updates —
-    // measured 0.64 → 0.42 s warm and 1.84 → 0.71 s cold at sf0.1
-    // (the 128-column agg plan itself was the cold cost, paid per
-    // consumer query)
-    val sigs = gh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
-      .select(col("id"),
-        graft.functions.MinHashExpressions
-          .minhashSignature(col("hs"), numHashes).as("sig"))
+    // NATIVE signature AGGREGATE over the exploded gram hashes
+    // ([[graft.functions.MinHashSigAgg]]): one tight lane loop like
+    // the round-12 collect_list rewrite, but with the fixed
+    // `numHashes`-long buffer of the original 128-column min-agg
+    // plan — the shuffle carries one 128-long partial per (doc, map
+    // partition) with map-side combine, NEVER the raw gram hashes.
+    // That closes the round-12 advice finding: collect_list shuffled
+    // 8 B × grams/doc and buffered whole per-doc lists (a regression
+    // for large-doc corpora where grams ≫ numHashes), while the
+    // 128-column formulation it had replaced paid a per-consumer
+    // cold-codegen plan cost. Values are identical across all three
+    // formulations (min is order-invariant; pinned in
+    // MinHashExprSpec), and this one is split-independent by
+    // construction (element-wise-min merge).
+    val sigs = gh.groupBy(col("id")).agg(
+      graft.functions.MinHashExpressions
+        .minhashSignatureAgg(col("h"), numHashes).as("sig"))
     sigs.select(col("id"), explode(
       bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .localCheckpoint(true)

@@ -183,6 +183,28 @@ object TallyFixtures {
   val BulkVouchers = 10000
   val BulkParties = 40
 
+  /** Deep generative group FOREST for the tree traversals (round-12
+    * verdict #7 — the old bulk law scaled vouchers but left the tree
+    * at 5 trivial levels): [[BulkGroupChains]] parallel chains of
+    * ⌈BulkGroups / BulkGroupChains⌉ levels each hang off
+    * 'Staff Advances' — itself at depth 3 under
+    * 'Loans & Advances (Asset)' — so the R13 closure loop runs to
+    * depth ~10 over hundreds of nodes before its frontier empties
+    * (reference semantics: group-tree-parent-child.sql:4-9, capped at
+    * `maxrecursion 500`). Node g sits on chain g mod chains at level
+    * g div chains; parent = g − chains (level 0 → Staff Advances). */
+  val BulkGroups = 280
+  val BulkGroupChains = 40 // => 7 BG levels, closure depth 9
+
+  private def bulkGroupCols(i: String): Seq[String] = Seq(
+    s"'BG ' || CAST($i AS STRING) AS name",
+    s"CASE WHEN $i < $BulkGroupChains THEN 'Staff Advances' " +
+      s"ELSE 'BG ' || CAST($i - $BulkGroupChains AS STRING) END AS parent",
+    "'Loans & Advances (Asset)' AS primary_group",
+    "CAST(0 AS INT) AS is_revenue",
+    "CAST(1 AS INT) AS is_deemedpositive",
+    "CAST(0 AS INT) AS affects_gross_profit")
+
   /** 5-level chain for the tree traversals: Loans & Advances (Asset)
     * → Advances → Staff Advances → Field Advances → Temp Advances. */
   private val bulkGroupTbl: Tbl = ("mst_group_bulk",
@@ -235,7 +257,10 @@ object TallyFixtures {
 
   private def bulkDf(spark: SparkSession, name: String): DataFrame =
     name match {
-      case "mst_group" => spark.sql(s"SELECT * FROM ${valuesSql(bulkGroupTbl)}")
+      case "mst_group" =>
+        spark.sql(s"SELECT * FROM ${valuesSql(bulkGroupTbl)}")
+          .unionByName(spark.range(BulkGroups).selectExpr("id AS i")
+            .selectExpr(bulkGroupCols("i"): _*))
       case "mst_ledger" =>
         spark.range(BulkParties).selectExpr("id AS i")
           .selectExpr(bulkLedgerCols("i"): _*)
@@ -253,7 +278,10 @@ object TallyFixtures {
     * spark.range; expressions shared verbatim via the *Cols/ *Law
     * strings — one law, two engines). */
   private def bulkSql(name: String): String = name match {
-    case "mst_group" => s"SELECT * FROM ${valuesSql(bulkGroupTbl)}"
+    case "mst_group" =>
+      s"SELECT * FROM ${valuesSql(bulkGroupTbl)}\n  UNION ALL\n  " +
+        s"SELECT ${bulkGroupCols("i").mkString(", ")} " +
+        s"FROM range($BulkGroups) AS r(i)"
     case "mst_ledger" =>
       s"SELECT ${bulkLedgerCols("i").mkString(", ")} FROM range($BulkParties) AS r(i)"
     case "trn_voucher" =>

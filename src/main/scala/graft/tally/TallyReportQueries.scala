@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schema is not part of the synthetic star schema.)
   *
   * All entries load the fixtures WITH the generated bulk corpus
-  * (~10k vouchers, 20k accounting legs, 40 party ledgers, 5-level
-  * group chain — [[TallyFixtures]] bulk law): the handcrafted rows
+  * (~10k vouchers, 20k accounting legs, 40 party ledgers, and a
+  * 280-node depth-10 group forest — [[TallyFixtures]] bulk law): the
+  * handcrafted rows
   * still pin every edge case, and the oracle now hash-checks each
   * report at a size where a join or sign mistake cannot slip
   * through a 1–18 row result (round-11 verdict #4). */
@@ -34,9 +35,11 @@ object TallyReportQueries {
     "q36_tally_group_tree_parent_child" -> ((s, _) =>
       TallyReports.groupTreeParentChild(load(s),
         "Loans & Advances (Asset)")),
+    // ascend from the DEEPEST bulk-forest node so the upward closure
+    // exercises depth ~10, not the 3 trivial handcrafted levels
     "q37_tally_group_tree_children_parent" -> ((s, _) =>
       TallyReports.groupTreeChildrenParent(load(s),
-        "Staff Advances")),
+        s"BG ${TallyFixtures.BulkGroups - 1}")),
     "q38_tally_profit_loss" -> ((s, _) =>
       TallyReports.profitLoss(load(s))),
     "q39_tally_sales_daily" -> ((s, _) =>
@@ -162,7 +165,7 @@ object TallyReportQueries {
         | SELECT e.name, e.parent FROM mst_group e JOIN tree ON tree.name = e.parent)
         |SELECT name, parent FROM tree ORDER BY 1""".stripMargin),
     "q37_tally_group_tree_children_parent" -> fx(
-      """tree AS (SELECT name, parent FROM mst_group WHERE name = 'Staff Advances'
+      s"""tree AS (SELECT name, parent FROM mst_group WHERE name = 'BG ${TallyFixtures.BulkGroups - 1}'
         | UNION ALL
         | SELECT e.name, e.parent FROM mst_group e JOIN tree ON tree.parent = e.name)
         |SELECT name, parent FROM tree ORDER BY 1""".stripMargin),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{ForeignMedia, GifCodec, JpegCodec, PngCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the EXACTNESS of the q112 foreign round-trips: bytes written
+  * by `javax.imageio` (independent encoder), decoded by the repo's
+  * codecs, must reproduce the generative laws bit-for-bit — per
+  * pixel here, so a q112 sum-level pass can never be a cancellation
+  * accident. Covers every (format × dims) residue class plus
+  * larger-than-corpus ids. */
+class ForeignMediaSpec extends AnyFunSuite {
+
+  // ids covering all dim residues per format; 3k+r picks the format
+  private val ids: Seq[Long] =
+    (0L until 63L) ++ Seq(597L, 598L, 599L, 6001L, 6002L, 6003L)
+
+  test("ImageIO PNG decodes to the exact per-pixel law") {
+    for (id <- ids if ForeignMedia.fmtOf(id) == "png") {
+      val (w0, h0) = ForeignMedia.pngDims(id)
+      val (w, h, px) = PngCodec.decodePixels(id, ForeignMedia.encodePng(id))
+      assert((w, h) == (w0, h0), s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ForeignMedia.pngRgb(id, x, y)
+        val p = px(y * w + x)
+        assert(p == ((r << 16) | (g << 8) | b),
+          s"id=$id png pixel ($x,$y): got ${p.toHexString}, " +
+            s"law ${((r << 16) | (g << 8) | b).toHexString}")
+      }
+    }
+  }
+
+  test("ImageIO GIF decodes to the exact palette-resolved law") {
+    for (id <- ids if ForeignMedia.fmtOf(id) == "gif") {
+      val (w0, h0) = ForeignMedia.gifDims(id)
+      val img = GifCodec.decode(ForeignMedia.encodeGif(id))
+      assert((img.width, img.height) == (w0, h0), s"id=$id dims")
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val (r, g, b) = ForeignMedia.gifPalette(
+          ForeignMedia.gifIndex(id, x, y))
+        val p = img.rgb(y * img.width + x)
+        assert(p == ((r << 16) | (g << 8) | b),
+          s"id=$id gif pixel ($x,$y): got ${p.toHexString}, " +
+            s"law ${((r << 16) | (g << 8) | b).toHexString}")
+      }
+    }
+  }
+
+  test("ImageIO quality-1.0 grayscale JPEG decodes to the exact block law") {
+    for (id <- ids if ForeignMedia.fmtOf(id) == "jpeg") {
+      val (w0, h0) = ForeignMedia.jpegDims(id)
+      val img = JpegCodec.decode(ForeignMedia.encodeJpeg(id))
+      assert((img.width, img.height) == (w0, h0), s"id=$id dims")
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val v = ForeignMedia.jpegGray(id, x / 8, y / 8)
+        assert(img.y(y * img.width + x) == v,
+          s"id=$id jpeg Y ($x,$y): got ${img.y(y * img.width + x)}, law $v")
+        assert(img.cb(y * img.width + x) == 128 &&
+          img.cr(y * img.width + x) == 128, s"id=$id chroma not neutral")
+      }
+    }
+  }
+}

@@ -34,6 +34,29 @@ class MinHashExprSpec extends AnyFunSuite {
     }
   }
 
+  test("signature AGGREGATE equals the per-row expression on exploded rows") {
+    import spark.implicits._
+    // the batch formulation ([[graft.functions.MinHashSigAgg]]) must
+    // produce the same lanes as the per-row expression whatever the
+    // partition split — fixed-width partials + element-wise-min merge
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(50))(rng.nextLong()))
+    }
+    val df = rows.toDF("id", "hs")
+    for (k <- Seq(8, 128); parts <- Seq(1, 7)) {
+      val exploded = df.select(col("id"), explode(col("hs")).as("h"))
+        .repartition(parts)
+      val agg = exploded.groupBy(col("id"))
+        .agg(MinHashExpressions.minhashSignatureAgg(col("h"), k).as("sig"))
+      val expr = df.select(col("id"),
+        MinHashExpressions.minhashSignature(col("hs"), k).as("sig"))
+      val bad = agg.as("a").join(expr.as("e"), Seq("id"))
+        .filter(not(col("a.sig") === col("e.sig"))).count()
+      assert(bad == 0, s"agg != expr for $bad docs at k=$k parts=$parts")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq((1L, Seq(3L, -9L, 42L, Long.MinValue, Long.MaxValue)))
