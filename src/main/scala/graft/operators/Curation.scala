@@ -852,7 +852,7 @@ object Curation {
   def q111HtmlExtract(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     docs.select(col("doc_id"),
-        Html.extractText(Html.synthHtml(col("doc_id"), col("text")))
+        Html.extractTextNative(Html.synthHtml(col("doc_id"), col("text")))
           .as("extracted"))
       .select(col("doc_id"),
         length(col("extracted")).cast("int").as("n_chars"),

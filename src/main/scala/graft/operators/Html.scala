@@ -11,17 +11,31 @@ import org.apache.spark.sql.functions._
   * (the [[Redaction]] convention): no backtracking pathologies, DOTALL
   * via `(?s)` only on the block removals.
   *
-  * Scope is the honest regex-extractor scope: quoted attribute values
-  * must not contain a raw `>` (real-world HTML that violates this
-  * needs a tokenizing parser, which belongs behind the same kind of
-  * library boundary as a JNI codec). Script/style blocks MAY contain
-  * `<` freely — the non-greedy `(?s)<script.*?</script>` removal is
-  * exercised by the q111 law's embedded `if(x<5)`.
+  * Two implementations share the contract:
+  *  - [[extractText]] — the SQL-PORTABLE regex pipeline (every rule
+  *    expressible in any engine's regexp_replace). Honest regex
+  *    scope: quoted attribute values must not contain a raw `>`, and
+  *    a bare `<` in prose eats text to the next `>`.
+  *  - [[extractTextNative]] — the DEFAULT (q111): a native Catalyst
+  *    expression running a real character-level tokenizer
+  *    ([[graft.functions.HtmlTokenizer]]) that handles exactly the
+  *    crawl-HTML cases the regex scope excludes (quoted `>` in
+  *    attributes, bare `<` in prose, numeric entities, truncated
+  *    markup at EOF) — closing the round-12 "real crawl HTML will
+  *    hit this" gap with a tokenizing parser, not a wider regex.
+  * Script/style blocks MAY contain `<` freely in both — the
+  * non-greedy `(?s)<script.*?</script>` removal is exercised by the
+  * q111 law's embedded `if(x<5)`.
   */
 object Html {
 
+  /** Tokenizer-grade extraction (the default; see scaladoc above). */
+  def extractTextNative(html: Column): Column =
+    graft.functions.HtmlExpressions.htmlToText(html)
+
   /** Extract visible text: script/style blocks out, comments out,
-    * tags out, entities decoded, whitespace collapsed + trimmed. */
+    * tags out, entities decoded, whitespace collapsed + trimmed —
+    * the SQL-portable regex twin (see scaladoc above for scope). */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script\\b.*?</script\\s*>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
@@ -42,8 +56,10 @@ object Html {
   /** Deterministic MESSY-html law for q111: wraps the corpus text in
     * a full document carrying every noise axis the extractor must
     * survive — head/title, a style block, a script block with raw `<`
-    * and entities inside it, comments, attributes, entity-encoded
-    * spaces in the body. Extraction recovers a CLOSED-FORM string
+    * and entities inside it, comments, attributes (including a quoted
+    * value containing a RAW `>` — the case that forces the tokenizer;
+    * the regex twin leaks `0\">` here), entity-encoded spaces in the
+    * body. Extraction recovers a CLOSED-FORM string
     * ("T{id} Doc {id} " + text), so the oracle can demand the md5 of
     * the EXACT original text — one leaked tag fragment or missed
     * entity breaks the hash. */
@@ -55,7 +71,7 @@ object Html {
       lit(";if(x<5){s='&amp;&lt;';}</script></head>"),
       lit("<body class=\"b\" data-id=\""), docId, lit("\">"),
       lit("<!-- synthetic doc "), docId, lit(" --><h1>Doc "), docId,
-      lit("</h1><p id=\"t\">"),
+      lit("</h1><p id=\"t\" data-cmp=\""), docId, lit(">0\">"),
       regexp_replace(text, " ", "&nbsp;"),
       lit("</p></body></html>"))
 }

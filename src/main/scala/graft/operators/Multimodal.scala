@@ -911,23 +911,31 @@ object Multimodal {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(text.getBytes("UTF-8")); gz.close()
-        (id, bos.toByteArray)
+      .mapPartitions { it =>
+        // partition-reused Deflater (the q107 codec-context lesson —
+        // GZIPOutputStream allocates a fresh native zlib stream per
+        // row); the RFC 1952 frame is written around the raw deflate
+        // stream: 10-byte header, CRC-32 + ISIZE trailer. Conformance
+        // is pinned against the JDK's own GZIP streams in
+        // MultimodalSpec, both directions.
+        val deflater =
+          new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new java.util.zip.CRC32()
+        val tmp = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          (id, gzipFrame(deflater, crc, tmp, text.getBytes("UTF-8")))
+        }
       }
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // partition-reused Inflater: the frame header/trailer are
+        // parsed by hand (strict: loud failure on reserved flags)
+        // so the one native inflate context serves every row
+        val inf = new java.util.zip.Inflater(true)
+        val buf = new Array[Byte](8192)
         it.map { case (id, bytes) =>
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-          in.close()
-          val raw = out.toByteArray
+          val raw = gunzipFrame(inf, buf, id, bytes)
           val text = new String(raw, "UTF-8")
           md.reset()
           // codepoint count, not UTF-16 units — the length() semantics
@@ -937,6 +945,64 @@ object Multimodal {
             md.digest(raw).map(b => f"${b & 0xFF}%02x").mkString)
         }
       }
+  }
+
+  /** RFC 1952 gzip frame around a raw deflate stream from a REUSED
+    * Deflater: 10-byte header (magic, CM=8, FLG=0, MTIME=0, XFL=0,
+    * OS=255) + deflate body + CRC-32/ISIZE trailer. Conformance is
+    * pinned against the JDK's own GZIP streams in MultimodalSpec,
+    * both directions. */
+  private[graft] def gzipFrame(deflater: java.util.zip.Deflater,
+      crc: java.util.zip.CRC32, tmp: Array[Byte],
+      raw: Array[Byte]): Array[Byte] = {
+    deflater.reset()
+    deflater.setInput(raw)
+    deflater.finish()
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    while (!deflater.finished()) {
+      val n = deflater.deflate(tmp)
+      bos.write(tmp, 0, n)
+    }
+    crc.reset(); crc.update(raw)
+    val t = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(raw.length)
+    bos.write(t.array())
+    bos.toByteArray
+  }
+
+  /** Strict RFC 1952 reader over a REUSED raw Inflater: magic/CM
+    * checked, reserved FLG bits rejected loudly, CRC-32 and ISIZE
+    * verified against the inflated bytes. */
+  private[graft] def gunzipFrame(inf: java.util.zip.Inflater,
+      buf: Array[Byte], id: Long, bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length > 18 && (bytes(0) & 0xFF) == 0x1f &&
+      (bytes(1) & 0xFF) == 0x8b && bytes(2) == 8,
+      s"doc $id: not a gzip frame")
+    require(bytes(3) == 0,
+      s"doc $id: unsupported gzip FLG ${bytes(3)}")
+    inf.reset()
+    // include the trailer bytes as input slack: a nowrap Inflater may
+    // legitimately request one byte past the deflate stream (the
+    // documented "dummy byte" quirk); it stops at the deflate EOF
+    // marker, leaving the trailer unread — GZIPInputStream does the same
+    inf.setInput(bytes, 10, bytes.length - 10)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      require(n > 0 || !inf.needsInput(), s"doc $id: truncated gzip stream")
+      out.write(buf, 0, n)
+    }
+    val raw = out.toByteArray
+    val t = java.nio.ByteBuffer.wrap(bytes, bytes.length - 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val crc = new java.util.zip.CRC32()
+    crc.update(raw)
+    require(t.getInt == crc.getValue.toInt, s"doc $id: gzip CRC mismatch")
+    require(t.getInt == raw.length, s"doc $id: gzip ISIZE mismatch")
+    raw
   }
 
   /** One decoded row of the zstd/lz4 corpus path. */

@@ -81,7 +81,11 @@ object PngCodec {
       }
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    // thread-reused native zlib state (the q107 lesson: per-image
+    // Deflater allocation is invisible churn on a quiet heap and
+    // brutal under suite pressure); reset() re-arms a dirty context
+    val deflater = sharedDeflater.get()
+    deflater.reset()
     deflater.setInput(filtered)
     deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -90,7 +94,6 @@ object PngCodec {
       val n = deflater.deflate(tmp)
       zbuf.write(tmp, 0, n)
     }
-    deflater.end()
     val z = zbuf.toByteArray
 
     val out = new java.io.ByteArrayOutputStream()
@@ -236,27 +239,39 @@ object PngCodec {
     ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
       ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
 
+  /** Thread-reused zlib contexts — Deflater/Inflater hold native
+    * state, and allocating one per image is the q107 churn pattern;
+    * executor threads are a bounded pool, so a thread-local pair ends
+    * the per-row allocation without any API change. reset() at each
+    * use re-arms a context a prior failure left dirty. */
+  private val sharedDeflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater =
+      new Deflater(Deflater.DEFAULT_COMPRESSION)
+  }
+  private val sharedInflater = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
   private def inflate(docId: Long, z: Array[Byte],
       expected: Int): Array[Byte] = {
-    val inf = new Inflater()
+    val inf = sharedInflater.get()
+    inf.reset()
     inf.setInput(z)
     val out = new Array[Byte](expected)
     var off = 0
-    try {
-      while (off < expected && !inf.finished()) {
-        val n = inf.inflate(out, off, expected - off)
-        require(n > 0 || !inf.needsInput(),
-          s"doc $docId: truncated IDAT stream ($off of $expected bytes)")
-        if (n == 0 && inf.needsInput()) // ran out of compressed input
-          throw new IllegalArgumentException(
-            s"requirement failed: doc $docId: truncated IDAT stream " +
-              s"($off of $expected bytes)")
-        off += n
-      }
-      require(off == expected,
-        s"doc $docId: IDAT inflated to $off bytes, expected $expected")
-      out
-    } finally inf.end()
+    while (off < expected && !inf.finished()) {
+      val n = inf.inflate(out, off, expected - off)
+      require(n > 0 || !inf.needsInput(),
+        s"doc $docId: truncated IDAT stream ($off of $expected bytes)")
+      if (n == 0 && inf.needsInput()) // ran out of compressed input
+        throw new IllegalArgumentException(
+          s"requirement failed: doc $docId: truncated IDAT stream " +
+            s"($off of $expected bytes)")
+      off += n
+    }
+    require(off == expected,
+      s"doc $docId: IDAT inflated to $off bytes, expected $expected")
+    out
   }
 
   /** Feature decode — [[Multimodal.BmpCodec.decode]]'s shape for

@@ -43,4 +43,67 @@ class HtmlSpec extends AnyFunSuite {
     assert(extract("  <p>\n  spaced\t\tout  </p>\n ") == "spaced out")
     assert(extract("<p></p>") == "")
   }
+
+  // ── native tokenizer ([[graft.functions.HtmlTokenizer]]) ──────────
+
+  private def extractN(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(Html.extractTextNative(col("h")).as("t"))
+      .first().getString(0)
+  }
+
+  test("native agrees with the regex twin on every shared-scope fixture") {
+    for (h <- Seq(
+      "<p>a</p><script>if(1<2){x='<b>not bold</b>'}</script><p>b</p>",
+      "<STYLE>p{content:'<fake>'}</STYLE>keep",
+      "<SCRIPT type=\"x\">1<2</SCRIPT>ok",
+      "x<!-- <p>hidden</p> -->y",
+      "<DIV CLASS=\"a\">v</DIV>", "a<br/>b<BR>c",
+      "fish &amp; chips", "1 &lt; 2 &gt; 0",
+      "&quot;q&quot; &#39;s&#39;", "a&nbsp;b", "&amp;lt;",
+      "  <p>\n  spaced\t\tout  </p>\n ", "<p></p>"))
+      assert(extractN(h) == extract(h), s"diverged on: $h")
+  }
+
+  test("native handles quoted attribute values containing raw '>'") {
+    // the documented regex-scope exclusion (round-12 missing #5):
+    // the regex twin truncates the tag at the inner '>' and leaks
+    assert(extractN("<a title=\"a>b\">link</a>") == "link")
+    assert(extractN("<p data-x='1>0' class=\"y>z\">t</p>") == "t")
+    assert(extract("<a title=\"a>b\">link</a>") != "link")
+  }
+
+  test("native keeps bare '<' in prose (HTML5 tokenizer rule)") {
+    assert(extractN("i < 5 and j > 2") == "i < 5 and j > 2")
+    // the regex twin eats "< 5 and j >" as a pseudo-tag
+    assert(extract("i < 5 and j > 2") != "i < 5 and j > 2")
+  }
+
+  test("native decodes numeric entities, leaves unknown ones literal") {
+    assert(extractN("&#65;&#x42;c") == "ABc")
+    assert(extractN("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(extractN("&bogus; &#zz; &") == "&bogus; &#zz; &")
+  }
+
+  test("native raw-text close-tag boundary and truncated-markup tails") {
+    // </scriptx> must NOT close a script block; </script > must
+    assert(extractN("<script>a</scriptx>b</script>c") == "c")
+    assert(extractN("<script>a</script >c") == "c")
+    // unclosed constructs at EOF drop the tail, never leak markup
+    assert(extractN("keep<script>tail with no close") == "keep")
+    assert(extractN("keep<!-- unterminated") == "keep")
+    assert(extractN("keep<p unterminated") == "keep")
+    // self-closing script does not enter raw-text mode
+    assert(extractN("<script src=\"x\"/>after") == "after")
+  }
+
+  test("native extraction recovers the q111 law closed form with the quoted '>'") {
+    import spark.implicits._
+    val df = Seq((3L, "hello world"), (7L, "x y z")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Html.extractTextNative(
+        Html.synthHtml(col("doc_id"), col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(3L) == "T3 Doc 3 hello world")
+    assert(got(7L) == "T7 Doc 7 x y z")
+  }
 }

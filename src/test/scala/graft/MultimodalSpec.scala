@@ -358,4 +358,39 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.text_md5 == exp, s"md5 doc $id — a decompressed byte differs")
     }
   }
+
+  test("gzip frame codec is RFC 1952 conformant both directions vs the JDK") {
+    // the q100 path moved off per-row GZIP streams onto reused
+    // Deflater/Inflater contexts with hand-written framing — frame
+    // conformance must therefore be pinned against the JDK's own
+    // implementation, not assumed
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val inf = new java.util.zip.Inflater(true)
+    val crc = new java.util.zip.CRC32()
+    val tmp = new Array[Byte](8192)
+    val texts = Seq("", "x", "hello gzip world " * 50, "ñ 漢字 😀")
+    for (t <- texts) {
+      val raw = t.getBytes("UTF-8")
+      // ours -> JDK reader
+      val ours = Multimodal.gzipFrame(deflater, crc, tmp, raw)
+      val jdkIn = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      val back = jdkIn.readAllBytes(); jdkIn.close()
+      assert(back.sameElements(raw), s"JDK cannot read our frame for '$t'")
+      // JDK writer -> our strict reader
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      val theirs = Multimodal.gunzipFrame(inf,
+        new Array[Byte](8192), 0L, bos.toByteArray)
+      assert(theirs.sameElements(raw), s"we cannot read the JDK frame for '$t'")
+    }
+    // corruption fails loudly: flipped CRC byte
+    val frame = Multimodal.gzipFrame(deflater, crc, tmp, "abc".getBytes)
+    frame(frame.length - 5) = (frame(frame.length - 5) ^ 1).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.gunzipFrame(inf, new Array[Byte](8192), 0L, frame)
+    }
+  }
 }

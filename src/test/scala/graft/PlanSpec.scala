@@ -332,8 +332,9 @@ class PlanSpec extends AnyFunSuite {
     // round-11 verdict #2: q68/q71/q72/q78 each rebuilt the MinHash
     // edge set and q80 the cosine one — the pair sweep must run once
     // per corpus and every consumer must plan a plain parquet scan of
-    // the shared index (location 'graft-pairidx-*') with no xxhash64
-    // gram/signature stage left in its own plan
+    // the shared warehouse artifact ('graft_pairs/<family>-<key>',
+    // round 13's durable home) with no xxhash64 gram/signature stage
+    // left in its own plan
     import graft.operators.Curation
     val textPlans = Seq(
       "q68" -> executedPlan(Curation.q68DupClusters(spark, sf)),
@@ -341,13 +342,13 @@ class PlanSpec extends AnyFunSuite {
       "q72" -> executedPlan(Curation.q72ClusterReps(spark, sf)),
       "q78" -> executedPlan(Curation.q78SplitLeakage(spark, sf)))
     textPlans.foreach { case (n, p) =>
-      assert(p.contains("graft-pairidx-"),
+      assert(p.contains("graft_pairs/text-"),
         s"$n does not scan the shared pair index:\n$p")
       assert(!p.contains("xxhash64"),
         s"$n still runs the gram/LSH pipeline in its own plan:\n$p")
     }
     val q80 = executedPlan(Curation.q80SemanticDedup(spark, sf))
-    assert(q80.contains("graft-pairidx-"),
+    assert(q80.contains("graft_pairs/cos-"),
       s"q80 does not scan the shared cosine pair index:\n$q80")
   }
 
