@@ -477,7 +477,12 @@ class PlanSpec extends AnyFunSuite {
     // exchange would mean pixels or payload bytes started shuffling
     for (q <- Seq(
         graft.operators.Curation.q104MediaJpeg(spark, sf),
-        graft.operators.Curation.q109FrameSample(spark, sf))) {
+        graft.operators.Curation.q109FrameSample(spark, sf),
+        // q112: same contract over the STORED foreign corpus — the
+        // decode side must be a parquet scan of the warehouse
+        // artifact feeding mapPartitions, with only the sort exchange
+        graft.operators.ForeignMedia.features(spark, sf).toDF()
+          .orderBy("doc_id"))) {
       val plan = executedPlan(q)
       val finalPlan = plan.split("== Initial Plan ==").head
       assert("Exchange hashpartitioning".r.findAllMatchIn(finalPlan).isEmpty,
@@ -487,5 +492,11 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("MapPartitions"),
         s"decode not batched per partition:\n$plan")
     }
+    // and the q112 scan really is the stored artifact, not in-plan
+    // synthesis
+    val q112 = executedPlan(graft.operators.ForeignMedia
+      .features(spark, sf).toDF().orderBy("doc_id"))
+    assert(q112.contains("graft_pairs/media-"),
+      s"q112 does not scan the stored foreign corpus:\n$q112")
   }
 }

@@ -221,24 +221,32 @@ class ScaleContractSpec extends AnyFunSuite {
     // collisions arrive at the random rate ⇒ per-doc volume grows
     // ~m×); deriving the chunk count from n re-widens the keys and
     // must hold per-doc volume roughly flat
-    def volumes(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    // both EXECUTED budgets: q98's default 32 and q23's wide-radius
+    // 256 (round 13 made the derived config the q23 plan — the
+    // budget is a constant, so the ~flat law must hold at both)
+    def volumes(df: org.apache.spark.sql.DataFrame,
+        budget: Double): (Double, Double) = {
       val grams = TextDedup.explodedShingles(df, "doc_id", "text", 3)
         .localCheckpoint(true)
       val n = df.count()
-      val (k, _) = TextDedup.simhashParamsForScale(n)
+      val (k, _) = TextDedup.simhashParamsForScale(n, budget)
       (TextDedup.simhashChunkPairVolume(grams, 13).toDouble / n,
         TextDedup.simhashChunkPairVolume(grams, k).toDouble / n)
     }
-    val (fixed1, scaled1) = volumes(docs1)
-    val (fixedM, scaledM) = volumes(docsM)
-    // fixed 13-chunk: per-doc volume must show the quadratic law
-    // (expected ~m× growth; conservative floor 3×)
-    assert(fixedM >= 3.0 * fixed1,
-      s"fixed-chunk prefilter unexpectedly flat: $fixed1 -> $fixedM")
-    // derived: roughly flat (3× slack absorbs true-pair structure and
-    // chunk-width discreteness — the quadratic law would show ~m×)
-    assert(scaledM <= 3.0 * math.max(scaled1, 32.0),
-      s"derived-chunk prefilter grew ~quadratically: $scaled1 -> $scaledM")
+    for (budget <- Seq(32.0, graft.operators.Curation.Q23WideRadiusBudget)) {
+      val (fixed1, scaled1) = volumes(docs1, budget)
+      val (fixedM, scaledM) = volumes(docsM, budget)
+      // fixed 13-chunk: per-doc volume must show the quadratic law
+      // (expected ~m× growth; conservative floor 3×)
+      assert(fixedM >= 3.0 * fixed1,
+        s"fixed-chunk prefilter unexpectedly flat: $fixed1 -> $fixedM")
+      // derived: roughly flat (3× slack absorbs true-pair structure
+      // and chunk-width discreteness — the quadratic law would show
+      // ~m×); floor scales with the budget
+      assert(scaledM <= 3.0 * math.max(scaled1, budget),
+        s"budget-$budget derived-chunk prefilter grew ~quadratically: " +
+          s"$scaled1 -> $scaledM")
+    }
   }
 
   test("decontamination pairs grow exactly m× under replication") {

@@ -11,12 +11,12 @@ LABELS = {
     "q20_dedup_exact": "q20 exact dedup",
     "q21_dedup_ngram_jaccard": "q21 n-gram Jaccard",
     "q22_dedup_minhash_lsh": "q22 MinHash LSH",
-    "q23_dedup_simhash": "q23 SimHash",
+    "q23_dedup_simhash": "q23 SimHash (scale-derived contract)",
     "q52_dedup_corpus": "q52 corpus dedup",
     "q62_dedup_incremental": "q62 incremental ingest dedup",
     "q64_decontamination": "q64 decontamination (broadcast eval)",
     "q48_embed_near_dup_lsh": "q48 near-dup LSH (scale-derived)",
-    "q51_embed_near_dup_lsh_hi": "q51 near-dup LSH (pinned hi-τ)",
+    "q51_embed_near_dup_lsh_hi": "q51 near-dup LSH (scale-derived τ=0.95)",
     "q53_embed_ann_ivf_clustered": "q53 IVF ANN clustered",
     "q84_passage_dedup": "q84 passage dedup",
     "q85_containment": "q85 containment pairs",
