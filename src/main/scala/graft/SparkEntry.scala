@@ -124,6 +124,9 @@ object SparkEntry {
       graft.operators.ForeignMedia.features(s, dir).toDF()
         .orderBy("doc_id")),
     "q113_stream_exact_dedup" -> (Curation.q113StreamExactDedup _),
+    "q115_embed_ann_ivf_stored" -> (Curation.q115EmbedAnnIvfStored _),
+    "q116_dedup_incremental_stored" ->
+      (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -304,24 +307,11 @@ object SparkEntry {
     // incremental ingest dedup: exact cross-side trigram Jaccard over
     // the md5 '>= c' incoming / '< c' existing split (the q22
     // recall-1 banding regime — every oracle pair must be found)
-    "q62_dedup_incremental" ->
-      s"""WITH sides AS (SELECT doc_id, text,
-        |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
-        |  FROM documents),
-        | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
-        | grams AS (SELECT DISTINCT doc_id, incoming,
-        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
-        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
-        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
-        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |  FROM grams x JOIN grams y ON x.g = y.g
-        |   AND x.incoming = 0 AND y.incoming = 1
-        |  GROUP BY 1,2)
-        |SELECT i.a AS existing_id, i.b AS incoming_id,
-        | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-        |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
-        |ORDER BY 1, 2""".stripMargin,
+    "q62_dedup_incremental" -> incrementalDedupSql,
+    // the SAME oracle gates the stored-index execution path: the
+    // persisted (band-key, gram) warehouse artifact must reproduce
+    // the one-job derivation row for row
+    "q116_dedup_incremental_stored" -> incrementalDedupSql,
     // streaming ingest dedup: the SAME exact cross-side Jaccard
     // oracle as q62 — the stateless stream's pair set must be
     // independent of its micro-batch split
@@ -1127,6 +1117,11 @@ object SparkEntry {
     // drops a row and fails the compare.
     "q25_embed_ann_lsh"  -> knnSql(graft.operators.Curation.AnnOracleK),
     "q47_embed_ann_ivf"  -> knnSql(graft.operators.Curation.AnnOracleK),
+    // same exact-KNN oracle gates the STORED-index probe path (q115):
+    // partition-pruned reads of the persisted inverted file must
+    // reproduce the in-memory derivation bit for bit
+    "q115_embed_ann_ivf_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash
     "q53_embed_ann_ivf_clustered" ->
@@ -1341,6 +1336,27 @@ object SparkEntry {
     * oracle so the two regexes cannot drift. */
   private def q74BlockSql: String =
     Redaction.blocklistPattern(Curation.Q74Blocklist)
+
+  /** q62/q116 oracle: exact cross-side trigram Jaccard at τ = 0.8
+    * over the md5 incoming/existing split. */
+  private val incrementalDedupSql: String =
+    s"""WITH sides AS (SELECT doc_id, text,
+      |   CASE WHEN substr(md5(text), 1, 1) >= '${graft.operators.Curation.Q62IncomingHex}' THEN 1 ELSE 0 END AS incoming
+      |  FROM documents),
+      | toks AS (SELECT doc_id, incoming, string_split(text, ' ') AS w FROM sides),
+      | grams AS (SELECT DISTINCT doc_id, incoming,
+      |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+      |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+      | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+      | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      |  FROM grams x JOIN grams y ON x.g = y.g
+      |   AND x.incoming = 0 AND y.incoming = 1
+      |  GROUP BY 1,2)
+      |SELECT i.a AS existing_id, i.b AS incoming_id,
+      | round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+      |WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+      |ORDER BY 1, 2""".stripMargin
 
   /** Exact-KNN oracle: cosine top-`maxRank` per query vector, exact
     * decimal dot/norm accumulation mirroring [[Similarity.cosine]]. */

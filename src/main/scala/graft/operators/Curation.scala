@@ -152,6 +152,34 @@ object Curation {
       .orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** q62 against the PERSISTED near-dup index (q116) — the execution
+    * path an operating pipeline actually runs every cycle, now under
+    * the oracle (it was IndexPathSpec-only): the existing corpus's
+    * (band-key, gram) index is a warehouse artifact
+    * ([[Warehouse.materializedDir]], keyed by banding params + split
+    * rule + corpus fingerprint — a restarted run reuses it), and the
+    * cycle computes signatures for the INCOMING batch only
+    * ([[TextDedup.incrementalNearDupPairsFromIndex]]: stored 16-byte
+    * key rows feed the bucket join, stored grams the verify
+    * semi-join). Same exact cross-side Jaccard oracle as q62 — the
+    * stored-index path must reproduce the one-job derivation row for
+    * row. */
+  def q116DedupIncrementalStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(
+      substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
+    val existing = docs.filter(
+      substring(md5(col("text")), 1, 1) < Q62IncomingHex)
+    val idx = Warehouse.materializedDir(s, "ndidx",
+      s"ndidx:3:128:32:<$Q62IncomingHex:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildNearDupIndex(existing, "doc_id", "text", d)
+    }
+    TextDedup.incrementalNearDupPairsFromIndex(s, incoming, idx,
+        "doc_id", "text", n = 3, minJaccard = 0.8)
+      .orderBy(col("existing_id"), col("incoming_id"))
+  }
+
   /** Duplicate-CLUSTER assignment — the canonicalization step after
     * pair finding: every doc labeled with the min doc_id of its
     * near-dup connected component (singletons label themselves).
@@ -447,6 +475,30 @@ object Curation {
     Similarity.ivfTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10,
         nLists = 16, nProbe = 12, assignments = 2)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q47 against a PERSISTED IVF index (q115) — stored-index ANN
+    * under the oracle (it was IndexPathSpec/SimilaritySpec-only): the
+    * inverted file is a warehouse artifact
+    * ([[Warehouse.materializedDir]], keyed by build params + corpus
+    * fingerprint) holding centroids plus list_id-PARTITIONED
+    * assignments, and [[Similarity.ivfTopKFromIndex]] probes it with
+    * static partition pruning (only probed list directories are
+    * read — IndexPathSpec pins partitions read == lists probed).
+    * Same parameters and exact-KNN oracle as q47, so the stored path
+    * must reproduce the in-memory derivation bit for bit. */
+  def q115EmbedAnnIvfStored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = Warehouse.materializedDir(s, "ivf",
+      s"ivf:16:2:2:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", d,
+        nLists = 16, assignments = 2)
+    }
+    Similarity.ivfTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 10, nProbe = 12)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }

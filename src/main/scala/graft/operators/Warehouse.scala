@@ -75,36 +75,40 @@ private[graft] object Warehouse {
   }
 
   /** A published artifact dir is usable iff its stored key equals
-    * ours (param/corpus mismatch safety) and the parquet commit
-    * marker exists (no partial write is ever adopted). */
+    * ours (param/corpus mismatch safety) and the completion marker
+    * exists — `_GRAFT_OK` is written only after the builder ran to
+    * the end, so no partial write is ever adopted. */
   private def usable(dir: java.io.File, key: String): Boolean = {
     val keyFile = new java.io.File(dir, "_graft_key.txt")
-    val success = new java.io.File(dir, "pairs.parquet/_SUCCESS")
-    keyFile.exists() && success.exists() && {
+    val ok = new java.io.File(dir, "_GRAFT_OK")
+    keyFile.exists() && ok.exists() && {
       val src = scala.io.Source.fromFile(keyFile, "UTF-8")
       val stored = try src.mkString finally src.close()
       stored == key
     }
   }
 
-  /** Resolve the on-disk artifact for `key`, building it iff absent
-    * or stale. */
+  /** Resolve the on-disk artifact DIRECTORY for `key`, building it
+    * iff absent or stale. `build` receives a staging directory and
+    * may lay out any file structure (a pair parquet, an IVF index's
+    * centroids + partitioned assignments, …). */
   private def loadOrBuild(spark: SparkSession, family: String,
-      key: String)(build: => DataFrame): String = {
+      key: String)(build: String => Unit): String = {
     val root = new java.io.File(indexRoot(spark))
     root.mkdirs()
     val finalDir = new java.io.File(root, s"$family-${sha16(key)}")
     if (usable(finalDir, key)) {
       System.err.println(s"[pairidx] reusing $key <- $finalDir")
-      return s"$finalDir/pairs.parquet"
+      return finalDir.toString
     }
     val tmp = new java.io.File(root,
       s".build-$family-${sha16(key)}-${java.util.UUID.randomUUID()}")
     val t0 = System.nanoTime()
-    build.write.mode("overwrite").parquet(s"$tmp/pairs.parquet")
+    build(tmp.toString)
     val w = new java.io.PrintWriter(
       new java.io.File(tmp, "_graft_key.txt"), "UTF-8")
     try w.print(key) finally w.close()
+    new java.io.File(tmp, "_GRAFT_OK").createNewFile()
     // surface the one-time cost in any harness log (bench reports
     // steady-state consumer times via min-of-reps; the build is
     // real work and must stay visible somewhere auditable)
@@ -122,15 +126,25 @@ private[graft] object Warehouse {
       require(usable(finalDir, key),
         s"artifact collision at $finalDir for key $key")
     }
-    s"$finalDir/pairs.parquet"
+    finalDir.toString
   }
 
   /** The artifact boundary: first caller per key builds and
     * publishes, everyone else scans the columnar artifact. */
   private[graft] def materialized(spark: SparkSession, family: String,
       key: String)(build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(key,
-      _ => loadOrBuild(spark, family, key)(build))
-    spark.read.parquet(path)
+    val dir = built.computeIfAbsent(key,
+      _ => loadOrBuild(spark, family, key)(d =>
+        build.write.mode("overwrite").parquet(s"$d/pairs.parquet")))
+    spark.read.parquet(s"$dir/pairs.parquet")
   }
+
+  /** Directory-artifact boundary for builders that lay out their own
+    * structure ([[Similarity.buildIvfIndex]],
+    * [[TextDedup.buildNearDupIndex]]) — returns the published
+    * directory path. */
+  private[graft] def materializedDir(spark: SparkSession,
+      family: String, key: String)(build: String => Unit): String =
+    built.computeIfAbsent(key,
+      _ => loadOrBuild(spark, family, key)(build))
 }

@@ -40,6 +40,18 @@ object TallyReportQueries {
     "q37_tally_group_tree_children_parent" -> ((s, _) =>
       TallyReports.groupTreeChildrenParent(load(s),
         s"BG ${TallyFixtures.BulkGroups - 1}")),
+    // FULL transitive closure of the deep group forest (R13 at depth
+    // AND volume): every (ancestor, descendant, depth) pair — ~1,690
+    // rows to depth 9 — so the iterative fixpoint loop is gated by a
+    // recursive SQL oracle over non-trivial structure, not a
+    // single-root walk (q36/q37 gate the two reference traversals)
+    "q114_tally_group_closure" -> ((s, _) =>
+      graft.operators.Hierarchy.closure(
+          load(s).mstGroup.select(
+            org.apache.spark.sql.functions.col("parent"),
+            org.apache.spark.sql.functions.col("name").as("child"))
+          .filter(org.apache.spark.sql.functions.col("parent") =!= ""))
+        .orderBy("ancestor", "descendant", "depth")),
     "q38_tally_profit_loss" -> ((s, _) =>
       TallyReports.profitLoss(load(s))),
     "q39_tally_sales_daily" -> ((s, _) =>
@@ -169,6 +181,14 @@ object TallyReportQueries {
         | UNION ALL
         | SELECT e.name, e.parent FROM mst_group e JOIN tree ON tree.parent = e.name)
         |SELECT name, parent FROM tree ORDER BY 1""".stripMargin),
+    "q114_tally_group_closure" -> fx(
+      """clo AS (SELECT parent AS ancestor, name AS descendant, 1 AS depth
+        |  FROM mst_group WHERE parent <> ''
+        | UNION ALL
+        | SELECT c.ancestor, e.name, c.depth + 1
+        | FROM mst_group e JOIN clo c ON c.descendant = e.parent)
+        |SELECT ancestor, descendant, CAST(depth AS INT) AS depth
+        |FROM clo ORDER BY 1, 2, 3""".stripMargin),
     "q38_tally_profit_loss" -> fx(
       """gb AS (SELECT g.primary_group AS "group", l.name AS ledger,
         |  CASE WHEN max(g.is_deemedpositive) = 1 THEN 'expense' ELSE 'income' END AS nature,
