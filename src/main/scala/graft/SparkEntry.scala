@@ -870,8 +870,8 @@ object SparkEntry {
     // ForeignMedia for why each format's law is lossless-exact)
     "q112_media_foreign" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents),
-        | png AS (SELECT id, CAST(8 + (id % 9) AS INT) AS w,
-        |   CAST(8 + (id % 7) AS INT) AS h FROM ids WHERE id % 3 = 0),
+        | png AS (SELECT id, CAST(8 + (id // 3) % 9 AS INT) AS w,
+        |   CAST(8 + (id // 3) % 7 AS INT) AS h FROM ids WHERE id % 3 = 0),
         | pngf AS (SELECT id AS doc_id, 'png' AS fmt, w, h,
         |   CAST(sum((id*7 + x) % 256) AS BIGINT) AS sum_c1,
         |   CAST(sum((id*11 + y) % 256) AS BIGINT) AS sum_c2,
@@ -888,8 +888,8 @@ object SparkEntry {
         |  FROM gif CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
         |           CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y)
         |  GROUP BY 1,2,3,4),
-        | jpg AS (SELECT id, CAST(16*(1 + id % 3) AS INT) AS w,
-        |   CAST(16*(1 + id % 2) AS INT) AS h FROM ids WHERE id % 3 = 2),
+        | jpg AS (SELECT id, CAST(16*(1 + (id // 3) % 3) AS INT) AS w,
+        |   CAST(16*(1 + (id // 3) % 2) AS INT) AS h FROM ids WHERE id % 3 = 2),
         | jpgf AS (SELECT id AS doc_id, 'jpeg' AS fmt, w, h,
         |   CAST(sum(((id*37 + bx*11 + by*5) % 256) * 64) AS BIGINT) AS sum_c1,
         |   CAST(128 * w * h AS BIGINT) AS sum_c2,

@@ -138,12 +138,21 @@ object HtmlTokenizer {
           case "apos" | "#39" => '\''
           case "amp" => '&'
           case b if b.length > 1 && b.charAt(0) == '#' =>
-            try {
-              val v = if (b.charAt(1) == 'x' || b.charAt(1) == 'X')
-                Integer.parseInt(b.substring(2), 16)
-              else Integer.parseInt(b.substring(1))
-              if (Character.isValidCodePoint(v) && v > 0) v else -1
-            } catch { case _: NumberFormatException => -1 }
+            // strict digit check (no '+'/'-' signs Integer.parseInt
+            // would accept), then the HTML5 numeric-reference rule:
+            // out-of-range, zero and SURROGATE code points all yield
+            // U+FFFD — never a lone surrogate the UTF-8 encoder would
+            // mangle into an undefined byte
+            val hex = b.charAt(1) == 'x' || b.charAt(1) == 'X'
+            val digits = b.substring(if (hex) 2 else 1)
+            val ok = digits.nonEmpty && digits.forall(c =>
+              if (hex) Character.digit(c, 16) >= 0 else c >= '0' && c <= '9')
+            if (!ok) -1
+            else try {
+              val v = Integer.parseInt(digits, if (hex) 16 else 10)
+              if (v <= 0 || v > 0x10FFFF ||
+                  (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD else v
+            } catch { case _: NumberFormatException => 0xFFFD } // > Int range
           case _ => -1
         }
         if (cp >= 0) { emit(cp); i = semi + 1 }

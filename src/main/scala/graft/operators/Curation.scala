@@ -991,6 +991,26 @@ object Curation {
     Multimodal.audioNearDupGroups(s, Tables.documents(s, dir), "doc_id")
       .orderBy(col("keeper"))
 
+  /** Drain a FINISHED memory-sink stream and free its per-invocation
+    * state: the shaped result is localCheckpoint'ed (bounded — every
+    * stream entry's output is a small rollup/pair/digest table), then
+    * the memory-sink temp view is dropped and the staging directory
+    * deleted. Without this, every invocation leaked a corpus-sized
+    * temp dir AND a driver-held result table — bench reps compound
+    * it, and full-suite heap pressure was exactly the q107 lesson. */
+  private def finishStream(s: SparkSession, qname: String,
+      stage: String)(shape: DataFrame => DataFrame): DataFrame = {
+    val res = shape(s.table(qname)).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(stage))
+    res
+  }
+
   /** Streaming ingest-quality monitor EXECUTED as a stream (q97) —
     * the round-11 gap: the streaming twins were spec-gated only, and
     * no oracle entry ever ran a micro-batch. This entry stages the
@@ -1034,11 +1054,11 @@ object Curation {
     query.awaitTermination()
     // epoch-second window starts dodge timestamp-rendering semantics
     // (the q60 convention); session is UTC so the cast is exact
-    s.table(qname)
+    finishStream(s, qname, stage)(_
       .select(col("window_start").cast("long").as("window_start_s"),
         col("source"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("lang_mismatch"))
-      .orderBy(col("window_start_s"), col("source"))
+      .orderBy(col("window_start_s"), col("source")))
   }
 
   /** STATEFUL streaming sessionization EXECUTED as a stream (q101) —
@@ -1091,13 +1111,13 @@ object Curation {
       .queryName(qname).outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qname)
+    finishStream(s, qname, stage)(_
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_events"),
         round(col("total_value"), 6).as("total_value"),
         unix_micros(col("started")).as("start_us"),
         unix_micros(col("ended")).as("end_us"))
-      .orderBy(col("user_id"), col("start_us"))
+      .orderBy(col("user_id"), col("start_us")))
   }
 
   /** Streaming INGEST near-dup detection EXECUTED as a stream (q102)
@@ -1130,7 +1150,8 @@ object Curation {
     val query = pairs.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qname).orderBy(col("existing_id"), col("incoming_id"))
+    finishStream(s, qname, stage)(
+      _.orderBy(col("existing_id"), col("incoming_id")))
   }
 
   /** Streaming PASSAGE-hit detection EXECUTED as a stream (q103) —
@@ -1165,10 +1186,10 @@ object Curation {
     val query = hits.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qname)
+    finishStream(s, qname, stage)(_
       .select(col("incoming_id"), col("slot"), col("digest"),
         col("corpus_df"))
-      .orderBy(col("incoming_id"), col("slot"))
+      .orderBy(col("incoming_id"), col("slot")))
   }
 
   /** Streaming EXACT dedup EXECUTED as a stream (q113) — the last
@@ -1233,9 +1254,9 @@ object Curation {
     val query = deduped.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qname)
+    finishStream(s, qname, stage)(_
       .select(col("digest"), col("doc_id"))
-      .orderBy(col("digest"))
+      .orderBy(col("digest")))
   }
 
   /** q81's per-label outlier budget. */

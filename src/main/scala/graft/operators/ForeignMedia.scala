@@ -46,13 +46,19 @@ object ForeignMedia {
     case _ => "jpeg"
   }
 
+  // dims key off id/3 — the per-format SEQUENCE number — because the
+  // format selector already fixes id mod 3, so an id-mod law sharing
+  // a factor with 3 would collapse to a constant (an id%3-derived
+  // JPEG width was stuck at 48 px and an id%9 PNG width hit only a
+  // third of its residues — the round-13 review finding); id/3 walks
+  // every residue of every modulus
   def pngDims(id: Long): (Int, Int) =
-    (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+    (8 + (id / 3 % 9).toInt, 8 + (id / 3 % 7).toInt)
   def gifDims(id: Long): (Int, Int) =
     (8 + 2 * (id % 5).toInt, 8 + 2 * (id % 4).toInt)
   /** Multiples of 16: MCU-aligned whatever sampling the writer picks. */
   def jpegDims(id: Long): (Int, Int) =
-    (16 * (1 + (id % 3).toInt), 16 * (1 + (id % 2).toInt))
+    (16 * (1 + (id / 3 % 3).toInt), 16 * (1 + (id / 3 % 2).toInt))
 
   /** PNG per-pixel law (truecolor). */
   def pngRgb(id: Long, x: Int, y: Int): (Int, Int, Int) =
@@ -162,8 +168,11 @@ object ForeignMedia {
     * persisted as a warehouse artifact and re-read as plain parquet —
     * the decode query consumes STORED bytes, not in-plan synthesis. */
   def fixture(spark: SparkSession, dir: String): DataFrame =
+    // v2: dims re-keyed off id/3 (the v1 laws collapsed under the
+    // format selector's mod-3) — the version tag retires the stale
+    // artifact, the corpus fingerprint alone would not
     Warehouse.materialized(spark, "media",
-      s"media:v1:$dir:${Warehouse.fingerprint(s"$dir/documents.parquet")}") {
+      s"media:v2:$dir:${Warehouse.fingerprint(s"$dir/documents.parquet")}") {
       import spark.implicits._
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long")).as[Long]

@@ -363,12 +363,13 @@ object TextDedup {
     val grams = shared(tagged.select(col("id"), col("side"),
       explode(shingleArray(col("t"), n)).as("g")), materializeGrams)
     val gh = grams.select(col("id"), col("side"), xxhash64(col("g")).as("h"))
-    // collect-list + native signature (see [[bandBucketsFromGrams]])
+    // native signature AGGREGATE — the same fixed-width-partial,
+    // map-side-combined formulation as [[bandBucketsFromGrams]] (the
+    // collect_list form it replaces shuffled every gram hash and
+    // buffered whole per-doc lists — the large-doc regression)
     val sigs = gh.groupBy(col("id"), col("side"))
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("id"), col("side"),
-        graft.functions.MinHashExpressions
-          .minhashSignature(col("hs"), numHashes).as("sig"))
+      .agg(graft.functions.MinHashExpressions
+        .minhashSignatureAgg(col("h"), numHashes).as("sig"))
     val buckets = sigs.select(col("id"), col("side"), explode(
       bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .localCheckpoint(true)

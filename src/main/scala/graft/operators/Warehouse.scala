@@ -35,16 +35,21 @@ private[graft] object Warehouse {
     * session warehouse dir (a deployment points these at durable
     * storage; the sandbox default lands in ./spark-warehouse). */
   private[graft] def indexRoot(spark: SparkSession): String =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR")
-      .orElse(Option(spark.conf.get("spark.graft.index.dir", null)))
+    // the per-SESSION conf wins over the process-wide env var — a
+    // test or notebook re-pointing its own root must not be silently
+    // overridden by an exported shell variable
+    Option(spark.conf.get("spark.graft.index.dir", null))
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse {
         val w = spark.conf.get("spark.sql.warehouse.dir")
-        val local = if (w.startsWith("file:"))
-          new java.io.File(new java.net.URI(
-            // collapse file:/x, file:///x to a local path
-            "file://" + w.stripPrefix("file:").replaceAll("^/+", "/")))
-            .getAbsolutePath
-        else w
+        // plain string handling, no java.net.URI — a warehouse path
+        // containing spaces or other URI-illegal characters must not
+        // throw. file:/x, file://x and file:///x all collapse to /x.
+        val local = if (w.startsWith("file:")) {
+          var p = w.stripPrefix("file:")
+          while (p.startsWith("//")) p = p.substring(1)
+          new java.io.File(p).getAbsolutePath
+        } else w
         s"$local/graft_pairs"
       }
 
@@ -114,17 +119,27 @@ private[graft] object Warehouse {
     // real work and must stay visible somewhere auditable)
     System.err.println(f"[pairidx] built $key in " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s -> $finalDir")
-    // stale artifact (regenerated corpus, changed params behind the
-    // same hash): replace, never trust
-    if (finalDir.exists()) deleteRec(finalDir)
-    try java.nio.file.Files.move(tmp.toPath, finalDir.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      // a concurrent builder published first — adopt theirs iff the
-      // key matches; a mismatch here is a real collision: fail loud
-      deleteRec(tmp)
-      require(usable(finalDir, key),
-        s"artifact collision at $finalDir for key $key")
+    // publish: try the atomic move FIRST — a concurrently published
+    // LIVE artifact must never be deleted out from under its readers
+    // (the loser adopts the winner). Only an occupant that fails the
+    // key check (stale corpus fingerprint behind a hash collision, a
+    // doctored artifact) is replaced.
+    def move(): Boolean =
+      try {
+        java.nio.file.Files.move(tmp.toPath, finalDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.nio.file.FileSystemException => false }
+    if (!move()) {
+      if (usable(finalDir, key)) deleteRec(tmp) // winner published; adopt
+      else {
+        deleteRec(finalDir) // stale/partial occupant: replace
+        if (!move()) {
+          deleteRec(tmp)
+          require(usable(finalDir, key),
+            s"artifact collision at $finalDir for key $key")
+        }
+      }
     }
     finalDir.toString
   }

@@ -83,6 +83,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(extractN("&#65;&#x42;c") == "ABc")
     assert(extractN("&#x1F600;") == new String(Character.toChars(0x1F600)))
     assert(extractN("&bogus; &#zz; &") == "&bogus; &#zz; &")
+    // HTML5 numeric-reference rule: surrogates, zero and out-of-range
+    // yield U+FFFD (never a lone surrogate for UTF-8 to mangle);
+    // signs are not digits, so Integer.parseInt's '+' never sneaks in
+    assert(extractN("&#xD800;") == "�")
+    assert(extractN("&#55296;") == "�")
+    assert(extractN("&#0;") == "�")
+    assert(extractN("&#x110000;") == "�")
+    // beyond the bounded 10-char entity window: literal, not decoded
+    assert(extractN("&#99999999999;") == "&#99999999999;")
+    assert(extractN("&#+65;") == "&#+65;")
   }
 
   test("native raw-text close-tag boundary and truncated-markup tails") {
