@@ -125,6 +125,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q113_stream_exact_dedup" -> (Curation.q113StreamExactDedup _),
     "q115_embed_ann_ivf_stored" -> (Curation.q115EmbedAnnIvfStored _),
+    "q117_media_foreign_audio" -> ((s: SparkSession, dir: String) =>
+      graft.operators.ForeignMedia.audioFeatures(s, dir).toDF()
+        .orderBy("doc_id")),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -901,6 +904,19 @@ object SparkEntry {
         |FROM (SELECT * FROM pngf UNION ALL SELECT * FROM giff
         |      UNION ALL SELECT * FROM jpgf)
         |ORDER BY doc_id""".stripMargin,
+    // foreign-audio decode: the JDK's own WAV writer produced the
+    // stored payloads; the strict RIFF walker decodes them and the
+    // oracle recomputes exact integer sample statistics from the law
+    "q117_media_foreign_audio" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |   CAST(400 + doc_id % 800 AS INT) AS n FROM documents),
+        | s AS (SELECT id, n, ((id*131 + t*37) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS tt(t))
+        |SELECT id AS doc_id, CAST(8000 AS INT) AS sample_rate,
+        | CAST(max(n) AS INT) AS n_samples,
+        | CAST(sum(v) AS BIGINT) AS sum_s,
+        | CAST(min(v) AS INT) AS min_s, CAST(max(v) AS INT) AS max_s
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

@@ -161,6 +161,83 @@ object ForeignMedia {
     bos.toByteArray
   }
 
+  // ---- foreign AUDIO (javax.sound.sampled, q117) -------------------
+
+  /** PCM16 sample count / rate / per-sample law for the foreign WAV
+    * corpus — integers only, so every feature is exactly
+    * SQL-recomputable. */
+  val WavRate = 8000
+  def wavCount(id: Long): Int = 400 + (id % 800).toInt
+  def wavSample(id: Long, t: Int): Short =
+    (((id * 131 + t * 37) % 65536) - 32768).toShort
+
+  /** WAV bytes written by `javax.sound.sampled.AudioSystem` — the
+    * JDK's own audio-file writer, whose RIFF layout (chunk order,
+    * header fields) this repo does not control; the audio analog of
+    * [[encodePng]]/[[encodeGif]]/[[encodeJpeg]]. PCM is lossless, so
+    * the sample law survives exactly. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = wavCount(id)
+    val raw = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var t = 0
+    while (t < n) { bb.putShort(wavSample(id, t)); t += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      WavRate.toFloat, 16, 1, 2, WavRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The stored foreign-audio corpus (one JDK-written WAV per
+    * documents doc_id), persisted like [[fixture]]. */
+  def audioFixture(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.materialized(spark, "mediaaudio",
+      s"mediaaudio:v1:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(it => it.map(id => (id, encodeWav(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  /** One decoded row: rate + exact integer sample statistics. */
+  final case class ForeignAudioFeature(doc_id: Long, sample_rate: Int,
+      n_samples: Int, sum_s: Long, min_s: Int, max_s: Int)
+
+  /** q117: decode the stored JDK-written WAV corpus with the repo's
+    * strict RIFF walker ([[Multimodal.WavCodec]]) and emit the exact
+    * sample statistics the oracle recomputes from the law. */
+  def audioFeatures(spark: SparkSession, dir: String)
+      : Dataset[ForeignAudioFeature] = {
+    import spark.implicits._
+    audioFixture(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val f = Multimodal.WavCodec.decode(id, bytes)
+          val samples = Multimodal.WavCodec.decodeSamples(id, bytes)
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          ForeignAudioFeature(id, f.sample_rate, samples.length,
+            sum, mn, mx)
+        }
+      }
+  }
+
   // ---- fixture (stored binary-column corpus) -----------------------
 
   /** The stored foreign-media corpus for the docs at `dir`: one

@@ -46,6 +46,21 @@ class ForeignMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("javax.sound WAV decodes to the exact per-sample law") {
+    for (id <- Seq(0L, 1L, 2L, 399L, 400L, 799L, 800L, 6001L)) {
+      val bytes = ForeignMedia.encodeWav(id)
+      val f = graft.operators.Multimodal.WavCodec.decode(id, bytes)
+      assert(f.sample_rate == ForeignMedia.WavRate, s"id=$id rate")
+      val samples =
+        graft.operators.Multimodal.WavCodec.decodeSamples(id, bytes)
+      assert(samples.length == ForeignMedia.wavCount(id), s"id=$id count")
+      for (t <- samples.indices)
+        assert(samples(t) == ForeignMedia.wavSample(id, t),
+          s"id=$id sample $t: got ${samples(t)}, " +
+            s"law ${ForeignMedia.wavSample(id, t)}")
+    }
+  }
+
   test("ImageIO quality-1.0 grayscale JPEG decodes to the exact block law") {
     for (id <- ids if ForeignMedia.fmtOf(id) == "jpeg") {
       val (w0, h0) = ForeignMedia.jpegDims(id)
