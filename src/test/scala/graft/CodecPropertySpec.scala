@@ -302,4 +302,33 @@ class CodecPropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("gzip framing: any payload round-trips ours<->JDK both directions") {
+    // the q100 hand-written RFC 1952 framing over reused contexts —
+    // fixed cases live in MultimodalSpec; this pins the LAW on
+    // arbitrary payloads (empty, binary, incompressible) in both
+    // directions against the JDK's own GZIP streams
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val inf = new java.util.zip.Inflater(true)
+    val crc = new java.util.zip.CRC32()
+    val tmp = new Array[Byte](8192)
+    val buf = new Array[Byte](8192)
+    val gen = Gen.choose(0, 5000).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      .map(_.toArray)
+    check("gzip framing", Prop.forAll(gen) { raw =>
+      val ours = graft.operators.Multimodal.gzipFrame(
+        deflater, crc, tmp, raw)
+      val jdkIn = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      val viaJdk = jdkIn.readAllBytes(); jdkIn.close()
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      val viaOurs = graft.operators.Multimodal.gunzipFrame(
+        inf, buf, 0L, bos.toByteArray)
+      viaJdk.sameElements(raw) && viaOurs.sameElements(raw)
+    })
+  }
 }
