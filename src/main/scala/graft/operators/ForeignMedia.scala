@@ -102,6 +102,13 @@ object ForeignMedia {
     bos.toByteArray
   }
 
+  /** Interlace law: half the foreign GIFs are written interlaced
+    * (GIF's 4-pass "progressive" layout — also ImageIO's DEFAULT,
+    * so a plain ImageIO.write covered only that path), half plain,
+    * keyed by the per-format sequence number — both decoder row
+    * orders are exercised under the oracle. */
+  def gifInterlaced(id: Long): Boolean = (id / 3) % 2 == 1
+
   def encodeGif(id: Long): Array[Byte] = {
     val (w, h) = gifDims(id)
     val rs = new Array[Byte](256)
@@ -126,8 +133,18 @@ object ForeignMedia {
       }
       y += 1
     }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(
+      if (gifInterlaced(id)) javax.imageio.ImageWriteParam.MODE_DEFAULT
+      else javax.imageio.ImageWriteParam.MODE_DISABLED)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(bi, "gif", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close()
+    writer.dispose()
     bos.toByteArray
   }
 
@@ -245,11 +262,12 @@ object ForeignMedia {
     * persisted as a warehouse artifact and re-read as plain parquet —
     * the decode query consumes STORED bytes, not in-plan synthesis. */
   def fixture(spark: SparkSession, dir: String): DataFrame =
-    // v2: dims re-keyed off id/3 (the v1 laws collapsed under the
-    // format selector's mod-3) — the version tag retires the stale
-    // artifact, the corpus fingerprint alone would not
+    // v3: dims re-keyed off id/3 (the v1 laws collapsed under the
+    // format selector's mod-3), GIF interlace now law-driven both
+    // ways — the version tag retires the stale artifact, the corpus
+    // fingerprint alone would not
     Warehouse.materialized(spark, "media",
-      s"media:v2:$dir:${Warehouse.fingerprint(s"$dir/documents.parquet")}") {
+      s"media:v3:$dir:${Warehouse.fingerprint(s"$dir/documents.parquet")}") {
       import spark.implicits._
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long")).as[Long]

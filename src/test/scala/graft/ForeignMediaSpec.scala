@@ -31,9 +31,24 @@ class ForeignMediaSpec extends AnyFunSuite {
   }
 
   test("ImageIO GIF decodes to the exact palette-resolved law") {
+    var sawInterlaced = false
+    var sawPlain = false
     for (id <- ids if ForeignMedia.fmtOf(id) == "gif") {
       val (w0, h0) = ForeignMedia.gifDims(id)
-      val img = GifCodec.decode(ForeignMedia.encodeGif(id))
+      val bytes = ForeignMedia.encodeGif(id)
+      // the interlace FLAG must follow the law — both decoder row
+      // orders are exercised, not just ImageIO's interlaced default
+      var p = 13 + 768 // header + 256-entry GCT
+      while ((bytes(p) & 0xFF) == 0x21) { // skip extensions
+        p += 2
+        while (bytes(p) != 0) p += 1 + (bytes(p) & 0xFF)
+        p += 1
+      }
+      val interlaced = (bytes(p + 9) & 0x40) != 0
+      assert(interlaced == ForeignMedia.gifInterlaced(id),
+        s"id=$id interlace flag vs law")
+      if (interlaced) sawInterlaced = true else sawPlain = true
+      val img = GifCodec.decode(bytes)
       assert((img.width, img.height) == (w0, h0), s"id=$id dims")
       for (y <- 0 until img.height; x <- 0 until img.width) {
         val (r, g, b) = ForeignMedia.gifPalette(
@@ -44,6 +59,7 @@ class ForeignMediaSpec extends AnyFunSuite {
             s"law ${((r << 16) | (g << 8) | b).toHexString}")
       }
     }
+    assert(sawInterlaced && sawPlain, "both interlace modes must appear")
   }
 
   test("javax.sound WAV decodes to the exact per-sample law") {
