@@ -145,8 +145,12 @@ object HtmlTokenizer {
             // mangle into an undefined byte
             val hex = b.charAt(1) == 'x' || b.charAt(1) == 'X'
             val digits = b.substring(if (hex) 2 else 1)
+            // ASCII digits only (the HTML5 rule) — Character.digit
+            // would accept Unicode digit classes Integer.parseInt
+            // also honors, silently widening the grammar
             val ok = digits.nonEmpty && digits.forall(c =>
-              if (hex) Character.digit(c, 16) >= 0 else c >= '0' && c <= '9')
+              (c >= '0' && c <= '9') ||
+                (hex && ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))))
             if (!ok) -1
             else try {
               val v = Integer.parseInt(digits, if (hex) 16 else 10)

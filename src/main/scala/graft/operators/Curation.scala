@@ -1002,12 +1002,7 @@ object Curation {
       stage: String)(shape: DataFrame => DataFrame): DataFrame = {
     val res = shape(s.table(qname)).localCheckpoint(true)
     s.catalog.dropTempView(qname)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(stage))
+    Warehouse.deleteRec(new java.io.File(stage))
     res
   }
 

@@ -238,8 +238,10 @@ object ForeignMedia {
     audioFixture(spark, dir).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val f = Multimodal.WavCodec.decode(id, bytes)
-          val samples = Multimodal.WavCodec.decodeSamples(id, bytes)
+          // one RIFF walk yields rate AND samples (decode +
+          // decodeSamples would parse twice and fold a discarded
+          // BigInt RMS per row)
+          val (rate, samples) = Multimodal.WavCodec.parse(id, bytes)
           var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
           var i = 0
           while (i < samples.length) {
@@ -249,8 +251,7 @@ object ForeignMedia {
             if (v > mx) mx = v
             i += 1
           }
-          ForeignAudioFeature(id, f.sample_rate, samples.length,
-            sum, mn, mx)
+          ForeignAudioFeature(id, rate, samples.length, sum, mn, mx)
         }
       }
   }

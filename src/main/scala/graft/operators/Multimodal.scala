@@ -122,7 +122,9 @@ object Multimodal {
         n.toLong * 1000000L / rate, rms, peak)
     }
 
-    private def parse(docId: Long,
+    /** One-pass (rate, samples) parse — the q117 foreign-audio path
+      * reads both, so exposing this avoids a second RIFF walk. */
+    private[graft] def parse(docId: Long,
         bytes: Array[Byte]): (Int, Array[Short]) = {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def ascii4(): String = {

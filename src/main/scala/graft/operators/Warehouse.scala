@@ -27,28 +27,32 @@ private[graft] object Warehouse {
     * can prove reuse comes from the DISK artifact. */
   private[graft] def reset(): Unit = built.clear()
 
-  /** Root directory for persisted artifacts:
-    * `$SPARK_GRAFT_INDEX_DIR` env, else the runtime conf
-    * `spark.graft.index.dir` (the warehouse dir itself is a STATIC
-    * SQL conf — a custom dynamic key lets tests and deployments
-    * re-point the root per-session), else `graft_pairs/` under the
-    * session warehouse dir (a deployment points these at durable
-    * storage; the sandbox default lands in ./spark-warehouse). */
+  /** Root directory for persisted artifacts: the runtime conf
+    * `spark.graft.index.dir` first (the warehouse dir itself is a
+    * STATIC SQL conf — a custom dynamic key lets tests and
+    * deployments re-point the root per-session, and a session-scoped
+    * setting must not be silently overridden by an exported shell
+    * variable), else `$SPARK_GRAFT_INDEX_DIR`, else `graft_pairs/`
+    * under the session warehouse dir (a deployment points these at
+    * durable storage; the sandbox default lands in
+    * ./spark-warehouse). */
   private[graft] def indexRoot(spark: SparkSession): String =
-    // the per-SESSION conf wins over the process-wide env var — a
-    // test or notebook re-pointing its own root must not be silently
-    // overridden by an exported shell variable
     Option(spark.conf.get("spark.graft.index.dir", null))
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse {
         val w = spark.conf.get("spark.sql.warehouse.dir")
-        // plain string handling, no java.net.URI — a warehouse path
-        // containing spaces or other URI-illegal characters must not
-        // throw. file:/x, file://x and file:///x all collapse to /x.
+        // Spark's default warehouse dir is a PERCENT-ENCODED file URI
+        // (File.toURI — a path with spaces arrives as %20), so decode
+        // through java.net.URI when it parses; a raw-space/non-URI
+        // form falls back to literal prefix handling (file:/x,
+        // file://x, file:///x all collapse to /x) instead of throwing.
         val local = if (w.startsWith("file:")) {
-          var p = w.stripPrefix("file:")
-          while (p.startsWith("//")) p = p.substring(1)
-          new java.io.File(p).getAbsolutePath
+          try new java.io.File(new java.net.URI(w)).getAbsolutePath
+          catch { case _: Exception =>
+            var p = w.stripPrefix("file:")
+            while (p.startsWith("//")) p = p.substring(1)
+            new java.io.File(p).getAbsolutePath
+          }
         } else w
         s"$local/graft_pairs"
       }
@@ -72,7 +76,9 @@ private[graft] object Warehouse {
       .digest(s.getBytes("UTF-8"))
       .take(8).map(b => f"${b & 0xFF}%02x").mkString
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Recursive delete — also the shared helper for every graft
+    * cleanup site (stream staging dirs, stale artifacts). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach(deleteRec)
@@ -119,27 +125,31 @@ private[graft] object Warehouse {
     // real work and must stay visible somewhere auditable)
     System.err.println(f"[pairidx] built $key in " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s -> $finalDir")
-    // publish: try the atomic move FIRST — a concurrently published
-    // LIVE artifact must never be deleted out from under its readers
-    // (the loser adopts the winner). Only an occupant that fails the
-    // key check (stale corpus fingerprint behind a hash collision, a
-    // doctored artifact) is replaced.
-    def move(): Boolean =
-      try {
-        java.nio.file.Files.move(tmp.toPath, finalDir.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
-      } catch { case _: java.nio.file.FileSystemException => false }
-    if (!move()) {
+    // publish under a cross-JVM advisory file lock: a concurrently
+    // published LIVE artifact must never be deleted out from under
+    // its readers. The lock serializes the usable-check /
+    // stale-replace / move sequence across processes (a bare
+    // check-then-act left a window where two builders replacing the
+    // same stale occupant could delete each other's fresh publish);
+    // the loser adopts the winner inside the lock. Readers never take
+    // the lock — they only ever adopt a completed (`_GRAFT_OK`)
+    // artifact, and a usable artifact is only ever REPLACED here,
+    // atomically, for a key mismatch no reader of this key can hold.
+    val lockCh = java.nio.channels.FileChannel.open(
+      new java.io.File(root, s".lock-$family-${sha16(key)}").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockCh.lock()
+    try {
       if (usable(finalDir, key)) deleteRec(tmp) // winner published; adopt
       else {
-        deleteRec(finalDir) // stale/partial occupant: replace
-        if (!move()) {
-          deleteRec(tmp)
-          require(usable(finalDir, key),
-            s"artifact collision at $finalDir for key $key")
-        }
+        if (finalDir.exists()) deleteRec(finalDir) // stale/partial: replace
+        java.nio.file.Files.move(tmp.toPath, finalDir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+    } finally {
+      lock.release()
+      lockCh.close()
     }
     finalDir.toString
   }
