@@ -128,6 +128,7 @@ object SparkEntry {
     "q117_media_foreign_audio" -> ((s: SparkSession, dir: String) =>
       graft.operators.ForeignMedia.audioFeatures(s, dir).toDF()
         .orderBy("doc_id")),
+    "q118_stream_hourly" -> (Curation.q118StreamHourlyCounts _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -858,6 +859,14 @@ object SparkEntry {
         | CAST(len('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS INT) AS n_chars,
         | md5('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS text_md5
         |FROM documents ORDER BY 1""".stripMargin,
+    // streaming hourly rollup: the q18 aggregation — the stream's
+    // complete-mode final state must equal it whatever the
+    // micro-batch split (exact-decimal accumulation)
+    "q118_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr_s,
+        | event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // streaming exact dedup: one kept row per text digest — the
     // original (min id), never the later-arriving re-keyed duplicate
     // wave the entry stages; an undropped re-arrival duplicates a

@@ -1254,6 +1254,38 @@ object Curation {
       .orderBy(col("digest")))
   }
 
+  /** Streaming hourly event rollup EXECUTED as a stream (q118) — the
+    * q18 twin and the last spec-only streaming operator
+    * ([[graft.streaming.EventStream.hourlyCounts]]) promoted under
+    * the oracle via the q97 recipe: the events table arrives as four
+    * micro-batch files and the watermarked window aggregation runs to
+    * a COMPLETE-mode memory sink, whose final state must equal the
+    * batch q18 aggregation whatever the arrival split — the sum
+    * accumulates in exact decimal, so split-independence holds to the
+    * last ulp and no arrival-order staging is needed (plain
+    * repartition, unlike q101's keyed state). */
+  def q118StreamHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-q118-").toString
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val sch = s.read.parquet(stage).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val agg = graft.streaming.EventStream.hourlyCounts(stream)
+    val qname =
+      s"q118_hr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    finishStream(s, qname, stage)(_
+      .select(col("hr").cast("long").as("hr_s"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("hr_s"), col("event_type")))
+  }
+
   /** q81's per-label outlier budget. */
   val Q81BottomK = 5
 

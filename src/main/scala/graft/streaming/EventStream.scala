@@ -47,14 +47,19 @@ object EventStream {
   }
 
   /** Watermarked tumbling-window aggregation — the streaming twin of
-    * Reports.q18EventsHourly. */
+    * Reports.q18EventsHourly. The value sum accumulates in
+    * DECIMAL(18,6) exactly like the batch twin (double accumulation
+    * is partition/arrival-order dependent at the last ulp — fine for
+    * a tolerance spec, fatal for q118's hash oracle), with the same
+    * final round-to-double projection. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_dec"))
       .select(col("window.start").as("hr"), col("event_type"),
-        col("n"), col("total"))
+        col("n"), round(col("total_dec").cast("double"), 6).as("total"))
 
   /** Ingest-time exact dedup — the streaming twin of
     * [[graft.operators.TextDedup.exactGroups]]'s keep-first semantics:
