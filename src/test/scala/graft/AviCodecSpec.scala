@@ -71,6 +71,26 @@ class AviCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(wav))
   }
 
+  test("negative chunk length fails loudly, never loops (round-12 advice)") {
+    // a corrupt length >= 2^31 reads as negative; unchecked it passes
+    // the remaining-bytes guard and seeks BACKWARDS — the top-level
+    // walker would revisit the same chunk forever
+    val good = SynthVideo.bytes(5L)
+    def u32(b: Array[Byte], q: Int) = (b(q) & 0xFF) |
+      ((b(q + 1) & 0xFF) << 8) | ((b(q + 2) & 0xFF) << 16) |
+      ((b(q + 3) & 0xFF) << 24)
+    val list = ('L' & 0xFF) | (('I' & 0xFF) << 8) |
+      (('S' & 0xFF) << 16) | (('T' & 0xFF) << 24)
+    // corrupt the first LIST chunk's length to 0xFFFFFFF0 (negative)
+    var p = 12
+    while (u32(good, p) != list) p += 1
+    val broken = good.clone()
+    broken(p + 4) = 0xF0.toByte; broken(p + 5) = 0xFF.toByte
+    broken(p + 6) = 0xFF.toByte; broken(p + 7) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](AviCodec.decode(broken))
+    assert(e.getMessage.contains("bad chunk length"))
+  }
+
   test("frame-count mismatch between header and movi fails loudly") {
     val good = SynthVideo.bytes(6L)
     // avih dwTotalFrames sits 16 bytes into the avih body; find the

@@ -150,4 +150,16 @@ class GifCodecSpec extends AnyFunSuite {
     shrunk(p + 7) = 2; shrunk(p + 8) = 0
     intercept[IllegalArgumentException](GifCodec.decode(shrunk))
   }
+
+  test("nonzero image offset fails loudly (round-12 advice)") {
+    // a single-image decoder must never silently treat an offset
+    // sub-image as the whole logical screen
+    val good = GifCodec.encode(30, 20, palette, lawIndex(5L))
+    val off = good.clone()
+    var p = 13 + 768
+    while ((off(p) & 0xFF) != 0x2C) p += 1
+    off(p + 1) = 2 // left offset = 2
+    val e = intercept[IllegalArgumentException](GifCodec.decode(off))
+    assert(e.getMessage.contains("offset"))
+  }
 }

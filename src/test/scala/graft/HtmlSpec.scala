@@ -107,6 +107,35 @@ class HtmlSpec extends AnyFunSuite {
     assert(extractN("<script src=\"x\"/>after") == "after")
   }
 
+  test("property: native ≡ regex twin across generated shared-scope documents") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the shared scope: complete tags, no quoted '>' in attribute
+    // values, no bare '<' in prose, named entities only (numeric refs
+    // are deliberately native-only) — within it the two extractors
+    // must agree on ANY document a generator can compose
+    val word = Gen.oneOf("alpha", "beta", "x1", "fish", "chips",
+      "ñ", "a>b", " ", "\n", "\t",
+      "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&#39;", "&amp;lt;",
+      "&bogus;")
+    val tag = for {
+      n <- Gen.oneOf("p", "div", "SPAN", "h1", "em")
+      a <- Gen.oneOf("", " class=\"a b\"", " id='x'", " data-k=\"v1\"")
+    } yield s"<$n$a>"
+    val piece = Gen.frequency(
+      6 -> word,
+      3 -> tag,
+      2 -> Gen.oneOf("</p>", "</div>", "</span>", "</H1>", "<br/>"),
+      1 -> Gen.oneOf("<!-- hidden <p>x</p> -->", "<!---->"),
+      1 -> Gen.oneOf("<script>if(1<2){x='<b>'}</script>",
+        "<STYLE>p{content:'<fake>'}</STYLE>",
+        "<script type=\"t\">var s='&amp;';</script>"))
+    val doc = Gen.listOf(piece).map(_.mkString)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(doc) { d => extractN(d) == extract(d) })
+    assert(res.passed, s"diverged: ${res.status}")
+  }
+
   test("native extraction recovers the q111 law closed form with the quoted '>'") {
     import spark.implicits._
     val df = Seq((3L, "hello world"), (7L, "x y z")).toDF("doc_id", "text")
