@@ -129,6 +129,7 @@ object SparkEntry {
       graft.operators.ForeignMedia.audioFeatures(s, dir).toDF()
         .orderBy("doc_id")),
     "q118_stream_hourly" -> (Curation.q118StreamHourlyCounts _),
+    "q119_cdc_cascade_update" -> (Reports.q119CdcCascadeUpdate _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -859,6 +860,15 @@ object SparkEntry {
         | CAST(len('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS INT) AS n_chars,
         | md5('T' || doc_id || ' Doc ' || doc_id || ' ' || text) AS text_md5
         |FROM documents ORDER BY 1""".stripMargin,
+    // cascade update: matched rows refresh from the (thinned) master,
+    // unmatched rows coalesce-keep their stale denormalized value
+    "q119_cdc_cascade_update" ->
+      """SELECT o.o_orderkey,
+        | coalesce(c.c_name, 'stale-' || o.o_custkey) AS cust_name
+        |FROM orders o LEFT JOIN
+        | (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0) c
+        | ON o.o_custkey = c.c_custkey
+        |ORDER BY 1""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

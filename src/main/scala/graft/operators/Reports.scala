@@ -351,6 +351,30 @@ object Reports {
       .orderBy(col("o_orderstatus"))
   }
 
+  // ── L9: cascade update (denormalized name refresh) ─────────────────
+  /** Cascade update under the oracle (q119) — the last SQL-expressible
+    * CDC primitive still gated only by scenario specs: the reference
+    * refreshes denormalized master names on child rows after a master
+    * change (src/tally.mts:228-245). Scenario from the harness star
+    * schema, the q16/q17 recipe: every order carries a deterministic
+    * STALE name; the master side drops every third customer, so the
+    * cascade must refresh exactly the matched rows and
+    * coalesce-preserve the stale value where the master is gone —
+    * both branches of [[graft.operators.Cdc.cascadeUpdate]] exercised
+    * row by row. The master is broadcast (a dim); the child is never
+    * shuffled except by the gate's ORDER BY. */
+  def q119CdcCascadeUpdate(s: SparkSession, dir: String): DataFrame = {
+    val child = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        concat(lit("stale-"), col("o_custkey")).as("cust_name"))
+    val master = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+    graft.operators.Cdc.cascadeUpdate(child, master,
+        "o_custkey", "c_custkey", "c_name", "cust_name")
+      .select(col("o_orderkey"), col("cust_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ── R15 + streaming analog: hourly event roll-up ───────────────────
   /** Batch twin of the Structured-Streaming windowed aggregation in
     * [[graft.streaming.EventStream]]. */
