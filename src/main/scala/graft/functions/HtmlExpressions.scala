@@ -106,19 +106,22 @@ object HtmlTokenizer {
           // to the tag's real end, honoring quoted attribute values
           var quote: Char = 0
           var end = -1
-          var prev: Char = 0
-          var selfClose = false
           while (j < n && end < 0) {
             val ch = html.charAt(j)
             if (quote != 0) { if (ch == quote) quote = 0 }
             else if (ch == '"' || ch == '\'') quote = ch
-            else if (ch == '>') { end = j; selfClose = prev == '/' }
-            prev = ch
+            else if (ch == '>') end = j
             j += 1
           }
           i = if (end < 0) n else end + 1
           pendingSpace = true
-          if (end >= 0 && !closing && !selfClose &&
+          // per the HTML5 tree construction rules the trailing '/' of
+          // a start tag is IGNORED on non-void elements, so
+          // <script src=x/> still enters script-data (raw-text) state
+          // — honoring selfClose here leaked the script body of real
+          // crawl HTML like `<script src=x/>code</script>` into the
+          // extracted prose (round-13 advice)
+          if (end >= 0 && !closing &&
               (name == "script" || name == "style"))
             i = skipRawText(html, i, name)
         } else {

@@ -1208,9 +1208,18 @@ object Curation {
     * Oracle: min-id per text digest over the original corpus (the
     * duplicate wave adds no digests, and min() also covers natural
     * same-digest originals at larger SFs, which the ranged+sorted
-    * arrival order keeps first). State is digest-keyed and bounded
-    * by rate × horizon — the 100 TB/day contract in the operator's
-    * scaladoc. */
+    * arrival order keeps first). DATASET-CONDITIONAL (round-13
+    * advice): "first arrival = min id" additionally requires each
+    * staged file to scan as a single input split — rows of one file
+    * then reach the digest-keyed state in file order, and the
+    * ranged+sorted staging makes that order ascending-id. A file
+    * large enough to split (maxPartitionBytes) would race
+    * same-digest rows WITHIN a micro-batch and keep-first becomes
+    * split-order-dependent; gate corpora stage ~200 KB files, and
+    * the operator's own contract is keep-FIRST, not keep-min — only
+    * the oracle's closed form needs the ordering. State is
+    * digest-keyed and bounded by rate × horizon — the 100 TB/day
+    * contract in the operator's scaladoc. */
   def q113StreamExactDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))

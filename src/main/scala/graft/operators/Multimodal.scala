@@ -923,6 +923,14 @@ object Multimodal {
         val deflater =
           new java.util.zip.Deflater(
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        // release the native zlib stream at task end (the zstd-context
+        // pattern below) — without end() it lingers until a GC cleaner
+        // runs, which on a long-lived executor is unbounded native
+        // memory held per completed task (round-13 advice)
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end())
+        }
         val crc = new java.util.zip.CRC32()
         val tmp = new Array[Byte](8192)
         it.map { case (id, text) =>
@@ -935,6 +943,10 @@ object Multimodal {
         // parsed by hand (strict: loud failure on reserved flags)
         // so the one native inflate context serves every row
         val inf = new java.util.zip.Inflater(true)
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => inf.end())
+        }
         val buf = new Array[Byte](8192)
         it.map { case (id, bytes) =>
           val raw = gunzipFrame(inf, buf, id, bytes)

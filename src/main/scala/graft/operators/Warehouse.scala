@@ -151,7 +151,40 @@ private[graft] object Warehouse {
       lock.release()
       lockCh.close()
     }
+    sweepOrphans(spark, root, family, keep = finalDir.getName)
     finalDir.toString
+  }
+
+  /** Age-based sweep of ORPHANED same-family artifacts (round-13
+    * advice): the key embeds an mtime-based corpus fingerprint, so
+    * every corpus rewrite publishes a NEW directory name and the old
+    * one is never addressed again — without a sweep, rewrites
+    * accumulate dead artifacts on disk indefinitely. Runs after each
+    * publish, deleting sibling dirs of the same family (published or
+    * crashed `.build-` staging) untouched for longer than
+    * `spark.graft.index.sweepAgeDays` (default 7; `<= 0` disables).
+    * The age guard is the concurrency story: a reader only ever holds
+    * an artifact it adopted moments ago (same key ⇒ same dir, which
+    * `keep` excludes; different key + days-old mtime ⇒ its corpus
+    * files were replaced days ago and no current fingerprint can
+    * resolve to it), and a LIVE concurrent publish is days younger
+    * than any cutoff. */
+  private def sweepOrphans(spark: SparkSession, root: java.io.File,
+      family: String, keep: String): Unit = {
+    val days = spark.conf.get("spark.graft.index.sweepAgeDays", "7").toDouble
+    if (days <= 0) return
+    val cutoff = System.currentTimeMillis() - (days * 86400000L).toLong
+    val mine = s"$family-"
+    val staging = s".build-$family-"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filter(d => d.getName != keep &&
+        (d.getName.startsWith(mine) || d.getName.startsWith(staging)))
+      .filter(_.lastModified() < cutoff)
+      .foreach { d =>
+        System.err.println(s"[pairidx] sweeping orphaned ${d.getName}")
+        deleteRec(d)
+      }
   }
 
   /** The artifact boundary: first caller per key builds and

@@ -170,6 +170,39 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("publish sweeps days-old orphaned same-family artifacts, spares fresh and foreign") {
+    // round-13 advice: the artifact key embeds an mtime-based corpus
+    // fingerprint, so every corpus rewrite publishes a NEW directory
+    // and the old one is never addressed again — orphans accumulated
+    // indefinitely without a sweep
+    withTempDir("sweep_wh") { root =>
+      try {
+        spark.conf.set("spark.graft.index.dir", s"$root/graft_pairs")
+        val wh = new java.io.File(s"$root/graft_pairs"); wh.mkdirs()
+        val old = System.currentTimeMillis() - 8L * 86400000L
+        val orphan = new java.io.File(wh, "text-feedfacefeedface")
+        orphan.mkdirs()
+        new java.io.File(orphan, "_GRAFT_OK").createNewFile()
+        orphan.setLastModified(old)
+        val crashed = new java.io.File(wh, ".build-text-dead-crashed")
+        crashed.mkdirs(); crashed.setLastModified(old)
+        val foreign = new java.io.File(wh, "ivf-0123456789abcdef")
+        foreign.mkdirs(); foreign.setLastModified(old)
+        val fresh = new java.io.File(wh, "text-0000000000000000")
+        fresh.mkdirs()
+        graft.operators.SharedPairs.reset()
+        graft.operators.SharedPairs.textNearDupPairs(spark, sf).collect()
+        assert(!orphan.exists(), "days-old same-family artifact not swept")
+        assert(!crashed.exists(), "days-old crashed staging dir not swept")
+        assert(foreign.exists(), "other-family artifact must survive")
+        assert(fresh.exists(), "fresh same-family artifact must survive")
+      } finally {
+        spark.conf.unset("spark.graft.index.dir")
+        graft.operators.SharedPairs.reset()
+      }
+    }
+  }
+
   test("near-dup index path answers exactly the q62 result on the harness corpus") {
     withTempDir("neardup_q62") { dir =>
       val docs = Tables.documents(spark, sf)
