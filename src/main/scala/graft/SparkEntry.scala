@@ -130,6 +130,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q118_stream_hourly" -> (Curation.q118StreamHourlyCounts _),
     "q119_cdc_cascade_update" -> (Reports.q119CdcCascadeUpdate _),
+    "q120_cdc_voucher_renumber" -> (Reports.q120CdcVoucherRenumber _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -869,6 +870,16 @@ object SparkEntry {
         | (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0) c
         | ON o.o_custkey = c.c_custkey
         |ORDER BY 1""".stripMargin,
+    // voucher renumbering: re-pulled (auto-type) rows join-replace
+    // their number, manual-type rows coalesce-keep; `changed` is the
+    // null-safe shift-detection set a partitioned warehouse rewrites
+    "q120_cdc_voucher_renumber" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0
+        |   THEN 'V-' || CAST(o_orderkey + 1 AS VARCHAR)
+        |   ELSE 'V-' || CAST(o_orderkey AS VARCHAR) END AS voucher_number,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS changed
+        |FROM orders ORDER BY 1""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

@@ -63,6 +63,24 @@ object Cdc {
       .drop("__mk", "__mn")
   }
 
+  /** Voucher renumbering (L10): auto-numbered voucher types shift the
+    * numbers of every LATER voucher when one is inserted or deleted in
+    * between, so the reference re-pulls (key, number) for the auto
+    * types and join-replaces the stored numbers
+    * (src/tally.mts:248-298). Rows absent from the re-pull
+    * coalesce-keep their stored number — the re-pull covers
+    * auto-numbered types only; manual types never change. The re-pull
+    * is two columns and dim-sized (it scales with the auto-numbered
+    * voucher count of one sync window, not the corpus), hence the
+    * broadcast; the voucher table itself is never shuffled. */
+  def renumber(vouchers: DataFrame, numbers: DataFrame,
+      key: String, numberCol: String): DataFrame = {
+    val n = numbers.select(col(key), col(numberCol).as("__vn"))
+    vouchers.join(broadcast(n), Seq(key), "left")
+      .withColumn(numberCol, coalesce(col("__vn"), col(numberCol)))
+      .drop("__vn")
+  }
+
   /** Watermark short-circuit (L1/L2): max version across many tables —
     * the reference's `max(alterid)`-over-union probe
     * (src/tally.mts:118-124). */

@@ -375,6 +375,39 @@ object Reports {
       .orderBy(col("o_orderkey"))
   }
 
+  // ── L10: voucher renumbering ───────────────────────────────────────
+  /** Voucher renumbering under the oracle (q120) — the LAST CDC
+    * primitive gated only in sbt (round-13 verdict #3), promoted by
+    * the q119 recipe: the harness star schema plays the voucher
+    * store. Every order carries a deterministic stored number
+    * "V-<key>"; the re-pull covers the AUTO-numbered type (keys
+    * ≡ 0 mod 3) whose numbers all shifted by an insertion at the head
+    * ("V-<key+1>"), so [[graft.operators.Cdc.renumber]] must
+    * join-replace exactly the re-pulled rows and coalesce-keep the
+    * manual-type rows it never saw — both branches row by row.
+    * `changed` recomputes the MergeJob null-safe shift-detection
+    * predicate on the renumbered output (the set a partition-capable
+    * warehouse would rewrite); the oracle writes all three columns
+    * down in closed form. The re-pull is broadcast (dim-sized — it
+    * scales with one sync window); the voucher side never shuffles
+    * except by the gate's ORDER BY. */
+  def q120CdcVoucherRenumber(s: SparkSession, dir: String): DataFrame = {
+    val stored = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(lit("V-"), col("o_orderkey")).as("voucher_number"))
+      .withColumn("__stored", col("voucher_number"))
+    val repull = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        concat(lit("V-"), col("o_orderkey") + 1).as("voucher_number"))
+    graft.operators.Cdc.renumber(stored, repull,
+        "o_orderkey", "voucher_number")
+      .select(col("o_orderkey"), col("voucher_number"),
+        (!(col("voucher_number") <=> col("__stored")))
+          .cast("int").as("changed"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ── R15 + streaming analog: hourly event roll-up ───────────────────
   /** Batch twin of the Structured-Streaming windowed aggregation in
     * [[graft.streaming.EventStream]]. */

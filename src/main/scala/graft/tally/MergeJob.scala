@@ -374,18 +374,18 @@ final class MergeJob(spark: SparkSession, masters: Seq[TableSpec],
       val autoCount = warehouse.read("mst_vouchertype")
         .filter(col("numbering_method").contains("Auto")).limit(1).count()
       if (autoCount > 0) {
-        val numbers = broadcast(source.voucherNumbers()
-          .withColumnRenamed("voucher_number", "__vn"))
+        val numbers = source.voucherNumbers()
         // only vouchers whose number actually shifted need a rewrite
+        // (null-safe: a NULL stored number re-pulled non-NULL is a
+        // shift too)
         val changed = warehouse.read("trn_voucher")
-          .join(numbers, Seq(keyCol), "inner")
+          .join(broadcast(numbers
+            .withColumnRenamed("voucher_number", "__vn")),
+            Seq(keyCol), "inner")
           .filter(!(col("voucher_number") <=> col("__vn")))
           .select(col(keyCol))
         warehouse.rewritePartitions("trn_voucher", changed,
-          df => df.join(numbers, Seq(keyCol), "left")
-            .withColumn("voucher_number",
-              coalesce(col("__vn"), col("voucher_number")))
-            .drop("__vn"))
+          df => Cdc.renumber(df, numbers, keyCol, "voucher_number"))
         renumbered = true
       }
     }
