@@ -23,9 +23,18 @@ object Curation {
     * the same kept-gram sets. */
   val Q21MaxShingleDf = 100L
 
+  /** q21 reads the SHARED gram exchange
+    * ([[SharedPairs.gramExchange]]) — the stop-shingle cap is a
+    * pushed-down parquet predicate on the artifact's `df` column,
+    * value-identical to the hot-set anti-join
+    * ([[TextDedup.explodedShingles]]) the non-exchange path runs
+    * (TextDedupSpec pins the equivalence). */
   def q21DedupNgram(s: SparkSession, dir: String): DataFrame =
-    TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, minJaccard = 0.8, maxShingleDf = Q21MaxShingleDf)
+    TextDedup.ngramJaccardPairsFromGrams(
+        SharedPairs.gramExchange(s, dir, 3)
+          .filter(col("df") <= Q21MaxShingleDf)
+          .select(col("id"), col("g")),
+        minJaccard = 0.8)
       .orderBy(col("a"), col("b"))
 
   def q22DedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -298,7 +307,8 @@ object Curation {
   /** Per-doc gram novelty (corpus-contribution metric) — see
     * [[TextAnalysis.gramNovelty]] for the one-gram-shuffle shape. */
   def q73GramNovelty(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 3)
+    TextAnalysis.gramNoveltyFromExchange(Tables.documents(s, dir),
+        "doc_id", SharedPairs.gramExchange(s, dir, 3))
       .orderBy(col("doc_id"))
 
   /** Blocklist terms for the q74 redaction gate — words that actually
@@ -719,9 +729,11 @@ object Curation {
     * cap as q21 so the gram self-join stays bounded; the oracle
     * mirrors the kept-set semantics. */
   def q85Containment(s: SparkSession, dir: String): DataFrame =
-    TextDedup.containmentDupPairs(Tables.documents(s, dir), "doc_id",
-        "text", n = 3, minContainment = Q85MinContainment,
-        maxShingleDf = Q21MaxShingleDf)
+    TextDedup.containmentDupPairsFromGrams(
+        SharedPairs.gramExchange(s, dir, 3)
+          .filter(col("df") <= Q21MaxShingleDf)
+          .select(col("id"), col("g")),
+        minContainment = Q85MinContainment)
       .orderBy(col("contained_id"), col("container_id"))
 
   /** Deterministic training-shard manifest
@@ -736,8 +748,8 @@ object Curation {
     * distribution ([[TextAnalysis.gramSurprisal]] at n = 2) — the
     * sequence-sensitive step up from q77's unigram proxy. */
   def q87BigramSurprisal(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gramSurprisal(Tables.documents(s, dir), "doc_id", "text",
-        n = 2)
+    TextAnalysis.gramSurprisalFromToks(
+        SharedPairs.tokenGramExchange(s, dir, 2), "doc_id")
       .orderBy(col("doc_id"))
 
   /** Exploded passage table shared by q88/q89: one row per

@@ -253,21 +253,40 @@ object TextAnalysis {
     * total and scorer, broadcast scalar total, DECIMAL term sums) —
     * the gram table is larger than a vocabulary but still
     * sub-corpus-scale, and nothing single-partitions it. */
-  def gramSurprisal(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** Overlapping word n-gram MULTISET of `textCol` (every occurrence
+    * counts, unlike [[TextDedup.shingleArray]]'s per-doc distinct
+    * sets) — the token stream the surprisal family scores. */
+  def gramArray(textCol: Column, n: Int): Column = {
     require(n >= 1, "n must be at least 1")
-    val w = split(col(textCol), " ")
-    val gramsArr = filter(
+    val w = split(textCol, " ")
+    filter(
       transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
         i => when(i + n <= size(w), concat_ws(" ", slice(w, i + 1, lit(n))))),
       g => g.isNotNull)
-    val tok = df.select(col(idCol).as("id"), explode(gramsArr).as("t"))
+  }
+
+  def gramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(gramArray(col(textCol), n)).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum(col("cnt")).as("total"))
-    val p = freq.crossJoin(broadcast(total))
-      .select(col("t"),
+    gramSurprisalFromToks(tok.join(freq, Seq("t")), idCol)
+  }
+
+  /** [[gramSurprisal]] from an EXISTING (id, t, cnt) token exchange
+    * (one row per gram OCCURRENCE, `cnt` = its corpus frequency —
+    * [[graft.operators.SharedPairs.tokenGramExchange]]): the corpus
+    * total is the exchange's row count (Σ freq over occurrences ≡
+    * |occurrences|), broadcast back as a scalar, so scoring is a
+    * projection plus ONE map-side-combined shuffle on the doc id —
+    * the gram-key join the non-exchange path pays is already baked
+    * into the artifact. Per-term DECIMAL(28,18) casts keep doc sums
+    * partition-order-independent, exactly as before. */
+  def gramSurprisalFromToks(toks: DataFrame, idCol: String): DataFrame = {
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.crossJoin(broadcast(total))
+      .select(col("id"),
         (col("cnt").cast("double") / col("total")).as("p"))
-    tok.join(p, Seq("t"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("n_grams"),
         sum((-log2(col("p"))).cast("decimal(28,18)")).as("s"))
@@ -382,7 +401,19 @@ object TextAnalysis {
       n: Int = 3): DataFrame = {
     val grams = TextDedup.explodedShingles(df, idCol, textCol, n)
     val firstSeen = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
-    val perDoc = grams.join(firstSeen, Seq("g"))
+    gramNoveltyFromExchange(df, idCol, grams.join(firstSeen, Seq("g")))
+  }
+
+  /** [[gramNovelty]] from an EXISTING exchange carrying (id,
+    * first_id) per gram row
+    * ([[graft.operators.SharedPairs.gramExchange]]): first-claimant
+    * resolution is baked into the artifact, so novelty needs no
+    * gram-keyed shuffle at all — one map-side-combined rollup on the
+    * doc id, plus the cheap id-spine join that keeps zero-gram docs
+    * in the result. */
+  def gramNoveltyFromExchange(df: DataFrame, idCol: String,
+      exchange: DataFrame): DataFrame = {
+    val perDoc = exchange
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("int").as("n_grams"),
         sum(when(col("first_id") === col("id"), 1).otherwise(0))

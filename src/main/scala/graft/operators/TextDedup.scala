@@ -102,12 +102,20 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue,
-      materializeGrams: Boolean = true): DataFrame = {
-    val grams = shared(
-      explodedShingles(docs, idCol, textCol, n, maxShingleDf),
-      materializeGrams)
+      materializeGrams: Boolean = true): DataFrame =
+    ngramJaccardPairsFromGrams(
+      shared(explodedShingles(docs, idCol, textCol, n, maxShingleDf),
+        materializeGrams),
+      minJaccard)
+
+  /** [[ngramJaccardPairs]] from an EXISTING (id, g) gram table — the
+    * consumer half, so a warehouse-materialized gram exchange
+    * ([[SharedPairs.gramExchange]]) can serve the whole n-gram family
+    * with one build: the artifact scan replaces the tokenize +
+    * df-count shuffle each consumer used to pay. */
+  def ngramJaccardPairsFromGrams(grams: DataFrame,
+      minJaccard: Double): DataFrame =
     jaccardFromInter(grams, coShingledInter(grams), minJaccard)
-  }
 
   /** Per-doc PASSAGE-level duplication stats — dedup at sub-document
     * granularity: the text is cut into consecutive `passageLen`-token
@@ -181,10 +189,16 @@ object TextDedup {
   def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minContainment: Double = 0.9,
       maxShingleDf: Long = Long.MaxValue,
-      materializeGrams: Boolean = true): DataFrame = {
-    val grams = shared(
-      explodedShingles(docs, idCol, textCol, n, maxShingleDf),
-      materializeGrams)
+      materializeGrams: Boolean = true): DataFrame =
+    containmentDupPairsFromGrams(
+      shared(explodedShingles(docs, idCol, textCol, n, maxShingleDf),
+        materializeGrams),
+      minContainment)
+
+  /** [[containmentDupPairs]] from an EXISTING (id, g) gram table —
+    * the consumer half (see [[ngramJaccardPairsFromGrams]]). */
+  def containmentDupPairsFromGrams(grams: DataFrame,
+      minContainment: Double): DataFrame = {
     // <= keeps the diagonal: (a, a, sz) and (a, b, inter) from one
     // aggregation over one self-join. Checkpointed: the diag/directed
     // consumers filter it oppositely, and Catalyst pushes those

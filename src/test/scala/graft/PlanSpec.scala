@@ -352,6 +352,43 @@ class PlanSpec extends AnyFunSuite {
       s"q80 does not scan the shared cosine pair index:\n$q80")
   }
 
+  test("shared gram exchange: the n-gram family scans one materialized " +
+    "gram table and never re-tokenizes") {
+    // round-13 verdict #2: q21/q73/q85/q87 each re-ran the tokenize +
+    // explode + gram-count shuffle. The family must now scan the
+    // warehouse gram exchange; the stop-shingle cap must reach the
+    // artifact scan as a pushed parquet predicate (not an anti-join),
+    // and novelty/surprisal must plan no gram-keyed join of their own
+    import graft.operators.Curation
+    val q21 = executedPlan(Curation.q21DedupNgram(spark, sf))
+    assert(q21.contains("graft_pairs/gram3-"),
+      s"q21 does not scan the shared gram exchange:\n$q21")
+    assert(q21.contains("LessThanOrEqual(df,100)"),
+      s"q21's stop-shingle cap is not pushed to the artifact scan:\n$q21")
+    val q73 = executedPlan(Curation.q73GramNovelty(spark, sf))
+    assert(q73.contains("graft_pairs/gram3-"),
+      s"q73 does not scan the shared gram exchange:\n$q73")
+    // novelty consumes the baked first_id: no gram-keyed join remains
+    val q73fin = q73.split("== Initial Plan ==").head
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[g#".r
+        .findFirstIn(q73fin).isDefined,
+      s"q73 still joins on the gram key:\n$q73fin")
+    val q87 = executedPlan(Curation.q87BigramSurprisal(spark, sf))
+    assert(q87.contains("graft_pairs/tok2-"),
+      s"q87 does not scan the shared token exchange:\n$q87")
+    val q87fin = q87.split("== Initial Plan ==").head
+    assert(!"(SortMergeJoin|ShuffledHashJoin) \\[t#".r
+        .findFirstIn(q87fin).isDefined,
+      s"q87 still joins on the token key (cnt is baked in):\n$q87fin")
+    // q85's gram scan lives behind the checkpointed pair aggregation
+    // (see the sizes-ride-the-aggregation test below); tokenization
+    // must be gone from every family member's visible plan
+    Seq("q21" -> q21, "q73" -> q73, "q87" -> q87).foreach { case (n, p) =>
+      assert(!p.contains("split("),
+        s"$n still tokenizes documents in its own plan:\n$p")
+    }
+  }
+
   test("q85: containment sizes ride the pair aggregation — one gram " +
     "self-join, one checkpointed pair table, one size join") {
     // round-11 verdict #6: per-doc kept-set sizes used to cost a

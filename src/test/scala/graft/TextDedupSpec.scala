@@ -113,6 +113,52 @@ class TextDedupSpec extends AnyFunSuite {
     assert(g.groupBy($"g").count().filter($"count" > 2).count() == 0)
   }
 
+  test("exchange-backed family equals the direct pipelines (df filter " +
+    "≡ hot-set anti-join; baked first_id/cnt ≡ gram-keyed joins)") {
+    // the q21/q73/q85/q87 entries read the warehouse gram exchange
+    // (id, g, df, first_id) / (id, t, cnt); this pins the consumer
+    // halves value-equal to the direct pipelines on a corpus with a
+    // hot boilerplate shingle that the cap must drop on BOTH paths
+    import org.apache.spark.sql.functions._
+    val hot = "lorem ipsum dolor sit"
+    val corpus = ((1 to 8).map(i => (i.toLong, s"$hot unique$i a$i b$i")) ++
+      Seq((100L, "same same text here exactly five"),
+          (101L, "same same text here exactly five")))
+      .toDF("doc_id", "text")
+    val cap = 3L
+    val g = TextDedup.explodedShingles(corpus, "doc_id", "text", 3)
+    val exchange = g.join(
+      g.groupBy($"g").agg(count(lit(1)).as("df"),
+        min($"id").as("first_id")), Seq("g"))
+      .select($"id", $"g", $"df", $"first_id")
+    val capped = exchange.filter($"df" <= cap).select($"id", $"g")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(TextDedup.ngramJaccardPairsFromGrams(capped, 0.8)) ==
+      pairSet(TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.8, maxShingleDf = cap)))
+    assert(pairSet(TextDedup.containmentDupPairsFromGrams(capped, 0.5)) ==
+      pairSet(TextDedup.containmentDupPairs(corpus, "doc_id", "text",
+        n = 3, minContainment = 0.5, maxShingleDf = cap)))
+    assert(graft.operators.TextAnalysis
+        .gramNoveltyFromExchange(corpus, "doc_id", exchange)
+        .collect().map(_.toSeq).toSet ==
+      graft.operators.TextAnalysis
+        .gramNovelty(corpus, "doc_id", "text", 3)
+        .collect().map(_.toSeq).toSet)
+    val tok = corpus.select($"doc_id".as("id"),
+      explode(graft.operators.TextAnalysis.gramArray($"text", 2)).as("t"))
+    val toks = tok.join(
+      tok.groupBy($"t").agg(count(lit(1)).as("cnt")), Seq("t"))
+      .select($"id", $"t", $"cnt")
+    assert(graft.operators.TextAnalysis
+        .gramSurprisalFromToks(toks, "doc_id")
+        .collect().map(_.toSeq).toSet ==
+      graft.operators.TextAnalysis
+        .gramSurprisal(corpus, "doc_id", "text", 2)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("incremental near-dup finds only cross-side pairs") {
     // existing corpus: 0 and its exact dup 1; incoming batch: a
     // near-dup of 0 (10), an unrelated doc (11), and an exact dup of
