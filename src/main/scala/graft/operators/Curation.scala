@@ -1006,17 +1006,80 @@ object Curation {
   /** Drain a FINISHED memory-sink stream and free its per-invocation
     * state: the shaped result is localCheckpoint'ed (bounded — every
     * stream entry's output is a small rollup/pair/digest table), then
-    * the memory-sink temp view is dropped and the staging directory
-    * deleted. Without this, every invocation leaked a corpus-sized
-    * temp dir AND a driver-held result table — bench reps compound
-    * it, and full-suite heap pressure was exactly the q107 lesson. */
-  private def finishStream(s: SparkSession, qname: String,
-      stage: String)(shape: DataFrame => DataFrame): DataFrame = {
+    * the memory-sink temp view is dropped. Without this, every
+    * invocation leaked a driver-held result table — bench reps
+    * compound it, and full-suite heap pressure was exactly the q107
+    * lesson. (Arrival staging is no longer per-invocation temp state
+    * to delete here — see [[stagedArrival]].) */
+  private def finishStream(s: SparkSession, qname: String)(
+      shape: DataFrame => DataFrame): DataFrame = {
     val res = shape(s.table(qname)).localCheckpoint(true)
     s.catalog.dropTempView(qname)
-    Warehouse.deleteRec(new java.io.File(stage))
     res
   }
+
+  /** Dedicated child session for a stream run. Two stream-specific
+    * confs, isolated from the batch entries Verify runs concurrently
+    * (a shared-session mutation would race them):
+    *  - state/shuffle partitioning sized to the micro-batch — a
+    *    one-or-two-file batch gains nothing from 32-way state
+    *    exchanges, it just pays 32 task launches per stateful stage
+    *    per batch (the dominant fixed cost the round-13 plan audit
+    *    flagged); a deployment sizes this to its trigger volume
+    *  - no-data micro-batches off where nothing event-time-times-out
+    *    (every law here except q101's session timeout flush): the
+    *    extra watermark-advance batch is pure machinery
+    * The child shares the SparkContext (and so the warehouse/staging
+    * artifacts); only these session confs diverge. */
+  private def streamSession(s: SparkSession, partitions: Int = 8,
+      noDataBatches: Boolean = false): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
+    // offset/commit-log churn on memory-backed storage when the host
+    // offers it: every micro-batch fsyncs several small checkpoint
+    // files, pure machinery for an ephemeral availableNow gate run (a
+    // deployment points this at durable storage for exactly-once).
+    // One process-wide base (UUID query names keep runs disjoint
+    // under it), reclaimed by a shutdown hook
+    shmCheckpointBase.foreach(b =>
+      ss.conf.set("spark.sql.streaming.checkpointLocation", b))
+    ss
+  }
+
+  private lazy val shmCheckpointBase: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val dir = java.nio.file.Files.createTempDirectory(
+        shm.toPath, "graft-ckpt-")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => Warehouse.deleteRec(dir.toFile)))
+      Some(dir.toString)
+    } else None
+  }
+
+  /** Deterministic micro-batch ARRIVAL directory at the warehouse
+    * boundary (round-13 verdict #4: ~21 s of the 142 s suite was
+    * stream STAGING machinery — per-invocation corpus writes, mtime
+    * choreography, temp-dir churn — not plan cost). The staged file
+    * set is a pure function of the source corpus, so it is a keyed
+    * artifact like any other: built once per (query family, corpus
+    * fingerprint), replayed by every bench rep and restarted JVM, and
+    * swept when the corpus regenerates. File mtimes set by the
+    * builder survive the atomic publish move, so arrival ORDER is
+    * part of the artifact; the `_`-prefixed marker files the store
+    * adds are hidden from both the batch schema read and the file
+    * stream source's listing. Each stream run still gets a fresh
+    * checkpoint dir, so every invocation re-processes the full
+    * arrival sequence — the micro-batches execute for real every
+    * time, only the staging write is amortized. */
+  private def stagedArrival(s: SparkSession, family: String,
+      dir: String, sourceFile: String)(
+      write: String => Unit): String =
+    Warehouse.materializedDir(s, family,
+      s"$family:$dir:" +
+        Warehouse.fingerprint(s"$dir/$sourceFile"))(write)
 
   /** Streaming ingest-quality monitor EXECUTED as a stream (q97) —
     * the round-11 gap: the streaming twins were spec-gated only, and
@@ -1043,15 +1106,16 @@ object Curation {
     * standing in for the ingest feed a deployment already has. */
   def q97StreamQualityMonitor(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q97-").toString
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .repartitionByRange(4, col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
-    val sch = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val stage = stagedArrival(s, "stage-q97", dir, "documents.parquet") {
+      d => Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(d)
+    }
+    val ss = streamSession(s)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
     val mon = graft.streaming.DocStream.qualityMonitor(
       stream.withColumn("ts", timestamp_seconds(col("doc_id") * 60)),
       "ts", "source", "text", "lang")
@@ -1061,7 +1125,7 @@ object Curation {
     query.awaitTermination()
     // epoch-second window starts dodge timestamp-rendering semantics
     // (the q60 convention); session is UTC so the cast is exact
-    finishStream(s, qname, stage)(_
+    finishStream(ss, qname)(_
       .select(col("window_start").cast("long").as("window_start_s"),
         col("source"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("lang_mismatch"))
@@ -1088,37 +1152,41 @@ object Curation {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
       col("user_id"), col("event_type"), col("value"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q101-").toString
-    ev.repartitionByRange(4, col("ts"))
-      .write.mode("overwrite").parquet(stage)
-    def parts() = new java.io.File(stage).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val rangeFiles = parts().sortBy(_.getName) // part index = ts range
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinel = s.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(
-        -1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000L),
-        -1L, "sentinel", 0.0)),
-      ev.schema)
-    sentinel.coalesce(1).write.mode("append").parquet(stage)
-    val sentinelFiles = parts().filterNot(rangeFiles.contains)
-    // arrival order = event-time order: the file source processes by
-    // modification time under maxFilesPerTrigger
-    val t0 = System.currentTimeMillis() - 60000L
-    (rangeFiles ++ sentinelFiles).zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 2000L)
+    val stage = stagedArrival(s, "stage-q101", dir, "events.parquet") {
+      d =>
+        ev.repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(d)
+        def parts() = new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        val rangeFiles = parts().sortBy(_.getName) // part idx = ts range
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinel = s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            -1L,
+            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000L),
+            -1L, "sentinel", 0.0)),
+          ev.schema)
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        val sentinelFiles = parts().filterNot(rangeFiles.contains)
+        // arrival order = event-time order: the file source processes
+        // by modification time under maxFilesPerTrigger (mtimes are
+        // part of the staged artifact — they survive the publish move)
+        val t0 = System.currentTimeMillis() - 60000L
+        (rangeFiles ++ sentinelFiles).zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 2000L)
+        }
     }
-    val stream = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-    val sessions = graft.streaming.EventStream.sessionize(s, stream)
+    val ss = streamSession(s, noDataBatches = true)
+    val stream = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+    val sessions = graft.streaming.EventStream.sessionize(ss, stream)
     val qname = s"q101_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = sessions.toDF().writeStream.format("memory")
       .queryName(qname).outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    finishStream(s, qname, stage)(_
+    finishStream(ss, qname)(_
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_events"),
         round(col("total_value"), 6).as("total_value"),
@@ -1144,20 +1212,36 @@ object Curation {
       substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
     val existing = docs.filter(
       substring(md5(col("text")), 1, 1) < Q62IncomingHex)
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q102-").toString
-    incoming.select(col("doc_id"), col("text"))
-      .repartition(4).write.mode("overwrite").parquet(stage)
-    val sch = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-    val pairs = graft.streaming.DocStream.nearDupAgainstIndex(
-      stream, existing, "doc_id", "text", minJaccard = 0.8)
+    val stage = stagedArrival(s, "stage-q102", dir, "documents.parquet") {
+      d => incoming.select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(d)
+    }
+    // the static side is the STORED index (the deployment shape —
+    // signatures computed once at index time, [[DocStream
+    // .writeIndexDirs]]); per invocation the stream pays only its
+    // own rows plus two columnar index scans
+    val idx = Warehouse.materializedDir(s, "dsidx",
+      s"dsidx:3:128:32:<$Q62IncomingHex:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      graft.streaming.DocStream.writeIndexDirs(
+        existing, "doc_id", "text", d)
+    }
+    // stateless — no state stores to size down, and the per-batch
+    // MinHash fan-out (DocStream's repartition) wants the full core
+    // count: 8 partitions measured 1.3 s slower here
+    val ss = streamSession(s, partitions = 32)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+    val pairs = graft.streaming.DocStream.nearDupAgainstIndexTables(
+      stream, ss.read.parquet(s"$idx/keys.parquet"),
+      ss.read.parquet(s"$idx/payload.parquet"),
+      "doc_id", "text", minJaccard = 0.8)
     val qname = s"q102_ing_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = pairs.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    finishStream(s, qname, stage)(
+    finishStream(ss, qname)(
       _.orderBy(col("existing_id"), col("incoming_id")))
   }
 
@@ -1180,20 +1264,21 @@ object Curation {
     val index = graft.streaming.DocStream.passageIndex(
       existing, "doc_id", "text", passageLen = Q84PassageLen)
       .localCheckpoint(true) // static side: computed once, not per batch
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q103-").toString
-    incoming.select(col("doc_id"), col("text"))
-      .repartition(4).write.mode("overwrite").parquet(stage)
-    val sch = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val stage = stagedArrival(s, "stage-q103", dir, "documents.parquet") {
+      d => incoming.select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(d)
+    }
+    val ss = streamSession(s)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
     val hits = graft.streaming.DocStream.passageHitsAgainstIndex(
       stream, index, "doc_id", "text", passageLen = Q84PassageLen)
     val qname = s"q103_ph_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = hits.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    finishStream(s, qname, stage)(_
+    finishStream(ss, qname)(_
       .select(col("incoming_id"), col("slot"), col("digest"),
         col("corpus_df"))
       .orderBy(col("incoming_id"), col("slot")))
@@ -1235,27 +1320,30 @@ object Curation {
   def q113StreamExactDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q113-").toString
-    docs.repartitionByRange(3, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(stage)
-    def parts() = new java.io.File(stage).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    val origFiles = parts().sortBy(_.getName) // part index = id range
-    docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      .coalesce(1).write.mode("append").parquet(stage)
-    val dupFiles = parts().filterNot(origFiles.contains)
-    // arrival order: originals in id order, then the duplicate wave
-    // (the file source processes by mtime under maxFilesPerTrigger)
-    val t0 = System.currentTimeMillis() - 60000L
-    (origFiles ++ dupFiles).zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 2000L)
+    val stage = stagedArrival(s, "stage-q113", dir, "documents.parquet") {
+      d =>
+        docs.repartitionByRange(3, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(d)
+        def parts() = new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        val origFiles = parts().sortBy(_.getName) // part index = id range
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(d)
+        val dupFiles = parts().filterNot(origFiles.contains)
+        // arrival order: originals in id order, then the duplicate
+        // wave (the file source processes by mtime under
+        // maxFilesPerTrigger; mtimes persist in the staged artifact)
+        val t0 = System.currentTimeMillis() - 60000L
+        (origFiles ++ dupFiles).zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 2000L)
+        }
     }
-    val sch = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(sch)
+    val ss = streamSession(s)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val deduped = graft.streaming.EventStream.dedupWithinWatermark(
       stream
@@ -1270,7 +1358,7 @@ object Curation {
     val query = deduped.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    finishStream(s, qname, stage)(_
+    finishStream(ss, qname)(_
       .select(col("digest"), col("doc_id"))
       .orderBy(col("digest")))
   }
@@ -1289,19 +1377,20 @@ object Curation {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(s, dir)
       .select(col("ts"), col("event_type"), col("value"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-q118-").toString
-    ev.repartition(4).write.mode("overwrite").parquet(stage)
-    val sch = s.read.parquet(stage).schema
-    val stream = s.readStream.schema(sch)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val stage = stagedArrival(s, "stage-q118", dir, "events.parquet") {
+      d => ev.repartition(4).write.mode("overwrite").parquet(d)
+    }
+    val ss = streamSession(s)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
     val agg = graft.streaming.EventStream.hourlyCounts(stream)
     val qname =
       s"q118_hr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val query = agg.writeStream.format("memory").queryName(qname)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    finishStream(s, qname, stage)(_
+    finishStream(ss, qname)(_
       .select(col("hr").cast("long").as("hr_s"), col("event_type"),
         col("n"), col("total"))
       .orderBy(col("hr_s"), col("event_type")))

@@ -108,6 +108,23 @@ object DocStream {
       .mode("overwrite").saveAsTable(payloadTable)
   }
 
+  /** Build the static near-dup index as warehouse DIRECTORY
+    * artifacts: `payload.parquet` (existing_id, gset, bks) and
+    * `keys.parquet` (existing_id, bk) — the path-addressed twin of
+    * [[writeIndexTables]] for stores that publish artifacts by
+    * directory ([[graft.operators.Warehouse]]) rather than catalog
+    * tables. The existing side's signatures are computed ONCE at
+    * build time; every later stream run scans two columnar tables. */
+  def writeIndexDirs(existing: DataFrame, idCol: String,
+      textCol: String, dir: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    val ex = enrich(existing, "existing_id", idCol, textCol,
+      n, numHashes, bands).localCheckpoint(true)
+    ex.write.mode("overwrite").parquet(s"$dir/payload.parquet")
+    ex.select(col("existing_id"), explode(col("existing_id_bks")).as("bk"))
+      .write.mode("overwrite").parquet(s"$dir/keys.parquet")
+  }
+
   /** [[nearDupAgainstIndex]] against PRE-BUILT index tables
     * ([[writeIndexTables]] or any equivalent (existing_id, bk) /
     * (existing_id, gset, bks) pair): the shape a deployment runs,
