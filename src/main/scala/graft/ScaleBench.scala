@@ -115,8 +115,19 @@ object ScaleBench {
     // unfalsifiable without the other passes)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "3")
       .toInt.max(1)
+    // targeted runs (the 100× law-critical spot-check): same substring
+    // filter contract as Bench's SPARK_GRAFT_ONLY
+    // the retired fixed-cap configs' quadratic contrast counters are
+    // already pinned at 10x/30x; at 100x their volume (~10^10 pair
+    // rows) is exactly what the shipped plans exist to avoid — skip
+    // them on request and record -1 (documented in BASELINE.md)
+    val skipFixed = sys.env.contains("SPARK_GRAFT_SCALE_SKIP_FIXED")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val family = Family
+      .filter(name => only.forall(_.exists(name.contains)))
     val passes = (1 to nPasses).map { p =>
-      Family.map { name =>
+      family.map { name =>
         val fn = SparkEntry.queries(name)
         val t1 = timeQuery(spark, sfDir, reps, fn)
         val tm = timeQuery(spark, scaledDir, reps, fn)
@@ -126,7 +137,7 @@ object ScaleBench {
         name -> (t1, tm)
       }.toMap
     }
-    val times = Family.map { name =>
+    val times = family.map { name =>
       val t1 = passes.map(_(name)._1).min
       val tm = passes.map(_(name)._2).min
       System.err.println(
@@ -162,8 +173,8 @@ object ScaleBench {
         // oracle pin — ~0.8·n², quadratic) vs the n-derived chunk count
         // (volume ~linear at a shrinking guaranteed radius) — the
         // SimHash analog of the fixed-vs-scaled sign-LSH contrast
-        "simhash_prefilter_fixed" -> TextDedup.simhashChunkPairVolume(
-          grams, 13),
+        "simhash_prefilter_fixed" -> (if (skipFixed) -1L
+          else TextDedup.simhashChunkPairVolume(grams, 13)),
         "simhash_prefilter_scaled" -> TextDedup.simhashChunkPairVolume(
           grams, scaledChunks),
         "jaccard_pairs" -> Curation.q21DedupNgram(spark, dir).count(),
@@ -182,8 +193,9 @@ object ScaleBench {
         // ~quadratically) vs the scale-aware derive (per-vector
         // budget — grows ~linearly): the contrast the 100 TB design
         // note in Similarity.lshParamsForScale is built on
-        "neardup_lsh_cand_fixed" -> Similarity.lshCandidatePairs(
-          flipped, "vec_id", "embedding", dp, dt).count(),
+        "neardup_lsh_cand_fixed" -> (if (skipFixed) -1L
+          else Similarity.lshCandidatePairs(
+            flipped, "vec_id", "embedding", dp, dt).count()),
         "neardup_lsh_cand_scaled" -> Similarity.lshCandidatePairs(
           flipped, "vec_id", "embedding", sp, st).count(),
         "neardup_true_pairs" -> Similarity.cosineNearDupPairs(
@@ -210,7 +222,9 @@ object ScaleBench {
     val line = s"""{"metric":"scale","mult":$mult,"sf":"$sfDir",""" +
       s""""npasses":$nPasses,"queries":$timesJson,"counters":$countJson}"""
     println(line)
-    val w = new java.io.PrintWriter(new File("SCALEBENCH.json"), "UTF-8")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "SCALEBENCH.json")
+    val w = new java.io.PrintWriter(new File(outPath), "UTF-8")
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -131,6 +131,9 @@ object SparkEntry {
     "q118_stream_hourly" -> (Curation.q118StreamHourlyCounts _),
     "q119_cdc_cascade_update" -> (Reports.q119CdcCascadeUpdate _),
     "q120_cdc_voucher_renumber" -> (Reports.q120CdcVoucherRenumber _),
+    "q121_codec_corrupt_reject" -> ((s: SparkSession, dir: String) =>
+      graft.operators.ForeignMedia.corruptRejections(s, dir).toDF()
+        .orderBy("doc_id")),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -880,6 +883,18 @@ object SparkEntry {
         |   ELSE 'V-' || CAST(o_orderkey AS VARCHAR) END AS voucher_number,
         | CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS changed
         |FROM orders ORDER BY 1""".stripMargin,
+    // codec corruption rejection: the stored corpus carries
+    // class-keyed damage (intact / protected-region / truncation /
+    // bad magic), and FLAC/AVI decode must reject exactly the
+    // damaged classes while accepting every intact control — the
+    // fail-loudly half of the foreign-payload contract, closed-form
+    // from the id law
+    "q121_codec_corrupt_reject" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'avi' END AS codec,
+        | CAST((doc_id // 2) % 4 AS INT) AS corrupt_class,
+        | CASE WHEN (doc_id // 2) % 4 = 0 THEN 0 ELSE 1 END AS rejected
+        |FROM documents ORDER BY 1""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

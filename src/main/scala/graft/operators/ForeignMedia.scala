@@ -331,4 +331,119 @@ object ForeignMedia {
         }
       }
   }
+
+  // ---- corruption-rejection corpus (q121) --------------------------
+  //
+  // No independent FLAC or MJPEG/AVI encoder exists in this sandbox
+  // (round-13 "missing" #2), so those decoders' foreign-file contract
+  // is proven from the OTHER side: a STORED corpus of systematically
+  // corrupted payloads — the corruption classes CodecPropertySpec pins
+  // in sbt — decoded under the oracle, which writes the per-row
+  // accept/reject verdict down in closed form from the id law. A
+  // decoder that silently mis-decodes a corrupt class (or rejects an
+  // intact control) flips a row and fails the hash.
+
+  /** Codec under probe for doc `id`: half FLAC, half MJPEG-AVI. */
+  def corruptCodecOf(id: Long): String =
+    if (id % 2 == 0) "flac" else "avi"
+
+  /** Corruption class for doc `id`:
+    * 0 = intact control (must decode), 1 = protected-region damage
+    * (FLAC: one byte flipped in the CRC-16-covered final frame; AVI:
+    * the first movi chunk's declared length patched to 0x7FFFFFFF —
+    * the bad-chunk-length class), 2 = truncation (last 5 bytes
+    * dropped), 3 = bad magic (first byte clobbered). */
+  def corruptClassOf(id: Long): Int = ((id / 2) % 4).toInt
+
+  private def indexOfAscii(bytes: Array[Byte], s: String): Int = {
+    val pat = s.getBytes("US-ASCII")
+    var i = 0
+    while (i + pat.length <= bytes.length) {
+      var j = 0
+      while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Deterministic payload for doc `id`: a VALID stream from the id
+    * law, then the class-`corruptClassOf(id)` damage applied. */
+  def encodeCorrupt(id: Long): Array[Byte] = {
+    val valid: Array[Byte] =
+      if (corruptCodecOf(id) == "flac") {
+        val n = 600 + (id % 400).toInt
+        val samples = Array.tabulate(n)(t =>
+          ((id * 13 + t * 7) % 3000).toShort)
+        FlacCodec.encode(16000, samples, order = 2)
+      } else {
+        val frames = (0 until 2).map { f =>
+          JpegCodec.encode(16, 16, (x, y) => (
+            java.lang.Math.floorMod(
+              id + f * 37L + (x / 8) * 13L + (y / 8) * 29L, 256L).toInt,
+            128, 128))
+        }
+        AviCodec.encode(16, 16, 10, frames)
+      }
+    corruptClassOf(id) match {
+      case 0 => valid
+      case 1 =>
+        val bad = valid.clone()
+        if (corruptCodecOf(id) == "flac")
+          // inside the last frame: header CRC-8 / frame CRC-16 cover
+          // every byte here, and CRC-16 detects all single-byte bursts
+          bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x41).toByte
+        else {
+          // the first '00dc' chunk sits right after the movi kind
+          // fourcc; its length dword says the frame runs past the file
+          val movi = indexOfAscii(bad, "movi")
+          require(movi >= 0, s"doc $id: no movi list in fixture AVI")
+          bad(movi + 8) = 0xFF.toByte; bad(movi + 9) = 0xFF.toByte
+          bad(movi + 10) = 0xFF.toByte; bad(movi + 11) = 0x7F.toByte
+        }
+        bad
+      case 2 => valid.take(valid.length - 5)
+      case _ =>
+        val bad = valid.clone()
+        bad(0) = 'X'.toByte
+        bad
+    }
+  }
+
+  /** The stored corrupt corpus: one payload per documents doc_id. */
+  def corruptFixture(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.materialized(spark, "mediacorrupt",
+      s"mediacorrupt:v1:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(it => it.map(id => (id, encodeCorrupt(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  final case class CorruptProbe(doc_id: Long, codec: String,
+      corrupt_class: Int, rejected: Int)
+
+  /** q121: decode every stored payload, catching only the loud
+    * failure a corrupt stream MUST raise — the oracle's closed form
+    * pins rejected = (class ≠ 0) row by row. */
+  def corruptRejections(spark: SparkSession, dir: String)
+      : Dataset[CorruptProbe] = {
+    import spark.implicits._
+    corruptFixture(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ok =
+            try {
+              if (corruptCodecOf(id) == "flac")
+                FlacCodec.decodeSamples(id, bytes)
+              else AviCodec.decode(bytes)
+              true
+            } catch { case scala.util.control.NonFatal(_) => false }
+          CorruptProbe(id, corruptCodecOf(id), corruptClassOf(id),
+            if (ok) 0 else 1)
+        }
+      }
+  }
 }

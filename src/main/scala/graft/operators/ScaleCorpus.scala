@@ -58,32 +58,54 @@ object ScaleCorpus {
     }.reduce(_ unionByName _)
   }
 
-  /** m× embeddings. Replica r rotates by r positions, which is only an
-    * injective replica map while r < dims — a vector of dims ≤ mult
-    * would rotate onto (or past) itself and silently break the
-    * no-cross-replica-structure guarantee. The static [1, 32] require
-    * assumes the 64-dim harness floor; because `mult` can't see the
-    * ACTUAL dimensionality at plan time, every rotated row also
-    * carries a runtime `assert_true(size > mult)` so a shorter vector
-    * fails the job loudly instead of yielding empty/negative slices. */
+  /** m× embeddings. Replica r applies the ORTHOGONAL map
+    * `D_s ∘ rot_{r mod 32}` — a cyclic rotation by `r mod 32`
+    * positions composed, for r ≥ 32, with the sign-flip diagonal
+    * `D_s` (s = r / 32) that negates every coordinate whose index has
+    * bit s−1 set (exactly half the coordinates, in a different block
+    * pattern per s). Both factors are orthogonal, so within-replica
+    * cosines and norms are preserved EXACTLY — the replica's internal
+    * near-dup structure is congruent to the original's. Across
+    * replicas: same s ⇒ rotations differ (the original injectivity
+    * argument, rotation < 64-dim harness floor); different s ⇒ the
+    * relative map includes a diagonal flipping exactly half the
+    * mass-bearing coordinates, so cross-replica cosines decorrelate
+    * to the corpus's background level. (The 10×/30× regimes, r < 32,
+    * execute the historical rotation-only path bit-for-bit.) The
+    * measured truth counter — near-dup pairs exactly m× — is the
+    * empirical check on the construction at every published
+    * multiplier. Because the rotation can't see the ACTUAL
+    * dimensionality at plan time, every rotated row carries a runtime
+    * `assert_true(size > 32)` so a shorter vector fails the job
+    * loudly instead of yielding empty/negative slices. */
   def embeddings(vecs: DataFrame, mult: Int): DataFrame = {
-    require(mult >= 1 && mult <= 32,
-      s"mult must be in [1, 32] (rotation stays below 64 dims), got $mult")
+    require(mult >= 1 && mult <= 128,
+      s"mult must be in [1, 128] (4 sign patterns x 32 rotations), " +
+        s"got $mult")
     (0 until mult).map { r =>
       if (r == 0) vecs.select(col("vec_id"), col("embedding"), col("label"))
       else {
-        val rotated = concat(
-          slice(col("embedding"), lit(r + 1),
-            size(col("embedding")) - r),
-          slice(col("embedding"), lit(1), lit(r)))
+        val rot = r % 32
+        val s = r / 32
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), lit(rot + 1),
+              size(col("embedding")) - rot),
+            slice(col("embedding"), lit(1), lit(rot)))
+        val mapped =
+          if (s == 0) rotated
+          else transform(rotated, (x, i) =>
+            when(pmod(shiftright(i, s - 1), lit(2)) === 1, -x)
+              .otherwise(x))
         vecs.select(
           (col("vec_id") + lit(r * IdStride)).as("vec_id"),
           // assert_true returns null on success — the `when` wrapper
           // just sequences the check before the rotation per row
-          when(assert_true(size(col("embedding")) > lit(mult),
+          when(assert_true(size(col("embedding")) > lit(32),
             concat(lit(s"ScaleCorpus.embeddings(mult=$mult) needs " +
-              "dims > mult, got dims="), size(col("embedding")))).isNull,
-            rotated).as("embedding"),
+              "dims > 32, got dims="), size(col("embedding")))).isNull,
+            mapped).as("embedding"),
           col("label"))
       }
     }.reduce(_ unionByName _)

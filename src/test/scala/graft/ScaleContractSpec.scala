@@ -63,6 +63,37 @@ class ScaleContractSpec extends AnyFunSuite {
     assert(ScaleCorpus.embeddings(e1.limit(5), 4).count() == 20)
   }
 
+  test("sign-flip replica regime (r >= 32) is orthogonal: norms and " +
+    "within-replica cosines preserved exactly, cross-replica decorrelated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the 100x regime composes rotation with a half-coordinate sign
+    // flip; both are orthogonal, so replica 33's internal geometry
+    // must be congruent to the original's to the last ulp
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val base = e1.limit(6).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val rep = ScaleCorpus.embeddings(e1.limit(6), 34)
+      .filter($"vec_id" >= 33L * ScaleCorpus.IdStride)
+      .select($"vec_id" - 33L * ScaleCorpus.IdStride, $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(rep.keySet == base.keySet)
+    for (i <- base.keys; j <- base.keys) {
+      val o = dot(base(i), base(j))
+      val m = dot(rep(i), rep(j))
+      assert(math.abs(o - m) < 1e-6 * math.max(1.0, math.abs(o)),
+        s"dot($i,$j) not preserved: $o vs $m")
+    }
+    // cross-replica: the SAME vector's replica-0 and replica-33
+    // images must not stay aligned (half the mass flips sign)
+    for (i <- base.keys) {
+      val cos = dot(base(i), rep(i)) /
+        math.sqrt(dot(base(i), base(i)) * dot(rep(i), rep(i)))
+      assert(math.abs(cos) < 0.9, s"replica image still aligned: $cos")
+    }
+  }
+
   test("exact n-gram Jaccard pairs grow exactly m× under replication") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       TextDedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
