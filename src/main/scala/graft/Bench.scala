@@ -226,16 +226,22 @@ object Bench {
     // whose current run exceeds its cross-round best by >1.5× (the
     // stderr flag alone vanished with the session). Auditable as
     // current = "queries", reference = "bestKnown", ratio here.
+    // Locale.ROOT formatting: the f-interpolator follows the JVM
+    // default locale, and a comma decimal separator would corrupt the
+    // JSON artifact (round-14 review)
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
     val driftedMap = results.flatMap { case (k, v) =>
       prior.get(k).filter(p => isDrift(p, v))
-        .map(p => "\"" + k + "\":" + f"${v / p}%.2f")
+        .map(p => "\"" + k + "\":" + num(v / p, 2))
     }.mkString("{", ",", "}")
     // the isolated re-pass numbers themselves: a drift entry whose
     // isolated time is back near bestKnown is PROVEN ambient; one that
     // stays high in isolation is a real regression — the artifact now
     // carries the evidence either way
     val isolatedMap = isolated.map { case (k, v) =>
-      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bestKnown":$best,"bestKnownTotal":$bestTotal,"drifted":$driftedMap,"isolated":$isolatedMap,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json wraps stdout in a bounded "tail"

@@ -177,7 +177,14 @@ object ScaleBench {
           else TextDedup.simhashChunkPairVolume(grams, 13)),
         "simhash_prefilter_scaled" -> TextDedup.simhashChunkPairVolume(
           grams, scaledChunks),
-        "jaccard_pairs" -> Curation.q21DedupNgram(spark, dir).count(),
+        // the DIRECT pipeline, not q21's exchange-backed entry: the
+        // counter verifies the truth-pair law, and routing it through
+        // the entry would persist a corpus-scale gram artifact for
+        // every scaled dir as a side effect (round-14 review); the
+        // consumer-half equivalence is TextDedupSpec's pin
+        "jaccard_pairs" -> TextDedup.ngramJaccardPairs(docs,
+          "doc_id", "text", n = 3, minJaccard = 0.8,
+          maxShingleDf = Curation.Q21MaxShingleDf).count(),
         // replica laws pinned in ScaleContractSpec: both exactly m×
         // (passages/grams never cross replicas; per-replica dfs match
         // the 1x corpus so the stop-shingle cap drops identical sets)

@@ -1015,6 +1015,12 @@ object Curation {
       shape: DataFrame => DataFrame): DataFrame = {
     val res = shape(s.table(qname)).localCheckpoint(true)
     s.catalog.dropTempView(qname)
+    // reclaim the run's checkpoint dir NOW (an explicit
+    // checkpointLocation base opts out of Spark's temp auto-delete,
+    // and the shutdown hook never runs on SIGKILL — round-14 review):
+    // under the base each query checkpoints to <base>/<queryName>
+    shmCheckpointBase.foreach(b =>
+      Warehouse.deleteRec(new java.io.File(b, qname)))
     res
   }
 

@@ -67,17 +67,23 @@ object ScaleCorpus {
     * cosines and norms are preserved EXACTLY — the replica's internal
     * near-dup structure is congruent to the original's. Across
     * replicas: same s ⇒ rotations differ (the original injectivity
-    * argument, rotation < 64-dim harness floor); different s ⇒ the
-    * relative map includes a diagonal flipping exactly half the
-    * mass-bearing coordinates, so cross-replica cosines decorrelate
-    * to the corpus's background level. (The 10×/30× regimes, r < 32,
-    * execute the historical rotation-only path bit-for-bit.) The
-    * measured truth counter — near-dup pairs exactly m× — is the
-    * empirical check on the construction at every published
-    * multiplier. Because the rotation can't see the ACTUAL
-    * dimensionality at plan time, every rotated row carries a runtime
-    * `assert_true(size > 32)` so a shorter vector fails the job
-    * loudly instead of yielding empty/negative slices. */
+    * argument); different s ⇒ the relative map includes a diagonal
+    * flipping exactly half the COORDINATES, so cross-replica cosines
+    * decorrelate for corpora in generic position. (The 10×/30×
+    * regimes, r < 32, execute the historical rotation-only path
+    * bit-for-bit.) Neither factor decorrelates ADVERSARIAL structure
+    * — a rotation-periodic vector survives rotation, a vector whose
+    * squared mass concentrates off the flipped index half survives
+    * the flip — which is why the construction's stated check is
+    * EMPIRICAL: the truth counter (near-dup pairs exactly m×) is
+    * measured and published at every multiplier, and a corpus
+    * defeating the maps fails that equality loudly. Because the maps
+    * can't see the ACTUAL dimensionality at plan time, every
+    * replicated row carries a runtime `assert_true(size > minDims)`
+    * (minDims = the replica's rotation distance, and at least the
+    * flip pattern's block width when a sign pattern applies) so a
+    * too-short vector fails the job loudly instead of yielding
+    * empty/negative slices or a no-op flip. */
   def embeddings(vecs: DataFrame, mult: Int): DataFrame = {
     require(mult >= 1 && mult <= 128,
       s"mult must be in [1, 128] (4 sign patterns x 32 rotations), " +
@@ -98,13 +104,20 @@ object ScaleCorpus {
           else transform(rotated, (x, i) =>
             when(pmod(shiftright(i, s - 1), lit(2)) === 1, -x)
               .otherwise(x))
+        // per-replica minimum dimensionality: the rotation distance
+        // (slice bounds), and when a sign pattern applies, its block
+        // width (a pattern flipping nothing would alias replicas) —
+        // dims-16 corpora at mult ≤ 16 remain valid, as before the
+        // sign-flip regime existed (round-14 review)
+        val minDims = math.max(rot, if (s > 0) 1 << (s - 1) else 1)
         vecs.select(
           (col("vec_id") + lit(r * IdStride)).as("vec_id"),
           // assert_true returns null on success — the `when` wrapper
           // just sequences the check before the rotation per row
-          when(assert_true(size(col("embedding")) > lit(32),
+          when(assert_true(size(col("embedding")) > lit(minDims),
             concat(lit(s"ScaleCorpus.embeddings(mult=$mult) needs " +
-              "dims > 32, got dims="), size(col("embedding")))).isNull,
+              s"dims > $minDims, got dims="),
+              size(col("embedding")))).isNull,
             mapped).as("embedding"),
           col("label"))
       }

@@ -109,6 +109,11 @@ private[graft] object Warehouse {
     root.mkdirs()
     val finalDir = new java.io.File(root, s"$family-${sha16(key)}")
     if (usable(finalDir, key)) {
+      // refresh the dir mtime: the sweep ages artifacts by last USE,
+      // not last build — a family can hold several live keys (one per
+      // corpus dir), and an 8-day-old but still-consulted sibling
+      // must survive a same-family publish (round-14 review)
+      finalDir.setLastModified(System.currentTimeMillis())
       System.err.println(s"[pairidx] reusing $key <- $finalDir")
       return finalDir.toString
     }
@@ -163,12 +168,14 @@ private[graft] object Warehouse {
     * publish, deleting sibling dirs of the same family (published or
     * crashed `.build-` staging) untouched for longer than
     * `spark.graft.index.sweepAgeDays` (default 7; `<= 0` disables).
-    * The age guard is the concurrency story: a reader only ever holds
-    * an artifact it adopted moments ago (same key ⇒ same dir, which
-    * `keep` excludes; different key + days-old mtime ⇒ its corpus
-    * files were replaced days ago and no current fingerprint can
-    * resolve to it), and a LIVE concurrent publish is days younger
-    * than any cutoff. */
+    * Age means time since last USE, not last build — `loadOrBuild`'s
+    * reuse path refreshes the dir mtime on every adoption, so a
+    * family holding several live keys (one per corpus dir) never
+    * loses a sibling that any run consulted inside the window. The
+    * age guard is also the concurrency story: a reader only ever
+    * holds an artifact it adopted (and mtime-refreshed) moments ago,
+    * and a LIVE concurrent publish is days younger than any
+    * cutoff. */
   private def sweepOrphans(spark: SparkSession, root: java.io.File,
       family: String, keep: String): Unit = {
     val days = spark.conf.get("spark.graft.index.sweepAgeDays", "7").toDouble
