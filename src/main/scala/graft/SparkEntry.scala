@@ -134,6 +134,7 @@ object SparkEntry {
     "q121_codec_corrupt_reject" -> ((s: SparkSession, dir: String) =>
       graft.operators.ForeignMedia.corruptRejections(s, dir).toDF()
         .orderBy("doc_id")),
+    "q122_unicode_normalize" -> (Curation.q122UnicodeNormalize _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -895,6 +896,25 @@ object SparkEntry {
         | CAST((doc_id // 2) % 4 AS INT) AS corrupt_class,
         | CASE WHEN (doc_id // 2) % 4 = 0 THEN 0 ELSE 1 END AS rejected
         |FROM documents ORDER BY 1""".stripMargin,
+    // unicode canonicalization: the messy wire form (decomposed
+    // combining marks + injected U+FFFD) is synthesized in closed
+    // form, and DuckDB's own independent nfc_normalize recomputes the
+    // audit — hash green means both engines' UAX #15 implementations
+    // agree byte for byte
+    "q122_unicode_normalize" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END ||
+        |   replace(text, 'a', 'a' || chr(768)) AS m
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(length(m) AS INT) AS n_chars_raw,
+        | CAST(length(nfc_normalize(m)) AS INT) AS n_chars_nfc,
+        | CAST(m <> nfc_normalize(m) AS INT) AS changed,
+        | CAST(length(m) - length(replace(m, chr(65533), '')) AS INT)
+        |   AS n_suspect,
+        | md5(nfc_normalize(m)) AS text_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

@@ -1625,6 +1625,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode canonicalization + mojibake audit (q122) — curation
+    * step ZERO for crawl text, before any digest/shingle machinery:
+    * the same visible character arrives both precomposed (à, U+00E0)
+    * and decomposed (a + combining U+0300) in real crawls, splitting
+    * every content hash downstream, and decode failures leave
+    * U+FFFD replacement characters behind. The entry synthesizes the
+    * messy wire form in closed form (every 'a' decomposed; a leading
+    * U+FFFD injected for doc_id ≡ 0 mod 13), runs the NATIVE NFC
+    * expression ([[graft.functions.NfcNormalizeExpr]] — one static
+    * JDK-Normalizer call per row inside whole-stage codegen, with an
+    * allocation-free isNormalized fast path for the already-clean
+    * majority), and emits the audit a pipeline gates on: codepoint
+    * counts before/after, the changed flag, the suspect-character
+    * count, and the md5 of the canonical text. DuckDB recomputes
+    * everything with its own independent `nfc_normalize` — hash
+    * green means the two engines' UAX #15 implementations agree byte
+    * for byte on every row. Per-row, zero shuffle except the gate's
+    * ORDER BY. */
+  def q122UnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val denorm = replace(col("text"), lit("a"), lit("a\u0300"))
+    val messy = when(col("doc_id") % 13 === 0,
+      concat(lit("\ufffd"), denorm)).otherwise(denorm)
+    val nfc = graft.functions.TextNormExpressions.nfcNormalize(messy)
+    docs.select(col("doc_id"), messy.as("m"), nfc.as("n"))
+      .select(col("doc_id"),
+        length(col("m")).cast("int").as("n_chars_raw"),
+        length(col("n")).cast("int").as("n_chars_nfc"),
+        (col("m") =!= col("n")).cast("int").as("changed"),
+        (length(col("m")) -
+          length(replace(col("m"), lit("\ufffd"), lit(""))))
+          .cast("int").as("n_suspect"),
+        md5(col("n")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(

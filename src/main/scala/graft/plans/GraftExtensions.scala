@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarityExpr, LshSignKeysExpr}
+import graft.functions.{CosineSimilarityExpr, LshSignKeysExpr, NfcNormalizeExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -48,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "planes"),
           intLit(children(2), "tables"))
       }))
+    // nfc_normalize(text) — Unicode NFC canonicalization (UAX #15),
+    // curation step zero for crawl text
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
   }
 }

@@ -8,6 +8,37 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("nfc_normalize: UAX #15 laws — recomposition, idempotence, " +
+    "already-clean fast path, SQL registration") {
+    import graft.functions.TextNormExpressions.nfcNormalize
+    val rows = Seq(
+      "cafe\u0301",          // decomposed e + U+0301 -> U+00E9
+      "a\u0300b",            // decomposed a + U+0300 mid-word
+      "plain ascii text",    // fast path: already NFC, identity
+      "\u00e9 already composed",
+      "\ufffd survives")     // replacement char is NFC-stable
+    val expect = Seq("caf\u00e9", "\u00e0b", "plain ascii text",
+      "\u00e9 already composed", "\ufffd survives")
+    val got = rows.toDF("t").select(nfcNormalize($"t").as("n"))
+      .as[String].collect().toSeq
+    assert(got == expect)
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    val twice = rows.toDF("t")
+      .select(nfcNormalize(nfcNormalize($"t")).as("n"))
+      .as[String].collect().toSeq
+    assert(twice == expect)
+    // SQL registration (the GraftExtensions injection shape \u2014 the
+    // shared test session predates the extension, so register the
+    // temp twin exactly like VectorExpressionsSpec does)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => graft.functions.NfcNormalizeExpr(exprs.head),
+      "built-in")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize('e\u0301') AS n").head().getString(0)
+    assert(viaSql == "\u00e9")
+  }
+
   test("occurrences counts non-overlapping literal matches") {
     val df = Seq(" the cat the dog the ").toDF("t")
     val n = df.select(TextAnalysis.occurrences($"t", " the ").as("n"))
