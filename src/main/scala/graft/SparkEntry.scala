@@ -135,6 +135,7 @@ object SparkEntry {
       graft.operators.ForeignMedia.corruptRejections(s, dir).toDF()
         .orderBy("doc_id")),
     "q122_unicode_normalize" -> (Curation.q122UnicodeNormalize _),
+    "q123_embed_quant_int8" -> (Curation.q123EmbedQuantInt8 _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -915,6 +916,28 @@ object SparkEntry {
         |   AS n_suspect,
         | md5(nfc_normalize(m)) AS text_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    // int8 quantization: the stored code vectors are integer-exact
+    // (double divide + floor-half-up both engines; md5 proves every
+    // lane); the float reconstruction laws are self-gating flags the
+    // rounding guarantee pins at 1
+    "q123_embed_quant_int8" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127
+        |   AS scale
+        | FROM embeddings),
+        |q AS (
+        | SELECT vec_id, scale,
+        |  list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv
+        | FROM s)
+        |SELECT vec_id,
+        | md5(array_to_string(qv, ',')) AS q_md5,
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | CAST(list_min(qv) AS INT) AS q_min,
+        | CAST(list_max(qv) AS INT) AS q_max,
+        | 1 AS ok_err, 1 AS ok_cos
+        |FROM q ORDER BY vec_id""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

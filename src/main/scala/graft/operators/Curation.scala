@@ -1661,6 +1661,17 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** int8 embedding quantization audit (q123) — see
+    * [[Similarity.int8QuantAudit]]: the per-vector scale + code
+    * vector a 100 TB ANN deployment actually stores (4× smaller than
+    * the float column), integer-exact under the oracle (DuckDB
+    * recomputes every int8 lane and the md5 proves them all), float
+    * reconstruction laws as self-gating flags. */
+  def q123EmbedQuantInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantAudit(Tables.embeddings(s, dir),
+        "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(

@@ -643,4 +643,65 @@ object Similarity {
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
   }
+
+  // ── int8 quantization (the ANN memory-side half) ───────────────────
+
+  /** Symmetric per-vector int8 quantization audit — the memory story
+    * 100 TB similarity search stands on: a float32 corpus quantized
+    * to int8 serves ANN from a QUARTER of the RAM/disk (the standard
+    * IVF-SQ8 layout), and this operator emits exactly what a
+    * deployment stores per vector — the scale (max |x| / 127) and
+    * the int8 code vector — plus the audit a pipeline gates on.
+    *
+    * Oracle design: the quantized INTEGERS are exact cross-engine
+    * (double divide + `floor(x + 0.5)` half-up both sides, md5 over
+    * the rendered code vector proves EVERY lane), while the float
+    * reconstruction laws ride SELF-GATING flags (the q61/q83
+    * tolerance-twin precedent): `ok_err` = every lane's
+    * reconstruction error ≤ scale/2 (the rounding guarantee), and
+    * `ok_cos` = reconstruction cosine ≥ 0.999 — guaranteed by
+    * ‖err‖ ≤ √d·scale/2 = (√d/254)·max|x| ≤ 0.0315·‖x‖ at d = 64,
+    * so a flag flip means a quantizer bug, not noise.
+    *
+    * Scale shape: per-row, zero shuffle (the gate's ORDER BY aside);
+    * at corpus scale the code table is the artifact an IVF probe
+    * scans, 4× smaller than the float column it replaces. Zero
+    * vectors quantize to all-zero codes by the `when` guard (the
+    * harness corpus has none; the oracle's bare division would fail
+    * loudly if one ever appeared). */
+  def int8QuantAudit(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val scale = array_max(transform(x, v => abs(v.cast("double")))) / 127.0
+    val withQ = vecs
+      .select(col(idCol), x.as("x"), scale.as("scale"))
+      .withColumn("q", transform(col("x"), v =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(floor(v.cast("double") / col("scale") + 0.5)
+            .cast("int"))))
+    val err = transform(arrays_zip(col("x"), col("q")), p =>
+      abs(p.getField("x").cast("double") -
+        p.getField("q").cast("double") * col("scale")))
+    // explicit HOF dots (audit-only path; the hot kernels stay native)
+    val xr = aggregate(arrays_zip(col("x"), col("q")), lit(0.0),
+      (acc, p) => acc + p.getField("x").cast("double") *
+        (p.getField("q").cast("double") * col("scale")))
+    val xx = aggregate(col("x"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val rr = aggregate(col("q"), lit(0.0),
+      (acc, v) => acc + (v.cast("double") * col("scale")) *
+        (v.cast("double") * col("scale")))
+    withQ.select(col(idCol),
+      md5(concat_ws(",", transform(col("q"), _.cast("string"))))
+        .as("q_md5"),
+      aggregate(col("q"), lit(0L), (a, v) => a + v.cast("long"))
+        .as("q_sum"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"),
+      (array_max(err) <= col("scale") / 2.0 + lit(1e-12)).cast("int")
+        .as("ok_err"),
+      when(col("scale") === 0.0, lit(1))
+        .otherwise((xr / (sqrt(xx) * sqrt(rr)) >= 0.999).cast("int"))
+        .as("ok_cos"))
+  }
 }

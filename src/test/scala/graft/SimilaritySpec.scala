@@ -245,4 +245,29 @@ class SimilaritySpec extends AnyFunSuite {
       .cast("string").as("d")).distinct().collect()
     assert(d.length == 1)  // same vector everywhere → one exact value
   }
+
+  test("int8 quantization: hand-computed codes, zero-vector guard, " +
+    "reconstruction flags hold on the harness corpus") {
+    // scale = 3.25/127; codes floor(x/scale + 0.5): 1.0 -> 39,
+    // -2.5 -> -98, 3.25 -> 127 (the max-abs lane always lands ±127)
+    val small = Seq(
+      (1L, Seq(1.0f, -2.5f, 3.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))) // zero vector: all-zero codes
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantAudit(small, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getInt(6))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5s(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    assert(got(1L) == ((md5s("39,-98,127"), 68L, -98, 127, 1, 1)))
+    assert(got(2L) == ((md5s("0,0,0"), 0L, 0, 0, 1, 1)))
+    // the full harness corpus: every reconstruction law holds and the
+    // max-abs lane of every vector codes to ±127
+    val corpus = Similarity.int8QuantAudit(
+      Tables.embeddings(spark, SparkTestSession.sf), "vec_id", "embedding")
+    assert(corpus.filter($"ok_err" =!= 1 || $"ok_cos" =!= 1).isEmpty)
+    assert(corpus.filter(greatest($"q_max", -$"q_min") =!= 127).isEmpty)
+  }
 }
