@@ -136,6 +136,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q122_unicode_normalize" -> (Curation.q122UnicodeNormalize _),
     "q123_embed_quant_int8" -> (Curation.q123EmbedQuantInt8 _),
+    "q124_embed_quant_knn" -> (Curation.q124EmbedQuantKnn _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -938,6 +939,35 @@ object SparkEntry {
         | CAST(list_max(qv) AS INT) AS q_max,
         | 1 AS ok_err, 1 AS ok_cos
         |FROM q ORDER BY vec_id""".stripMargin,
+    // quantized-domain KNN: scores over int8 codes are rationals of
+    // exact integers (codes ≤ 127, d = 64 ⇒ every double partial sum
+    // exact), so the ANN serving path sits under the hash oracle with
+    // no tolerance flag; scales cancel out of the cosine
+    "q124_embed_quant_knn" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127
+        |   AS scale
+        | FROM embeddings),
+        |q AS (
+        | SELECT vec_id,
+        |  list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv
+        | FROM s),
+        |n AS (SELECT vec_id, qv,
+        |  sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM q),
+        |p AS (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (a.nrm * b.nrm)
+        |   AS qc
+        | FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, qc, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY qc DESC, neighbor_id) AS rank
+        | FROM p)
+        |SELECT query_id, neighbor_id, round(qc, 6) AS qcos,
+        | CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's
     // complete-mode final state must equal it whatever the
     // micro-batch split (exact-decimal accumulation)

@@ -1672,6 +1672,18 @@ object Curation {
         "vec_id", "embedding")
       .orderBy(col("vec_id"))
 
+  /** Quantized-domain KNN (q124) — see [[Similarity.quantizedTopK]]:
+    * the q24 query set scored over int8 codes alone (the IVF-SQ8
+    * serving path), hash-exact because integer-domain double
+    * arithmetic is exact — the one ANN scoring path that needs no
+    * tolerance flag. */
+  def q124EmbedQuantKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.quantizedTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(

@@ -669,16 +669,24 @@ object Similarity {
     * vectors quantize to all-zero codes by the `when` guard (the
     * harness corpus has none; the oracle's bare division would fail
     * loudly if one ever appeared). */
+  /** Per-vector symmetric int8 scale: max |x| / 127 (double). */
+  private def int8Scale(x: Column): Column =
+    array_max(transform(x, v => abs(v.cast("double")))) / 127.0
+
+  /** int8 code vector from a float vector and its scale — floor-half-up,
+    * the rounding both engines spell identically; a zero scale (zero
+    * vector) codes to all zeros. */
+  private def int8CodesFrom(x: Column, scale: Column): Column =
+    transform(x, v =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(v.cast("double") / scale + 0.5).cast("int")))
+
   def int8QuantAudit(vecs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val x = col(vecCol)
-    val scale = array_max(transform(x, v => abs(v.cast("double")))) / 127.0
     val withQ = vecs
-      .select(col(idCol), x.as("x"), scale.as("scale"))
-      .withColumn("q", transform(col("x"), v =>
-        when(col("scale") === 0.0, lit(0))
-          .otherwise(floor(v.cast("double") / col("scale") + 0.5)
-            .cast("int"))))
+      .select(col(idCol), x.as("x"), int8Scale(x).as("scale"))
+      .withColumn("q", int8CodesFrom(col("x"), col("scale")))
     val err = transform(arrays_zip(col("x"), col("q")), p =>
       abs(p.getField("x").cast("double") -
         p.getField("q").cast("double") * col("scale")))
@@ -703,5 +711,45 @@ object Similarity {
       when(col("scale") === 0.0, lit(1))
         .otherwise((xr / (sqrt(xx) * sqrt(rr)) >= 0.999).cast("int"))
         .as("ok_cos"))
+  }
+
+  /** Brute-force top-k in the QUANTIZED integer domain (q124) — the
+    * serving-side twin of [[int8QuantAudit]]: scores computed over
+    * the int8 code vectors alone, exactly as an IVF-SQ8 probe scores
+    * candidates without ever touching the float column. The
+    * per-vector scales CANCEL out of the cosine (cos(s_a·q_a,
+    * s_b·q_b) = cos(q_a, q_b)), so the quantized score needs no
+    * dequantization at all — and because every product and partial
+    * sum is an integer below 2⁵³ (codes ≤ 127, d = 64 ⇒ dot ≤
+    * 1,032,256), the all-double native kernel
+    * ([[graft.functions.VectorExpressions.cosineSimilarity]]) is
+    * EXACT here, not approximate: any summation order yields the
+    * same rational value, one IEEE divide and two sqrts from
+    * bit-identical on every engine. That is what puts an ANN scoring
+    * path under a hash-exact oracle with no tolerance flag.
+    *
+    * Plan shape = [[bruteForceTopK]]: queries broadcast, corpus
+    * streams partition-parallel, one window top-k; ties (identical
+    * code vectors — near-dups quantize together) break by
+    * neighbor_id on both sides. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def coded(df: DataFrame, as: String, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as("x"),
+          int8Scale(col(vecCol)).as("scale"))
+        .select(col(idAs),
+          int8CodesFrom(col("x"), col("scale"))
+            .cast("array<float>").as(as))
+    val q = coded(queries, "qa", "query_id")
+    val c = coded(corpus, "qb", "neighbor_id")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("qc", cosineFast(col("qa"), col("qb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qc"), 6).as("qcos"), col("rank"))
   }
 }

@@ -270,4 +270,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(corpus.filter($"ok_err" =!= 1 || $"ok_cos" =!= 1).isEmpty)
     assert(corpus.filter(greatest($"q_max", -$"q_min") =!= 127).isEmpty)
   }
+
+  test("quantized-domain KNN keeps high recall against the exact top-k") {
+    // the number a deployment actually cares about: how much of the
+    // float-exact neighborhood survives int8 scoring. The 0.999
+    // reconstruction-cosine bound implies tiny score perturbation, so
+    // recall@10 on the harness corpus must stay high (the boundary
+    // neighbors at cos ≈ 0.4–0.55 can legitimately swap)
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val queries = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(
+      queries, e, "vec_id", "embedding", k = 10))
+    val quant = pairs(Similarity.quantizedTopK(
+      queries, e, "vec_id", "embedding", k = 10))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@10 = $recall")
+  }
 }
