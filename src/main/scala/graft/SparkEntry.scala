@@ -965,7 +965,7 @@ object SparkEntry {
         | SELECT query_id, neighbor_id, qc, row_number() OVER (
         |   PARTITION BY query_id ORDER BY qc DESC, neighbor_id) AS rank
         | FROM p)
-        |SELECT query_id, neighbor_id, round(qc, 6) AS qcos,
+        |SELECT query_id, neighbor_id, round(qc, 6) + 0 AS qcos,
         | CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // streaming hourly rollup: the q18 aggregation — the stream's

@@ -85,12 +85,22 @@ object Similarity {
     val exact = scored.withColumn("rk0", row_number().over(wFast))
       .filter(col("rk0") <= k + 64)
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    exact.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKByScore(exact, "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
-        col("rk").as("rank"))
+        col("rank"))
+  }
+
+  /** The ONE definition of the KNN family's deterministic top-k
+    * contract — rank by (score desc, neighbor_id asc) per query —
+    * shared by the exact reranker and the quantized-domain scorer so
+    * the tie-break every oracle mirrors cannot drift between
+    * implementations. */
+  private def topKByScore(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
@@ -687,11 +697,16 @@ object Similarity {
     val withQ = vecs
       .select(col(idCol), x.as("x"), int8Scale(x).as("scale"))
       .withColumn("q", int8CodesFrom(col("x"), col("scale")))
-    val err = transform(arrays_zip(col("x"), col("q")), p =>
+    // ONE zip expression feeds both consumers inside one projection —
+    // Spark's subexpression elimination evaluates the repeated
+    // deterministic subtree once per row, so the struct array is not
+    // allocated twice (audit-only HOF path; the hot kernels stay
+    // native)
+    val zipped = arrays_zip(col("x"), col("q"))
+    val err = transform(zipped, p =>
       abs(p.getField("x").cast("double") -
         p.getField("q").cast("double") * col("scale")))
-    // explicit HOF dots (audit-only path; the hot kernels stay native)
-    val xr = aggregate(arrays_zip(col("x"), col("q")), lit(0.0),
+    val xr = aggregate(zipped, lit(0.0),
       (acc, p) => acc + p.getField("x").cast("double") *
         (p.getField("q").cast("double") * col("scale")))
     val xx = aggregate(col("x"), lit(0.0),
@@ -745,11 +760,13 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("qc", cosineFast(col("qa"), col("qb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qc").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKByScore(scored, "qc", k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("qc"), 6).as("qcos"), col("rank"))
+        // + 0.0 = the repo's mandated negative-zero normalization
+        // after a final round (the q79 log2 incident): at d = 64 the
+        // smallest nonzero |qc| is 1/(64·127²) ≈ 9.7e-7 and cannot
+        // round to zero, but the margin shrinks with 1/d and a
+        // dim ≥ 125 corpus would render -0.0 vs 0.0 across engines
+        (round(col("qc"), 6) + 0.0).as("qcos"), col("rank"))
   }
 }

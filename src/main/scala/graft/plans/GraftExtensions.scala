@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
         "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize(text) takes 1 argument, got ${children.length}" +
+            " (only canonical composition NFC is offered — a silently" +
+            " ignored form argument would corrupt downstream digests)")
+        NfcNormalizeExpr(children.head)
+      }))
   }
 }
