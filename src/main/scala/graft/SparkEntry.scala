@@ -137,6 +137,7 @@ object SparkEntry {
     "q122_unicode_normalize" -> (Curation.q122UnicodeNormalize _),
     "q123_embed_quant_int8" -> (Curation.q123EmbedQuantInt8 _),
     "q124_embed_quant_knn" -> (Curation.q124EmbedQuantKnn _),
+    "q125_embed_ann_ivf_sq8" -> (Curation.q125EmbedAnnIvfSq8 _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1255,6 +1256,11 @@ object SparkEntry {
     // partition-pruned reads of the persisted inverted file must
     // reproduce the in-memory derivation bit for bit
     "q115_embed_ann_ivf_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // IVF + SQ8 + exact rerank: the full serving stack must still
+    // reproduce the exact top-AnnOracleK - a neighbor the int8
+    // prerank wrongly buried or a missed probe drops a row
+    "q125_embed_ann_ivf_sq8" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

@@ -1684,6 +1684,19 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF + SQ8 + exact rerank (q125) — see
+    * [[Similarity.ivfSq8TopK]]: the full production ANN serving
+    * stack (coarse quantizer → int8 prerank → exact decision) under
+    * the SAME exact-KNN recall oracle and parameters as q47. */
+  def q125EmbedAnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfSq8TopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 10,
+        nLists = 16, nProbe = 12, assignments = 2)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ── Multimodal plumbing (decode stub; see Multimodal scaladoc) ─────
   def q31MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withMediaColumn(

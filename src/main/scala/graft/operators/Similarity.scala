@@ -187,6 +187,47 @@ object Similarity {
           iterations, assignments, materializeCorpus)
         .withColumn("cos_fast", cosineFast(col("qv"), col("cv"))), k)
 
+  /** IVF + SQ8 + exact rerank (q125) — the full production ANN
+    * serving stack in one plan: the coarse quantizer prunes the
+    * corpus to probed lists ([[ivfCandidates]] — ~√n of the
+    * brute-force volume), the int8 SCALAR-QUANTIZED score preranks
+    * the candidates (the memory-side path of [[quantizedTopK]]: a
+    * deployment scores stored codes without touching the float
+    * column), and the exact decimal cosine decides the final top-k
+    * over the k+64 prerank survivors — [[rerankExact]]'s two-phase
+    * contract with the double prefilter replaced by the SQ8 score,
+    * whose rank perturbation the same guard band absorbs
+    * (SimilaritySpec measures int8 recall@10 ≥ 0.9, so the top-k+64
+    * window holds the true top-k with huge margin on this corpus).
+    * Because the exact scorer decides the boundary, the output sits
+    * under the SAME exact-KNN recall oracle as q47 — a candidate the
+    * SQ8 prerank wrongly buried, or a list the probe missed, drops a
+    * row and fails the hash. Codes are computed in-plan here (the
+    * candidate volume is √n-bounded); the stored-index deployment
+    * keeps them IN the inverted file next to each assignment, which
+    * is precisely the IVF-SQ8 layout q115's partitioned artifact
+    * extends to. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 0, nProbe: Int = 4,
+      iterations: Int = 2, assignments: Int = 1): DataFrame = {
+    val cand = ivfCandidates(queries, corpus, idCol, vecCol, nLists,
+      nProbe, iterations, assignments)
+    // scales HOIST to columns before the code lambdas reference them:
+    // an inline int8Scale tree inside the per-lane `when` re-evaluates
+    // the array_max once PER LANE (no loop-invariant hoisting inside
+    // HOF lambdas — measured 21.8 s vs 2.6 s for this query), while a
+    // multiply-referenced non-cheap alias survives CollapseProject as
+    // its own projection
+    val coded = cand
+      .withColumn("sa", int8Scale(col("qv")))
+      .withColumn("sb", int8Scale(col("cv")))
+      .withColumn("cos_fast", cosineFast(
+        int8CodesFrom(col("qv"), col("sa")).cast("array<float>"),
+        int8CodesFrom(col("cv"), col("sb")).cast("array<float>")))
+    rerankExact(coded, k)
+  }
+
   /** The IVF candidate set (query_id, qv, neighbor_id, cv) BEFORE any
     * scoring — public so the cost contract is testable: on a corpus
     * with real cluster locality, candidate rows must be a small
