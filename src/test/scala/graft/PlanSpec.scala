@@ -158,6 +158,13 @@ class PlanSpec extends AnyFunSuite {
         graft.operators.Curation.flippedNearDupCorpus(e),
         "vec_id", "embedding", minCosine = 0.9,
         candidatesPerVector = 32.0, corpusSizeHint = 4000L)
+      // the round-14 quantized-domain scorer inherits the contract:
+      // pure projections + broadcast join + window, zero construction
+      // jobs. (ivfSq8TopK is deliberately NOT here: ivfCandidates
+      // runs the checkpointed k-means BUILD eagerly by design — the
+      // index-build phase a deployment stages to storage, not a plan
+      // probe.)
+      Similarity.quantizedTopK(q, e, "vec_id", "embedding", k = 5)
       // (the shipped q48 entry is NOT constructed here: its
       // Tables.embeddings read triggers Spark's own footer/schema jobs
       // — read machinery, not operator probes, same reason the table
