@@ -138,6 +138,8 @@ object SparkEntry {
     "q123_embed_quant_int8" -> (Curation.q123EmbedQuantInt8 _),
     "q124_embed_quant_knn" -> (Curation.q124EmbedQuantKnn _),
     "q125_embed_ann_ivf_sq8" -> (Curation.q125EmbedAnnIvfSq8 _),
+    "q126_embed_ann_ivf_sq8_stored" ->
+      (Curation.q126EmbedAnnIvfSq8Stored _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1261,6 +1263,11 @@ object SparkEntry {
     // reproduce the exact top-AnnOracleK - a neighbor the int8
     // prerank wrongly buried or a missed probe drops a row
     "q125_embed_ann_ivf_sq8" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // the same stack served from the STORED code column (probe →
+    // pruned partitions → SQ8 prerank from the artifact → exact
+    // rerank): still the exact top-AnnOracleK or the hash fails
+    "q126_embed_ann_ivf_sq8_stored" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

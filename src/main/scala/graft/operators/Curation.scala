@@ -499,16 +499,43 @@ object Curation {
     * read — IndexPathSpec pins partitions read == lists probed).
     * Same parameters and exact-KNN oracle as q47, so the stored path
     * must reproduce the in-memory derivation bit for bit. */
+  /** The ONE stored IVF-SQ8 artifact q115 and q126 both serve from
+    * ([[Warehouse.materializedDir]], keyed by build params + corpus
+    * fingerprint + the `sq8v2` layout version — the round-15 layout
+    * added (scale, codes) columns, and a version bump in the key is
+    * what keeps a pre-SQ8 artifact from being adopted for the code
+    * path): one build amortizes over both serving paths, exactly the
+    * economics a deployment runs. */
+  private def storedIvfIndex(s: SparkSession, dir: String): String =
+    Warehouse.materializedDir(s, "ivf",
+      s"ivf-sq8v2:16:2:2:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildIvfIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", d, nLists = 16, assignments = 2)
+    }
+
   def q115EmbedAnnIvfStored(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val idx = Warehouse.materializedDir(s, "ivf",
-      s"ivf:16:2:2:$dir:" +
-        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
-      Similarity.buildIvfIndex(e, "vec_id", "embedding", d,
-        nLists = 16, assignments = 2)
-    }
     Similarity.ivfTopKFromIndex(s, e.filter(col("vec_id") < 10),
-        "vec_id", "embedding", idx, k = 10, nProbe = 12)
+        "vec_id", "embedding", storedIvfIndex(s, dir), k = 10,
+        nProbe = 12)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q125's serving stack against the PERSISTED IVF-SQ8 index (q126)
+    * — the production ANN path the quantization family built toward:
+    * probe → static partition pruning → int8 prerank from the STORED
+    * code column (the float column never read for candidates; column
+    * pruning + IndexPathSpec's ReadSchema gate) → exact rerank on
+    * the k+64 survivors. Same parameters and exact-KNN oracle as
+    * q47/q115/q125, so the stored-code path must reproduce the
+    * in-memory derivation bit for bit. */
+  def q126EmbedAnnIvfSq8Stored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfSq8TopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", storedIvfIndex(s, dir), k = 10,
+        nProbe = 12)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -291,7 +291,7 @@ object Similarity {
     scored
   }
 
-  /** Persist an IVF index to `dir`: centroids + per-list corpus
+  /** Persist an IVF-SQ8 index to `dir`: centroids + per-list corpus
     * assignments. This is the economics q47's scaladoc calls out —
     * an ANN index only beats brute force when its BUILD amortizes
     * over many query batches, which requires the build to be a
@@ -301,7 +301,13 @@ object Similarity {
     *  - `assignments.parquet` partitioned BY list_id — so a probe of
     *    nProbe lists touches nProbe/nLists of the files (Spark prunes
     *    partitions via dynamic partition pruning on the list_id join),
-    *    the on-disk analog of an inverted file.
+    *    the on-disk analog of an inverted file. Each assignment row
+    *    carries the vector's symmetric-int8 quantization next to the
+    *    float vector — `scale` (double) + `codes` (array<tinyint>,
+    *    4× smaller than the floats) — which is exactly the IVF-SQ8
+    *    layout: a probe preranks from the code column alone (column
+    *    pruning never touches `cv`, see [[ivfSq8TopKFromIndex]]) and
+    *    only the rerank survivors read the floats back.
     * Same deterministic build as [[ivfCandidates]] (hash-seeded
     * k-means, checkpointed Lloyd rounds, √n default list count from
     * the bounded sampled row count). */
@@ -320,6 +326,13 @@ object Similarity {
         .localCheckpoint(true)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assign(c, centroids, assignments)
+      // SQ8 codes materialize at BUILD time (the scale hoisted to its
+      // own column first — the HOF loop-invariant rule): queries pay
+      // zero quantization cost for the corpus side, and the stored
+      // code column is the int8 artifact a serving tier holds in RAM
+      .withColumn("scale", int8Scale(col("cv")))
+      .withColumn("codes",
+        int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/assignments.parquet")
   }
@@ -361,6 +374,91 @@ object Similarity {
       .distinct()
       .withColumn("cos_fast", cosineFast(col("qv"), col("cv")))
     rerankExact(scored, k)
+  }
+
+  /** Serve ANN from the STORED IVF-SQ8 index (q126) — the cheapest
+    * rung of the serving ladder and the path a deployment actually
+    * runs per query batch: [[ivfSq8TopK]]'s three phases with both
+    * index-side phases fed from [[buildIvfIndex]]'s artifact instead
+    * of in-plan work.
+    *
+    *  1. PROBE: centroids (tiny) rank the `nProbe` nearest lists per
+    *     query; the probed ids resolve driver-side (bounded:
+    *     queries × nProbe ints) into literal partition filters, so
+    *     the file listing skips every unprobed list directory (the
+    *     same static-pruning decision as [[ivfTopKFromIndex]] — DPP
+    *     degrades to `true` here, see that scaladoc).
+    *  2. SQ8 PRERANK from the artifact: the candidate scan reads
+    *     (neighbor_id, scale, codes) ONLY — parquet column pruning
+    *     drops the float `cv` column, so the serving read is the 4×
+    *     smaller int8 layout end to end (IndexPathSpec asserts the
+    *     code scan's ReadSchema carries no `cv`). Query vectors
+    *     quantize in-plan (they are ad-hoc; the corpus codes are the
+    *     stored ones) and the scales cancel out of the cosine, so
+    *     the prerank never dequantizes.
+    *  3. EXACT RERANK: the k+64 prerank survivors (queries × (k+64)
+    *     rows) join back to the float vectors via a SECOND scan of
+    *     the artifact — still pruned to the probed partitions, now
+    *     reading `cv` for survivor rows only — and the exact decimal
+    *     cosine decides the final top-k. Same oracle contract as
+    *     q47/q115/q125: one neighbor the stored codes wrongly buried
+    *     drops a row and fails the hash.
+    *
+    * Identical results to [[ivfSq8TopK]] built with the same
+    * parameters: the stored codes are [[int8CodesFrom]] of the same
+    * vectors, so prerank scores — and therefore survivor sets and
+    * the exact decision — match bit for bit (IndexPathSpec pins the
+    * equivalence). */
+  def ivfSq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeLists(q, centroids, nProbe)
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // queries quantize in-plan: scale hoisted to a column before the
+    // code lambda references it (the q125 loop-invariant rule)
+    val qCoded = probes
+      .withColumn("sa", int8Scale(col("qv")))
+      .withColumn("qcodes",
+        int8CodesFrom(col("qv"), col("sa")).cast("array<float>"))
+      .select(col("query_id"), col("qv"), col("qcodes"), col("list_id"))
+    // phase 2: the codes-only serving scan. The projection lists
+    // exactly the prerank columns so the parquet reader never
+    // materializes `cv` — the scan IS the int8 memory layout.
+    val codeScan = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("list_id").isin(probedIds.toSeq: _*))
+      .select(col("list_id"), col("neighbor_id"), col("codes"))
+    val prerank = broadcast(qCoded).join(codeScan, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // multi-assignment: a pair can meet in several probed lists
+      .select(col("query_id"), col("qv"), col("qcodes"),
+        col("neighbor_id"), col("codes"))
+      .distinct()
+      .withColumn("cos_fast",
+        cosineFast(col("qcodes"), col("codes").cast("array<float>")))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_fast").desc, col("neighbor_id").asc)
+    val survivors = prerank
+      .withColumn("rk0", row_number().over(wFast))
+      .filter(col("rk0") <= k + 64)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // phase 3: fetch floats for the survivors — a second, still
+    // partition-pruned scan of the artifact, joined map-side against
+    // the broadcast survivor set (queries × (k+64) rows), so `cv` is
+    // materialized for probed-partition rows only and shipped for
+    // survivors only. dropDuplicates on the id: multi-assignment
+    // stores a vector in several lists, all rows identical.
+    val cvFetch = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("list_id").isin(probedIds.toSeq: _*))
+      .select(col("neighbor_id"), col("cv"))
+      .dropDuplicates("neighbor_id")
+    val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKByScore(exact, "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
   }
 
   /** The `nProbe` nearest lists per query (centroids broadcast). */

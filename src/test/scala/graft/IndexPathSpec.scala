@@ -170,6 +170,78 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ8 index path answers exactly the q125 result on the harness corpus") {
+    withTempDir("ivfsq8_q125") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      // same build parameters as the q125/q126 entries — the stored
+      // codes are int8CodesFrom of the same vectors, so the prerank
+      // scores, survivor sets, and the exact decision must all match
+      // the in-plan derivation bit for bit
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2)
+      val fromIndex = Similarity.ivfSq8TopKFromIndex(spark,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+          k = 10, nProbe = 12)
+        .filter(col("rank") <= Curation.AnnOracleK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val q125 = Curation.q125EmbedAnnIvfSq8(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(q125.nonEmpty)
+      assert(fromIndex == q125,
+        s"stored SQ8 path diverges from q125: missing "
+          + s"${(q125 -- fromIndex).take(5)}, "
+          + s"extra ${(fromIndex -- q125).take(5)}")
+    }
+  }
+
+  test("IVF-SQ8 code scan is partition-pruned and never reads the float column") {
+    withTempDir("ivfsq8_prune") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 1)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = Similarity.ivfSq8TopKFromIndex(spark,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", dir,
+          k = 5, nProbe = 2)
+        q.collect()
+        val plan = q.queryExecution.executedPlan
+        val scans = allScans(plan).filter(
+          _.metadata.get("Location").exists(_.contains("assignments")))
+        // two artifact scans by design: the codes-only prerank scan
+        // and the survivors' float fetch
+        assert(scans.size >= 2,
+          s"expected code + float scans of the artifact in:\n$plan")
+        // the serving read: at least one assignments scan whose
+        // ReadSchema carries codes and NOT the float cv column —
+        // that column-pruned scan IS the 4×-smaller int8 layout
+        val codeScans = scans.filter { s =>
+          val schema = s.requiredSchema.fieldNames.toSet
+          schema.contains("codes") && !schema.contains("cv")
+        }
+        assert(codeScans.nonEmpty,
+          "no codes-only scan (cv column not pruned from the prerank "
+            + s"read):\n${scans.map(_.requiredSchema).mkString("\n")}")
+        // every artifact scan (codes AND float fetch) is pruned to
+        // the 2 probed of 16 list partitions
+        scans.foreach { s =>
+          assert(s.toString.contains("PartitionFilters") &&
+            s.toString.contains("list_id") && s.toString.contains("IN"),
+            s"assignments scan lacks static list_id filter:\n$s")
+          assert(s.metrics("numPartitions").value == 2,
+            s"expected 2 probed partitions read, got "
+              + s"${s.metrics("numPartitions").value} in:\n$s")
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("publish sweeps days-old orphaned same-family artifacts, spares fresh and foreign") {
     // round-13 advice: the artifact key embeds an mtime-based corpus
     // fingerprint, so every corpus rewrite publishes a NEW directory
