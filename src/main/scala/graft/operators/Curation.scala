@@ -128,10 +128,19 @@ object Curation {
     * [[TextDedup.dedupedCorpus]]), emitting the kept doc ids. Oracle:
     * the same two phases in SQL — md5-group min-id keepers, then exact
     * τ=0.8 trigram Jaccard over the keepers (the MinHash config is
-    * recall-1 at 0.8, q22's gate), dropping each pair's larger id. */
+    * recall-1 at 0.8, q22's gate), dropping each pair's larger id.
+    *
+    * The near-dup phase reads the shared τ=0.8 pair ARTIFACT
+    * ([[SharedPairs.textNearDupPairs]] — this query's input is the
+    * raw corpus, exactly what the artifact was built over) restricted
+    * to keeper endpoints, instead of re-running the signature sweep
+    * q22 and the pair consumers already pay; q22 stays the
+    * definitional direct pipeline. See [[TextDedup.dedupedCorpus]]
+    * for why the restriction is an identity. */
   def q52DedupCorpus(s: SparkSession, dir: String): DataFrame =
     TextDedup.dedupedCorpus(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, minJaccard = 0.8)
+        n = 3, minJaccard = 0.8,
+        precomputedPairs = Some(SharedPairs.textNearDupPairs(s, dir)))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 

@@ -673,9 +673,24 @@ object TextDedup {
 
   /** The corpus with exact AND near duplicates removed: one pass of
     * exact-digest first-wins plus an anti-join against [[dropSet]] of
-    * the near-dup pairs. */
+    * the near-dup pairs.
+    *
+    * `precomputedPairs`: the near-dup pair table for the FULL input
+    * corpus, if a warehouse artifact already holds it (q52 passes
+    * [[SharedPairs.textNearDupPairs]] — the τ=0.8 sweep q22 and the
+    * pair consumers already pay, the round-14 verdict's largest
+    * remaining repeated-work family). Correctness is an identity,
+    * not an approximation: MinHash banding is per-document and exact
+    * Jaccard is pair-local, so a keeper–keeper pair is a near-dup
+    * pair of the exact-kept SUBSET iff it is one of the full corpus —
+    * restricting the full pair set to keeper endpoints (two
+    * broadcast-sized semi-joins against the keeper id set) equals
+    * re-running the sweep over the keepers (TextDedupSpec pins the
+    * equivalence). When None, the definitional direct pipeline runs
+    * (q22's role). */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.8,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     // checkpoint the keeper ID SET (small: one id per distinct text):
     // it feeds three consumers (both gram lineages + the final output)
     // and each would otherwise re-run the md5 group-by over the corpus
@@ -683,9 +698,14 @@ object TextDedup {
       .select(col("keeper").as(idCol))
       .localCheckpoint(true)
     val exactKept = docs.join(keepers, Seq(idCol), "left_semi")
-    val drops = dropSet(
-      minhashLshPairs(exactKept, idCol, textCol, minJaccard = minJaccard))
-      .withColumnRenamed("id", idCol)
+    val pairs = precomputedPairs match {
+      case Some(full) =>
+        full.join(keepers.select(col(idCol).as("a")), Seq("a"), "left_semi")
+          .join(keepers.select(col(idCol).as("b")), Seq("b"), "left_semi")
+      case None =>
+        minhashLshPairs(exactKept, idCol, textCol, minJaccard = minJaccard)
+    }
+    val drops = dropSet(pairs).withColumnRenamed("id", idCol)
     exactKept.join(drops, Seq(idCol), "left_anti")
   }
 

@@ -357,6 +357,15 @@ class PlanSpec extends AnyFunSuite {
     val q80 = executedPlan(Curation.q80SemanticDedup(spark, sf))
     assert(q80.contains("graft_pairs/cos-"),
       s"q80 does not scan the shared cosine pair index:\n$q80")
+    // round-14 verdict #3: q52's near-dup phase must consume the same
+    // τ=0.8 artifact (its input is the raw corpus, exactly what the
+    // artifact holds) instead of re-running the signature sweep; q22
+    // stays the definitional direct pipeline
+    val q52 = executedPlan(Curation.q52DedupCorpus(spark, sf))
+    assert(q52.contains("graft_pairs/text-"),
+      s"q52 does not scan the shared pair index:\n$q52")
+    assert(!q52.contains("xxhash64"),
+      s"q52 still runs the gram/LSH pipeline in its own plan:\n$q52")
   }
 
   test("shared gram exchange: the n-gram family scans one materialized " +

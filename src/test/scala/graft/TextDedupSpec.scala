@@ -357,4 +357,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pinned == exact)
     assert(exact.nonEmpty)
   }
+
+  test("artifact-fed dedupedCorpus equals the direct pipeline (q52 sharing)") {
+    // round-14 verdict #3: q52 consumes the shared τ=0.8 pair table
+    // restricted to keeper endpoints instead of re-running the sweep.
+    // The restriction must be an IDENTITY: banding is per-document
+    // and exact Jaccard pair-local, so keeper–keeper pairs of the
+    // full corpus ARE the pair set of the exact-kept subset.
+    val d = Tables.documents(spark, SparkTestSession.sf)
+    val direct = TextDedup.dedupedCorpus(d, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val fullPairs = TextDedup.minhashLshPairs(d, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, minJaccard = 0.8)
+    val fed = TextDedup.dedupedCorpus(d, "doc_id", "text",
+        n = 3, minJaccard = 0.8, precomputedPairs = Some(fullPairs))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct.nonEmpty)
+    assert(fed == direct,
+      s"artifact-fed dedup diverges: missing ${(direct -- fed).take(5)}, "
+        + s"extra ${(fed -- direct).take(5)}")
+  }
 }
