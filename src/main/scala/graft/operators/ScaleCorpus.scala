@@ -75,9 +75,16 @@ object ScaleCorpus {
     * — a rotation-periodic vector survives rotation, a vector whose
     * squared mass concentrates off the flipped index half survives
     * the flip — which is why the construction's stated check is
-    * EMPIRICAL: the truth counter (near-dup pairs exactly m×) is
-    * measured and published at every multiplier, and a corpus
-    * defeating the maps fails that equality loudly. Because the maps
+    * EMPIRICAL, and for THIS counter a banded one: the embedding
+    * near-dup truth counter is measured and published at every
+    * multiplier but asserted only to a factor-2 band
+    * (ScaleContractSpec), NOT to exact m× — under rotation each
+    * replica flips a different coordinate of the near-dup
+    * construction, so the per-replica pair count varies (the
+    * published records are honestly inexact: 18509 vs 18660 at 10×,
+    * 185053 vs 186600 at 100×). The exact-m× laws belong to the TEXT
+    * counters (gram/passage/containment), whose replica maps commute
+    * with the counted structure. Because the maps
     * can't see the ACTUAL dimensionality at plan time, every
     * replicated row carries a runtime `assert_true(size > minDims)`
     * (minDims = the replica's rotation distance, and at least the

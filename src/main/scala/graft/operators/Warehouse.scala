@@ -34,26 +34,71 @@ private[graft] object Warehouse {
     * setting must not be silently overridden by an exported shell
     * variable), else `$SPARK_GRAFT_INDEX_DIR`, else `graft_pairs/`
     * under the session warehouse dir (a deployment points these at
-    * durable storage; the sandbox default lands in
-    * ./spark-warehouse). */
-  private[graft] def indexRoot(spark: SparkSession): String =
+    * durable LOCAL-SEMANTICS storage; the sandbox default lands in
+    * ./spark-warehouse).
+    *
+    * NON-POSIX ROOTS ARE REJECTED LOUDLY (round-14 missing #3): the
+    * commit protocol here is built on three guarantees object stores
+    * do not give — atomic directory rename (S3/GCS "rename" is
+    * copy+delete, so a half-moved artifact could be adopted),
+    * advisory `FileChannel` locks (no cross-client locking at all),
+    * and directory mtimes for last-use aging (object stores have no
+    * directory metadata). A configured `s3://`/`gs://`/`hdfs://`
+    * root would not fail here — it would CORRUPT SILENTLY under
+    * concurrent builders, which is strictly worse. A deployment that
+    * wants the warehouse on an object store needs the conditional-put
+    * variant of this protocol: publish parquet files directly under
+    * the FINAL name (never rename), write `_graft_key.txt` and then
+    * `_GRAFT_OK` last with if-none-match conditional puts (the loser
+    * of a concurrent publish sees its put rejected and adopts the
+    * winner — readers already only adopt `_GRAFT_OK`-completed
+    * artifacts, so no lock is needed on the read side), and replace
+    * the mtime sweep with the store's native lifecycle/TTL rules
+    * keyed on a last-use marker object. Until that variant exists,
+    * failing fast at configuration time is the only safe behavior:
+    * mount the store through a POSIX layer or point the root at
+    * local/NFS disk. */
+  private[graft] def indexRoot(spark: SparkSession): String = {
+    val root = indexRoot0(spark)
+    // a windows drive letter ("C:\x") is not a URI scheme — require
+    // 2+ chars before "://"-style or "scheme:/" forms
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]+)://?".r
+    scheme.findFirstMatchIn(root).map(_.group(1)) match {
+      case Some(s) if !s.equalsIgnoreCase("file") =>
+        throw new IllegalArgumentException(
+          s"spark.graft.index.dir '$root': scheme '$s' is not " +
+            "supported — the warehouse commit protocol requires POSIX " +
+            "rename atomicity, file locks, and directory mtimes, which " +
+            "object stores do not provide (see Warehouse.indexRoot " +
+            "for the conditional-put protocol an object-store variant " +
+            "needs). Point the root at local/NFS disk or a POSIX " +
+            "mount of the store.")
+      case Some(_) => decodeFileUri(root) // an explicit file: root
+      case None => root
+    }
+  }
+
+  /** Decode a `file:` URI to a local path. Spark's default warehouse
+    * dir is a PERCENT-ENCODED file URI (File.toURI — a path with
+    * spaces arrives as %20), so decode through java.net.URI when it
+    * parses; a raw-space/non-URI form falls back to literal prefix
+    * handling (file:/x, file://x, file:///x all collapse to /x)
+    * instead of throwing. */
+  private def decodeFileUri(w: String): String =
+    try new java.io.File(new java.net.URI(w)).getAbsolutePath
+    catch { case _: Exception =>
+      var p = w.stripPrefix("file:")
+      while (p.startsWith("//")) p = p.substring(1)
+      new java.io.File(p).getAbsolutePath
+    }
+
+  private def indexRoot0(spark: SparkSession): String =
     Option(spark.conf.get("spark.graft.index.dir", null))
       .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
       .getOrElse {
         val w = spark.conf.get("spark.sql.warehouse.dir")
-        // Spark's default warehouse dir is a PERCENT-ENCODED file URI
-        // (File.toURI — a path with spaces arrives as %20), so decode
-        // through java.net.URI when it parses; a raw-space/non-URI
-        // form falls back to literal prefix handling (file:/x,
-        // file://x, file:///x all collapse to /x) instead of throwing.
-        val local = if (w.startsWith("file:")) {
-          try new java.io.File(new java.net.URI(w)).getAbsolutePath
-          catch { case _: Exception =>
-            var p = w.stripPrefix("file:")
-            while (p.startsWith("//")) p = p.substring(1)
-            new java.io.File(p).getAbsolutePath
-          }
-        } else w
+        val local =
+          if (w.startsWith("file:")) decodeFileUri(w) else w
         s"$local/graft_pairs"
       }
 
@@ -85,6 +130,36 @@ private[graft] object Warehouse {
     f.delete()
   }
 
+  /** Record a USE of `dir` for the age-based sweep (which ages by
+    * last use, not last build). Primary channel: the dir mtime.
+    * `setLastModified` is allowed to fail (some filesystems refuse
+    * utimes on directories) and its boolean result was silently
+    * ignored until round 15 (ADVICE) — on failure, fall back to
+    * REWRITING a `_GRAFT_LASTUSE` marker file (a fresh write bumps
+    * the marker's own mtime), and if even that fails, warn loudly:
+    * the artifact may then be swept while live, which the adopting
+    * reader will detect as a vanished path, not silent staleness. */
+  private def touchUsed(dir: java.io.File): Unit = {
+    val now = System.currentTimeMillis()
+    if (!dir.setLastModified(now)) {
+      try {
+        val w = new java.io.PrintWriter(
+          new java.io.File(dir, "_GRAFT_LASTUSE"), "UTF-8")
+        try w.print(now.toString) finally w.close()
+      } catch { case _: java.io.IOException =>
+        System.err.println(s"[pairidx] WARNING: cannot record last " +
+          s"use of $dir (setLastModified and marker write both " +
+          "failed); it may be swept while live")
+      }
+    }
+  }
+
+  /** Last-use time of an artifact dir: the newest of the dir mtime
+    * and the `_GRAFT_LASTUSE` fallback marker (0 when absent). */
+  private def lastUsed(dir: java.io.File): Long =
+    math.max(dir.lastModified(),
+      new java.io.File(dir, "_GRAFT_LASTUSE").lastModified())
+
   /** A published artifact dir is usable iff its stored key equals
     * ours (param/corpus mismatch safety) and the completion marker
     * exists — `_GRAFT_OK` is written only after the builder ran to
@@ -109,11 +184,11 @@ private[graft] object Warehouse {
     root.mkdirs()
     val finalDir = new java.io.File(root, s"$family-${sha16(key)}")
     if (usable(finalDir, key)) {
-      // refresh the dir mtime: the sweep ages artifacts by last USE,
-      // not last build — a family can hold several live keys (one per
+      // record the use: the sweep ages artifacts by last USE, not
+      // last build — a family can hold several live keys (one per
       // corpus dir), and an 8-day-old but still-consulted sibling
       // must survive a same-family publish (round-14 review)
-      finalDir.setLastModified(System.currentTimeMillis())
+      touchUsed(finalDir)
       System.err.println(s"[pairidx] reusing $key <- $finalDir")
       return finalDir.toString
     }
@@ -187,20 +262,44 @@ private[graft] object Warehouse {
       .filter(_.isDirectory)
       .filter(d => d.getName != keep &&
         (d.getName.startsWith(mine) || d.getName.startsWith(staging)))
-      .filter(_.lastModified() < cutoff)
+      // age by lastUsed, not the raw dir mtime: touchUsed falls back
+      // to the _GRAFT_LASTUSE marker where setLastModified fails
+      .filter(lastUsed(_) < cutoff)
       .foreach { d =>
         System.err.println(s"[pairidx] sweeping orphaned ${d.getName}")
         deleteRec(d)
       }
   }
 
+  /** Resolve `key` through the in-JVM cache. A cached path is NOT
+    * trusted blindly (round-14 ADVICE): a JVM alive longer than
+    * sweepAgeDays could hold a path a same-family publish in another
+    * process has since swept, and a cache hit used to hand it out
+    * without refreshing its last-use time — so on every hit the
+    * artifact is re-checked usable (else evicted and rebuilt) and its
+    * use recorded, keeping a long-lived process's artifacts sweep-safe
+    * exactly like a fresh JVM's. */
+  private def cachedDir(spark: SparkSession, family: String,
+      key: String)(build: String => Unit): String = {
+    val dir = built.computeIfAbsent(key,
+      _ => loadOrBuild(spark, family, key)(build))
+    val f = new java.io.File(dir)
+    if (usable(f, key)) { touchUsed(f); dir }
+    else {
+      // swept (or doctored) since this JVM cached it: rebuild through
+      // the normal publish path
+      built.remove(key, dir)
+      built.computeIfAbsent(key,
+        _ => loadOrBuild(spark, family, key)(build))
+    }
+  }
+
   /** The artifact boundary: first caller per key builds and
     * publishes, everyone else scans the columnar artifact. */
   private[graft] def materialized(spark: SparkSession, family: String,
       key: String)(build: => DataFrame): DataFrame = {
-    val dir = built.computeIfAbsent(key,
-      _ => loadOrBuild(spark, family, key)(d =>
-        build.write.mode("overwrite").parquet(s"$d/pairs.parquet")))
+    val dir = cachedDir(spark, family, key)(d =>
+      build.write.mode("overwrite").parquet(s"$d/pairs.parquet"))
     spark.read.parquet(s"$dir/pairs.parquet")
   }
 
@@ -210,6 +309,5 @@ private[graft] object Warehouse {
     * directory path. */
   private[graft] def materializedDir(spark: SparkSession,
       family: String, key: String)(build: String => Unit): String =
-    built.computeIfAbsent(key,
-      _ => loadOrBuild(spark, family, key)(build))
+    cachedDir(spark, family, key)(build)
 }

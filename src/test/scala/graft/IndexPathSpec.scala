@@ -275,6 +275,70 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("object-store index root is rejected loudly at configuration time") {
+    // round-14 missing #3: the commit protocol rests on POSIX rename
+    // atomicity, advisory file locks, and dir mtimes — none of which
+    // S3/GCS provide. A configured object-store root must fail fast
+    // with the protocol explanation, never corrupt silently under
+    // concurrent builders.
+    try {
+      for (bad <- Seq("s3://bucket/graft_pairs", "gs://b/x",
+          "s3a://bucket/prefix", "hdfs://nn:8020/graft")) {
+        spark.conf.set("spark.graft.index.dir", bad)
+        val e = intercept[IllegalArgumentException] {
+          graft.operators.Warehouse.indexRoot(spark)
+        }
+        assert(e.getMessage.contains("not supported") &&
+          e.getMessage.contains("POSIX"), s"wrong message for $bad")
+      }
+      // a file: URI decodes to its local path; plain paths pass through
+      spark.conf.set("spark.graft.index.dir", "file:///tmp/graft_ok")
+      assert(graft.operators.Warehouse.indexRoot(spark)
+        == "/tmp/graft_ok")
+      spark.conf.set("spark.graft.index.dir", "/tmp/graft_ok2")
+      assert(graft.operators.Warehouse.indexRoot(spark)
+        == "/tmp/graft_ok2")
+    } finally spark.conf.unset("spark.graft.index.dir")
+  }
+
+  test("cache hit refreshes last use and recovers from an external sweep") {
+    // round-14 ADVICE: the in-JVM `built` cache handed out paths
+    // without refreshing the last-use time (a long-lived JVM's
+    // artifact could age into sweep eligibility while actively used),
+    // and a path swept by another process stayed cached until the
+    // scan failed. Both must self-heal on the next resolve.
+    withTempDir("cachehit_wh") { root =>
+      try {
+        spark.conf.set("spark.graft.index.dir", s"$root/graft_pairs")
+        graft.operators.SharedPairs.reset()
+        graft.operators.SharedPairs.textNearDupPairs(spark, sf).collect()
+        val art = new java.io.File(s"$root/graft_pairs")
+          .listFiles().filter(_.getName.startsWith("text-")).head
+        // age the artifact as if this JVM had been alive for 8 days…
+        val old = System.currentTimeMillis() - 8L * 86400000L
+        art.setLastModified(old)
+        // …then resolve through the WARM cache (no reset): the hit
+        // must refresh the last-use time, making it sweep-proof again
+        graft.operators.SharedPairs.textNearDupPairs(spark, sf).collect()
+        assert(art.lastModified() > old + 86400000L,
+          "cache hit did not refresh the artifact's last-use time")
+        // external sweep while cached: the next resolve must detect
+        // the vanished artifact and rebuild instead of failing
+        graft.operators.Warehouse.deleteRec(art)
+        assert(!art.exists())
+        val again = graft.operators.SharedPairs
+          .textNearDupPairs(spark, sf)
+          .collect()
+        assert(again.nonEmpty,
+          "stale cached path was not recovered after an external sweep")
+        assert(art.exists(), "artifact was not republished")
+      } finally {
+        spark.conf.unset("spark.graft.index.dir")
+        graft.operators.SharedPairs.reset()
+      }
+    }
+  }
+
   test("near-dup index path answers exactly the q62 result on the harness corpus") {
     withTempDir("neardup_q62") { dir =>
       val docs = Tables.documents(spark, sf)
