@@ -1103,19 +1103,29 @@ object SparkEntry {
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         | md5(text) AS text_md5
         |FROM documents ORDER BY 1""".stripMargin,
-    // real COMPRESSED-codec FLAC decode: the q90 signal law through
-    // fixed-predictor + Rice compression and back; lossless, so the
-    // oracle recomputes the decoded quantities exactly (no n_bytes —
-    // compressed size is encoder-dependent)
+    // real COMPRESSED-codec FLAC decode: the q90 signal law (left
+    // channel; a second series for stereo docs) through
+    // fixed-predictor/LPC + Rice compression, all four stereo
+    // decorrelation modes (doc%5 law), and back; lossless, so the
+    // oracle recomputes the decoded quantities exactly from the
+    // signal law + channel count alone (no n_bytes — compressed size
+    // is encoder-dependent). rms/peak aggregate over both channels'
+    // samples; n_samples stays per-channel.
     "q99_media_flac" ->
-      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n FROM documents),
-        | s AS (SELECT doc_id, n, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
-        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i))
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n,
+        |   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch FROM documents),
+        | s AS (SELECT doc_id, n, nch, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i)
+        |  UNION ALL
+        |  SELECT doc_id, n, nch, ((doc_id * 37 + i * 23) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i)
+        |  WHERE nch = 2)
         |SELECT doc_id,
         | CAST(16000 AS INT) AS sample_rate,
+        | CAST(max(nch) AS INT) AS n_channels,
         | CAST(max(n) AS INT) AS n_samples,
         | CAST(max(n) * 1000000 // 16000 AS BIGINT) AS duration_us,
-        | round(sqrt(CAST(sum(CAST(CAST(v AS BIGINT) * v AS DECIMAL(28,0))) AS DOUBLE) / max(n)), 6) AS rms,
+        | round(sqrt(CAST(sum(CAST(CAST(v AS BIGINT) * v AS DECIMAL(28,0))) AS DOUBLE) / (max(n) * max(nch))), 6) AS rms,
         | CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // real COMPRESSED-codec PNG decode: the q91 pixel law decoded

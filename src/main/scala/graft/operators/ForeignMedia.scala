@@ -367,6 +367,14 @@ object ForeignMedia {
     -1
   }
 
+  /** FLAC bitstream variant for doc `id` (round-15: the damage corpus
+    * must cover the LPC and stereo surfaces, not just mono-fixed):
+    * 0 = mono FIXED-2, 1 = mono LPC-4, 2 = independent stereo,
+    * 3 = left/side with LPC channels, 4 = mid/side. Over the even
+    * (FLAC) ids this cycles independently of [[corruptClassOf]], so
+    * every (variant × damage class) pair occurs in the corpus. */
+  def flacVariantOf(id: Long): Int = ((id / 8) % 5).toInt
+
   /** Deterministic payload for doc `id`: a VALID stream from the id
     * law, then the class-`corruptClassOf(id)` damage applied. */
   def encodeCorrupt(id: Long): Array[Byte] = {
@@ -375,7 +383,17 @@ object ForeignMedia {
         val n = 600 + (id % 400).toInt
         val samples = Array.tabulate(n)(t =>
           ((id * 13 + t * 7) % 3000).toShort)
-        FlacCodec.encode(16000, samples, order = 2)
+        def right = Array.tabulate(n)(t =>
+          ((id * 11 + t * 5) % 3000).toShort)
+        flacVariantOf(id) match {
+          case 0 => FlacCodec.encode(16000, samples, order = 2)
+          case 1 => FlacCodec.encodeSpec(16000, samples,
+            FlacCodec.LpcSub(4))
+          case 2 => FlacCodec.encodeStereo(16000, samples, right, 1)
+          case 3 => FlacCodec.encodeStereo(16000, samples, right, 8,
+            FlacCodec.LpcSub(3), FlacCodec.LpcSub(5))
+          case _ => FlacCodec.encodeStereo(16000, samples, right, 10)
+        }
       } else {
         val frames = (0 until 2).map { f =>
           JpegCodec.encode(16, 16, (x, y) => (
@@ -413,7 +431,8 @@ object ForeignMedia {
   /** The stored corrupt corpus: one payload per documents doc_id. */
   def corruptFixture(spark: SparkSession, dir: String): DataFrame =
     Warehouse.materialized(spark, "mediacorrupt",
-      s"mediacorrupt:v1:$dir:" +
+      // v2: round-15 added the LPC/stereo FLAC variants to the corpus
+      s"mediacorrupt:v2:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) {
       import spark.implicits._
       spark.read.parquet(s"$dir/documents.parquet")

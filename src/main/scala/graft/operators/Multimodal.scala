@@ -579,27 +579,63 @@ object Multimodal {
   /** Decoded audio features for one FLAC payload (no `n_bytes`:
     * compressed container size is encoder-dependent, so the
     * arithmetic oracle checks DECODED quantities only — the PNG
-    * convention). */
+    * convention). `n_samples` is per-channel; rms/peak aggregate over
+    * every channel's samples. */
   final case class FlacFeature(
-      doc_id: Long, sample_rate: Int, n_samples: Int,
+      doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Int,
       duration_us: Long, rms: Double, peak: Int)
 
+  /** The q99 RIGHT-channel law for stereo docs — a second
+    * deterministic int16 series alongside [[SynthWav.sample]]'s left
+    * channel (different multipliers so the channels decorrelate and
+    * the side channel genuinely exercises its 17-bit width). */
+  def rightSample(docId: Long, i: Int): Short =
+    (((docId * 37 + i.toLong * 23) % 65536) - 32768).toShort
+
   /** q99's synth → real-FLAC-bytes → decode round trip: the same
-    * [[SynthWav]] signal law as q90, but compressed through
-    * [[FlacCodec.encode]] (fixed predictor order = doc mod 5,
-    * partition order = doc mod 2 — every predictor and a
-    * multi-partition layout all under the oracle gate) and decoded
-    * back through the real bitstream parser: CRC-8/CRC-16 checks,
-    * unary/Rice reads, predictor integration. Hash-green proves the
-    * COMPRESSED audio path end to end. */
+    * [[SynthWav]] signal law as q90 (plus [[rightSample]] for stereo
+    * docs), compressed through the real encoder with the full
+    * bitstream surface swept by doc id and decoded back through the
+    * real parser (CRC-8/CRC-16 checks, unary/Rice reads,
+    * fixed-predictor and LPC integration, inter-channel
+    * reconstruction). Per-doc law:
+    *  - channel layout = doc mod 5: mono / independent stereo /
+    *    left-side / right-side / mid-side — all four decorrelation
+    *    modes under the oracle gate;
+    *  - subframe class: docs ≡ 0 (mod 3) use LPC of order
+    *    2 + (doc mod 7) ∈ 2–8 (Levinson-Durbin + quantized
+    *    coefficients), others the pinned FIXED order doc mod 5; the
+    *    second channel's spec derives from doc+1 so stereo docs mix
+    *    classes within one frame;
+    *  - partition order = doc mod 2 (multi-partition layouts).
+    * The codec is lossless, so the DECODED features the oracle
+    * recomputes depend only on the signal law and the channel count —
+    * the encoding variety exists to put every encoder/decoder branch
+    * under the same hash gate. */
   def flacFeatures(spark: SparkSession, docs: DataFrame,
       idCol: String): Dataset[FlacFeature] = {
     import spark.implicits._
+    def spec(seed: Long): FlacCodec.SubframeSpec =
+      if (seed % 3 == 0) FlacCodec.LpcSub(2 + (seed % 7).toInt)
+      else FlacCodec.FixedSub((seed % 5).toInt)
     docs.select(col(idCol).cast("long")).as[Long]
       .map { id =>
-        (id, FlacCodec.encode(SynthWav.SampleRate,
-          Array.tabulate(SynthWav.nSamples(id))(i => SynthWav.sample(id, i)),
-          order = (id % 5).toInt, partitionOrder = (id % 2).toInt))
+        val n = SynthWav.nSamples(id)
+        val left = Array.tabulate(n)(i => SynthWav.sample(id, i))
+        val mode = (id % 5).toInt
+        val pOrd = (id % 2).toInt
+        val bytes =
+          if (mode == 0)
+            FlacCodec.encodeSpec(SynthWav.SampleRate, left, spec(id), pOrd)
+          else {
+            val right = Array.tabulate(n)(i => rightSample(id, i))
+            // mode 1..4 → channel assignment 1 (independent), 8
+            // (left/side), 9 (right/side), 10 (mid/side)
+            val chanCode = if (mode == 1) 1 else mode + 6
+            FlacCodec.encodeStereo(SynthWav.SampleRate, left, right,
+              chanCode, spec(id), spec(id + 1), pOrd)
+          }
+        (id, bytes)
       }
       .mapPartitions { it =>
         it.map { case (id, bytes) => FlacCodec.decode(id, bytes) }

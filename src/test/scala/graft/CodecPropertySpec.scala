@@ -212,6 +212,107 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("FLAC: any stereo PCM16 pair round-trips bit-exactly through " +
+    "every channel assignment and subframe class") {
+    import graft.operators.FlacCodec.{AutoSub, FixedSub, LpcSub, SubframeSpec}
+    val specGen: Gen[SubframeSpec] = Gen.oneOf(
+      Gen.const(AutoSub),
+      Gen.choose(0, 4).map(FixedSub(_)),
+      Gen.choose(1, 8).map(LpcSub(_)))
+    val gen = for {
+      rate <- Gen.choose(8000, 48000)
+      n <- Gen.choose(8, 256).map(_ * 4)
+      mode <- Gen.oneOf(1, 8, 9, 10) // indep, L/S, R/S, M/S
+      s0 <- specGen
+      s1 <- specGen
+      pOrder <- Gen.choose(0, 2)
+      left <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+      right <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+    } yield (rate, n, mode, s0, s1, pOrder, left.toArray, right.toArray)
+    check("flac stereo round trip", Prop.forAllNoShrink(gen) {
+      case (rate, n, mode, s0, s1, pOrder, left, right) =>
+        val bytes = FlacCodec.encodeStereo(rate, left, right, mode,
+          s0, s1, pOrder)
+        val (dRate, nCh, decoded) = FlacCodec.decodeSamplesMulti(1L, bytes)
+        dRate == rate && nCh == 2 && decoded.length == 2 * n &&
+          (0 until n).forall(i =>
+            decoded(2 * i) == left(i) && decoded(2 * i + 1) == right(i))
+    })
+    // extremes: the side channel's 17-bit width is genuinely needed
+    // (L = max, R = min ⇒ side = 65535) and must survive every
+    // decorrelating mode
+    val lo = Array.fill(64)(Short.MinValue)
+    val hi = Array.fill(64)(Short.MaxValue)
+    for (mode <- Seq(8, 9, 10)) {
+      val b = FlacCodec.encodeStereo(16000, hi, lo, mode)
+      val (_, _, d) = FlacCodec.decodeSamplesMulti(1L, b)
+      assert((0 until 64).forall(i =>
+        d(2 * i) == Short.MaxValue && d(2 * i + 1) == Short.MinValue),
+        s"17-bit side extreme broke mode $mode")
+    }
+  }
+
+  test("FLAC: LPC round-trips mono, predicts a smooth signal, and " +
+    "degenerate input falls back") {
+    import graft.operators.FlacCodec.LpcSub
+    // LPC on a near-sinusoid: an order-2 predictor models it almost
+    // exactly (x[i] ≈ 2cos(ω)x[i-1] − x[i-2]), so a CORRECT Levinson
+    // sign/recursion compresses far below VERBATIM — a sign error
+    // makes the "predictor" anti-predictive and blows the size up,
+    // which is exactly what this pin catches (the round trip itself
+    // is exact for any coefficients)
+    val sine = Array.tabulate(1024)(i =>
+      (12000 * math.sin(i * 0.07)).toShort)
+    for (ord <- 1 to 8) {
+      val b = FlacCodec.encodeSpec(16000, sine, LpcSub(ord))
+      val (_, d) = FlacCodec.decodeSamples(1L, b)
+      assert(d.sameElements(sine), s"LPC order $ord round trip")
+      if (ord >= 2)
+        // every order ≥ 2 must at least halve raw PCM; a Levinson
+        // sign/recursion error makes the predictor anti-predictive
+        // (residuals ~2|x|, ABOVE verbatim) and fails this by a mile
+        assert(b.length < sine.length,
+          s"LPC order $ord did not compress the sinusoid: "
+            + s"${b.length} vs raw ${sine.length * 2}")
+      if (ord == 2)
+        // the Welch-windowed autocorrelation makes the order-2 model
+        // near-exact on a sinusoid (x[i] ≈ 2cos(ω)x[i−1] − x[i−2];
+        // measured residuals a few units) — ≥4× below raw PCM
+        assert(b.length < sine.length * 2 / 4,
+          s"windowed order-2 LPC lost the sinusoid structure: "
+            + s"${b.length} vs raw ${sine.length * 2}")
+    }
+    // constant signal: autocorrelation is rank-1, Levinson falls back
+    // to a fixed order (order-1 residuals are all zero) — still exact
+    val const = Array.fill(256)((1234).toShort)
+    val b = FlacCodec.encodeSpec(16000, const, LpcSub(4))
+    val (_, d) = FlacCodec.decodeSamples(1L, b)
+    assert(d.sameElements(const))
+  }
+
+  test("FLAC: corrupted LPC/stereo frames are rejected loudly") {
+    import graft.operators.FlacCodec.LpcSub
+    val left = Array.tabulate(512)(i => (i * 31 % 20000 - 10000).toShort)
+    val right = Array.tabulate(512)(i => (i * 17 % 18000 - 9000).toShort)
+    val flac = FlacCodec.encodeStereo(16000, left, right, 10,
+      LpcSub(4), LpcSub(3))
+    // flips across the frame: header region, QLP coefficient region,
+    // residual region, trailer — all CRC-covered
+    for (p <- Seq(46, 50, 60, 80, flac.length / 2, flac.length - 3)) {
+      val bad = flac.clone()
+      bad(p) = (bad(p) ^ 0x41).toByte
+      val threw =
+        try { FlacCodec.decodeSamplesMulti(1L, bad); false }
+        catch { case _: IllegalArgumentException => true
+          case _: ArrayIndexOutOfBoundsException => true
+          case _: NegativeArraySizeException => true }
+      assert(threw, s"flip at byte $p decoded silently")
+    }
+    intercept[IllegalArgumentException] {
+      FlacCodec.decodeSamplesMulti(1L, flac.take(flac.length - 4))
+    }
+  }
+
   test("FLAC: compression is real and corruption is rejected loudly") {
     // a smooth ramp compresses far below raw PCM through the
     // order-2 predictor (constant second difference -> tiny residuals)
