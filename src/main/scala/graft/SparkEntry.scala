@@ -140,6 +140,9 @@ object SparkEntry {
     "q125_embed_ann_ivf_sq8" -> (Curation.q125EmbedAnnIvfSq8 _),
     "q126_embed_ann_ivf_sq8_stored" ->
       (Curation.q126EmbedAnnIvfSq8Stored _),
+    "q127_media_foreign_video" -> ((s: SparkSession, dir: String) =>
+      graft.operators.ForeignMedia.videoFeatures(s, dir).toDF()
+        .orderBy("doc_id")),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1038,6 +1041,32 @@ object SparkEntry {
         | CAST(sum(v) AS BIGINT) AS sum_s,
         | CAST(min(v) AS INT) AS min_s, CAST(max(v) AS INT) AS max_s
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // foreign-FRAME video decode: own AVI container, every frame
+    // written by ImageIO's JPEG encoder (grayscale block-constant at
+    // quality 1.0 — the exact point); the q105-style motion law
+    // couples consecutive frames, so the hash gate proves frame order
+    // through the container walk over entropy coding this repo does
+    // not control. Laws are 8x8-block-constant, so the oracle sums
+    // blocks x 64 instead of unnesting pixels.
+    "q127_media_foreign_video" ->
+      """WITH d AS (SELECT doc_id, 8*(2 + doc_id % 4) AS w,
+        |   8*(2 + doc_id % 3) AS h, 3 + doc_id % 4 AS nf FROM documents),
+        | blk AS (SELECT doc_id, w, h, nf,
+        |   (doc_id * 37 + f * 41 + bx * 11 + by * 5) % 256 AS yv,
+        |   CASE WHEN f > 0 THEN abs(
+        |     (doc_id * 37 + f * 41 + bx * 11 + by * 5) % 256
+        |     - (doc_id * 37 + (f - 1) * 41 + bx * 11 + by * 5) % 256)
+        |    ELSE 0 END AS dy
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, nf)) AS tf(f)
+        |        CROSS JOIN LATERAL unnest(range(0, w // 8)) AS tb(bx)
+        |        CROSS JOIN LATERAL unnest(range(0, h // 8)) AS tc(by))
+        |SELECT doc_id,
+        | CAST(max(nf) AS INT) AS n_frames,
+        | CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        | CAST(10 AS INT) AS fps,
+        | round(CAST(sum(yv) * 64 AS DOUBLE) / (max(w) * max(h) * max(nf)), 6) AS mean_y,
+        | round(CAST(sum(dy) * 64 AS DOUBLE) / (max(w) * max(h) * (max(nf) - 1)), 6) AS motion
+        |FROM blk GROUP BY 1 ORDER BY 1""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

@@ -148,8 +148,13 @@ object ForeignMedia {
     bos.toByteArray
   }
 
-  def encodeJpeg(id: Long): Array[Byte] = {
-    val (w, h) = jpegDims(id)
+  /** Grayscale block-constant JPEG written by `javax.imageio` at
+    * quality 1.0 — the exact round-trip point (all-ones quantization
+    * tables: max(1, (base·scale + 50)/100) with scale 0), shared by
+    * the q112 still third and the q127 video frames. `gray` is keyed
+    * by BLOCK coordinates (x/8, y/8). */
+  def imageIoGrayJpeg(w: Int, h: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = bi.getRaster
@@ -157,7 +162,7 @@ object ForeignMedia {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, jpegGray(id, x / 8, y / 8))
+        raster.setSample(x, y, 0, gray(x / 8, y / 8))
         x += 1
       }
       y += 1
@@ -166,8 +171,6 @@ object ForeignMedia {
       javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    // quality 1.0 scales the Annex-K tables to all ones — the exact
-    // round-trip point (max(1, (base·scale + 50)/100) with scale 0)
     param.setCompressionQuality(1.0f)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -176,6 +179,11 @@ object ForeignMedia {
     ios.close()
     writer.dispose()
     bos.toByteArray
+  }
+
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    imageIoGrayJpeg(w, h, (bx, by) => jpegGray(id, bx, by))
   }
 
   // ---- foreign AUDIO (javax.sound.sampled, q117) -------------------
@@ -328,6 +336,89 @@ object ForeignMedia {
               ForeignMediaFeature(id, fmt, img.width, img.height,
                 sy, scb, scr)
           }
+        }
+      }
+  }
+
+  // ---- foreign-frame VIDEO (q127) ----------------------------------
+  //
+  // The round-14 verdict's missing gate: q112 proves the still-image
+  // decoders on ImageIO bytes, but the MJPEG per-frame decoder had
+  // never seen a FOREIGN-encoded frame inside the video path. Here
+  // the AVI container is this repo's own (RIFF/movi layout is
+  // deterministic plumbing) while every FRAME is written by
+  // `javax.imageio`'s JPEG encoder — the entropy coding is what
+  // matters, and that is exactly the part this repo does not control.
+  // Same exactness trick as the q112 JPEG third (grayscale,
+  // block-constant, quality 1.0), and the q105 motion law couples
+  // consecutive frames so the gate proves frame ORDER through the
+  // container walk, not just per-frame pixel decode.
+
+  val ForeignVideoFps = 10
+  def videoDims(id: Long): (Int, Int) =
+    (8 * (2 + (id % 4).toInt), 8 * (2 + (id % 3).toInt))
+  def videoFrames(id: Long): Int = 3 + (id % 4).toInt
+  /** Block-constant gray law with the frame axis mixed in. */
+  def videoGray(id: Long, f: Int, bx: Int, by: Int): Int =
+    ((id * 37 + f * 41 + bx * 11 + by * 5) % 256).toInt
+
+  /** Own container, foreign frames: ImageIO JPEG bytes per frame
+    * inside [[AviCodec.encode]]'s RIFF layout. */
+  def encodeVideoForeign(id: Long): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    AviCodec.encode(w, h, ForeignVideoFps,
+      (0 until videoFrames(id)).map(f =>
+        imageIoGrayJpeg(w, h, (bx, by) => videoGray(id, f, bx, by))))
+  }
+
+  /** The stored foreign-frame video corpus, persisted like
+    * [[fixture]]. */
+  def videoFixture(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.materialized(spark, "mediavideo",
+      s"mediavideo:v1:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(it => it.map(id => (id, encodeVideoForeign(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  final case class ForeignVideoFeature(
+      doc_id: Long, n_frames: Int, width: Int, height: Int, fps: Int,
+      mean_y: Double, motion: Double)
+
+  /** q127: decode the stored corpus through the real container walker
+    * + per-frame JPEG pipeline and emit the q105 quantities; the
+    * oracle recomputes them from [[videoGray]]'s law. */
+  def videoFeatures(spark: SparkSession, dir: String)
+      : Dataset[ForeignVideoFeature] = {
+    import spark.implicits._
+    videoFixture(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = AviCodec.decode(bytes)
+          val n = v.width * v.height
+          var sumY = 0L; var sumDelta = 0L
+          var f = 0
+          while (f < v.frames.length) {
+            val cur = v.frames(f).y
+            val prev = if (f > 0) v.frames(f - 1).y else null
+            var i = 0
+            while (i < n) {
+              sumY += cur(i)
+              if (prev != null) sumDelta += math.abs(cur(i) - prev(i))
+              i += 1
+            }
+            f += 1
+          }
+          val meanY = sumY.toDouble / (n.toLong * v.frames.length)
+          val motion =
+            if (v.frames.length < 2) 0.0
+            else sumDelta.toDouble / (n.toLong * (v.frames.length - 1))
+          ForeignVideoFeature(id, v.frames.length, v.width, v.height,
+            v.fps, math.round(meanY * 1e6) / 1e6,
+            math.round(motion * 1e6) / 1e6)
         }
       }
   }

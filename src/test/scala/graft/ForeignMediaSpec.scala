@@ -91,4 +91,24 @@ class ForeignMediaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AVI around ImageIO JPEG frames decodes to the exact per-frame law") {
+    // the q127 construction: container own, frames foreign — the
+    // MJPEG walker must hand each ImageIO-encoded frame to the JPEG
+    // decoder and preserve frame ORDER (the laws differ per frame)
+    for (id <- ids) {
+      val (w0, h0) = ForeignMedia.videoDims(id)
+      val v = graft.operators.AviCodec.decode(
+        ForeignMedia.encodeVideoForeign(id))
+      assert((v.width, v.height) == (w0, h0), s"id=$id dims")
+      assert(v.frames.length == ForeignMedia.videoFrames(id),
+        s"id=$id frame count")
+      assert(v.fps == ForeignMedia.ForeignVideoFps)
+      for (f <- v.frames.indices; y <- 0 until h0; x <- 0 until w0) {
+        val want = ForeignMedia.videoGray(id, f, x / 8, y / 8)
+        val got = v.frames(f).y(y * w0 + x)
+        assert(got == want, s"id=$id frame $f ($x,$y): $got vs law $want")
+      }
+    }
+  }
 }

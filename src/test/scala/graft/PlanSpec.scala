@@ -531,10 +531,12 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq(
         graft.operators.Curation.q104MediaJpeg(spark, sf),
         graft.operators.Curation.q109FrameSample(spark, sf),
-        // q112: same contract over the STORED foreign corpus — the
-        // decode side must be a parquet scan of the warehouse
+        // q112/q127: same contract over the STORED foreign corpora —
+        // the decode side must be a parquet scan of the warehouse
         // artifact feeding mapPartitions, with only the sort exchange
         graft.operators.ForeignMedia.features(spark, sf).toDF()
+          .orderBy("doc_id"),
+        graft.operators.ForeignMedia.videoFeatures(spark, sf).toDF()
           .orderBy("doc_id"))) {
       val plan = executedPlan(q)
       val finalPlan = plan.split("== Initial Plan ==").head
@@ -551,5 +553,9 @@ class PlanSpec extends AnyFunSuite {
       .features(spark, sf).toDF().orderBy("doc_id"))
     assert(q112.contains("graft_pairs/media-"),
       s"q112 does not scan the stored foreign corpus:\n$q112")
+    val q127 = executedPlan(graft.operators.ForeignMedia
+      .videoFeatures(spark, sf).toDF().orderBy("doc_id"))
+    assert(q127.contains("graft_pairs/mediavideo-"),
+      s"q127 does not scan the stored foreign-frame video corpus:\n$q127")
   }
 }
