@@ -110,11 +110,18 @@ object Similarity {
     (xxhash64(lit(j), i).cast("double") / lit(Long.MaxValue.toDouble))
 
   /** Sign-pattern LSH key over `planes` random hyperplanes, grouped
-    * into one bucket id. NOTE: [[lshKey]]/[[saltedLshKeys]] are the
-    * pure-built-in (HOF) formulations, kept as the engine-portable
-    * reference; every shipped query path uses the fused native kernel
+    * into one bucket id.
+    *
+    * HOF-REFERENCE (not on any query path): [[lshKey]] and
+    * [[saltedLshKeys]] are the pure-built-in (HOF) formulations, kept
+    * as the engine-portable reference; every shipped query path uses
+    * the fused native kernel
     * ([[graft.functions.VectorExpressions.lshSignKeys]], ~2× faster,
-    * different but equally-deterministic plane derivation). */
+    * different but equally-deterministic plane derivation). The
+    * literal marker is the repo convention (README §Scale design):
+    * `grep -rn "HOF-REFERENCE" src/main` lists every
+    * documentation-only twin, so a hot-path audit can skip them
+    * mechanically. */
   def lshKey(vec: Column, planes: Int): Column =
     (0 until planes).map { j =>
       when(aggregate(
@@ -125,7 +132,9 @@ object Similarity {
 
   /** Table-salted LSH bucket keys: `tables` independent sign-pattern
     * keys of `planes` hyperplanes each (table id folded into both the
-    * plane index base and the key's high bits). The recall/cost dial:
+    * plane index base and the key's high bits).
+    * HOF-REFERENCE (not on any query path) — see [[lshKey]].
+    * The recall/cost dial:
     * a pair at cosine τ shares one table's key with probability
     * p = (1 − arccos(τ)/π)^planes and is missed everywhere with
     * (1 − p)^tables — low-τ regimes need few planes and many tables,
