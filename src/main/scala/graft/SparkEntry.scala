@@ -143,6 +143,9 @@ object SparkEntry {
     "q127_media_foreign_video" -> ((s: SparkSession, dir: String) =>
       graft.operators.ForeignMedia.videoFeatures(s, dir).toDF()
         .orderBy("doc_id")),
+    "q128_media_foreign_progressive" -> ((s: SparkSession, dir: String) =>
+      graft.operators.ForeignMedia.progFeatures(s, dir).toDF()
+        .orderBy("doc_id")),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1067,6 +1070,23 @@ object SparkEntry {
         | round(CAST(sum(yv) * 64 AS DOUBLE) / (max(w) * max(h) * max(nf)), 6) AS mean_y,
         | round(CAST(sum(dy) * 64 AS DOUBLE) / (max(w) * max(h) * (max(nf) - 1)), 6) AS motion
         |FROM blk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // foreign PROGRESSIVE JPEG decode: ImageIO's writer in SOF2 mode
+    // emits the IJG multi-scan script (spectral selection +
+    // successive approximation) — scan structure this repo does not
+    // control — and the grayscale quality-1.0 block-constant law
+    // keeps the multi-scan round trip bit-exact; non-multiple-of-8
+    // dims exercise the cropped edge blocks
+    "q128_media_foreign_progressive" ->
+      """WITH d AS (SELECT doc_id, 8*(1 + doc_id % 6) + (doc_id % 5) AS w,
+        |   8*(1 + doc_id % 4) + (doc_id % 3) AS h FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |   (doc_id * 41 + (x // 8) * 7 + (y // 8) * 13) % 256 AS yv
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
+        |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+        | CAST(sum(yv) AS BIGINT) AS sum_y,
+        | CAST(min(yv) AS INT) AS min_y, CAST(max(yv) AS INT) AS max_y
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

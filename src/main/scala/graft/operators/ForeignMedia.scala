@@ -151,10 +151,12 @@ object ForeignMedia {
   /** Grayscale block-constant JPEG written by `javax.imageio` at
     * quality 1.0 — the exact round-trip point (all-ones quantization
     * tables: max(1, (base·scale + 50)/100) with scale 0), shared by
-    * the q112 still third and the q127 video frames. `gray` is keyed
-    * by BLOCK coordinates (x/8, y/8). */
-  def imageIoGrayJpeg(w: Int, h: Int,
-      gray: (Int, Int) => Int): Array[Byte] = {
+    * the q112 still third, the q127 video frames, and (with
+    * `progressive = true` — SOF2, the IJG spectral-selection +
+    * successive-approximation scan script) the q128 corpus. `gray`
+    * is keyed by BLOCK coordinates (x/8, y/8). */
+  def imageIoGrayJpeg(w: Int, h: Int, gray: (Int, Int) => Int,
+      progressive: Boolean = false): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = bi.getRaster
@@ -172,6 +174,8 @@ object ForeignMedia {
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(1.0f)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     writer.setOutput(ios)
@@ -419,6 +423,70 @@ object ForeignMedia {
           ForeignVideoFeature(id, v.frames.length, v.width, v.height,
             v.fps, math.round(meanY * 1e6) / 1e6,
             math.round(motion * 1e6) / 1e6)
+        }
+      }
+  }
+
+  // ---- foreign PROGRESSIVE JPEG (q128) -----------------------------
+  //
+  // Round-14 missing #1's second half: real web crawls are full of
+  // progressive JPEGs, and until round 15 the decoder rejected SOF2
+  // by design. Now that JpegCodec decodes annex-G progressive
+  // (spectral selection + successive approximation), this corpus
+  // gates it on FOREIGN bytes inside the oracle: ImageIO's writer in
+  // progressive mode emits the IJG multi-scan script (DC first +
+  // refinements, per-band AC scans + bit-plane refinements) — scan
+  // structure this repo does not control — and the same grayscale
+  // quality-1.0 block-constant trick keeps the round trip bit-exact.
+
+  def progDims(id: Long): (Int, Int) =
+    (8 * (1 + (id % 6).toInt) + (id % 5).toInt, // non-multiple-of-8 too
+      8 * (1 + (id % 4).toInt) + (id % 3).toInt)
+  def progGray(id: Long, bx: Int, by: Int): Int =
+    ((id * 41 + bx * 7 + by * 13) % 256).toInt
+
+  def encodeProgressive(id: Long): Array[Byte] = {
+    val (w, h) = progDims(id)
+    imageIoGrayJpeg(w, h, (bx, by) => progGray(id, bx, by),
+      progressive = true)
+  }
+
+  /** The stored foreign progressive-JPEG corpus, persisted like
+    * [[fixture]]. */
+  def progFixture(spark: SparkSession, dir: String): DataFrame =
+    Warehouse.materialized(spark, "mediaprog",
+      s"mediaprog:v1:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(it => it.map(id => (id, encodeProgressive(id))))
+        .toDF("doc_id", "payload")
+    }
+
+  final case class ForeignProgFeature(doc_id: Long, w: Int, h: Int,
+      sum_y: Long, min_y: Int, max_y: Int)
+
+  /** q128: decode the stored progressive corpus with the repo's own
+    * multi-scan decoder and emit exact luma statistics the oracle
+    * recomputes from the block law. */
+  def progFeatures(spark: SparkSession, dir: String)
+      : Dataset[ForeignProgFeature] = {
+    import spark.implicits._
+    progFixture(spark, dir).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = JpegCodec.decode(bytes)
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < img.y.length) {
+            val v = img.y(i)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          ForeignProgFeature(id, img.width, img.height, sum, mn, mx)
         }
       }
   }

@@ -1,30 +1,37 @@
 package graft.operators
 
-/** REAL pure-JVM baseline JPEG codec — the LOSSY rung of the media
-  * ladder ([[PngCodec]] and [[FlacCodec]] cover the lossless
-  * compressed formats). Everything here is public-spec ITU-T T.81 /
-  * ISO 10918-1 baseline sequential DCT over plain JDK arithmetic —
-  * no image library, no JNI.
+/** REAL pure-JVM JPEG codec — the LOSSY rung of the media ladder
+  * ([[PngCodec]] and [[FlacCodec]] cover the lossless compressed
+  * formats). Everything here is public-spec ITU-T T.81 /
+  * ISO 10918-1 DCT coding over plain JDK arithmetic — no image
+  * library, no JNI.
   *
-  * Scope: baseline sequential, 8-bit samples, 1 or 3 components,
+  * Scope: baseline sequential AND progressive (SOF2: spectral
+  * selection + successive approximation per annex G — the mode real
+  * web crawls are full of), 8-bit samples, 1 or 3 components,
   * sampling factors 1 or 2 per axis (covers grayscale, 4:4:4 and
   * 4:2:0 — the layouts real corpora use), restart markers, multiple
-  * DQT/DHT segments, 8- and 16-bit quantization tables. Progressive
-  * (SOF2), arithmetic coding, and 12-bit precision are rejected
-  * loudly rather than mis-decoded.
+  * DQT/DHT segments, 8- and 16-bit quantization tables. Arithmetic
+  * coding and 12-bit precision are rejected loudly rather than
+  * mis-decoded.
   *
-  * `encode` is a real general-purpose encoder: forward DCT, standard
-  * Annex-K Huffman tables, optional 4:2:0 chroma subsampling (2x2
-  * box average), optional restart intervals, 0xFF byte stuffing.
+  * `encode` is a real general-purpose BASELINE encoder: forward DCT,
+  * standard Annex-K Huffman tables, optional 4:2:0 chroma
+  * subsampling (2x2 box average), optional restart intervals, 0xFF
+  * byte stuffing (progressive files come from foreign encoders —
+  * decode-side coverage is what corpus ingest needs).
   * `decode` is a strict marker WALKER: it requires SOI first,
-  * parses DQT/DHT/SOF0/DRI/SOS wherever they appear, entropy-decodes
-  * the interleaved MCU stream (canonical Huffman per F.2.2), checks
+  * parses DQT/DHT/SOF/DRI/SOS wherever they appear, entropy-decodes
+  * the interleaved MCU stream (canonical Huffman per F.2.2) — or,
+  * for SOF2, accumulates every partial scan's band/bit-plane into a
+  * per-block coefficient store and transforms once at EOI — checks
   * restart-marker sequence numbers, dequantizes, inverse-zigzags,
   * runs a separable float IDCT, level-shifts, clamps, then
   * upsamples chroma by replication and crops the padded MCU grid to
   * the declared frame size. Truncation, a bad marker, an overlong
   * Huffman lookup, or an unsupported mode fails loudly (the
-  * properties JpegCodecSpec pins).
+  * properties JpegCodecSpec pins, including ImageIO-written
+  * progressive files decoded exactly).
   *
   * Why a LOSSY codec can still sit under the arithmetic SQL oracle
   * (q104): quantization is exact on DC-only blocks. The synthesized
@@ -590,6 +597,12 @@ object JpegCodec {
     var height = 0
     var restartInterval = 0
     var image: JpegImage = null
+    // progressive (SOF2) state: per-component coefficient store in
+    // ZIGZAG order (scans address coefficients by spectral index),
+    // accumulated across scans and transformed once at EOI
+    var progressive = false
+    var progCoefs: Array[Array[Int]] = null
+    var progScans = 0
 
     while (image == null) {
       require(pos + 1 < bytes.length, "jpeg: truncated before EOI")
@@ -598,9 +611,14 @@ object JpegCodec {
       pos += 2
       while (m == 0xFF) { m = u8(pos); pos += 1 } // fill bytes
       m match {
-        case 0xD9 => // EOI before SOS
-          throw new IllegalArgumentException("jpeg: EOI before scan data")
-        case 0xC0 | 0xC1 => // baseline / extended sequential SOF
+        case 0xD9 => // EOI: ends a progressive stream, invalid otherwise
+          if (progressive && progScans > 0)
+            image = finishProgressive(comps, progCoefs, qtables,
+              width, height)
+          else
+            throw new IllegalArgumentException("jpeg: EOI before scan data")
+        case 0xC0 | 0xC1 | 0xC2 => // sequential / progressive SOF
+          progressive = m == 0xC2
           val len = u16at(pos)
           require(u8(pos + 2) == 8, "jpeg: only 8-bit precision supported")
           height = u16at(pos + 3)
@@ -616,8 +634,6 @@ object JpegCodec {
             c
           }
           pos += len
-        case 0xC2 =>
-          throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported")
         case 0xC4 => // DHT (possibly several tables)
           val len = u16at(pos)
           var p = pos + 2
@@ -655,24 +671,58 @@ object JpegCodec {
         case 0xDD => // DRI
           restartInterval = u16at(pos + 2)
           pos += u16at(pos)
-        case 0xDA => // SOS -> entropy-decode the single scan
+        case 0xDA => // SOS
           val len = u16at(pos)
           val ns = u8(pos + 2)
           require(comps != null, "jpeg: SOS before SOF")
-          require(ns == comps.length, "jpeg: partial scans unsupported")
-          var i = 0
-          while (i < ns) {
-            val cs = u8(pos + 3 + i * 2)
-            val tdta = u8(pos + 4 + i * 2)
-            val c = comps.find(_.id == cs).getOrElse(
-              throw new IllegalArgumentException(s"jpeg: scan refs unknown component $cs"))
-            c.dcTable = tdta >> 4
-            c.acTable = tdta & 0xF
-            i += 1
+          if (!progressive) {
+            // baseline: one full interleaved scan
+            require(ns == comps.length, "jpeg: partial scans unsupported")
+            var i = 0
+            while (i < ns) {
+              val cs = u8(pos + 3 + i * 2)
+              val tdta = u8(pos + 4 + i * 2)
+              val c = comps.find(_.id == cs).getOrElse(
+                throw new IllegalArgumentException(s"jpeg: scan refs unknown component $cs"))
+              c.dcTable = tdta >> 4
+              c.acTable = tdta & 0xF
+              i += 1
+            }
+            pos += len
+            image = decodeScan(bytes, pos, comps, qtables, dcTables,
+              acTables, width, height, restartInterval)
+          } else {
+            // progressive: one of many partial scans (spectral
+            // selection + successive approximation, T.81 annex G)
+            val scanCompIdx = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = u8(pos + 3 + i * 2)
+              val tdta = u8(pos + 4 + i * 2)
+              val ci = comps.indexWhere(_.id == cs)
+              require(ci >= 0, s"jpeg: scan refs unknown component $cs")
+              comps(ci).dcTable = tdta >> 4
+              comps(ci).acTable = tdta & 0xF
+              scanCompIdx(i) = ci
+              i += 1
+            }
+            val ss = u8(pos + 3 + ns * 2)
+            val se = u8(pos + 4 + ns * 2)
+            val ahal = u8(pos + 5 + ns * 2)
+            pos += len
+            if (progCoefs == null) {
+              val hmax = comps.map(_.h).max
+              val vmax = comps.map(_.v).max
+              val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+              progCoefs = comps.map(c =>
+                new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+            }
+            pos = decodeProgressiveScan(bytes, pos, comps, scanCompIdx,
+              progCoefs, dcTables, acTables, width, height,
+              ss, se, ahal >> 4, ahal & 0xF, restartInterval)
+            progScans += 1
           }
-          pos += len
-          image = decodeScan(bytes, pos, comps, qtables, dcTables, acTables,
-            width, height, restartInterval)
         case a if a >= 0xE0 && a <= 0xEF => pos += u16at(pos) // APPn
         case 0xFE => pos += u16at(pos) // COM
         case other =>
@@ -787,6 +837,289 @@ object JpegCodec {
     }
 
     // upsample (replication) + crop to frame size
+    def fullPlane(ci: Int): Array[Int] = {
+      val c = comps(ci)
+      val out = new Array[Int](width * height)
+      val pw = planeW(ci)
+      var y = 0
+      while (y < height) {
+        val sy = y * c.v / vmax
+        var x = 0
+        while (x < width) {
+          val sx = x * c.h / hmax
+          out(y * width + x) = planes(ci)(sy * pw + sx)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    if (comps.length == 1)
+      JpegImage(width, height, fullPlane(0),
+        Array.fill(width * height)(128), Array.fill(width * height)(128))
+    else
+      JpegImage(width, height, fullPlane(0), fullPlane(1), fullPlane(2))
+  }
+
+  /** One progressive scan (T.81 annex G): updates the zigzag-order
+    * coefficient store for the scan's band [ss..se] at successive-
+    * approximation bit `al` (first pass when `ah == 0`, refinement
+    * otherwise) and returns the byte position after the scan's
+    * entropy data. DC scans (ss == 0) may interleave components in
+    * MCU order; AC scans are single-component in block raster order
+    * over the component's own (non-MCU-padded) block grid. Restart
+    * markers reset DC predictors and the EOB run, counting MCUs in
+    * interleaved scans and blocks otherwise. */
+  private def decodeProgressiveScan(bytes: Array[Byte], start: Int,
+      comps: Array[Component], scanCompIdx: Array[Int],
+      coefs: Array[Array[Int]], dcTables: Array[DecTable],
+      acTables: Array[DecTable], width: Int, height: Int,
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"jpeg: bad band $ss..$se")
+    require(al >= 0 && al <= 13 && (ah == 0 || ah == al + 1),
+      s"jpeg: bad successive approximation $ah/$al")
+    val dcScan = ss == 0
+    require(!dcScan || se == 0,
+      "jpeg: DC scan must have se = 0 (no mixed DC/AC bands)")
+    require(dcScan || scanCompIdx.length == 1,
+      "jpeg: AC progressive scans are single-component")
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val in = new BitReader(bytes, start)
+    val pred = new Array[Int](scanCompIdx.length)
+    var eobrun = 0
+    var unit = 0 // restart-interval counter (MCUs or blocks)
+
+    def restartBoundary(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        in.align()
+        require(in.pos + 1 < bytes.length, "jpeg: truncated at restart")
+        val b0 = bytes(in.pos) & 0xFF
+        val b1 = bytes(in.pos + 1) & 0xFF
+        val expect = 0xD0 + ((unit / restartInterval - 1) % 8)
+        require(b0 == 0xFF && b1 == expect,
+          f"jpeg: expected RST 0xFF$expect%02x, got 0x$b0%02x$b1%02x")
+        in.pos += 2
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    /** DC first pass / refinement for one block (zigzag slot 0). */
+    def dcBlock(si: Int, block: Array[Int], off: Int): Unit =
+      if (ah == 0) {
+        val t = dcTables(comps(scanCompIdx(si)).dcTable)
+        require(t != null, "jpeg: missing DC Huffman table")
+        val cat = t.decode(in)
+        require(cat <= 13 + al, "jpeg: DC category overflow")
+        val diff = if (cat == 0) 0 else extend(in.bits(cat), cat)
+        pred(si) += diff
+        block(off) = pred(si) << al
+      } else {
+        if (in.bit() == 1) block(off) |= 1 << al
+      }
+
+    /** AC first pass for one block's band (G.1.2.2). */
+    def acFirst(acT: DecTable, block: Array[Int], off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(in)
+        val r = rs >> 4
+        val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += in.bits(r)
+            return
+          }
+        } else {
+          k += r
+          require(k <= se, "jpeg: AC index beyond band")
+          block(off + k) = extend(in.bits(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    /** AC refinement for one block's band (G.1.2.3): correction bits
+      * on already-nonzero coefficients, new ±1<<al insertions, EOB
+      * runs that still carry correction bits while they skip. */
+    def acRefine(acT: DecTable, block: Array[Int], off: Int): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = acT.decode(in)
+          var r = rs >> 4
+          val s = rs & 0xF
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              // unlike the first pass, the run INCLUDES this block:
+              // the correction section below decrements it
+              eobrun = 1 << r
+              if (r > 0) eobrun += in.bits(r)
+              inBand = false // fall through to the EOB correction loop
+            }
+            // r == 15: ZRL — skip 16 zero-history coefficients,
+            // correcting nonzero ones along the way (newVal stays 0)
+          } else {
+            require(s == 1, "jpeg: refinement magnitude must be 1")
+            newVal = if (in.bit() == 1) p1 else m1
+          }
+          if (inBand) {
+            // advance over r zero-history slots (plus corrections)
+            var placed = false
+            while (!placed && k <= se) {
+              if (block(off + k) != 0) {
+                if (in.bit() == 1 && (block(off + k) & p1) == 0)
+                  block(off + k) += (if (block(off + k) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) block(off + k) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            require(placed || newVal == 0,
+              "jpeg: refinement coefficient beyond band")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run: only correction bits to the band end
+        while (k <= se) {
+          if (block(off + k) != 0) {
+            if (in.bit() == 1 && (block(off + k) & p1) == 0)
+              block(off + k) += (if (block(off + k) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (dcScan && scanCompIdx.length > 1) {
+      // interleaved DC scan: MCU order over every component's h×v
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartBoundary()
+          var si = 0
+          while (si < scanCompIdx.length) {
+            val ci = scanCompIdx(si)
+            val c = comps(ci)
+            val bw = mcusX * c.h
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val b = (my * c.v + by) * bw + (mx * c.h + bx)
+                dcBlock(si, coefs(ci), b * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan (any DC band, every AC band): block
+      // raster order over the component's own block grid — note this
+      // is the CEIL(component dims / 8) grid, smaller than the
+      // MCU-padded store for subsampled components
+      val ci = scanCompIdx(0)
+      val c = comps(ci)
+      val bw = mcusX * c.h
+      val compW = (width * c.h + hmax - 1) / hmax
+      val compH = (height * c.v + vmax - 1) / vmax
+      val niW = (compW + 7) / 8
+      val niH = (compH + 7) / 8
+      val acT =
+        if (dcScan) null
+        else {
+          val t = acTables(c.acTable)
+          require(t != null, "jpeg: missing AC Huffman table")
+          t
+        }
+      var by = 0
+      while (by < niH) {
+        var bx = 0
+        while (bx < niW) {
+          restartBoundary()
+          val off = (by * bw + bx) * 64
+          if (dcScan) dcBlock(0, coefs(ci), off)
+          else if (ah == 0) acFirst(acT, coefs(ci), off)
+          else acRefine(acT, coefs(ci), off)
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    in.align()
+    in.pos
+  }
+
+  /** Dequantize + inverse-transform the accumulated progressive
+    * coefficient store into the decoded image (same padded-plane,
+    * replication-upsample, crop pipeline as the baseline scan). */
+  private def finishProgressive(comps: Array[Component],
+      coefs: Array[Array[Int]], qtables: Array[Array[Int]],
+      width: Int, height: Int): JpegImage = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => mcusX * c.h * 8)
+    val planes = comps.indices.map(i =>
+      new Array[Int](planeW(i) * mcusY * comps(i).v * 8)).toArray
+    val c64 = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qtables(c.tq)
+      require(q != null, "jpeg: missing quantization table")
+      val bw = mcusX * c.h
+      val bh = mcusY * c.v
+      val store = coefs(ci)
+      val pw = planeW(ci)
+      var b = 0
+      while (b < bw * bh) {
+        var k = 0
+        while (k < 64) {
+          c64(Zigzag(k)) = store(b * 64 + k) * q(Zigzag(k))
+          k += 1
+        }
+        val px = idct(c64)
+        val ox = (b % bw) * 8
+        val oy = (b / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((oy + yy) * pw + ox + xx) =
+              clamp8(math.round(px(yy * 8 + xx) + 128.0).toInt)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
     def fullPlane(ci: Int): Array[Int] = {
       val c = comps(ci)
       val out = new Array[Int](width * height)

@@ -92,6 +92,26 @@ class ForeignMediaSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIO PROGRESSIVE grayscale JPEG decodes to the exact block law") {
+    // the q128 corpus construction: SOF2 multi-scan files (IJG
+    // spectral-selection + successive-approximation script) at
+    // quality 1.0, non-multiple-of-8 dims — edge blocks cropped
+    for (id <- ids) {
+      val (w0, h0) = ForeignMedia.progDims(id)
+      val bytes = ForeignMedia.encodeProgressive(id)
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2),
+        s"id=$id: writer did not emit SOF2")
+      val img = JpegCodec.decode(bytes)
+      assert((img.width, img.height) == (w0, h0), s"id=$id dims")
+      for (y <- 0 until h0; x <- 0 until w0) {
+        val want = ForeignMedia.progGray(id, x / 8, y / 8)
+        assert(img.y(y * w0 + x) == want,
+          s"id=$id ($x,$y): got ${img.y(y * w0 + x)}, law $want")
+      }
+    }
+  }
+
   test("AVI around ImageIO JPEG frames decodes to the exact per-frame law") {
     // the q127 construction: container own, frames foreign — the
     // MJPEG walker must hand each ImageIO-encoded frame to the JPEG

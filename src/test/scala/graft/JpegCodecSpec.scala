@@ -19,8 +19,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *     ImageIO on ImageIO-ENCODED files — quantization and Huffman
   *     tables we did not write. Spec-compliant IDCTs may differ by a
   *     couple of code values, so these compare within a tolerance.
-  *  3. LOUD failure on what we do not implement: truncation,
-  *     corrupted restart sequence, progressive mode.
+  *  3. LOUD failure on corruption: truncation (baseline and
+  *     progressive), corrupted restart sequence, missing SOI.
   */
 class JpegCodecSpec extends AnyFunSuite {
 
@@ -211,17 +211,85 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JpegCodec.decode(broken))
   }
 
-  test("progressive JPEG is rejected loudly") {
-    val bi = toBuffered(24, 24, smooth(24, 24))
+  // ---- progressive (SOF2) ----------------------------------------
+
+  private def writeProgressive(bi: BufferedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
     param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
     val ios = ImageIO.createImageOutputStream(out)
     writer.setOutput(ios)
     writer.write(null, new IIOImage(bi, null, null), param)
     ios.close(); writer.dispose()
-    intercept[IllegalArgumentException](JpegCodec.decode(out.toByteArray))
+    val bytes = out.toByteArray
+    // the writer really did emit a progressive frame
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2), "no SOF2")
+    bytes
+  }
+
+  test("progressive grayscale (ImageIO-written) decodes to the exact block law") {
+    // spectral-selection + successive-approximation scans (the IJG
+    // default scan script ImageIO uses), quality 1.0 block-constant —
+    // the same exactness point as the q112 baseline third
+    for ((w, h, seed) <- Seq((8, 8, 1L), (40, 24, 37L), (41, 23, 7L),
+        (64, 48, 123L), (17, 9, 999L))) {
+      def law(bx: Int, by: Int) =
+        ((seed * 31 + bx * 11 + by * 5) % 256).toInt
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, law(x / 8, y / 8))
+      val img = JpegCodec.decode(writeProgressive(bi))
+      assert((img.width, img.height) == (w, h), s"dims $w x $h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.y(y * w + x) == law(x / 8, y / 8),
+          s"($x,$y) seed=$seed: got ${img.y(y * w + x)}")
+    }
+  }
+
+  test("progressive color (ImageIO-written) matches ImageIO's own decode exactly " +
+    "on constant-chroma blocks") {
+    // gray RGB per 8×8 block ⇒ Cb = Cr = 128 image-wide, so the one
+    // decoder freedom T.81 leaves open (chroma upsampling filter —
+    // ImageIO blends, we replicate) is out of play and the
+    // 3-component progressive path (interleaved DC scan + per-
+    // component AC scans + refinements) must agree bit for bit
+    val (w, h) = (48, 32)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    def v(bx: Int, by: Int) = (bx * 53 + by * 29) % 256
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x / 8, y / 8)
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bytes = writeProgressive(bi)
+    val ours = JpegCodec.decode(bytes)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ours.rgb(x, y)
+      val rp = ref.getRGB(x, y)
+      assert(r == ((rp >> 16) & 0xFF) && g == ((rp >> 8) & 0xFF) &&
+        b == (rp & 0xFF), s"($x,$y): ours=($r,$g,$b) vs ref=$rp")
+    }
+  }
+
+  test("truncated progressive stream is rejected loudly") {
+    val bi = new BufferedImage(32, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 32)
+      bi.getRaster.setSample(x, y, 0, (x / 8 * 40 + y / 8 * 30) % 256)
+    val bytes = writeProgressive(bi)
+    // dropping the EOI (and some tail) must never return a silently-
+    // partial image — loud failure, whether a structural require or a
+    // bounds check depending on where the cut lands
+    for (cut <- Seq(2, 6, 20, bytes.length / 2)) {
+      val threw =
+        try { JpegCodec.decode(bytes.take(bytes.length - cut)); false }
+        catch { case _: IllegalArgumentException => true
+          case _: ArrayIndexOutOfBoundsException => true }
+      assert(threw, s"truncation by $cut decoded silently")
+    }
   }
 
   test("missing SOI fails loudly") {

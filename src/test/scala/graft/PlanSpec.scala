@@ -537,6 +537,8 @@ class PlanSpec extends AnyFunSuite {
         graft.operators.ForeignMedia.features(spark, sf).toDF()
           .orderBy("doc_id"),
         graft.operators.ForeignMedia.videoFeatures(spark, sf).toDF()
+          .orderBy("doc_id"),
+        graft.operators.ForeignMedia.progFeatures(spark, sf).toDF()
           .orderBy("doc_id"))) {
       val plan = executedPlan(q)
       val finalPlan = plan.split("== Initial Plan ==").head
@@ -557,5 +559,9 @@ class PlanSpec extends AnyFunSuite {
       .videoFeatures(spark, sf).toDF().orderBy("doc_id"))
     assert(q127.contains("graft_pairs/mediavideo-"),
       s"q127 does not scan the stored foreign-frame video corpus:\n$q127")
+    val q128 = executedPlan(graft.operators.ForeignMedia
+      .progFeatures(spark, sf).toDF().orderBy("doc_id"))
+    assert(q128.contains("graft_pairs/mediaprog-"),
+      s"q128 does not scan the stored progressive corpus:\n$q128")
   }
 }
