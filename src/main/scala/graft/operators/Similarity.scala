@@ -455,15 +455,19 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     // phase 3: fetch floats for the survivors — a second, still
     // partition-pruned scan of the artifact, joined map-side against
-    // the broadcast survivor set (queries × (k+64) rows), so `cv` is
-    // materialized for probed-partition rows only and shipped for
-    // survivors only. dropDuplicates on the id: multi-assignment
-    // stores a vector in several lists, all rows identical.
+    // the broadcast survivor set (queries × (k+64) rows) FIRST, so
+    // `cv` is materialized for probed-partition rows only and
+    // SHUFFLED for survivors only. The multi-assignment dedup
+    // (a vector stored in several probed lists yields identical
+    // rows) runs AFTER the join, keyed on the survivor pair — a
+    // dedup before the join would be an aggregate over every probed
+    // row's float vector, re-shipping the very column the SQ8
+    // layout exists to avoid (round-15 review).
     val cvFetch = spark.read.parquet(s"$dir/assignments.parquet")
       .filter(col("list_id").isin(probedIds.toSeq: _*))
       .select(col("neighbor_id"), col("cv"))
-      .dropDuplicates("neighbor_id")
     val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKByScore(exact, "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),

@@ -679,15 +679,24 @@ object TextDedup {
     * corpus, if a warehouse artifact already holds it (q52 passes
     * [[SharedPairs.textNearDupPairs]] — the τ=0.8 sweep q22 and the
     * pair consumers already pay, the round-14 verdict's largest
-    * remaining repeated-work family). Correctness is an identity,
-    * not an approximation: MinHash banding is per-document and exact
-    * Jaccard is pair-local, so a keeper–keeper pair is a near-dup
-    * pair of the exact-kept SUBSET iff it is one of the full corpus —
-    * restricting the full pair set to keeper endpoints (two
-    * broadcast-sized semi-joins against the keeper id set) equals
-    * re-running the sweep over the keepers (TextDedupSpec pins the
-    * equivalence). When None, the definitional direct pipeline runs
-    * (q22's role). */
+    * remaining repeated-work family). Correctness: MinHash banding
+    * is per-document and exact Jaccard is pair-local, so a
+    * keeper–keeper pair is a near-dup pair of the exact-kept SUBSET
+    * iff it is one of the full corpus — restricting the full pair
+    * set to keeper endpoints (two broadcast-sized semi-joins against
+    * the keeper id set) equals re-running the sweep over the keepers
+    * (TextDedupSpec pins the equivalence on the shipped corpora).
+    * ONE precondition (round-15 review): the sweep's quadratic
+    * safety valve drops band buckets above `maxBucketSize` (100k
+    * ids), and exact-duplicate mass counts toward the FULL corpus's
+    * buckets but not the keeper subset's — a corpus carrying > ~100k
+    * exact copies of one text could push a bucket over the cap in
+    * the artifact sweep while the direct subset sweep keeps it. The
+    * shipped corpora sit orders of magnitude below the cap, and a
+    * deployment at that duplication level should run exact dedup
+    * BEFORE building the shared pair artifact (the artifact then IS
+    * the subset sweep). When None, the definitional direct pipeline
+    * runs (q22's role). */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.8,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {

@@ -60,9 +60,12 @@ private[graft] object Warehouse {
     * local/NFS disk. */
   private[graft] def indexRoot(spark: SparkSession): String = {
     val root = indexRoot0(spark)
-    // a windows drive letter ("C:\x") is not a URI scheme — require
-    // 2+ chars before "://"-style or "scheme:/" forms
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]+)://?".r
+    // any "scheme:" prefix counts — URI forms WITHOUT a slash
+    // ("s3:bucket/x" is legal no-authority syntax) must not slip
+    // past the guard into a literally-named local directory
+    // (round-15 review). A windows drive letter ("C:\x") is not a
+    // URI scheme — require 2+ chars before the colon.
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]+):".r
     scheme.findFirstMatchIn(root).map(_.group(1)) match {
       case Some(s) if !s.equalsIgnoreCase("file") =>
         throw new IllegalArgumentException(

@@ -221,7 +221,10 @@ class CodecPropertySpec extends AnyFunSuite {
       Gen.choose(1, 8).map(LpcSub(_)))
     val gen = for {
       rate <- Gen.choose(8000, 48000)
-      n <- Gen.choose(8, 256).map(_ * 4)
+      // n ≥ 36: with pOrder ≤ 2 the first partition keeps
+      // n/4 − order ≥ 1 residuals even at LPC order 8 (the encoder
+      // rejects a partition layout the order doesn't fit)
+      n <- Gen.choose(9, 256).map(_ * 4)
       mode <- Gen.oneOf(1, 8, 9, 10) // indep, L/S, R/S, M/S
       s0 <- specGen
       s1 <- specGen

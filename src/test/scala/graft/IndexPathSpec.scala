@@ -283,7 +283,10 @@ class IndexPathSpec extends AnyFunSuite {
     // concurrent builders.
     try {
       for (bad <- Seq("s3://bucket/graft_pairs", "gs://b/x",
-          "s3a://bucket/prefix", "hdfs://nn:8020/graft")) {
+          "s3a://bucket/prefix", "hdfs://nn:8020/graft",
+          // the no-slash no-authority URI form must not slip past
+          // the guard into a literally-named local dir
+          "s3:bucket/graft_pairs")) {
         spark.conf.set("spark.graft.index.dir", bad)
         val e = intercept[IllegalArgumentException] {
           graft.operators.Warehouse.indexRoot(spark)
