@@ -146,6 +146,8 @@ object SparkEntry {
     "q128_media_foreign_progressive" -> ((s: SparkSession, dir: String) =>
       graft.operators.ForeignMedia.progFeatures(s, dir).toDF()
         .orderBy("doc_id")),
+    "q129_dedup_bloom_incremental" ->
+      (Curation.q129BloomIncrementalExact _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1070,6 +1072,21 @@ object SparkEntry {
         | round(CAST(sum(yv) * 64 AS DOUBLE) / (max(w) * max(h) * max(nf)), 6) AS mean_y,
         | round(CAST(sum(dy) * 64 AS DOUBLE) / (max(w) * max(h) * (max(nf) - 1)), 6) AS motion
         |FROM blk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bloom-prefiltered exact incremental dedup: the sketch only
+    // PRUNES (no false negatives; false positives die in the exact
+    // semi-join), so the result equals the plain digest semi-join —
+    // exact under the hash oracle. The incoming batch derives by the
+    // duplicate-wave law (mod-8 ids borrow their successor's text).
+    "q129_dedup_bloom_incremental" ->
+      """WITH succ AS (SELECT doc_id - 1 AS doc_id, text AS succ_text FROM documents),
+        | inc AS (SELECT a.doc_id,
+        |   CASE WHEN a.doc_id % 8 = 0 THEN s.succ_text ELSE a.text END AS text
+        |  FROM documents a JOIN succ s USING (doc_id)
+        |  WHERE a.doc_id % 4 = 0)
+        |SELECT i.doc_id AS doc_id FROM inc i
+        |WHERE EXISTS (SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 4 <> 0 AND e.text = i.text)
+        |ORDER BY 1""".stripMargin,
     // foreign PROGRESSIVE JPEG decode: ImageIO's writer in SOF2 mode
     // emits the IJG multi-scan script (spectral selection +
     // successive approximation) — scan structure this repo does not

@@ -170,6 +170,34 @@ object Curation {
       .orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** Bloom-prefiltered exact incremental dedup (q129) — see
+    * [[TextDedup.bloomExactIncomingIds]] for the operator contract
+    * (treeAggregate-built Spark Bloom sketch, map-side native-codegen
+    * probe, candidates-only exact semi-join; result exact, so it sits
+    * under the plain SQL oracle with no tolerance flag).
+    *
+    * Corpus law: the harness documents carry no natural exact
+    * duplicates, so the incoming batch is DERIVED (the q93/q113
+    * duplicate-wave pattern): incoming = docs with id ≡ 0 (mod 4),
+    * where ids ≡ 0 (mod 8) borrow their successor's text — an exact
+    * duplicate of an existing-side doc (successor ids are ≡ 1 mod 4)
+    * — and the rest keep their own text (fresh). The oracle writes
+    * the same construction down in SQL; expected hits = the mod-8
+    * ids whose successor exists. */
+  def q129BloomIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("succ_text"))
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+      .join(succ, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 0, col("succ_text"))
+          .otherwise(col("text")).as("text"))
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    TextDedup.bloomExactIncomingIds(existing, incoming, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** q62 against the PERSISTED near-dup index (q116) — the execution
     * path an operating pipeline actually runs every cycle, now under
     * the oracle (it was IndexPathSpec-only): the existing corpus's

@@ -340,6 +340,55 @@ object TextDedup {
       .localCheckpoint(true)
   }
 
+  /** Incoming-batch ids whose text is an EXACT duplicate of an
+    * existing-corpus document, with a Bloom prefilter (q129) — the
+    * standard first gate of every-cycle corpus ingest at a scale
+    * where the existing digest set is too large to broadcast as a
+    * join side but its Bloom fits executor memory with room to
+    * spare (~1.2 bytes per element at 1% fpp: 10⁹ docs ≈ 1.2 GB,
+    * 10⁸ ≈ 120 MB).
+    *
+    * Plan shape: ONE distributed treeAggregate over the existing
+    * digests builds the filter (`DataFrameStatFunctions.bloomFilter`
+    * — Spark's own sketch; a deployment builds it once per corpus
+    * version or maintains it incrementally via `mergeInPlace`, the
+    * amortization contract of every stored artifact here); the
+    * incoming batch probes it MAP-SIDE through the native codegen
+    * [[graft.functions.BloomExpressions.mightContain]] (no UDF, no
+    * shuffle), and only the survivors — true duplicates plus
+    * ~fpp·|incoming| false positives — reach the exact left-semi
+    * verify join. The join therefore shuffles candidate rows only,
+    * never the batch: per-cycle exchange volume ∝ duplicates found,
+    * not data scanned.
+    *
+    * Correctness is EXACT, not approximate: a Bloom filter has no
+    * false negatives (every true duplicate survives the prefilter)
+    * and the semi-join eliminates every false positive, so the
+    * result equals the plain digest semi-join bit for bit — the
+    * rerankExact pattern applied to dedup, and what puts a
+    * sketch-assisted operator under the hash oracle with no
+    * tolerance flag (TextDedupSpec pins the equivalence and the
+    * candidate-volume contract). */
+  def bloomExactIncomingIds(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    val exDigests = existing.select(md5(col(textCol)).as("__d"))
+    // sizing count: one cheap aggregate at build time (duplicates
+    // inflate expectedNumItems slightly — a conservative direction)
+    val items = math.max(1L, exDigests.count())
+    val bf = exDigests.stat.bloomFilter("__d", items, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    incoming
+      .withColumn("__d", md5(col(textCol)))
+      .filter(graft.functions.BloomExpressions.mightContain(
+        col("__d"), bytes))
+      .join(exDigests, Seq("__d"), "left_semi")
+      .select(col(idCol))
+  }
+
   /** Near-dup pairs between an INCOMING batch and an EXISTING corpus —
     * the shape an operating pipeline actually runs every ingest cycle
     * (dedup today's crawl against the index), NOT the all-pairs

@@ -357,6 +357,14 @@ class PlanSpec extends AnyFunSuite {
     val q80 = executedPlan(Curation.q80SemanticDedup(spark, sf))
     assert(q80.contains("graft_pairs/cos-"),
       s"q80 does not scan the shared cosine pair index:\n$q80")
+    // q129: the Bloom probe must be a map-side native filter on the
+    // incoming scan (no UDF, no extra exchange) feeding the exact
+    // semi-join — candidates only cross the wire
+    val q129 = executedPlan(Curation.q129BloomIncrementalExact(spark, sf))
+    assert(q129.contains("bloom_might_contain"),
+      s"q129's plan carries no native bloom probe:\n$q129")
+    assert(q129.contains("LeftSemi"),
+      s"q129's exact verify semi-join is missing:\n$q129")
     // round-14 verdict #3: q52's near-dup phase must consume the same
     // τ=0.8 artifact (its input is the raw corpus, exactly what the
     // artifact holds) instead of re-running the signature sweep; q22

@@ -358,6 +358,50 @@ class TextDedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("bloom-prefiltered exact incremental equals the plain semi-join, " +
+    "candidates stay near the dup count") {
+    // q129's operator contract: the Bloom has no false negatives, so
+    // every true duplicate survives the prefilter; the exact verify
+    // join kills every false positive — result == plain digest
+    // semi-join. Candidate volume (the rows the join actually sees)
+    // must sit near dups + fpp·|incoming|, the whole point of the
+    // prefilter at corpus scale.
+    val d = Tables.documents(spark, SparkTestSession.sf)
+    val succ = d.select(($"doc_id" - 1).as("doc_id"), $"text".as("succ_text"))
+    val incoming = d.filter($"doc_id" % 4 === 0)
+      .join(succ, Seq("doc_id"))
+      .select($"doc_id",
+        when($"doc_id" % 8 === 0, $"succ_text").otherwise($"text").as("text"))
+      .localCheckpoint(true)
+    val existing = d.filter($"doc_id" % 4 =!= 0)
+    val viaBloom = graft.operators.TextDedup
+      .bloomExactIncomingIds(existing, incoming, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val exDigests = existing.select(md5($"text").as("__d"))
+    val plain = incoming.withColumn("__d", md5($"text"))
+      .join(exDigests, Seq("__d"), "left_semi")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain.nonEmpty, "fixture produced no exact cross-side dups")
+    assert(viaBloom == plain,
+      s"bloom path diverges: missing ${(plain -- viaBloom).take(5)}, "
+        + s"extra ${(viaBloom -- plain).take(5)}")
+    // candidate contract: rebuild the same filter and count survivors
+    val items = math.max(1L, exDigests.count())
+    val bf = exDigests.stat.bloomFilter("__d", items, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val nIncoming = incoming.count()
+    val candidates = incoming.withColumn("__d", md5($"text"))
+      .filter(graft.functions.BloomExpressions.mightContain($"__d", bytes))
+      .count()
+    assert(candidates >= plain.size, "prefilter dropped a true duplicate")
+    assert(candidates <= plain.size + math.max(5, 5 * 0.01 * nIncoming),
+      s"prefilter passed $candidates of $nIncoming incoming rows for "
+        + s"${plain.size} dups — not selective")
+  }
+
   test("artifact-fed dedupedCorpus equals the direct pipeline (q52 sharing)") {
     // round-14 verdict #3: q52 consumes the shared τ=0.8 pair table
     // restricted to keeper endpoints instead of re-running the sweep.
