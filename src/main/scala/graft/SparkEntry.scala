@@ -1179,13 +1179,15 @@ object SparkEntry {
     // samples; n_samples stays per-channel.
     "q99_media_flac" ->
       """WITH d AS (SELECT doc_id, 800 + (doc_id % 100) * 8 AS n,
-        |   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch FROM documents),
-        | s AS (SELECT doc_id, n, nch, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+        |   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS nch,
+        |   CASE WHEN doc_id % 7 = 0 THEN -4 ELSE -1 END AS mw FROM documents),
+        | s0 AS (SELECT doc_id, n, nch, mw, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
         |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i)
         |  UNION ALL
-        |  SELECT doc_id, n, nch, ((doc_id * 37 + i * 23) % 65536) - 32768 AS v
+        |  SELECT doc_id, n, nch, mw, ((doc_id * 37 + i * 23) % 65536) - 32768 AS v
         |  FROM d CROSS JOIN LATERAL unnest(range(0, n)) AS t(i)
-        |  WHERE nch = 2)
+        |  WHERE nch = 2),
+        | s AS (SELECT doc_id, n, nch, v & mw AS v FROM s0)
         |SELECT doc_id,
         | CAST(16000 AS INT) AS sample_rate,
         | CAST(max(nch) AS INT) AS n_channels,

@@ -22,8 +22,14 @@ package graft.operators
   * conforming stream within scope — LPC orders up to 32, either
   * channel layout — not just this encoder's output.
   *
+  * Wasted bits (RFC 9639 §9.2.2) are handled on both sides: the
+  * encoder detects a block's shared trailing-zero count and codes
+  * the shifted-down signal at the narrower width; the decoder shifts
+  * back up — the field real encoders emit for any quiet or
+  * bit-reduced material.
+  *
   * Scope bounds (rejected loudly, never mis-decoded): 16-bit, 1–2
-  * channels, Rice method 0, non-negative LPC shifts, no wasted bits.
+  * channels, Rice method 0, non-negative LPC shifts.
   */
 object FlacCodec {
 
@@ -358,11 +364,32 @@ object FlacCodec {
     out.toByteArray
   }
 
+  /** Wasted-bits subframe-header field: flag 0, or flag 1 followed
+    * by unary-coded k−1 (RFC 9639 §9.2.2). */
+  private def writeWastedFlag(fw: BitWriter, wasted: Int): Unit =
+    if (wasted == 0) fw.write(0, 1)
+    else { fw.write(1, 1); fw.writeUnary(wasted - 1L) }
+
   /** One subframe: header, warmup at the channel's bit width, then
     * partitioned Rice residuals. LPC falls back to the best FIXED
-    * order when Levinson degenerates (constant signal). */
-  private def writeSubframe(fw: BitWriter, x: Array[Int], bits: Int,
+    * order when Levinson degenerates (constant signal). Wasted bits
+    * are detected automatically (the shared trailing-zero count of
+    * every sample — real encoders do the same): the subframe codes
+    * the shifted-down signal at a narrower width and the decoder
+    * shifts back up. */
+  private def writeSubframe(fw: BitWriter, x0: Array[Int], bits0: Int,
       spec0: SubframeSpec, partitionOrder: Int): Unit = {
+    // shared trailing zeros (0 for an all-zero signal — CONSTANT 0
+    // codes fine without the wasted-bits machinery)
+    var orAll = 0
+    var w = 0
+    while (w < x0.length) { orAll |= x0(w); w += 1 }
+    val wasted =
+      if (orAll == 0) 0
+      else math.min(java.lang.Integer.numberOfTrailingZeros(orAll),
+        bits0 - 1)
+    val x = if (wasted == 0) x0 else x0.map(_ >> wasted)
+    val bits = bits0 - wasted
     val mask = (1L << bits) - 1
     def bestFixed: Int = (0 to 4).filter(_ < x.length).minBy { o =>
       residual(x, o).map(r => math.abs(r)).sum
@@ -393,13 +420,13 @@ object FlacCodec {
     val u: Array[Long] = spec match {
       case FixedSub(k) =>
         fw.write(8 + k, 6) // type 0b001000 + k
-        fw.write(0, 1) // no wasted bits
+        writeWastedFlag(fw, wasted)
         var i = 0
         while (i < k) { fw.write(x(i).toLong & mask, bits); i += 1 }
         residual(x, k).map(zigzag)
       case LpcSub(ord) =>
         fw.write(32 + (ord - 1), 6) // type 0b100000 | (order−1)
-        fw.write(0, 1) // no wasted bits
+        writeWastedFlag(fw, wasted)
         var i = 0
         while (i < ord) { fw.write(x(i).toLong & mask, bits); i += 1 }
         val (q, shift) = lpcQ.get
@@ -587,12 +614,20 @@ object FlacCodec {
     * 0–4, or LPC 1–32. Values are returned pre-decorrelation (a side
     * channel's 17-bit range is legal here; the 16-bit range check
     * happens after inter-channel reconstruction). */
-  private def decodeSubframe(br: BitReader, blockSize: Int, bits: Int,
+  private def decodeSubframe(br: BitReader, blockSize: Int, bits0: Int,
       docId: Long): Array[Int] = {
     require(br.readBit(docId) == 0, s"doc $docId: subframe pad bit set")
     val sfType = br.read(6, docId).toInt
-    require(br.readBit(docId) == 0,
-      s"doc $docId: wasted bits unsupported")
+    // wasted bits (RFC 9639 §9.2.2): flag 1 ⇒ unary-coded k−1
+    // follows; the subframe is coded at bits−k and every decoded
+    // sample shifts left by k at the end — real encoders emit this
+    // whenever a block's samples share trailing zero bits
+    val wasted =
+      if (br.readBit(docId) == 1) (br.readUnary(docId) + 1).toInt
+      else 0
+    require(wasted < bits0,
+      s"doc $docId: $wasted wasted bits leave no sample bits")
+    val bits = bits0 - wasted
     val block = new Array[Int](blockSize)
 
     /** Partitioned Rice residuals integrated through `predict`. */
@@ -680,6 +715,10 @@ object FlacCodec {
         throw new IllegalArgumentException(
           s"requirement failed: doc $docId: unsupported subframe " +
             s"type $other")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { block(i) = block(i) << wasted; i += 1 }
     }
     block
   }

@@ -607,7 +607,12 @@ object Multimodal {
     *    coefficients), others the pinned FIXED order doc mod 5; the
     *    second channel's spec derives from doc+1 so stereo docs mix
     *    classes within one frame;
-    *  - partition order = doc mod 2 (multi-partition layouts).
+    *  - partition order = doc mod 2 (multi-partition layouts);
+    *  - docs ≡ 0 (mod 7) mask every sample to a multiple of 4
+    *    (`v & -4`), so their blocks carry two shared trailing zero
+    *    bits and the encoder's WASTED-BITS detection fires — the
+    *    decoder's shift-back path is under the oracle too (the SQL
+    *    twin applies the same mask).
     * The codec is lossless, so the DECODED features the oracle
     * recomputes depend only on the signal law and the channel count —
     * the encoding variety exists to put every encoder/decoder branch
@@ -621,14 +626,17 @@ object Multimodal {
     docs.select(col(idCol).cast("long")).as[Long]
       .map { id =>
         val n = SynthWav.nSamples(id)
-        val left = Array.tabulate(n)(i => SynthWav.sample(id, i))
+        val maskW = if (id % 7 == 0) -4 else -1 // wasted-bits docs
+        val left = Array.tabulate(n)(i =>
+          (SynthWav.sample(id, i) & maskW).toShort)
         val mode = (id % 5).toInt
         val pOrd = (id % 2).toInt
         val bytes =
           if (mode == 0)
             FlacCodec.encodeSpec(SynthWav.SampleRate, left, spec(id), pOrd)
           else {
-            val right = Array.tabulate(n)(i => rightSample(id, i))
+            val right = Array.tabulate(n)(i =>
+              (rightSample(id, i) & maskW).toShort)
             // mode 1..4 → channel assignment 1 (independent), 8
             // (left/side), 9 (right/side), 10 (mid/side)
             val chanCode = if (mode == 1) 1 else mode + 6

@@ -293,6 +293,40 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(d.sameElements(const))
   }
 
+  test("FLAC: wasted bits round-trip and genuinely narrow the stream") {
+    import graft.operators.FlacCodec.{FixedSub, LpcSub}
+    // every sample a multiple of 2^k ⇒ the encoder must detect k
+    // shared trailing zeros, code at bits−k, and the decoder shift
+    // back — across mono/stereo and subframe classes
+    for (k <- 1 to 4) {
+      val m = -(1 << k)
+      val left = Array.tabulate(512)(i =>
+        (((i * 31 + 7) % 60000 - 30000) & m).toShort)
+      val right = Array.tabulate(512)(i =>
+        (((i * 17 + 3) % 50000 - 25000) & m).toShort)
+      val mono = FlacCodec.encode(16000, left, order = 2)
+      val (_, dm) = FlacCodec.decodeSamples(1L, mono)
+      assert(dm.sameElements(left), s"mono wasted k=$k")
+      for (mode <- Seq(1, 8, 10)) {
+        val st = FlacCodec.encodeStereo(16000, left, right, mode,
+          FixedSub(2), LpcSub(3))
+        val (_, nCh, d) = FlacCodec.decodeSamplesMulti(1L, st)
+        assert(nCh == 2 && (0 until 512).forall(i =>
+          d(2 * i) == left(i) && d(2 * i + 1) == right(i)),
+          s"stereo wasted k=$k mode=$mode")
+      }
+    }
+    // the detection is real, not a no-op: masking 4 low bits off a
+    // verbatim-ish signal must shrink the stream by ~4 bits/sample
+    val noisy = Array.tabulate(1024)(i =>
+      (((i * 2654435761L) % 65536) - 32768).toShort)
+    val masked = noisy.map(s => (s & -16).toShort)
+    val a = FlacCodec.encode(16000, noisy, order = 0)
+    val b = FlacCodec.encode(16000, masked, order = 0)
+    assert(b.length < a.length - 1024 * 3 / 8,
+      s"wasted-bit coding saved too little: ${a.length} -> ${b.length}")
+  }
+
   test("FLAC: corrupted LPC/stereo frames are rejected loudly") {
     import graft.operators.FlacCodec.LpcSub
     val left = Array.tabulate(512)(i => (i * 31 % 20000 - 10000).toShort)
