@@ -148,6 +148,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q129_dedup_bloom_incremental" ->
       (Curation.q129BloomIncrementalExact _),
+    "q130_embed_ann_pq" -> (Curation.q130EmbedAnnPq _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1346,6 +1347,11 @@ object SparkEntry {
     // pruned partitions → SQ8 prerank from the artifact → exact
     // rerank): still the exact top-AnnOracleK or the hash fails
     "q126_embed_ann_ivf_sq8_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // product quantization: ADC prerank over 8-byte codes, exact
+    // rerank decides — a true neighbor the PQ distortion buries below
+    // the rerank window drops a row and fails the hash
+    "q130_embed_ann_pq" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

@@ -170,6 +170,24 @@ object Curation {
       .orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** Product-quantization ANN (q130) — the deepest-compression rung
+    * of the ladder ([[Similarity.pqTopK]]): 8 one-byte codebook ids
+    * per vector (32× smaller than the floats), ADC-scored, exact
+    * rerank deciding under the SAME exact-KNN oracle as
+    * q24/q47/q115/q124–q126. Operating point m=8/ks=64/rerank=256,
+    * tuned like every ANN gate to this corpus's geometry: Gaussian
+    * embeddings are PQ's worst case (no cluster structure — each
+    * 8-dim subspace needs 64 entries for the top-3 to surface within
+    * the rerank window; the ks=16 default buried 8 of 30 oracle rows
+    * at rank > 74). Dataset-conditional, per the q47 doctrine. */
+  def q130EmbedAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 10, ks = 64, rerank = 256)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bloom-prefiltered exact incremental dedup (q129) — see
     * [[TextDedup.bloomExactIncomingIds]] for the operator contract
     * (treeAggregate-built Spark Bloom sketch, map-side native-codegen

