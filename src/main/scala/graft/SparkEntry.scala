@@ -149,6 +149,8 @@ object SparkEntry {
     "q129_dedup_bloom_incremental" ->
       (Curation.q129BloomIncrementalExact _),
     "q130_embed_ann_pq" -> (Curation.q130EmbedAnnPq _),
+    "q131_embed_ann_pq_clustered" ->
+      (Curation.q131EmbedAnnPqClustered _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1353,6 +1355,11 @@ object SparkEntry {
     // the rerank window drops a row and fails the hash
     "q130_embed_ann_pq" ->
       knnSql(graft.operators.Curation.AnnOracleK),
+    // PQ on the clustered corpus: the narrow-window regime PQ is
+    // designed for (copies quantize onto their original's codebook
+    // entries) — exact KNN over the same augmentation decides
+    "q131_embed_ann_pq_clustered" ->
+      knnAugSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash
     "q53_embed_ann_ivf_clustered" ->

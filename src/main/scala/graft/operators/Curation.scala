@@ -174,16 +174,36 @@ object Curation {
     * of the ladder ([[Similarity.pqTopK]]): 8 one-byte codebook ids
     * per vector (32× smaller than the floats), ADC-scored, exact
     * rerank deciding under the SAME exact-KNN oracle as
-    * q24/q47/q115/q124–q126. Operating point m=8/ks=64/rerank=256,
+    * q24/q47/q115/q124–q126. Operating point m=8/ks=64/rerank=1024,
     * tuned like every ANN gate to this corpus's geometry: Gaussian
     * embeddings are PQ's worst case (no cluster structure — each
-    * 8-dim subspace needs 64 entries for the top-3 to surface within
-    * the rerank window; the ks=16 default buried 8 of 30 oracle rows
-    * at rank > 74). Dataset-conditional, per the q47 doctrine. */
+    * 8-dim subspace needs 64 entries, and even then true top-3
+    * neighbors sank below ADC rank 256 on the 2000-vector fixture),
+    * so the pinned window is the PQ analog of q47's near-exhaustive
+    * probe — dataset-conditional per the q47 doctrine, with q131
+    * demonstrating the designed narrow-window regime on the
+    * clustered corpus. */
   def q130EmbedAnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 10, ks = 64, rerank = 256)
+        "vec_id", "embedding", k = 10, ks = 64, rerank = 1024)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ-ADC on the CLUSTERED corpus (q131) — the regime product
+    * quantization is designed for, and the narrow-window win q130's
+    * Gaussian fixture cannot demonstrate (the exact q53-vs-q47
+    * relationship): each original's top-3 IS its copy set at cos
+    * ≈ 0.99, the copies' subvectors quantize onto the same codebook
+    * entries, and the ADC order puts them on top — so the DEFAULT
+    * operating point (ks=16, 256-row window) passes the exact-top-K
+    * gate while scanning 8-byte codes for a corpus 4× the base.
+    * Dataset-conditional like every ANN gate. */
+  def q131EmbedAnnPqClustered(s: SparkSession, dir: String): DataFrame = {
+    val aug = clusteredEmbeddings(Tables.embeddings(s, dir))
+    Similarity.pqTopK(aug.filter(col("vec_id") < 10), aug,
+        "vec_id", "embedding", k = 10)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }

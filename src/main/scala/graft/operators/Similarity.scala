@@ -507,17 +507,33 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 0 until iterations) {
       val assigned = assignPq(subs, books)
-      books = assigned
+      val recomputed = assigned
         .select(col("s"), col("c"),
           posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("c"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("mv"))
+        // EXACT decimal mean, not avg(double): a double sum is
+        // partition-order dependent, and PQ's thin rerank margin on
+        // Gaussian data turns a last-ulp centroid wobble into a
+        // pass/fail flicker of the hash gate (measured: the same
+        // corpus/window passed isolated and failed under Verify's
+        // concurrent scheduling). Decimal accumulation makes the
+        // books a pure function of the corpus — training cost only.
+        .agg((sum(col("x").cast("decimal(28,12)")) /
+          count(lit(1))).cast("double").as("mv"))
         .groupBy(col("s"), col("c"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mv"))))
           .as("pm"))
         .select(col("s"), col("c"),
           transform(col("pm"), e => e.getField("mv").cast("float"))
-            .as("centroid"))
+            .as("nc"))
+      // EMPTY-CLUSTER handling: an entry that attracted no subvector
+      // this round (duplicate-heavy corpora starve entries — the
+      // clustered fixture does) keeps its previous centroid, so every
+      // book always holds exactly ks entries and the ADC table's
+      // positional indexing (s·ks + c) stays dense
+      books = books.join(recomputed, Seq("s", "c"), "left")
+        .select(col("s"), col("c"),
+          coalesce(col("nc"), col("centroid")).as("centroid"))
         .localCheckpoint(true)
     }
     books
@@ -555,11 +571,21 @@ object Similarity {
     * the k+`rerank` survivors join their float vectors back and the
     * exact decimal cosine decides — the same two-phase contract as
     * [[ivfSq8TopK]] with a WIDER guard window (PQ is a coarser
-    * quantizer than SQ8: measured on the Gaussian harness corpus,
-    * ks=16 buried true top-3 neighbors below rank 74 while ks=64
-    * with a 256-row window recalls them all), under the same
-    * exact-KNN oracle: a true neighbor the PQ distortion buries
-    * below rank k+rerank drops a row and fails the hash.
+    * quantizer than SQ8). Window economics are dataset-conditional
+    * in exactly q47's sense: on a corpus with real cluster structure
+    * the true neighbors sit at the very top of the ADC order and the
+    * default 256-row window is generous (q131 demonstrates this on
+    * the clustered corpus at the ks=16 default); on the GAUSSIAN
+    * fixture — PQ's worst case, no structure for the codebooks to
+    * exploit — displacement is deep (measured: ks=16 buried true
+    * top-3 below rank 74 at 500 vectors; ks=64 still misses 2 of 30
+    * inside 256 at 2000 vectors) and the q130 gate pins a
+    * near-half-corpus window, the PQ analog of q47's near-exhaustive
+    * probe. A deployment tunes ks/m up, not the window (finer
+    * codebooks shrink displacement; a window ∝ n erodes the 32×
+    * read saving). Same exact-KNN oracle either way: a true
+    * neighbor the PQ distortion buries below rank k+rerank drops a
+    * row and fails the hash.
     *
     * Scale shape: training touches the corpus iterations+2 times
     * (column-pruned float reads); serving scans only the 8-byte code
@@ -570,11 +596,12 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int = 64,
       m: Int = 8, ks: Int = 16, iterations: Int = 2,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 256): DataFrame = {
     require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
+    val window = rerank
     // ONE exploded subvector table feeds seeding, every Lloyd round,
     // and the final encode assignment
     val subs = subvectors(c, m, subDim).localCheckpoint(true)
@@ -591,7 +618,11 @@ object Similarity {
       .agg(
         transform(array_sort(collect_list(struct(col("s"), col("c")))),
           e => e.getField("c")).as("codes"),
-        sqrt(sum(col("n2"))).as("xnorm"))
+        // decimal sum: m doubles aggregated in nondeterministic row
+        // order would wobble the reconstruction norm by an ulp —
+        // same determinism discipline as the codebook means
+        sqrt(sum(col("n2").cast("decimal(28,12)")).cast("double"))
+          .as("xnorm"))
     // query side: ADC table lut[s·ks + c] = dot(q_s, centroid_{s,c}),
     // plus the query norm — both broadcast with the query row
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -625,7 +656,7 @@ object Similarity {
       .orderBy(col("cos_pq").desc, col("neighbor_id").asc)
     val survivors = prerank
       .withColumn("rk0", row_number().over(wFast))
-      .filter(col("rk0") <= k + rerank)
+      .filter(col("rk0") <= k + window)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
     val exact = c.join(broadcast(survivors), Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))

@@ -305,7 +305,8 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = rows(Similarity.bruteForceTopK(
       queries, e, "vec_id", "embedding", k = 10))
     val pq = rows(Similarity.pqTopK(
-      queries, e, "vec_id", "embedding", k = 10, ks = 64, rerank = 256))
+      queries, e, "vec_id", "embedding", k = 10, ks = 64,
+      rerank = 1024))
     assert(exact.nonEmpty)
     assert(pq == exact,
       s"PQ diverges: missing ${(exact -- pq).take(3)}, "
