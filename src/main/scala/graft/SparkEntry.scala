@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_embed_ann_pq" -> (Curation.q130EmbedAnnPq _),
     "q131_embed_ann_pq_clustered" ->
       (Curation.q131EmbedAnnPqClustered _),
+    "q132_embed_ann_pq_stored" -> (Curation.q132EmbedAnnPqStored _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1360,6 +1361,10 @@ object SparkEntry {
     // entries) — exact KNN over the same augmentation decides
     "q131_embed_ann_pq_clustered" ->
       knnAugSql(graft.operators.Curation.AnnOracleK),
+    // the same PQ stack served from the stored code column — still
+    // the exact top-AnnOracleK or the hash fails
+    "q132_embed_ann_pq_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash
     "q53_embed_ann_ivf_clustered" ->

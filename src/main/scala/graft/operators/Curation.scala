@@ -191,6 +191,32 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The stored PQ artifact q132 serves from (the q115/q126
+    * warehouse pattern: keyed by build params + corpus fingerprint,
+    * one build amortizing over query batches). */
+  private def storedPqIndex(s: SparkSession, dir: String): String =
+    Warehouse.materializedDir(s, "pq",
+      s"pq:64:8:64:2:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildPqIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", d, ks = 64)
+    }
+
+  /** q130's stack served from the PERSISTED PQ index (q132) — zero
+    * training per query batch, the prerank scanning the stored
+    * 8-byte codes (float column pruned away; IndexPathSpec asserts
+    * the ReadSchema), exact rerank on the survivors. Same
+    * parameters and exact-KNN oracle as q130, so the stored path
+    * must reproduce the in-plan derivation bit for bit. */
+  def q132EmbedAnnPqStored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", storedPqIndex(s, dir), k = 10,
+        ks = 64, rerank = 1024)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PQ-ADC on the CLUSTERED corpus (q131) — the regime product
     * quantization is designed for, and the narrow-window win q130's
     * Gaussian fixture cannot demonstrate (the exact q53-vs-q47

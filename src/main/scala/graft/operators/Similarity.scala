@@ -601,17 +601,22 @@ object Similarity {
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
-    val window = rerank
     // ONE exploded subvector table feeds seeding, every Lloyd round,
     // and the final encode assignment
     val subs = subvectors(c, m, subDim).localCheckpoint(true)
     val books = trainPqBooks(subs, ks, iterations)
-    // encode: nearest entry per subspace; codes packed s-ascending,
-    // reconstruction norm ‖x̂‖ from the chosen entries' norms
+    val codes = encodePq(subs, books)
+    pqServe(queries, idCol, vecCol, books, codes, c, k, m, ks, subDim,
+      rerank)
+  }
+
+  /** Encode: nearest entry per subspace; codes packed s-ascending,
+    * reconstruction norm ‖x̂‖ from the chosen entries' norms —
+    * (neighbor_id, codes, xnorm), the PQ serving artifact. */
+  private def encodePq(subs: DataFrame, books: DataFrame): DataFrame = {
     val bookN2 = books.withColumn("n2", l2sq(col("centroid"),
       transform(col("centroid"), _ => lit(0.0f))))
-    val codes = assignPq(subs, bookN2
-        .select(col("s"), col("c"), col("centroid")))
+    assignPq(subs, bookN2.select(col("s"), col("c"), col("centroid")))
       .join(broadcast(bookN2.select(col("s"), col("c"), col("n2"))),
         Seq("s", "c"))
       .groupBy(col("neighbor_id"))
@@ -623,6 +628,16 @@ object Similarity {
         // same determinism discipline as the codebook means
         sqrt(sum(col("n2").cast("decimal(28,12)")).cast("double"))
           .as("xnorm"))
+  }
+
+  /** The PQ SERVING phase, shared by the in-plan [[pqTopK]] and the
+    * stored-index [[pqTopKFromIndex]]: broadcast ADC tables, code-only
+    * prerank, exact rerank on the k+`window` survivors fetched from
+    * `cvSource` (the float side — the corpus in-plan, a column-pruned
+    * second artifact scan when stored). */
+  private def pqServe(queries: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, codes: DataFrame, cvSource: DataFrame,
+      k: Int, m: Int, ks: Int, subDim: Int, window: Int): DataFrame = {
     // query side: ADC table lut[s·ks + c] = dot(q_s, centroid_{s,c}),
     // plus the query norm — both broadcast with the query row
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -642,8 +657,9 @@ object Similarity {
         sqrt(aggregate(col("qv"), lit(0.0),
           (acc, v) => acc + v.cast("double") * v.cast("double"))))
     // ADC prerank: m lookups per candidate, scanning codes only
-    val prerank = codes.join(broadcast(qSide),
-        col("query_id") =!= col("neighbor_id"))
+    val prerank = codes
+      .select(col("neighbor_id"), col("codes"), col("xnorm"))
+      .join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_pq",
         aggregate(
           zip_with(col("codes"),
@@ -658,11 +674,55 @@ object Similarity {
       .withColumn("rk0", row_number().over(wFast))
       .filter(col("rk0") <= k + window)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
-    val exact = c.join(broadcast(survivors), Seq("neighbor_id"))
+    val exact = cvSource.select(col("neighbor_id"), col("cv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKByScore(exact, "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank"))
+  }
+
+  /** Persist a PQ index to `dir`: `books.parquet` (s, c, centroid —
+    * tiny, broadcast at query time) and `codes.parquet`
+    * (neighbor_id, codes, xnorm, cv) — one row per corpus vector
+    * carrying the m-byte code next to the float vector, so the
+    * serving scan column-prunes to the code layout and only the
+    * rerank survivors read floats back (the [[buildIvfIndex]]
+    * contract, flat instead of list-partitioned: ADC is a brute scan
+    * by design). Same deterministic build as [[pqTopK]]. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, dims: Int = 64, m: Int = 8, ks: Int = 16,
+      iterations: Int = 2): Unit = {
+    require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
+    val subDim = dims / m
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")).localCheckpoint(true)
+    val subs = subvectors(c, m, subDim).localCheckpoint(true)
+    val books = trainPqBooks(subs, ks, iterations)
+    books.write.mode("overwrite").parquet(s"$dir/books.parquet")
+    encodePq(subs, books).join(c, Seq("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Serve ANN from a persisted PQ index ([[buildPqIndex]]):
+    * identical results to an in-plan [[pqTopK]] built with the same
+    * parameters (the stored codes are the same deterministic
+    * encode), with zero training cost per query batch — the PQ
+    * analog of [[ivfSq8TopKFromIndex]], and the cheapest serving
+    * rung when the whole corpus must be scanned: the prerank reads
+    * m bytes + one float per vector (IndexPathSpec asserts the code
+    * scan's ReadSchema carries no `cv`). */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, dims: Int = 64, m: Int = 8, ks: Int = 16,
+      rerank: Int = 256): DataFrame = {
+    require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
+    val books = spark.read.parquet(s"$dir/books.parquet")
+    val stored = spark.read.parquet(s"$dir/codes.parquet")
+    pqServe(queries, idCol, vecCol, books,
+      stored.select(col("neighbor_id"), col("codes"), col("xnorm")),
+      stored.select(col("neighbor_id"), col("cv")),
+      k, m, ks, dims / m, rerank)
   }
 
   /** The `nProbe` nearest lists per query (centroids broadcast). */

@@ -275,6 +275,43 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ index path answers exactly the q130 result, code scan never reads floats") {
+    withTempDir("pq_q130") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      Similarity.buildPqIndex(e, "vec_id", "embedding", dir, ks = 64)
+      val q = Similarity.pqTopKFromIndex(spark,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+        k = 10, ks = 64, rerank = 1024)
+      val fromIndex = q
+        .filter(col("rank") <= Curation.AnnOracleK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val q130 = Curation.q130EmbedAnnPq(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(q130.nonEmpty)
+      assert(fromIndex == q130,
+        s"stored PQ path diverges from q130: missing "
+          + s"${(q130 -- fromIndex).take(5)}, "
+          + s"extra ${(fromIndex -- q130).take(5)}")
+      // serving-read contract: the prerank scan of codes.parquet
+      // reads (codes, xnorm) and never materializes the float column
+      q.collect()
+      val scans = allScans(q.queryExecution.executedPlan).filter(
+        _.metadata.get("Location").exists(_.contains("codes.parquet")))
+      assert(scans.nonEmpty)
+      val codeScans = scans.filter { sc =>
+        val f = sc.requiredSchema.fieldNames.toSet
+        f.contains("codes") && !f.contains("cv")
+      }
+      assert(codeScans.nonEmpty,
+        "no codes-only scan (cv not pruned from the PQ prerank read):\n"
+          + scans.map(_.requiredSchema).mkString("\n"))
+    }
+  }
+
   test("object-store index root is rejected loudly at configuration time") {
     // round-14 missing #3: the commit protocol rests on POSIX rename
     // atomicity, advisory file locks, and dir mtimes — none of which
