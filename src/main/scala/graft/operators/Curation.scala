@@ -182,11 +182,15 @@ object Curation {
     * so the pinned window is the PQ analog of q47's near-exhaustive
     * probe — dataset-conditional per the q47 doctrine, with q131
     * demonstrating the designed narrow-window regime on the
-    * clustered corpus. */
+    * clustered corpus. One Lloyd round (the q53 precedent): the
+    * hash-seeded books are already displacement-adequate at the
+    * pinned window on both fixtures, and each extra round is a full
+    * corpus × ks assignment pass. */
   def q130EmbedAnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 10, ks = 64, rerank = 1024)
+        "vec_id", "embedding", k = 10, ks = 64, iterations = 1,
+        rerank = 1024)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -195,11 +199,13 @@ object Curation {
     * warehouse pattern: keyed by build params + corpus fingerprint,
     * one build amortizing over query batches). */
   private def storedPqIndex(s: SparkSession, dir: String): String =
+    // v2: the layout gained _meta.json — the version in the key is
+    // what retires a pre-meta artifact instead of rejecting it forever
     Warehouse.materializedDir(s, "pq",
-      s"pq:64:8:64:2:$dir:" +
+      s"pq:v2:64:8:64:1:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildPqIndex(Tables.embeddings(s, dir),
-        "vec_id", "embedding", d, ks = 64)
+        "vec_id", "embedding", d, ks = 64, iterations = 1)
     }
 
   /** q130's stack served from the PERSISTED PQ index (q132) — zero
@@ -212,7 +218,7 @@ object Curation {
     val e = Tables.embeddings(s, dir)
     Similarity.pqTopKFromIndex(s, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", storedPqIndex(s, dir), k = 10,
-        ks = 64, rerank = 1024)
+        rerank = 1024)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -229,7 +235,7 @@ object Curation {
   def q131EmbedAnnPqClustered(s: SparkSession, dir: String): DataFrame = {
     val aug = clusteredEmbeddings(Tables.embeddings(s, dir))
     Similarity.pqTopK(aug.filter(col("vec_id") < 10), aug,
-        "vec_id", "embedding", k = 10)
+        "vec_id", "embedding", k = 10, iterations = 1)
       .filter(col("rank") <= AnnOracleK)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -476,14 +476,14 @@ object Similarity {
 
   // ── product quantization (q130) ────────────────────────────────────
 
-  /** Squared L2 between two small float arrays — the PQ assignment
-    * metric (codebooks minimize reconstruction error, not angle).
-    * HOF is fine here: subvectors are `subDim` ≤ 8 lanes. */
+  /** Squared L2 between two float arrays — the PQ assignment metric
+    * (codebooks minimize reconstruction error, not angle). Native
+    * fused kernel ([[graft.functions.VectorExpressions.l2Squared]]):
+    * training evaluates this corpus × m × ks times per Lloyd round,
+    * the volume where interpreted HOF lambda machinery dominates
+    * (q131's clustered build measured the cost). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.l2Squared(a, b)
 
   /** (id, s, sv): every vector exploded into its `m` subvectors. */
   private def subvectors(c: DataFrame, m: Int, subDim: Int): DataFrame =
@@ -541,16 +541,20 @@ object Similarity {
 
   /** Nearest-codebook-entry assignment per (id, subspace) — books
     * broadcast (m × ks tiny rows), L2 metric, deterministic
-    * tie-break. */
-  private def assignPq(subs: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("neighbor_id"), col("s"))
-      .orderBy(col("d2").asc, col("c").asc)
+    * tie-break. min_by over a HASH aggregate, not a row_number
+    * window: the argmin runs over corpus × m × ks joined rows every
+    * Lloyd round, and a window is a full sort of that volume where
+    * the aggregate is one map-side-combined pass (the struct
+    * ordering (d2, c) keeps the tie-break identical). `sv` rides
+    * along via first() — every row of a (id, s) group carries the
+    * same subvector, so the pick is value-deterministic. */
+  private def assignPq(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("s"))
       .withColumn("d2", l2sq(col("sv"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("neighbor_id"), col("s"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"),
+        first(col("sv")).as("sv"))
       .select(col("neighbor_id"), col("s"), col("c"), col("sv"))
-  }
 
   /** Brute-force ANN over PRODUCT-QUANTIZED codes (q130) — the
     * deepest-compression rung of the ANN ladder (brute → LSH → IVF →
@@ -614,8 +618,9 @@ object Similarity {
     * reconstruction norm ‖x̂‖ from the chosen entries' norms —
     * (neighbor_id, codes, xnorm), the PQ serving artifact. */
   private def encodePq(subs: DataFrame, books: DataFrame): DataFrame = {
-    val bookN2 = books.withColumn("n2", l2sq(col("centroid"),
-      transform(col("centroid"), _ => lit(0.0f))))
+    val bookN2 = books.withColumn("n2",
+      aggregate(col("centroid"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
     assignPq(subs, bookN2.select(col("s"), col("c"), col("centroid")))
       .join(broadcast(bookN2.select(col("s"), col("c"), col("n2"))),
         Seq("s", "c"))
@@ -702,6 +707,14 @@ object Similarity {
     books.write.mode("overwrite").parquet(s"$dir/books.parquet")
     encodePq(subs, books).join(c, Seq("neighbor_id"))
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    // the artifact DEFINES its geometry: the serving side reads
+    // these back rather than trusting caller parameters — a
+    // mismatched ks/m would not error, it would silently misalign
+    // the positional ADC table (the buildNearDupIndex _meta
+    // precedent, round-15 review)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"dims":$dims,"m":$m,"ks":$ks,"iterations":$iterations}""")
   }
 
   /** Serve ANN from a persisted PQ index ([[buildPqIndex]]):
@@ -711,12 +724,30 @@ object Similarity {
     * analog of [[ivfSq8TopKFromIndex]], and the cheapest serving
     * rung when the whole corpus must be scanned: the prerank reads
     * m bytes + one float per vector (IndexPathSpec asserts the code
-    * scan's ReadSchema carries no `cv`). */
+    * scan's ReadSchema carries no `cv`). The index geometry (dims,
+    * m, ks) comes from the artifact's own `_meta.json` — never from
+    * the caller, whose mismatch would silently misalign the
+    * positional ADC table; a missing meta file means a partial
+    * build or manual copy and fails loudly. `rerank` stays a
+    * query-time knob. */
   def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, dir: String,
-      k: Int, dims: Int = 64, m: Int = 8, ks: Int = 16,
-      rerank: Int = 256): DataFrame = {
-    require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
+      k: Int, rerank: Int = 256): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"PQ index at $dir has no _meta.json — not a complete " +
+        "buildPqIndex artifact (partial build or manual copy); " +
+        "rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    def metaInt(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(mm) => mm.group(1).toInt
+        case None => throw new IllegalArgumentException(
+          s"PQ index meta at $dir lacks '$key': $meta")
+      }
+    val dims = metaInt("dims")
+    val m = metaInt("m")
+    val ks = metaInt("ks")
     val books = spark.read.parquet(s"$dir/books.parquet")
     val stored = spark.read.parquet(s"$dir/codes.parquet")
     pqServe(queries, idCol, vecCol, books,

@@ -371,20 +371,24 @@ object TextDedup {
     * candidate-volume contract). */
   def bloomExactIncomingIds(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    // materialize the digest projection ONCE: three consumers follow
+    // (sizing count, the bloom aggregate, the semi-join build side)
+    // and each would otherwise rescan the existing corpus and
+    // recompute the md5 (round-15 review). The digest table is
+    // ~16 bytes/doc — the [[shared]] small-intermediate shape.
     val exDigests = existing.select(md5(col(textCol)).as("__d"))
-    // sizing count: one cheap aggregate at build time (duplicates
+      .localCheckpoint(true)
+    // sizing count: cheap over the materialized digests (duplicates
     // inflate expectedNumItems slightly — a conservative direction)
     val items = math.max(1L, exDigests.count())
     val bf = exDigests.stat.bloomFilter("__d", items, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
+    // broadcast, not plan-embedded bytes: executors fetch the bitset
+    // once through the block manager (see BloomMightContainExpr)
+    val bcast = existing.sparkSession.sparkContext.broadcast(bf)
     incoming
       .withColumn("__d", md5(col(textCol)))
       .filter(graft.functions.BloomExpressions.mightContain(
-        col("__d"), bytes))
+        col("__d"), bcast))
       .join(exDigests, Seq("__d"), "left_semi")
       .select(col(idCol))
   }

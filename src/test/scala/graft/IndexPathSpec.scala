@@ -281,7 +281,7 @@ class IndexPathSpec extends AnyFunSuite {
       Similarity.buildPqIndex(e, "vec_id", "embedding", dir, ks = 64)
       val q = Similarity.pqTopKFromIndex(spark,
         e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
-        k = 10, ks = 64, rerank = 1024)
+        k = 10, rerank = 1024)
       val fromIndex = q
         .filter(col("rank") <= Curation.AnnOracleK)
         .collect()
@@ -309,6 +309,16 @@ class IndexPathSpec extends AnyFunSuite {
       assert(codeScans.nonEmpty,
         "no codes-only scan (cv not pruned from the PQ prerank read):\n"
           + scans.map(_.requiredSchema).mkString("\n"))
+      // geometry comes from the artifact, and its absence fails
+      // loudly — a caller-side ks/m mismatch would otherwise
+      // silently misalign the positional ADC table
+      new java.io.File(dir, "_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        Similarity.pqTopKFromIndex(spark,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+          k = 10)
+      }
+      assert(err.getMessage.contains("_meta.json"))
     }
   }
 

@@ -306,7 +306,7 @@ class SimilaritySpec extends AnyFunSuite {
       queries, e, "vec_id", "embedding", k = 10))
     val pq = rows(Similarity.pqTopK(
       queries, e, "vec_id", "embedding", k = 10, ks = 64,
-      rerank = 1024))
+      iterations = 1, rerank = 1024))
     assert(exact.nonEmpty)
     assert(pq == exact,
       s"PQ diverges: missing ${(exact -- pq).take(3)}, "

@@ -388,13 +388,10 @@ class TextDedupSpec extends AnyFunSuite {
     // candidate contract: rebuild the same filter and count survivors
     val items = math.max(1L, exDigests.count())
     val bf = exDigests.stat.bloomFilter("__d", items, 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
+    val bcast = spark.sparkContext.broadcast(bf)
     val nIncoming = incoming.count()
     val candidates = incoming.withColumn("__d", md5($"text"))
-      .filter(graft.functions.BloomExpressions.mightContain($"__d", bytes))
+      .filter(graft.functions.BloomExpressions.mightContain($"__d", bcast))
       .count()
     assert(candidates >= plain.size, "prefilter dropped a true duplicate")
     assert(candidates <= plain.size + math.max(5, 5 * 0.01 * nIncoming),
