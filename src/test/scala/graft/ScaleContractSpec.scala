@@ -403,4 +403,50 @@ class ScaleContractSpec extends AnyFunSuite {
       s"probe volume grew with corpus size: 1x $c1 -> ${Mult}x $cM — " +
         "the ingest path is no longer corpus-size independent")
   }
+
+  test("bloom prefilter stays exact and selective at m× corpus") {
+    // q129's scale contract: the Bloom prefilter's EXACTNESS is
+    // corpus-size independent (no false negatives by construction,
+    // false positives die in the verify join) and its selectivity
+    // law — candidates ≤ dups + ~fpp·|incoming| — must hold at m×,
+    // which is what keeps the verify join's exchange ∝ duplicates
+    // found rather than batch size at 100 TB.
+    def run(docs: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("succ_text"))
+      val incoming = docs.filter(col("doc_id") % 4 === 0)
+        .join(succ, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 8 === 0, col("succ_text"))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      val existing = docs.filter(col("doc_id") % 4 =!= 0)
+      val viaBloom = TextDedup.bloomExactIncomingIds(
+        existing, incoming, "doc_id", "text")
+      val exD = existing.select(md5(col("text")).as("__d"))
+        .localCheckpoint(true)
+      val plain = incoming.withColumn("__d", md5(col("text")))
+        .join(exD, Seq("__d"), "left_semi")
+      assert(viaBloom.collect().map(_.getLong(0)).toSet ==
+        plain.select(col("doc_id")).collect().map(_.getLong(0)).toSet,
+        "bloom path diverges from the plain semi-join")
+      val bf = exD.stat.bloomFilter("__d", math.max(1L, exD.count()), 0.01)
+      val bcast = spark.sparkContext.broadcast(bf)
+      val cand = incoming.withColumn("__d", md5(col("text")))
+        .filter(graft.functions.BloomExpressions.mightContain(
+          col("__d"), bcast))
+        .count()
+      (plain.count(), cand, incoming.count())
+    }
+    val (d1, c1, n1) = run(docs1)
+    val (dM, cM, nM) = run(docsM)
+    assert(d1 > 0 && dM == Mult * d1,
+      s"duplicate-wave truth counter not m×: $d1 -> $dM")
+    for (((d, c, n), tag) <- Seq(((d1, c1, n1), "1x"),
+        ((dM, cM, nM), s"${Mult}x"))) {
+      assert(c >= d, s"$tag: prefilter dropped a true duplicate")
+      assert(c <= d + math.max(5, (5 * 0.01 * n).toLong),
+        s"$tag: prefilter passed $c of $n for $d dups — not selective")
+    }
+  }
 }
