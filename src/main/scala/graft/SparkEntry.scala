@@ -152,6 +152,7 @@ object SparkEntry {
     "q131_embed_ann_pq_clustered" ->
       (Curation.q131EmbedAnnPqClustered _),
     "q132_embed_ann_pq_stored" -> (Curation.q132EmbedAnnPqStored _),
+    "q133_ann_index_append" -> (Curation.q133CdcIvfAppend _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1364,6 +1365,11 @@ object SparkEntry {
     // the same PQ stack served from the stored code column — still
     // the exact top-AnnOracleK or the hash fails
     "q132_embed_ann_pq_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // index MAINTENANCE: built on 75%, the 25% ingest batch appended
+    // against the fixed centroids — the exact full-corpus top-K must
+    // still come back through the appended inverted file
+    "q133_ann_index_append" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

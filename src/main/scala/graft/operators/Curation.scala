@@ -195,6 +195,36 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental IVF index maintenance (q133) — the per-cycle
+    * operation a deployed ANN index actually runs: the index is
+    * BUILT on the existing corpus (75%, centroids trained there),
+    * then the ingest batch (vec_id ≡ 3 mod 4, 25%) is APPENDED via
+    * [[Similarity.appendToIvfIndex]] — assigned to the FIXED
+    * centroids and written into the matching list partitions, the
+    * existing rows never touched. Both steps run inside one
+    * warehouse publish (partitioned append is not atomic, so it
+    * belongs behind the artifact barrier). Serving then answers the
+    * same exact-KNN oracle as q47/q115 over the FULL corpus: a
+    * batch vector the append mis-assigned (or a stale-centroid
+    * recall hole at nProbe=12/16) drops a row and fails the hash —
+    * dataset-conditional like every ANN gate, and the reason real
+    * deployments re-cluster periodically. */
+  def q133CdcIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = Warehouse.materializedDir(s, "ivfapp",
+      s"ivfapp:16:2:2:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", d, nLists = 16, assignments = 2)
+      Similarity.appendToIvfIndex(s,
+        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", d)
+    }
+    Similarity.ivfTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 10, nProbe = 12)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The stored PQ artifact q132 serves from (the q115/q126
     * warehouse pattern: keyed by build params + corpus fingerprint,
     * one build amortizing over query batches). */

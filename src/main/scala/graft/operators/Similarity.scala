@@ -344,6 +344,67 @@ object Similarity {
         int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/assignments.parquet")
+    // the artifact records its own geometry (the _meta discipline):
+    // the append path reads `assignments` back rather than trusting
+    // a caller's redundancy parameter
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"nLists":$lists,"iterations":$iterations,"assignments":$assignments}""")
+  }
+
+  /** Append an ingest batch to a persisted IVF index WITHOUT a
+    * rebuild — the maintenance operation every deployed ANN index
+    * runs per cycle: new vectors are assigned to the EXISTING
+    * centroids (the coarse quantizer is a trained artifact; it does
+    * not move per batch — re-clustering is the periodic offline job,
+    * not the ingest path) and their rows — float vector + the SQ8
+    * (scale, codes) pair — are appended into the matching `list_id`
+    * partition directories. Per-cycle cost ∝ batch: one batch ×
+    * centroids assignment (centroids broadcast), one partitioned
+    * append; the existing corpus is never read, let alone
+    * re-shuffled.
+    *
+    * Correctness is an identity, not an approximation: assignment is
+    * per-vector against fixed centroids, so existing ∪ appended
+    * assignments ≡ the assignment of the UNION corpus onto these
+    * centroids — the appended index IS the index `buildIvfIndex`
+    * would write given these centroids (IndexPathSpec pins it row
+    * for row). Recall stays dataset-conditional in the usual sense:
+    * centroids trained before the batch arrived can drift from the
+    * union's true geometry, which is why deployments re-cluster
+    * periodically; the q133 gate proves the exact-KNN oracle still
+    * holds after a 25% append on the harness corpus.
+    *
+    * The append relies on the warehouse's POSIX roots (enforced by
+    * [[Warehouse.indexRoot]]): partitioned `mode("append")` is not
+    * atomic across files, so a batch append belongs INSIDE the
+    * artifact build (the q133 entry appends during the warehouse
+    * publish, never against a live served directory) or behind the
+    * deployment's own ingest-cycle barrier. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"IVF index at $dir has no _meta.json — not a complete " +
+        "buildIvfIndex artifact; rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    val assignments =
+      """"assignments":(\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(m) => m.group(1).toInt
+        case None => throw new IllegalArgumentException(
+          s"IVF index meta at $dir lacks 'assignments': $meta")
+      }
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .localCheckpoint(true)
+    val b = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    assign(b, centroids, assignments)
+      .withColumn("scale", int8Scale(col("cv")))
+      .withColumn("codes",
+        int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/assignments.parquet")
   }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): probe the

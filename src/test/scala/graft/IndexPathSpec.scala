@@ -275,6 +275,43 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append: batch rows land in the right lists, existing rows untouched, " +
+    "meta-less dirs rejected") {
+    withTempDir("ivf_append") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      val existing = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      Similarity.buildIvfIndex(existing, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2)
+      val before = spark.read.parquet(s"$dir/assignments.parquet")
+        .select(col("neighbor_id"), col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      Similarity.appendToIvfIndex(spark, batch, "vec_id", "embedding", dir)
+      val after = spark.read.parquet(s"$dir/assignments.parquet")
+        .select(col("neighbor_id"), col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // existing assignments are byte-for-byte untouched…
+      assert(before.subsetOf(after), "append disturbed existing rows")
+      // …and every batch vector landed with the stored redundancy
+      val appended = after -- before
+      val batchIds = batch.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(appended.map(_._1) == batchIds,
+        "appended ids differ from the batch")
+      val perId = appended.groupBy(_._1).map(_._2.size).toSet
+      assert(perId == Set(2),
+        s"batch rows not stored at assignments=2: $perId")
+      // a dir without _meta.json (pre-meta artifact or manual copy)
+      // must fail loudly, not guess a redundancy
+      new java.io.File(dir, "_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(spark, batch, "vec_id",
+          "embedding", dir)
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    }
+  }
+
   test("PQ index path answers exactly the q130 result, code scan never reads floats") {
     withTempDir("pq_q130") { dir =>
       val e = Tables.embeddings(spark, sf)
