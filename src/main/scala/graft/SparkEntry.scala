@@ -153,6 +153,8 @@ object SparkEntry {
       (Curation.q131EmbedAnnPqClustered _),
     "q132_embed_ann_pq_stored" -> (Curation.q132EmbedAnnPqStored _),
     "q133_ann_index_append" -> (Curation.q133CdcIvfAppend _),
+    "q134_embed_ann_ivfpq_stored" ->
+      (Curation.q134EmbedAnnIvfPqStored _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1370,6 +1372,10 @@ object SparkEntry {
     // against the fixed centroids — the exact full-corpus top-K must
     // still come back through the appended inverted file
     "q133_ann_index_append" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // IVFADC: PQ codes served from inside the probed inverted-file
+    // partitions — still the exact top-AnnOracleK or the hash fails
+    "q134_embed_ann_ivfpq_stored" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

@@ -253,6 +253,39 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The stored IVF-PQ (IVFADC) artifact q134 serves from — the
+    * composed index: PQ codes inside the list-partitioned inverted
+    * file ([[Similarity.buildIvfPqIndex]]), keyed by the full
+    * geometry + corpus fingerprint like every warehouse index. */
+  private def storedIvfPqIndex(s: SparkSession, dir: String): String =
+    Warehouse.materializedDir(s, "ivfpq",
+      s"ivfpq:16:2:2:64:8:64:1:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", d, nLists = 16, assignments = 2,
+        ks = 64, pqIterations = 1)
+    }
+
+  /** IVFADC serving (q134) — the composed rung that retires PQ's
+    * by-design full code scan: probe (q126's coarse geometry:
+    * nLists=16, assignments=2, nProbe=12) → static partition prune →
+    * ADC over probed lists' stored m-byte codes only → exact rerank
+    * at q130's window (Gaussian corpus, so the near-half-corpus
+    * window and ks=64 books carry over — the probe can only SHRINK
+    * the candidate set below q130's full scan, so any true neighbor
+    * inside the window there is inside it here provided its list is
+    * probed; an unprobed-list miss drops a row and fails the hash,
+    * exactly q133's recall contract). Same exact-KNN oracle as the
+    * whole family. */
+  def q134EmbedAnnIvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", storedIvfPqIndex(s, dir), k = 10,
+        nProbe = 12, rerank = 1024)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PQ-ADC on the CLUSTERED corpus (q131) — the regime product
     * quantization is designed for, and the narrow-window win q130's
     * Gaussian fixture cannot demonstrate (the exact q53-vs-q47

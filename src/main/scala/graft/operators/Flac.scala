@@ -506,6 +506,13 @@ object FlacCodec {
       }
     }
     require(seenStreamInfo, s"doc $docId: missing STREAMINFO")
+    // RFC 9639 allows total_samples = 0 meaning "unknown" — a
+    // conforming stream this decoder must not silently treat as
+    // empty (round-16 ADVICE): frame-walking to EOF is out of scope,
+    // so fail loudly like every other scope bound
+    require(totalSamples > 0,
+      s"doc $docId: STREAMINFO total_samples = 0 (unknown length) " +
+        "unsupported — this decoder requires a declared sample count")
 
     val outSamples = new Array[Short]((totalSamples * nChannels).toInt)
     var written = 0

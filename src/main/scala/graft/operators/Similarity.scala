@@ -389,14 +389,25 @@ object Similarity {
       s"IVF index at $dir has no _meta.json — not a complete " +
         "buildIvfIndex artifact; rebuild the index")
     val meta = java.nio.file.Files.readString(p)
-    val assignments =
-      """"assignments":(\d+)""".r.findFirstMatchIn(meta) match {
+    def metaInt(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
         case Some(m) => m.group(1).toInt
         case None => throw new IllegalArgumentException(
-          s"IVF index meta at $dir lacks 'assignments': $meta")
+          s"IVF index meta at $dir lacks '$key': $meta")
       }
+    val assignments = metaInt("assignments")
+    val nLists = metaInt("nLists")
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .localCheckpoint(true)
+    // cross-check the full geometry, not just the redundancy
+    // (round-16 ADVICE): a hand-assembled directory whose centroids
+    // disagree with _meta.json would otherwise be silently accepted —
+    // the meta discipline everywhere else re-reads ALL geometry
+    val nCent = centroids.count()
+    require(nCent == nLists,
+      s"IVF index at $dir is inconsistent: _meta.json declares " +
+        s"nLists=$nLists but centroids.parquet holds $nCent rows — " +
+        "mismatched or hand-assembled artifact; rebuild the index")
     val b = batch.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
     assign(b, centroids, assignments)
@@ -566,6 +577,19 @@ object Similarity {
       .filter(col("rn") <= ks)
       .select(col("s"), (col("rn") - 1).as("c"), col("sv").as("centroid"))
       .localCheckpoint(true)
+    // the ADC table indexes positionally as s·ks + c, which requires
+    // EVERY book to hold exactly ks entries — a corpus smaller than ks
+    // seeds partial books and silently misaligns the LUT (round-16
+    // ADVICE). Fail loudly like the other scope bounds; the check is
+    // one job over the tiny checkpointed seed frame (m rows grouped).
+    val seedCounts = books.groupBy(col("s")).count().collect()
+    require(seedCounts.nonEmpty &&
+        seedCounts.forall(_.getLong(1) == ks),
+      s"PQ training needs a corpus of at least ks=$ks vectors " +
+        s"(per-subspace seed counts: ${seedCounts.map(r =>
+          s"s=${r.getInt(0)}:${r.getLong(1)}").mkString(", ")}) — " +
+        "a smaller corpus cannot fill the books and would misalign " +
+        "the positional ADC table; lower ks or grow the corpus")
     for (_ <- 0 until iterations) {
       val assigned = assignPq(subs, books)
       val recomputed = assigned
@@ -696,17 +720,14 @@ object Similarity {
           .as("xnorm"))
   }
 
-  /** The PQ SERVING phase, shared by the in-plan [[pqTopK]] and the
-    * stored-index [[pqTopKFromIndex]]: broadcast ADC tables, code-only
-    * prerank, exact rerank on the k+`window` survivors fetched from
-    * `cvSource` (the float side — the corpus in-plan, a column-pruned
-    * second artifact scan when stored). */
-  private def pqServe(queries: DataFrame, idCol: String, vecCol: String,
-      books: DataFrame, codes: DataFrame, cvSource: DataFrame,
-      k: Int, m: Int, ks: Int, subDim: Int, window: Int): DataFrame = {
-    // query side: ADC table lut[s·ks + c] = dot(q_s, centroid_{s,c}),
-    // plus the query norm — both broadcast with the query row
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+  /** The ADC query side, the ONE definition shared by every PQ
+    * serving path (flat [[pqServe]] and the inverted-file
+    * [[ivfPqTopKFromIndex]]): per query, the lookup table
+    * lut[s·ks + c] = dot(q_s, centroid_{s,c}) (m × ks doubles) plus
+    * the query norm — both broadcast with the query row, so a
+    * candidate's approximate dot is m table lookups. */
+  private def adcQuerySide(q: DataFrame, books: DataFrame,
+      ks: Int, subDim: Int): DataFrame = {
     val lut = q.crossJoin(broadcast(books))
       .withColumn("dp", aggregate(
         zip_with(slice(col("qv"), col("s") * subDim + 1, lit(subDim)),
@@ -718,22 +739,39 @@ object Similarity {
         transform(array_sort(collect_list(
             struct((col("s") * ks + col("c")).as("i"), col("dp")))),
           e => e.getField("dp")).as("lut"))
-    val qSide = q.join(lut, Seq("query_id"))
+    q.join(lut, Seq("query_id"))
       .withColumn("qnorm",
         sqrt(aggregate(col("qv"), lit(0.0),
           (acc, v) => acc + v.cast("double") * v.cast("double"))))
+  }
+
+  /** The ADC approximate cosine over a candidate row carrying
+    * (codes, xnorm, lut, qnorm): Σ_s lut[s·ks + codes_s] /
+    * (‖q‖·‖x̂‖) — m positional lookups, no float vector touched. */
+  private def adcScore(m: Int, ks: Int): Column =
+    aggregate(
+      zip_with(col("codes"),
+        sequence(lit(0), lit(m - 1)),
+        (cc, s) => element_at(col("lut"),
+          (s * ks + cc + 1).cast("int"))),
+      lit(0.0), (acc, v) => acc + v) /
+      (col("qnorm") * col("xnorm"))
+
+  /** The PQ SERVING phase, shared by the in-plan [[pqTopK]] and the
+    * stored-index [[pqTopKFromIndex]]: broadcast ADC tables, code-only
+    * prerank, exact rerank on the k+`window` survivors fetched from
+    * `cvSource` (the float side — the corpus in-plan, a column-pruned
+    * second artifact scan when stored). */
+  private def pqServe(queries: DataFrame, idCol: String, vecCol: String,
+      books: DataFrame, codes: DataFrame, cvSource: DataFrame,
+      k: Int, m: Int, ks: Int, subDim: Int, window: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qSide = adcQuerySide(q, books, ks, subDim)
     // ADC prerank: m lookups per candidate, scanning codes only
     val prerank = codes
       .select(col("neighbor_id"), col("codes"), col("xnorm"))
       .join(broadcast(qSide), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_pq",
-        aggregate(
-          zip_with(col("codes"),
-            sequence(lit(0), lit(m - 1)),
-            (cc, s) => element_at(col("lut"),
-              (s * ks + cc + 1).cast("int"))),
-          lit(0.0), (acc, v) => acc + v) /
-          (col("qnorm") * col("xnorm")))
+      .withColumn("cos_pq", adcScore(m, ks))
     val wFast = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_pq").desc, col("neighbor_id").asc)
     val survivors = prerank
@@ -815,6 +853,173 @@ object Similarity {
       stored.select(col("neighbor_id"), col("codes"), col("xnorm")),
       stored.select(col("neighbor_id"), col("cv")),
       k, m, ks, dims / m, rerank)
+  }
+
+  // ── IVF-PQ composed index (IVFADC, q134) ───────────────────────────
+
+  /** Persist an IVF-PQ (IVFADC) index to `dir` — the composition of
+    * the two rungs the ladder proves separately, and the production
+    * layout at 10⁹ vectors: PQ codes stored INSIDE the
+    * list-partitioned inverted file, so query-time ADC runs only
+    * over probed lists (~√n of [[pqTopKFromIndex]]'s flat code scan)
+    * while keeping PQ's m-byte-per-vector read volume. Layout:
+    *  - `centroids.parquet` (list_id, centroid) — the coarse
+    *    quantizer, tiny, broadcast at query time;
+    *  - `books.parquet` (s, c, centroid) — the PQ codebooks, tiny,
+    *    broadcast into each query's ADC table;
+    *  - `assignments.parquet` partitioned BY list_id, each row
+    *    (neighbor_id, cv, codes, xnorm): the float vector next to
+    *    its m-byte PQ code and reconstruction norm, so the prerank
+    *    column-prunes to the code layout and only rerank survivors
+    *    read floats back (the [[buildIvfIndex]] contract with the
+    *    SQ8 column swapped for PQ codes).
+    * Codes quantize the RAW vectors (not per-list residuals — the
+    * cosine ADC of [[pqTopK]], so one codebook set serves every
+    * list and the stored encode is the same deterministic
+    * [[encodePq]] the flat index stores); same deterministic
+    * hash-seeded k-means as both parents. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nLists: Int = 0, iterations: Int = 2,
+      assignments: Int = 1, dims: Int = 64, m: Int = 8, ks: Int = 16,
+      pqIterations: Int = 2): Unit = {
+    require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
+    val subDim = dims / m
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16,
+        math.ceil(math.sqrt(approxRowCount(c).toDouble)).toInt)
+    var centroids = deterministicSeeds(c, lists).localCheckpoint(true)
+    for (_ <- 0 until iterations)
+      centroids = recomputeCentroids(assign(c, centroids, 1))
+        .localCheckpoint(true)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    val subs = subvectors(c, m, subDim).localCheckpoint(true)
+    val books = trainPqBooks(subs, ks, pqIterations)
+    books.write.mode("overwrite").parquet(s"$dir/books.parquet")
+    // one corpus-wide equi-join marries each vector's list assignment
+    // to its PQ encode — build-time cost, amortized like every index
+    // build; the artifact is what the serving tier scans
+    assign(c, centroids, assignments)
+      .join(encodePq(subs, books), Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assignments.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"nLists":$lists,"iterations":$iterations,""" +
+        s""""assignments":$assignments,"dims":$dims,"m":$m,""" +
+        s""""ks":$ks,"pqIterations":$pqIterations}""")
+  }
+
+  /** Serve ANN from a persisted IVF-PQ index ([[buildIvfPqIndex]]) —
+    * the deepest serving rung: probe → static partition prune → ADC
+    * over probed lists only → exact rerank.
+    *
+    *  1. PROBE: stored centroids rank the `nProbe` nearest lists per
+    *     query; probed ids resolve driver-side into literal partition
+    *     filters (static pruning by construction — DPP degrades to
+    *     `true` here, see [[ivfTopKFromIndex]]).
+    *  2. ADC PRERANK from the artifact: the candidate scan reads
+    *     (list_id, neighbor_id, codes, xnorm) ONLY — column pruning
+    *     drops the float `cv`, so the serving read is m bytes + one
+    *     double per candidate, over probed partitions only (the two
+    *     economies composed; IndexPathSpec asserts both ReadSchema
+    *     and partitions read == lists probed). Queries carry their
+    *     broadcast ADC tables ([[adcQuerySide]], the one shared
+    *     definition).
+    *  3. EXACT RERANK: the k+`rerank` survivors fetch floats via a
+    *     second, still-pruned artifact scan and the exact decimal
+    *     cosine decides — the same exact-KNN oracle contract as
+    *     every ANN gate: a neighbor buried by PQ distortion OR lost
+    *     to an unprobed list drops a row and fails the hash.
+    *
+    * Geometry (dims, m, ks) comes from the artifact's own
+    * `_meta.json` and is cross-checked against the stored books and
+    * centroids — never caller-trusted (the established meta
+    * discipline). */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, nProbe: Int = 4, rerank: Int = 256): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"IVF-PQ index at $dir has no _meta.json — not a complete " +
+        "buildIvfPqIndex artifact (partial build or manual copy); " +
+        "rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    def metaInt(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(mm) => mm.group(1).toInt
+        case None => throw new IllegalArgumentException(
+          s"IVF-PQ index meta at $dir lacks '$key': $meta")
+      }
+    val dims = metaInt("dims"); val m = metaInt("m")
+    val ks = metaInt("ks"); val nLists = metaInt("nLists")
+    val books = spark.read.parquet(s"$dir/books.parquet")
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    // cross-check stored geometry against the meta declaration — a
+    // hand-assembled dir with mismatched books/centroids must fail
+    // loudly, not silently misalign the positional ADC table. Counts
+    // come from the parquet FOOTERS ([[graft.Tables.parquetRowCount]])
+    // — zero Spark jobs, so the check costs microseconds per batch
+    val nBooks = graft.Tables.parquetRowCount(spark,
+      s"$dir/books.parquet")
+    val nCent = graft.Tables.parquetRowCount(spark,
+      s"$dir/centroids.parquet")
+    require(nBooks == m.toLong * ks,
+      s"IVF-PQ index at $dir is inconsistent: _meta.json declares " +
+        s"m=$m ks=$ks (${m * ks} book entries) but books.parquet " +
+        s"holds $nBooks — rebuild the index")
+    require(nCent == nLists,
+      s"IVF-PQ index at $dir is inconsistent: _meta.json declares " +
+        s"nLists=$nLists but centroids.parquet holds $nCent — " +
+        "rebuild the index")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = probeLists(q, centroids, nProbe)
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // phase 2: the codes-only, partition-pruned serving scan
+    val codeScan = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("list_id").isin(probedIds.toSeq: _*))
+      .select(col("list_id"), col("neighbor_id"), col("codes"),
+        col("xnorm"))
+    // multi-assignment dedup runs on the NARROW candidate rows
+    // (query_id, neighbor_id, m-byte codes, xnorm ≈ tens of bytes)
+    // BEFORE the per-query ADC table attaches: a distinct over rows
+    // carrying the m × ks double LUT would shuffle/hash kilobytes
+    // per candidate — measured 3.7 s vs 2.0 s for the q134 gate
+    val cand = broadcast(probes.select(col("query_id"), col("list_id")))
+      .join(codeScan, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("codes"),
+        col("xnorm"))
+      .distinct()
+    // the ADC table + query norm + float query vector join back in
+    // per query AFTER the dedup — broadcast (queries × m × ks
+    // doubles), so the wide columns never ride an exchange
+    val prerank = cand
+      .join(broadcast(adcQuerySide(q, books, ks, dims / m)),
+        Seq("query_id"))
+      .withColumn("cos_pq", adcScore(m, ks))
+    val wFast = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("neighbor_id").asc)
+    val survivors = prerank
+      .withColumn("rk0", row_number().over(wFast))
+      .filter(col("rk0") <= k + rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // phase 3: float fetch for survivors — second pruned scan,
+    // map-side joined against the broadcast survivor set, dedup
+    // AFTER the join keyed on the survivor pair (the q126 rationale:
+    // a pre-join dedup would aggregate every probed row's floats)
+    val cvFetch = spark.read.parquet(s"$dir/assignments.parquet")
+      .filter(col("list_id").isin(probedIds.toSeq: _*))
+      .select(col("neighbor_id"), col("cv"))
+    val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKByScore(exact, "cos", k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank"))
   }
 
   /** The `nProbe` nearest lists per query (centroids broadcast). */

@@ -385,12 +385,23 @@ object TextDedup {
     // broadcast, not plan-embedded bytes: executors fetch the bitset
     // once through the block manager (see BloomMightContainExpr)
     val bcast = existing.sparkSession.sparkContext.broadcast(bf)
-    incoming
+    // materialize the (small — true duplicates + fpp survivors die in
+    // the verify join) result EAGERLY, then destroy the broadcast:
+    // returning a lazy plan that captures it would leak one bitset
+    // broadcast per cycle in a long-lived driver at the 120 MB–1.2 GB
+    // design point until GC happens to collect the handles (round-16
+    // ADVICE). The operator was already eager (sizing count + the
+    // bloom aggregate), so the checkpoint adds no new plan-time job
+    // class.
+    val result = incoming
       .withColumn("__d", md5(col(textCol)))
       .filter(graft.functions.BloomExpressions.mightContain(
         col("__d"), bcast))
       .join(exDigests, Seq("__d"), "left_semi")
       .select(col(idCol))
+      .localCheckpoint(true)
+    bcast.destroy()
+    result
   }
 
   /** Near-dup pairs between an INCOMING batch and an EXISTING corpus —

@@ -359,6 +359,76 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ composed index: exact top-K served, ADC reads probed partitions " +
+    "only and never the float column") {
+    withTempDir("ivfpq_idx") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2, ks = 64, pqIterations = 1)
+      // the q134 gate's contract: the composed probe → ADC → exact
+      // rerank stack answers the exact brute-force top-AnnOracleK
+      val served = Similarity.ivfPqTopKFromIndex(spark,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+          k = 10, nProbe = 12, rerank = 1024)
+        .filter(col("rank") <= Curation.AnnOracleK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val exact = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 10)
+        .filter(col("rank") <= Curation.AnnOracleK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(exact.nonEmpty)
+      assert(served == exact,
+        s"IVFADC diverges from exact KNN: missing ${(exact -- served).take(5)}"
+          + s", extra ${(served -- exact).take(5)}")
+      // plan contract at nProbe=2: both artifact scans (ADC prerank
+      // and survivor float fetch) pruned to the 2 probed of 16 list
+      // partitions; the prerank scan reads codes+xnorm, never cv —
+      // the two economies (partition prune × column prune) composed
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = Similarity.ivfPqTopKFromIndex(spark,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", dir,
+          k = 5, nProbe = 2, rerank = 64)
+        q.collect()
+        val scans = allScans(q.queryExecution.executedPlan).filter(
+          _.metadata.get("Location").exists(_.contains("assignments")))
+        assert(scans.size >= 2,
+          s"expected code + float scans of the artifact in:\n"
+            + q.queryExecution.executedPlan)
+        val codeScans = scans.filter { s =>
+          val f = s.requiredSchema.fieldNames.toSet
+          f.contains("codes") && !f.contains("cv")
+        }
+        assert(codeScans.nonEmpty,
+          "no codes-only scan (cv not pruned from the ADC prerank read):\n"
+            + scans.map(_.requiredSchema).mkString("\n"))
+        scans.foreach { s =>
+          assert(s.toString.contains("PartitionFilters") &&
+            s.toString.contains("list_id") && s.toString.contains("IN"),
+            s"assignments scan lacks static list_id filter:\n$s")
+          assert(s.metrics("numPartitions").value == 2,
+            s"expected 2 probed partitions read, got "
+              + s"${s.metrics("numPartitions").value} in:\n$s")
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the meta discipline: geometry comes from the artifact, and a
+      // meta-less dir (partial build / manual copy) fails loudly
+      new java.io.File(dir, "_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKFromIndex(spark,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", dir,
+          k = 10)
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    }
+  }
+
   test("object-store index root is rejected loudly at configuration time") {
     // round-14 missing #3: the commit protocol rests on POSIX rename
     // atomicity, advisory file locks, and dir mtimes — none of which
