@@ -190,10 +190,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 0, nProbe: Int = 4,
       iterations: Int = 2, assignments: Int = 1,
-      materializeCorpus: Boolean = false): DataFrame =
+      materializeCorpus: Boolean = false,
+      trainCap: Int = 0): DataFrame =
     rerankExact(
       ivfCandidates(queries, corpus, idCol, vecCol, nLists, nProbe,
-          iterations, assignments, materializeCorpus)
+          iterations, assignments, materializeCorpus, trainCap)
         .withColumn("cos_fast", cosineFast(col("qv"), col("cv"))), k)
 
   /** IVF + SQ8 + exact rerank (q125) — the full production ANN
@@ -219,9 +220,10 @@ object Similarity {
   def ivfSq8TopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nLists: Int = 0, nProbe: Int = 4,
-      iterations: Int = 2, assignments: Int = 1): DataFrame = {
+      iterations: Int = 2, assignments: Int = 1,
+      trainCap: Int = 0): DataFrame = {
     val cand = ivfCandidates(queries, corpus, idCol, vecCol, nLists,
-      nProbe, iterations, assignments)
+      nProbe, iterations, assignments, trainCap = trainCap)
     // scales HOIST to columns before the code lambdas reference them:
     // an inline int8Scale tree inside the per-lane `when` re-evaluates
     // the array_max once PER LANE (no loop-invariant hoisting inside
@@ -237,6 +239,68 @@ object Similarity {
     rerankExact(coded, k)
   }
 
+  /** Deterministic bounded TRAINING sample: the `cap` lowest-
+    * xxhash64(id) corpus rows, or the corpus itself when it is at or
+    * below the cap (identity — the correctness-gate regime, so every
+    * oracle result is unchanged by sampling). This is what makes
+    * k-means training cost independent of corpus size: at 10⁹
+    * vectors the Lloyd rounds assign `cap` rows, not n, while the
+    * full corpus is still encoded/assigned exactly once against the
+    * sampled centroids/books.
+    *
+    * Two properties keep the sampled path deterministic and
+    * seed-compatible: (a) the sample is the globally-lowest-hash
+    * prefix, so [[deterministicSeeds]] (lowest nLists by the same
+    * hash) and the per-subspace seed pick of [[trainPqBooks]]
+    * (lowest ks by the same hash) select IDENTICAL seeds from the
+    * sample as from the full corpus; (b) orderBy+limit is a
+    * deterministic TakeOrdered — no RNG, reproducible across runs
+    * and engines. The n ≤ cap branch returns the corpus frame
+    * itself (reference-equal), so at gate scale the plans are
+    * byte-identical to the unsampled ones. */
+  /** The shared IVF training loop: derive the list count (√n by
+    * default — a CONSTANT nLists degenerates at 100×: lists grow
+    * linearly and every probe scans n/nLists ∝ n; the derive uses
+    * the bounded [[approxRowCount]], never a full pre-scan), then
+    * run the checkpointed Lloyd rounds over the BOUNDED training
+    * sample. Each round is checkpointed because centroids are tiny
+    * (nLists × dim) but their LINEAGE contains every prior round's
+    * sample-wide assignment — left lazy, each downstream consumer
+    * re-executes the whole k-means chain. The caller assigns the
+    * full corpus once against the returned centroids. */
+  private def trainCentroids(c: DataFrame, nLists: Int,
+      iterations: Int, trainCap: Int): (DataFrame, Int) = {
+    val n = approxRowCount(c)
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cap = if (trainCap > 0) trainCap else ivfTrainCapDefault(lists)
+    val train = trainingSample(c, cap, n)
+    var centroids = deterministicSeeds(train, lists)
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations)
+      centroids = recomputeCentroids(assign(train, centroids, 1))
+        .localCheckpoint(true)
+    (centroids, lists)
+  }
+
+  private[graft] def trainingSample(c: DataFrame, cap: Int,
+      approxN: Long): DataFrame =
+    if (approxN <= cap) c
+    else c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(cap)
+
+  /** Default IVF training cap: ≥ 64 sample vectors per centroid,
+    * floor 10⁴ — training volume grows with nLists (√n under the
+    * default heuristic), never with n. */
+  private def ivfTrainCapDefault(lists: Int): Int =
+    math.max(10000, 64 * lists)
+
+  /** Default PQ training cap: ≥ 256 sample vectors per codebook
+    * entry, floor 10⁴ — independent of corpus size. */
+  private def pqTrainCapDefault(ks: Int): Int =
+    math.max(10000, 256 * ks)
+
   /** The IVF candidate set (query_id, qv, neighbor_id, cv) BEFORE any
     * scoring — public so the cost contract is testable: on a corpus
     * with real cluster locality, candidate rows must be a small
@@ -245,7 +309,8 @@ object Similarity {
       idCol: String, vecCol: String,
       nLists: Int = 0, nProbe: Int = 4,
       iterations: Int = 2, assignments: Int = 1,
-      materializeCorpus: Boolean = false): DataFrame = {
+      materializeCorpus: Boolean = false,
+      trainCap: Int = 0): DataFrame = {
     // the corpus projection is consumed by the list-count probe, the
     // seed pick, every Lloyd round, and the final assignment. When the
     // input is DERIVED (q53's jittered union), each consumer re-runs
@@ -257,28 +322,8 @@ object Similarity {
     // path)
     val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val c = if (materializeCorpus) c0.localCheckpoint(true) else c0
-    // nLists scales with the corpus: the classic √n heuristic balances
-    // list length (n/nLists) against probe count — a CONSTANT nLists
-    // degenerates at 100× (lists grow linearly and every probe scans
-    // n/nLists ∝ n). nLists = 0 (default) derives it from a SAMPLED
-    // count — at most 16 partitions are counted and extrapolated, so
-    // the derive costs the same at 100 TB as at sf0.01 (√n only needs
-    // the order of magnitude; a full pre-scan count() was the round-8
-    // verdict's scale demerit #2).
-    val lists =
-      if (nLists > 0) nLists
-      else math.max(16,
-        math.ceil(math.sqrt(approxRowCount(c).toDouble)).toInt)
-    // checkpoint each Lloyd round: centroids are tiny (nLists × dim)
-    // but their LINEAGE contains every prior round's corpus-wide
-    // assignment — left lazy, each of the downstream consumers
-    // (final assign, probe ranking) re-executes the whole k-means
-    // chain from scratch
-    var centroids = deterministicSeeds(c, lists) // (list_id, centroid)
-      .localCheckpoint(true)
-    for (_ <- 0 until iterations)
-      centroids = recomputeCentroids(assign(c, centroids, 1))
-        .localCheckpoint(true)
+    val (centroids, lists) = trainCentroids(c, nLists, iterations,
+      trainCap)
     // multi-assignment (`assignments` > 1): store each corpus vector in
     // its top-N lists — standard IVF redundancy that multiplies storage
     // by N but cuts the unprobed-list miss rate superlinearly (a vector
@@ -322,17 +367,11 @@ object Similarity {
     * the bounded sampled row count). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nLists: Int = 0, iterations: Int = 2,
-      assignments: Int = 1): Unit = {
+      assignments: Int = 1, trainCap: Int = 0): Unit = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val lists =
-      if (nLists > 0) nLists
-      else math.max(16,
-        math.ceil(math.sqrt(approxRowCount(c).toDouble)).toInt)
-    var centroids = deterministicSeeds(c, lists).localCheckpoint(true)
-    for (_ <- 0 until iterations)
-      centroids = recomputeCentroids(assign(c, centroids, 1))
-        .localCheckpoint(true)
+    val (centroids, lists) = trainCentroids(c, nLists, iterations,
+      trainCap)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assign(c, centroids, assignments)
       // SQ8 codes materialize at BUILD time (the scale hoisted to its
@@ -685,18 +724,35 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int = 64,
       m: Int = 8, ks: Int = 16, iterations: Int = 2,
-      rerank: Int = 256): DataFrame = {
+      rerank: Int = 256, trainCap: Int = 0): DataFrame = {
     require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
-    // ONE exploded subvector table feeds seeding, every Lloyd round,
-    // and the final encode assignment
-    val subs = subvectors(c, m, subDim).localCheckpoint(true)
-    val books = trainPqBooks(subs, ks, iterations)
+    val (subs, books) = trainBooksSampled(c, m, subDim, ks, iterations,
+      trainCap)
     val codes = encodePq(subs, books)
     pqServe(queries, idCol, vecCol, books, codes, c, k, m, ks, subDim,
       rerank)
+  }
+
+  /** PQ codebook training over the BOUNDED sample + the full-corpus
+    * subvector table for the one-time encode: returns (subs, books).
+    * At gate scale (corpus ≤ cap) the sample IS the corpus and ONE
+    * exploded subvector table feeds seeding, every Lloyd round, and
+    * the final encode — byte-identical plans to the unsampled path.
+    * Past the cap, training volume is cap × m × ks per round no
+    * matter how large the corpus; only the single encode pass stays
+    * linear. */
+  private def trainBooksSampled(c: DataFrame, m: Int, subDim: Int,
+      ks: Int, iterations: Int, trainCap: Int): (DataFrame, DataFrame) = {
+    val cap = if (trainCap > 0) trainCap else pqTrainCapDefault(ks)
+    val train = trainingSample(c, cap, approxRowCount(c))
+    val subs = subvectors(c, m, subDim).localCheckpoint(true)
+    val subsTrain =
+      if (train eq c) subs
+      else subvectors(train, m, subDim).localCheckpoint(true)
+    (subs, trainPqBooks(subsTrain, ks, iterations))
   }
 
   /** Encode: nearest entry per subspace; codes packed s-ascending,
@@ -796,13 +852,13 @@ object Similarity {
     * by design). Same deterministic build as [[pqTopK]]. */
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, dims: Int = 64, m: Int = 8, ks: Int = 16,
-      iterations: Int = 2): Unit = {
+      iterations: Int = 2, trainCap: Int = 0): Unit = {
     require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
-    val subs = subvectors(c, m, subDim).localCheckpoint(true)
-    val books = trainPqBooks(subs, ks, iterations)
+    val (subs, books) = trainBooksSampled(c, m, subDim, ks, iterations,
+      trainCap)
     books.write.mode("overwrite").parquet(s"$dir/books.parquet")
     encodePq(subs, books).join(c, Seq("neighbor_id"))
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
@@ -881,22 +937,16 @@ object Similarity {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nLists: Int = 0, iterations: Int = 2,
       assignments: Int = 1, dims: Int = 64, m: Int = 8, ks: Int = 16,
-      pqIterations: Int = 2): Unit = {
+      pqIterations: Int = 2, trainCap: Int = 0): Unit = {
     require(dims % m == 0, s"PQ needs m | dims ($m vs $dims)")
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val lists =
-      if (nLists > 0) nLists
-      else math.max(16,
-        math.ceil(math.sqrt(approxRowCount(c).toDouble)).toInt)
-    var centroids = deterministicSeeds(c, lists).localCheckpoint(true)
-    for (_ <- 0 until iterations)
-      centroids = recomputeCentroids(assign(c, centroids, 1))
-        .localCheckpoint(true)
+    val (centroids, lists) = trainCentroids(c, nLists, iterations,
+      trainCap)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    val subs = subvectors(c, m, subDim).localCheckpoint(true)
-    val books = trainPqBooks(subs, ks, pqIterations)
+    val (subs, books) = trainBooksSampled(c, m, subDim, ks,
+      pqIterations, trainCap)
     books.write.mode("overwrite").parquet(s"$dir/books.parquet")
     // one corpus-wide equi-join marries each vector's list assignment
     // to its PQ encode — build-time cost, amortized like every index

@@ -449,4 +449,64 @@ class ScaleContractSpec extends AnyFunSuite {
         s"$tag: prefilter passed $c of $n for $d dups — not selective")
     }
   }
+
+  test("k-means training volume is capped while encode/assign stay full-corpus") {
+    // round-15 verdict #2: at 10⁹ vectors the Lloyd rounds must touch
+    // a BOUNDED sample, not n rows per round. The law is proved with a
+    // cap smaller than the corpus (64 < 500); the gate-scale identity
+    // (corpus ≤ cap ⇒ the sample IS the corpus frame, so every oracle
+    // plan is byte-identical to the unsampled path) is proved by
+    // reference equality.
+    val c = e1.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")).localCheckpoint(true)
+    val n = c.count()
+    assert(n > 64, "fixture too small for the capped-training law")
+    assert(Similarity.trainingSample(c, n.toInt, n) eq c,
+      "at/below the cap the sample must BE the corpus frame (identity)")
+    val ids1 = Similarity.trainingSample(c, 64, n)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1.size == 64, s"capped sample holds ${ids1.size} rows")
+    val ids2 = Similarity.trainingSample(c, 64, n)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1, "training sample is not deterministic")
+
+    def withTempDir[A](tag: String)(f: String => A): A = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      try f(dir)
+      finally graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+    }
+    val queries = e1.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, e1,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // PQ: books trained on the 64-row sample are still ks-complete,
+    // the ENCODE covers the full corpus, and serving with a
+    // full-corpus rerank window answers the exact KNN — sampling can
+    // move centroids/books, never the exact decision
+    withTempDir("pq_cap") { dir =>
+      Similarity.buildPqIndex(e1, "vec_id", "embedding", dir,
+        ks = 16, trainCap = 64)
+      assert(Tables.parquetRowCount(spark, s"$dir/books.parquet")
+        == 8L * 16)
+      assert(Tables.parquetRowCount(spark, s"$dir/codes.parquet") == n,
+        "encode must cover the FULL corpus, not the training sample")
+      val served = Similarity.pqTopKFromIndex(spark, queries,
+          "vec_id", "embedding", dir, k = 5, rerank = n.toInt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == exact, "sampled-book serving lost exactness")
+    }
+    // IVF: centroids from the 64-row sample, the ASSIGNMENT covers
+    // the full corpus, probe-everything serving answers the exact KNN
+    withTempDir("ivf_cap") { dir =>
+      Similarity.buildIvfIndex(e1, "vec_id", "embedding", dir,
+        nLists = 8, trainCap = 64)
+      assert(Tables.parquetRowCount(spark, s"$dir/assignments.parquet")
+        == n, "assignment must cover the FULL corpus")
+      val served = Similarity.ivfTopKFromIndex(spark, queries,
+          "vec_id", "embedding", dir, k = 5, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == exact, "sampled-centroid serving lost exactness")
+    }
+  }
 }
