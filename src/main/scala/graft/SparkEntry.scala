@@ -155,6 +155,7 @@ object SparkEntry {
     "q133_ann_index_append" -> (Curation.q133CdcIvfAppend _),
     "q134_embed_ann_ivfpq_stored" ->
       (Curation.q134EmbedAnnIvfPqStored _),
+    "q135_pq_index_append" -> (Curation.q135PqIndexAppend _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1376,6 +1377,11 @@ object SparkEntry {
     // IVFADC: PQ codes served from inside the probed inverted-file
     // partitions — still the exact top-AnnOracleK or the hash fails
     "q134_embed_ann_ivfpq_stored" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // PQ index MAINTENANCE: built on 75%, the 25% batch encoded
+    // against the fixed books and appended — the exact full-corpus
+    // top-K must still come back through the appended code table
+    "q135_pq_index_append" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // exact KNN over the SAME clustered augmentation (original ∪ three
     // one-dim-zeroed copies) — a missed cluster member fails the hash

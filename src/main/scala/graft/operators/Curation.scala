@@ -253,6 +253,33 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental PQ index maintenance (q135) — q133's analog for the
+    * flat PQ layout: the index is BUILT on the existing corpus (75%,
+    * books trained there), then the ingest batch (25%) is APPENDED
+    * via [[Similarity.appendToPqIndex]] — encoded against the FIXED
+    * stored books, existing code rows never touched, both steps
+    * inside one warehouse publish (file append is not atomic).
+    * Serving answers the same exact-KNN oracle over the FULL corpus:
+    * a batch vector the append mis-encoded, or a displacement hole
+    * opened by the stale (pre-batch) books, drops a row and fails
+    * the hash — dataset-conditional like every ANN gate, and why
+    * real deployments retrain periodically. */
+  def q135PqIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val idx = Warehouse.materializedDir(s, "pqapp",
+      s"pqapp:64:8:64:1:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildPqIndex(e.filter(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", d, ks = 64, iterations = 1)
+      Similarity.appendToPqIndex(s,
+        e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", d)
+    }
+    Similarity.pqTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 10, rerank = 1024)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The stored IVF-PQ (IVFADC) artifact q134 serves from — the
     * composed index: PQ codes inside the list-partitioned inverted
     * file ([[Similarity.buildIvfPqIndex]]), keyed by the full

@@ -872,6 +872,62 @@ object Similarity {
       s"""{"dims":$dims,"m":$m,"ks":$ks,"iterations":$iterations}""")
   }
 
+  /** Append an ingest batch to a persisted PQ index WITHOUT a
+    * rebuild — [[appendToIvfIndex]]'s analog for the flat PQ layout
+    * (round-15 verdict #3): the batch is encoded against the FIXED
+    * stored codebooks (books are a trained artifact; they do not move
+    * per batch — retraining is the periodic offline job) and its
+    * (codes, xnorm, cv) rows are appended to `codes.parquet`.
+    * Per-cycle cost ∝ batch: one batch × m × ks encode assignment
+    * (books broadcast), one flat append; the existing corpus is
+    * never read.
+    *
+    * Correctness is the same identity as the IVF append: encoding is
+    * per-vector against fixed books, so existing ∪ appended codes ≡
+    * the encode of the UNION corpus against these books —
+    * IndexPathSpec pins existing rows untouched and appended rows ≡
+    * the batch. Recall stays dataset-conditional: books trained
+    * before the batch arrived can drift from the union's geometry,
+    * which is why deployments retrain periodically; the q135 gate
+    * proves the exact-KNN oracle still holds after a 25% append.
+    *
+    * Geometry (dims, m, ks) comes from the artifact's own
+    * `_meta.json`, cross-checked against the stored books (the
+    * established meta discipline); like the IVF append, the
+    * non-atomic file append belongs inside an artifact build or
+    * behind the deployment's ingest-cycle barrier. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"PQ index at $dir has no _meta.json — not a complete " +
+        "buildPqIndex artifact (partial build or manual copy); " +
+        "rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    def metaInt(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(mm) => mm.group(1).toInt
+        case None => throw new IllegalArgumentException(
+          s"PQ index meta at $dir lacks '$key': $meta")
+      }
+    val dims = metaInt("dims"); val m = metaInt("m")
+    val ks = metaInt("ks")
+    val nBooks = graft.Tables.parquetRowCount(spark,
+      s"$dir/books.parquet")
+    require(nBooks == m.toLong * ks,
+      s"PQ index at $dir is inconsistent: _meta.json declares " +
+        s"m=$m ks=$ks (${m * ks} book entries) but books.parquet " +
+        s"holds $nBooks — rebuild the index")
+    val books = spark.read.parquet(s"$dir/books.parquet")
+      .localCheckpoint(true)
+    val b = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")).localCheckpoint(true)
+    encodePq(subvectors(b, m, dims / m), books)
+      .join(b, Seq("neighbor_id"))
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
   /** Serve ANN from a persisted PQ index ([[buildPqIndex]]):
     * identical results to an in-plan [[pqTopK]] built with the same
     * parameters (the stored codes are the same deterministic

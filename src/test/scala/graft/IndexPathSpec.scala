@@ -359,6 +359,51 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ append: batch rows encoded against fixed books, existing rows " +
+    "untouched, meta-less dirs rejected") {
+    withTempDir("pq_append") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      val existing = e.filter(col("vec_id") % 4 =!= 3)
+      val batch = e.filter(col("vec_id") % 4 === 3)
+      Similarity.buildPqIndex(existing, "vec_id", "embedding", dir,
+        ks = 16)
+      def snapshot() = spark.read.parquet(s"$dir/codes.parquet")
+        .select(col("neighbor_id"), col("codes"), col("xnorm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
+        .toSet
+      val before = snapshot()
+      val booksBefore = spark.read.parquet(s"$dir/books.parquet")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      Similarity.appendToPqIndex(spark, batch, "vec_id", "embedding", dir)
+      val after = snapshot()
+      // existing code rows are byte-for-byte untouched…
+      assert(before.subsetOf(after), "append disturbed existing rows")
+      // …the books artifact is untouched (encoding is against FIXED
+      // books — the identity that makes append ≡ union-corpus encode)
+      assert(spark.read.parquet(s"$dir/books.parquet")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        == booksBefore, "append modified the codebooks")
+      // …and every batch vector landed exactly once with a complete
+      // m-byte code
+      val appended = after -- before
+      val batchIds = batch.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(appended.map(_._1) == batchIds,
+        "appended ids differ from the batch")
+      assert(appended.forall(_._2.size == 8),
+        "appended rows carry incomplete codes")
+      // a meta-less dir (pre-meta artifact or manual copy) must fail
+      // loudly, not guess the geometry
+      new java.io.File(dir, "_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        Similarity.appendToPqIndex(spark, batch, "vec_id",
+          "embedding", dir)
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    }
+  }
+
   test("IVF-PQ composed index: exact top-K served, ADC reads probed partitions " +
     "only and never the float column") {
     withTempDir("ivfpq_idx") { dir =>
