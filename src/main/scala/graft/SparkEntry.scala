@@ -156,6 +156,8 @@ object SparkEntry {
     "q134_embed_ann_ivfpq_stored" ->
       (Curation.q134EmbedAnnIvfPqStored _),
     "q135_pq_index_append" -> (Curation.q135PqIndexAppend _),
+    "q136_dedup_bloom_artifact" ->
+      (Curation.q136BloomArtifactIncremental _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1086,6 +1088,20 @@ object SparkEntry {
     // exact under the hash oracle. The incoming batch derives by the
     // duplicate-wave law (mod-8 ids borrow their successor's text).
     "q129_dedup_bloom_incremental" ->
+      """WITH succ AS (SELECT doc_id - 1 AS doc_id, text AS succ_text FROM documents),
+        | inc AS (SELECT a.doc_id,
+        |   CASE WHEN a.doc_id % 8 = 0 THEN s.succ_text ELSE a.text END AS text
+        |  FROM documents a JOIN succ s USING (doc_id)
+        |  WHERE a.doc_id % 4 = 0)
+        |SELECT i.doc_id AS doc_id FROM inc i
+        |WHERE EXISTS (SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 4 <> 0 AND e.text = i.text)
+        |ORDER BY 1""".stripMargin,
+    // the same dedup served from the persisted, incrementally MERGED
+    // Bloom artifact: merged ≡ rebuilt is exact (identical filter
+    // geometry ⇒ identical bitsets) and false positives still die in
+    // the stored-digest verify join, so the same plain SQL decides
+    "q136_dedup_bloom_artifact" ->
       """WITH succ AS (SELECT doc_id - 1 AS doc_id, text AS succ_text FROM documents),
         | inc AS (SELECT a.doc_id,
         |   CASE WHEN a.doc_id % 8 = 0 THEN s.succ_text ELSE a.text END AS text

@@ -344,17 +344,53 @@ object Curation {
     * — and the rest keep their own text (fresh). The oracle writes
     * the same construction down in SQL; expected hits = the mod-8
     * ids whose successor exists. */
-  def q129BloomIncrementalExact(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** The q129/q136 duplicate-wave incoming batch: ids ≡ 0 (mod 4),
+    * where ids ≡ 0 (mod 8) borrow their successor's text — an exact
+    * duplicate of an existing-side doc — and the rest keep their own
+    * (fresh). The oracle writes the same construction down in SQL. */
+  private def bloomIncoming(docs: DataFrame): DataFrame = {
     val succ = docs.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("succ_text"))
-    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    docs.filter(col("doc_id") % 4 === 0)
       .join(succ, Seq("doc_id"))
       .select(col("doc_id"),
         when(col("doc_id") % 8 === 0, col("succ_text"))
           .otherwise(col("text")).as("text"))
+  }
+
+  def q129BloomIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
     val existing = docs.filter(col("doc_id") % 4 =!= 0)
-    TextDedup.bloomExactIncomingIds(existing, incoming, "doc_id", "text")
+    TextDedup.bloomExactIncomingIds(existing, bloomIncoming(docs),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q129 served from the PERSISTED, INCREMENTALLY MERGED Bloom
+    * artifact (q136) — the amortized per-cycle shape (round-15
+    * verdict #4): the filter + digest table are built once on the
+    * initial corpus slice (existing ids ≡ 1,2 mod 4), the later
+    * slice (ids ≡ 3 mod 4) is MERGED in — a batch-sized filter OR'd
+    * into the stored bitset plus a digest append, the initial corpus
+    * never re-read — and the cycle probes the stored filter and
+    * verifies against the stored digests. Same construction and SQL
+    * oracle as q129: merged-filter serving must reproduce the plain
+    * derivation bit for bit (merged ≡ rebuilt is exact — identical
+    * geometry makes the bitsets equal, TextDedupSpec pins the
+    * bytes). */
+  def q136BloomArtifactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = Warehouse.materializedDir(s, "bloomidx",
+      s"bloomidx:v1:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildBloomArtifact(
+        docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+        "text", d)
+      TextDedup.appendToBloomArtifact(s,
+        docs.filter(col("doc_id") % 4 === 3), "text", d)
+    }
+    TextDedup.bloomExactIncomingIdsFromArtifact(s, bloomIncoming(docs),
+        "doc_id", "text", idx)
       .orderBy(col("doc_id"))
   }
 

@@ -404,6 +404,145 @@ object TextDedup {
     result
   }
 
+  /** Build a PERSISTED Bloom dedup artifact at `dir` — the
+    * amortization [[bloomExactIncomingIds]]'s scaladoc promises
+    * (round-15 verdict #4): a deployment builds the filter ONCE per
+    * corpus version and per cycle pays only the batch, never a
+    * corpus-wide rebuild. Layout:
+    *  - `digests.parquet` (__d) — the corpus digest table, the exact
+    *    verify-join side (16 bytes/doc, the column a deployment
+    *    stores next to its corpus);
+    *  - `bloom.bin` — the serialized Spark BloomFilter
+    *    (`BloomFilter.writeTo`, Spark's own stable format);
+    *  - `_meta.json` {expectedItems, fppE6, inserted} — the filter
+    *    GEOMETRY (two filters merge iff built with identical
+    *    expectedItems+fpp, which fix the bit width and hash count)
+    *    plus the saturation counter.
+    *
+    * `expectedItems` defaults to 4× the corpus size — headroom for
+    * incremental appends before the fpp saturates (a Bloom filter's
+    * false-positive rate is guaranteed only up to its design
+    * capacity); [[appendToBloomArtifact]] fails loudly at the cap. */
+  def buildBloomArtifact(existing: DataFrame, textCol: String,
+      dir: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): Unit = {
+    val exDigests = existing.select(md5(col(textCol)).as("__d"))
+      .localCheckpoint(true)
+    val n = exDigests.count()
+    val cap = if (expectedItems > 0) expectedItems
+      else math.max(1L, 4L * n)
+    val bf = exDigests.stat.bloomFilter("__d", cap, fpp)
+    new java.io.File(dir).mkdirs()
+    exDigests.write.mode("overwrite").parquet(s"$dir/digests.parquet")
+    writeBloomBin(bf, dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"expectedItems":$cap,"fppE6":${math.round(fpp * 1e6)},""" +
+        s""""inserted":$n}""")
+  }
+
+  /** Serialize the filter next to the digest table. The bin is
+    * REWRITTEN whole per merge — it is one bitset, not a row store;
+    * write-temp-then-move keeps a concurrent reader from seeing a
+    * torn file (full atomicity belongs to the warehouse publish
+    * barrier the q136 entry builds under, like every partitioned
+    * append here). */
+  private def writeBloomBin(
+      bf: org.apache.spark.util.sketch.BloomFilter, dir: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$dir/.bloom.bin.tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try bf.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$dir/bloom.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readBloomMeta(dir: String): (Long, Long, Long) = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"Bloom artifact at $dir has no _meta.json — not a complete " +
+        "buildBloomArtifact artifact; rebuild it")
+    val meta = java.nio.file.Files.readString(p)
+    def metaLong(key: String): Long =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalArgumentException(
+          s"Bloom artifact meta at $dir lacks '$key': $meta")
+      }
+    (metaLong("expectedItems"), metaLong("fppE6"), metaLong("inserted"))
+  }
+
+  private def readBloomBin(
+      dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(s"$dir/bloom.bin"))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Merge an ingest batch into a persisted Bloom artifact — the
+    * per-cycle maintenance op, cost ∝ batch: the batch's digests
+    * build a filter with the ARTIFACT'S OWN geometry (expectedItems +
+    * fpp from `_meta.json` — identical geometry is what makes
+    * `mergeInPlace` a pure bitset OR, and an insert-by-insert rebuild
+    * would produce the very same bits, so merged ≡ rebuilt exactly;
+    * TextDedupSpec pins the bin bytes), ORs it into the stored
+    * filter, and appends the batch digests to the verify table. The
+    * existing corpus is never read.
+    *
+    * Saturation fails loudly: past `expectedItems` total insertions
+    * the fpp guarantee is void, so the append refuses and the caller
+    * rebuilds with a larger capacity — the Bloom analog of the IVF
+    * re-cluster cycle. */
+  def appendToBloomArtifact(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, textCol: String, dir: String): Unit = {
+    val (cap, fppE6, inserted) = readBloomMeta(dir)
+    val bDigests = batch.select(md5(col(textCol)).as("__d"))
+      .localCheckpoint(true)
+    val bn = bDigests.count()
+    require(inserted + bn <= cap,
+      s"Bloom artifact at $dir is saturated: $inserted inserted + " +
+        s"$bn incoming > expectedItems=$cap — the fpp guarantee is " +
+        "void past capacity; rebuild with a larger expectedItems")
+    val batchBf = bDigests.stat.bloomFilter("__d", cap, fppE6 / 1e6)
+    val bf = readBloomBin(dir)
+    bf.mergeInPlace(batchBf)
+    writeBloomBin(bf, dir)
+    bDigests.write.mode("append").parquet(s"$dir/digests.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"expectedItems":$cap,"fppE6":$fppE6,""" +
+        s""""inserted":${inserted + bn}}""")
+  }
+
+  /** [[bloomExactIncomingIds]] served from the PERSISTED artifact
+    * (q136): the stored filter broadcasts (one bitset fetch per
+    * executor), the incoming batch probes it map-side, and the exact
+    * verify semi-join runs against the stored 16-byte digest column —
+    * per-cycle cost is the batch scan + candidate exchange, with ZERO
+    * corpus-side digest recompute. Result is exact by the same
+    * argument as the in-plan path (no false negatives; false
+    * positives die in the verify join), so the stored path sits under
+    * the SAME plain SQL oracle. */
+  def bloomExactIncomingIdsFromArtifact(
+      spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
+      idCol: String, textCol: String, dir: String): DataFrame = {
+    readBloomMeta(dir) // the meta discipline: reject partial dirs loudly
+    val bf = readBloomBin(dir)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val exDigests = spark.read.parquet(s"$dir/digests.parquet")
+    val result = incoming
+      .withColumn("__d", md5(col(textCol)))
+      .filter(graft.functions.BloomExpressions.mightContain(
+        col("__d"), bcast))
+      .join(exDigests, Seq("__d"), "left_semi")
+      .select(col(idCol))
+      .localCheckpoint(true)
+    bcast.destroy()
+    result
+  }
+
   /** Near-dup pairs between an INCOMING batch and an EXISTING corpus —
     * the shape an operating pipeline actually runs every ingest cycle
     * (dedup today's crawl against the index), NOT the all-pairs

@@ -399,6 +399,70 @@ class TextDedupSpec extends AnyFunSuite {
         + s"${plain.size} dups — not selective")
   }
 
+  test("persisted bloom artifact: merged equals rebuilt byte-for-byte, " +
+    "serving equals the in-plan path, saturation and partial dirs fail loudly") {
+    // q136's operator contract (round-15 verdict #4): per cycle a
+    // deployment merges the BATCH's filter into the stored artifact —
+    // identical geometry (expectedItems, fpp) makes mergeInPlace a
+    // pure bitset OR, and inserting the union directly sets the very
+    // same bits, so merged ≡ rebuilt EXACTLY, not approximately.
+    val d = Tables.documents(spark, SparkTestSession.sf)
+    val slice1 = d.filter($"doc_id" % 4 === 1 || $"doc_id" % 4 === 2)
+    val slice2 = d.filter($"doc_id" % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("bloomart").toString
+    try {
+      val cap = 4L * d.count()
+      TextDedup.buildBloomArtifact(slice1, "text", s"$dir/a",
+        expectedItems = cap)
+      TextDedup.appendToBloomArtifact(spark, slice2, "text", s"$dir/a")
+      TextDedup.buildBloomArtifact(slice1.unionByName(slice2), "text",
+        s"$dir/b", expectedItems = cap)
+      val merged = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/a/bloom.bin"))
+      val rebuilt = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/b/bloom.bin"))
+      assert(java.util.Arrays.equals(merged, rebuilt),
+        "merged filter bitset diverges from a one-shot rebuild")
+      // the stored digest table covers both slices (the verify side)
+      assert(Tables.parquetRowCount(spark, s"$dir/a/digests.parquet")
+        == slice1.count() + slice2.count())
+      // serving from the artifact == the in-plan path == the oracle
+      val succ = d.select(($"doc_id" - 1).as("doc_id"),
+        $"text".as("succ_text"))
+      val incoming = d.filter($"doc_id" % 4 === 0)
+        .join(succ, Seq("doc_id"))
+        .select($"doc_id",
+          when($"doc_id" % 8 === 0, $"succ_text").otherwise($"text")
+            .as("text"))
+        .localCheckpoint(true)
+      val fromArtifact = TextDedup.bloomExactIncomingIdsFromArtifact(
+          spark, incoming, "doc_id", "text", s"$dir/a")
+        .collect().map(_.getLong(0)).toSet
+      val inPlan = TextDedup.bloomExactIncomingIds(
+          d.filter($"doc_id" % 4 =!= 0), incoming, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(inPlan.nonEmpty && fromArtifact == inPlan,
+        s"artifact path diverges: missing ${(inPlan -- fromArtifact).take(5)}"
+          + s", extra ${(fromArtifact -- inPlan).take(5)}")
+      // saturation: an append past expectedItems voids the fpp
+      // guarantee and must refuse, never degrade silently
+      TextDedup.buildBloomArtifact(slice1, "text", s"$dir/tiny",
+        expectedItems = slice1.count())
+      val sat = intercept[IllegalArgumentException] {
+        TextDedup.appendToBloomArtifact(spark, slice2, "text",
+          s"$dir/tiny")
+      }
+      assert(sat.getMessage.contains("saturated"))
+      // the meta discipline: a partial/hand-copied dir fails loudly
+      new java.io.File(s"$dir/a/_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        TextDedup.bloomExactIncomingIdsFromArtifact(spark, incoming,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    } finally graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+  }
+
   test("artifact-fed dedupedCorpus equals the direct pipeline (q52 sharing)") {
     // round-14 verdict #3: q52 consumes the shared τ=0.8 pair table
     // restricted to keeper endpoints instead of re-running the sweep.
