@@ -52,7 +52,58 @@ object ScaleBench {
     // per-row encode→decode shape all of q90–q109 share) and the
     // compressed-text ingest; both must scale ~linearly, being
     // shuffle-free per-row pipelines
-    "q104_media_jpeg", "q107_compressed_ingest")
+    "q104_media_jpeg", "q107_compressed_ingest",
+    // round-16 additions (round-15 verdict #5): the operators whose
+    // whole claim is per-cycle serving cost bounded by probes/batch —
+    // Bloom-prefiltered dedup (in-plan + stored artifact), the stored
+    // ANN serving rungs (SQ8 / PQ / IVFADC), and the append-maintained
+    // indexes. timeQuery's min-of-reps measures STEADY-STATE serving
+    // (the warehouse build amortizes at the first rep); the append/
+    // merge ops themselves are timed separately below against a fixed
+    // batch, where near-flat growth is the law
+    "q129_dedup_bloom_incremental", "q136_dedup_bloom_artifact",
+    "q126_embed_ann_ivf_sq8_stored", "q132_embed_ann_pq_stored",
+    "q134_embed_ann_ivfpq_stored",
+    "q133_ann_index_append", "q135_pq_index_append")
+
+  /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
+    * index/sketch maintenance ops whose claim is cost ∝ batch — the
+    * SAME fixed-size batch is appended/merged against a 1× and an m×
+    * existing corpus, so a near-flat ratio MEASURES the
+    * existing-corpus-never-read property (q133/q135/q136's design
+    * contract). Build times ride along as context: builds are the
+    * amortized one-time cost and may grow ~linearly (encode/assign
+    * are full-corpus by design; training is capped). Two passes, min
+    * per cell — same suite-pressure discipline as the query table. */
+  private def maintenance(spark: SparkSession, dir: String,
+      batchVecs: DataFrame, batchDocs: DataFrame): Seq[(String, Double)] = {
+    import graft.operators.Warehouse
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val e = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("scalemaint")
+      .toString
+    try {
+      val bIvf = timed(Similarity.buildIvfIndex(e, "vec_id",
+        "embedding", s"$tmp/ivf", nLists = 16, assignments = 2))
+      val aIvf = (1 to 2).map(_ => timed(Similarity.appendToIvfIndex(
+        spark, batchVecs, "vec_id", "embedding", s"$tmp/ivf"))).min
+      val bPq = timed(Similarity.buildPqIndex(e, "vec_id",
+        "embedding", s"$tmp/pq", ks = 64, iterations = 1))
+      val aPq = (1 to 2).map(_ => timed(Similarity.appendToPqIndex(
+        spark, batchVecs, "vec_id", "embedding", s"$tmp/pq"))).min
+      val bBloom = timed(TextDedup.buildBloomArtifact(docs, "text",
+        s"$tmp/bloom"))
+      val aBloom = (1 to 2).map(_ => timed(TextDedup
+        .appendToBloomArtifact(spark, batchDocs, "text",
+          s"$tmp/bloom"))).min
+      Seq("ivf_build_sec" -> bIvf, "ivf_append_sec" -> aIvf,
+        "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
+        "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom)
+    } finally Warehouse.deleteRec(new File(tmp))
+  }
 
   private def timeQuery(spark: SparkSession, dir: String, reps: Int,
       fn: (SparkSession, String) => DataFrame): Double = {
@@ -216,6 +267,23 @@ object ScaleBench {
     val c1 = counters(sfDir)
     val cm = counters(scaledDir)
 
+    // the fixed maintenance batch: the SAME rows whichever corpus the
+    // index was built on (ids shifted far past both id spaces; doc
+    // texts suffixed so the bloom merge inserts genuinely new digests)
+    val batchVecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+      .select((col("vec_id") + lit(7L * ScaleCorpus.IdStride))
+        .as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .select((col("doc_id") + lit(7L * ScaleCorpus.IdStride))
+        .as("doc_id"),
+        concat(col("text"), lit(" maintbatch")).as("text"))
+      .localCheckpoint(true)
+    val m1 = maintenance(spark, sfDir, batchVecs, batchDocs)
+    val mm = maintenance(spark, scaledDir, batchVecs, batchDocs)
+
     // t1x/t{m}x stay the per-cell min (the published numbers); the
     // passes arrays are the receipts those minima are taken over
     val timesJson = times.map { case (k, (t1, tm)) =>
@@ -226,8 +294,12 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val countJson = c1.zip(cm).map { case ((k, v1), (_, vm)) =>
       s""""$k":{"c1x":$v1,"c${mult}x":$vm}""" }.mkString("{", ",", "}")
+    val maintJson = m1.zip(mm).map { case ((k, v1), (_, vm)) =>
+      f""""$k":{"t1x":$v1%.3f,"t${mult}x":$vm%.3f}""" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"scale","mult":$mult,"sf":"$sfDir",""" +
-      s""""npasses":$nPasses,"queries":$timesJson,"counters":$countJson}"""
+      s""""npasses":$nPasses,"queries":$timesJson,""" +
+      s""""counters":$countJson,"maintenance":$maintJson}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "SCALEBENCH.json")

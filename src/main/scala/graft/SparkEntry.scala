@@ -1114,9 +1114,14 @@ object SparkEntry {
     // foreign PROGRESSIVE JPEG decode: ImageIO's writer in SOF2 mode
     // emits the IJG multi-scan script (spectral selection +
     // successive approximation) — scan structure this repo does not
-    // control — and the grayscale quality-1.0 block-constant law
-    // keeps the multi-scan round trip bit-exact; non-multiple-of-8
-    // dims exercise the cropped edge blocks
+    // control — and the quality-1.0 block-constant law keeps the
+    // multi-scan round trip bit-exact; non-multiple-of-8 dims
+    // exercise the cropped edge blocks. Odd ids are THREE-component
+    // color (gray-valued RGB ⇒ Y = law, Cb = Cr = 128 exactly
+    // through libjpeg's fixed-point converter), gating the
+    // interleaved-DC + per-component-AC scan interaction; ncomp is
+    // read from the stored SOF2 marker, so a grayscale-only corpus
+    // cannot pass the color half
     "q128_media_foreign_progressive" ->
       """WITH d AS (SELECT doc_id, 8*(1 + doc_id % 6) + (doc_id % 5) AS w,
         |   8*(1 + doc_id % 4) + (doc_id % 3) AS h FROM documents),
@@ -1124,9 +1129,13 @@ object SparkEntry {
         |   (doc_id * 41 + (x // 8) * 7 + (y // 8) * 13) % 256 AS yv
         |  FROM d CROSS JOIN LATERAL unnest(range(0, w)) AS tx(x)
         |        CROSS JOIN LATERAL unnest(range(0, h)) AS ty(y))
-        |SELECT doc_id, CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
+        |SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT) AS ncomp,
+        | CAST(max(w) AS INT) AS w, CAST(max(h) AS INT) AS h,
         | CAST(sum(yv) AS BIGINT) AS sum_y,
-        | CAST(min(yv) AS INT) AS min_y, CAST(max(yv) AS INT) AS max_y
+        | CAST(min(yv) AS INT) AS min_y, CAST(max(yv) AS INT) AS max_y,
+        | CAST(128 * max(w) * max(h) AS BIGINT) AS sum_cb,
+        | CAST(128 * max(w) * max(h) AS BIGINT) AS sum_cr
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes

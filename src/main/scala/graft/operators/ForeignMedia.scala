@@ -156,15 +156,28 @@ object ForeignMedia {
     * successive-approximation scan script) the q128 corpus. `gray`
     * is keyed by BLOCK coordinates (x/8, y/8). */
   def imageIoGrayJpeg(w: Int, h: Int, gray: (Int, Int) => Int,
-      progressive: Boolean = false): Array[Byte] = {
+      progressive: Boolean = false, color: Boolean = false): Array[Byte] = {
+    // color = true writes a THREE-component (YCbCr 4:2:0) JPEG from
+    // gray-valued RGB pixels (r = g = b = v): libjpeg's fixed-point
+    // RGB→YCbCr has coefficient rows summing to exactly 65536 / 0 /
+    // 0, so Y = v and Cb = Cr = 128 EXACTLY — the color corpus stays
+    // on the same block-constant exact point while exercising the
+    // 3-component scan structure (interleaved DC, per-component AC,
+    // chroma refinement passes) the grayscale rows cannot
     val bi = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      if (color) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = bi.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, gray(x / 8, y / 8))
+        val v = gray(x / 8, y / 8)
+        if (color) {
+          raster.setSample(x, y, 0, v)
+          raster.setSample(x, y, 1, v)
+          raster.setSample(x, y, 2, v)
+        } else raster.setSample(x, y, 0, v)
         x += 1
       }
       y += 1
@@ -445,17 +458,28 @@ object ForeignMedia {
   def progGray(id: Long, bx: Int, by: Int): Int =
     ((id * 41 + bx * 7 + by * 13) % 256).toInt
 
+  /** Color law (round-15 verdict #6): odd ids are THREE-component
+    * progressive (gray-valued RGB, so Y follows the block law and
+    * chroma is exactly constant 128 — see [[imageIoGrayJpeg]]); even
+    * ids stay single-component. The color half gates the interleaved
+    * multi-component DC scan + per-component AC band/refinement
+    * interaction on foreign bytes — scan structure a grayscale SOF2
+    * never exercises. */
+  def progColor(id: Long): Boolean = id % 2 == 1
+
   def encodeProgressive(id: Long): Array[Byte] = {
     val (w, h) = progDims(id)
     imageIoGrayJpeg(w, h, (bx, by) => progGray(id, bx, by),
-      progressive = true)
+      progressive = true, color = progColor(id))
   }
 
   /** The stored foreign progressive-JPEG corpus, persisted like
     * [[fixture]]. */
   def progFixture(spark: SparkSession, dir: String): DataFrame =
+    // v2: odd ids became 3-component color (the key version retires
+    // the grayscale-only v1 artifact — the established discipline)
     Warehouse.materialized(spark, "mediaprog",
-      s"mediaprog:v1:$dir:" +
+      s"mediaprog:v2:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) {
       import spark.implicits._
       spark.read.parquet(s"$dir/documents.parquet")
@@ -464,12 +488,37 @@ object ForeignMedia {
         .toDF("doc_id", "payload")
     }
 
-  final case class ForeignProgFeature(doc_id: Long, w: Int, h: Int,
-      sum_y: Long, min_y: Int, max_y: Int)
+  final case class ForeignProgFeature(doc_id: Long, ncomp: Int,
+      w: Int, h: Int, sum_y: Long, min_y: Int, max_y: Int,
+      sum_cb: Long, sum_cr: Long)
+
+  /** Component count straight from the payload's SOF2 marker — the
+    * proof that the stored corpus really alternates 1- and
+    * 3-component scans (a corpus builder silently writing grayscale
+    * for the color half would pass every pixel law). */
+  private def sofComponents(bytes: Array[Byte]): Int = {
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2)
+        return bytes(i + 9) & 0xFF
+      // walk marker segments (skip entropy-free headers only — SOF
+      // precedes the first SOS, so this never meets entropy data)
+      val m = bytes(i + 1) & 0xFF
+      if ((bytes(i) & 0xFF) == 0xFF && m != 0xD8 && m != 0x01 &&
+          (m < 0xD0 || m > 0xD7)) {
+        val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+        i += 2 + len
+      } else i += 1
+    }
+    throw new IllegalArgumentException("jpeg: no SOF2 marker")
+  }
 
   /** q128: decode the stored progressive corpus with the repo's own
-    * multi-scan decoder and emit exact luma statistics the oracle
-    * recomputes from the block law. */
+    * multi-scan decoder and emit exact luma + chroma statistics the
+    * oracle recomputes from the laws (chroma is exactly 128·w·h on
+    * BOTH halves — constant by construction on the color rows, the
+    * decoder's grayscale convention on the rest — so one mis-decoded
+    * chroma refinement pass flips the hash). */
   def progFeatures(spark: SparkSession, dir: String)
       : Dataset[ForeignProgFeature] = {
     import spark.implicits._
@@ -478,15 +527,18 @@ object ForeignMedia {
         it.map { case (id, bytes) =>
           val img = JpegCodec.decode(bytes)
           var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var scb = 0L; var scr = 0L
           var i = 0
           while (i < img.y.length) {
             val v = img.y(i)
             sum += v
             if (v < mn) mn = v
             if (v > mx) mx = v
+            scb += img.cb(i); scr += img.cr(i)
             i += 1
           }
-          ForeignProgFeature(id, img.width, img.height, sum, mn, mx)
+          ForeignProgFeature(id, sofComponents(bytes),
+            img.width, img.height, sum, mn, mx, scb, scr)
         }
       }
   }

@@ -92,10 +92,15 @@ class ForeignMediaSpec extends AnyFunSuite {
     }
   }
 
-  test("ImageIO PROGRESSIVE grayscale JPEG decodes to the exact block law") {
+  test("ImageIO PROGRESSIVE JPEG (grayscale + 3-component color) decodes " +
+    "to the exact block law with neutral chroma") {
     // the q128 corpus construction: SOF2 multi-scan files (IJG
     // spectral-selection + successive-approximation script) at
-    // quality 1.0, non-multiple-of-8 dims — edge blocks cropped
+    // quality 1.0, non-multiple-of-8 dims — edge blocks cropped.
+    // Odd ids are THREE-component (gray-valued RGB ⇒ Y = law,
+    // Cb = Cr = 128 exactly through libjpeg's fixed-point
+    // converter): the interleaved-DC + per-component-AC +
+    // chroma-refinement scan structure under the same exact point
     for (id <- ids) {
       val (w0, h0) = ForeignMedia.progDims(id)
       val bytes = ForeignMedia.encodeProgressive(id)
@@ -108,7 +113,22 @@ class ForeignMediaSpec extends AnyFunSuite {
         val want = ForeignMedia.progGray(id, x / 8, y / 8)
         assert(img.y(y * w0 + x) == want,
           s"id=$id ($x,$y): got ${img.y(y * w0 + x)}, law $want")
+        assert(img.cb(y * w0 + x) == 128 && img.cr(y * w0 + x) == 128,
+          s"id=$id ($x,$y): chroma not neutral " +
+            s"(${img.cb(y * w0 + x)}, ${img.cr(y * w0 + x)})")
       }
+    }
+    // the color half must really BE 3-component on disk: a corpus
+    // builder silently writing grayscale would pass every pixel law
+    def nf(bytes: Array[Byte]): Int = {
+      val i = bytes.sliding(2).indexWhere(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2)
+      bytes(i + 9) & 0xFF
+    }
+    for (id <- ids) {
+      val want = if (ForeignMedia.progColor(id)) 3 else 1
+      assert(nf(ForeignMedia.encodeProgressive(id)) == want,
+        s"id=$id: SOF2 component count")
     }
   }
 
