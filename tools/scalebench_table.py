@@ -24,6 +24,22 @@ LABELS = {
     "q87_bigram_surprisal": "q87 bigram surprisal",
     "q104_media_jpeg": "q104 JPEG decode (media family rep)",
     "q107_compressed_ingest": "q107 zstd/LZ4 ingest",
+    "q129_dedup_bloom_incremental": "q129 Bloom dedup (in-plan)",
+    "q136_dedup_bloom_artifact": "q136 Bloom dedup (stored+merged)",
+    "q126_embed_ann_ivf_sq8_stored": "q126 IVF-SQ8 stored serving",
+    "q132_embed_ann_pq_stored": "q132 PQ stored serving",
+    "q134_embed_ann_ivfpq_stored": "q134 IVFADC stored serving",
+    "q133_ann_index_append": "q133 IVF append + serve",
+    "q135_pq_index_append": "q135 PQ append + serve",
+}
+
+MAINT_LABELS = {
+    "ivf_build_sec": "IVF-SQ8 index build (full corpus)",
+    "ivf_append_sec": "IVF append, FIXED 100-vector batch",
+    "pq_build_sec": "PQ index build (full corpus)",
+    "pq_append_sec": "PQ append, FIXED 100-vector batch",
+    "bloom_build_sec": "Bloom artifact build (full corpus)",
+    "bloom_merge_sec": "Bloom merge, FIXED 200-doc batch",
 }
 
 COUNTER_LABELS = {
@@ -66,6 +82,18 @@ def main(path):
             continue
         c1, cm = c["c1x"], c[f"c{m}x"]
         print(f"| {label} | {c1:,} | {cm:,} | {cm / max(c1, 1):.1f}× |")
+    maint = rec.get("maintenance")
+    if maint:
+        print()
+        print("| maintenance op | 1× corpus s | %d× corpus s | ratio |" % m)
+        print("|---|---|---|---|")
+        for key, label in MAINT_LABELS.items():
+            v = maint.get(key)
+            if not v:
+                continue
+            t1, tm = v["t1x"], v[f"t{m}x"]
+            print(f"| {label} | {t1:.2f} | {tm:.2f} "
+                  f"| {tm / max(t1, 1e-9):.2f} |")
 
 
 if __name__ == "__main__":
