@@ -158,6 +158,8 @@ object SparkEntry {
     "q135_pq_index_append" -> (Curation.q135PqIndexAppend _),
     "q136_dedup_bloom_artifact" ->
       (Curation.q136BloomArtifactIncremental _),
+    "q137_bm25_topk" -> (Curation.q137Bm25TopK _),
+    "q138_bm25_stored" -> (Curation.q138Bm25Stored _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1137,6 +1139,13 @@ object SparkEntry {
         | CAST(128 * max(w) * max(h) AS BIGINT) AS sum_cb,
         | CAST(128 * max(w) * max(h) AS BIGINT) AS sum_cr
         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // BM25 ranked retrieval: the inverted-file derivation recomputed
+    // in SQL — rational odds weight (no ln), per-term IEEE doubles,
+    // exact decimal accumulation, (score desc, doc_id) tie-break
+    "q137_bm25_topk" -> bm25Sql,
+    // the same ranking served from the persisted prefix-partitioned
+    // inverted file — must reproduce the one-job derivation exactly
+    "q138_bm25_stored" -> bm25Sql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1604,6 +1613,45 @@ object SparkEntry {
   /** Exact all-pairs cosine near-dup oracle (a < b, cos ≥ 0.4) for
     * the exact q26 baseline (τ=0.4 is deliberately NOT served by an
     * LSH query — see Curation.q48EmbedNearDupLsh). */
+  /** The q137/q138 BM25 oracle: the same inverted-file derivation in
+    * SQL. All literal arithmetic mirrors the Scala side op for op —
+    * (1.2 + 1.0) stays a SUM of parsed literals (its double differs
+    * from a parsed 2.2 in the last ulp), avgdl is the same single
+    * division, and every per-term contribution is +,−,×,÷ in double
+    * (correctly rounded ⇒ bit-identical) cast to DECIMAL(28,12) and
+    * summed order-independently. Corpus stats count token-bearing
+    * docs (the postings-derived law). */
+  private val bm25Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |     x -> len(x) > 0)) AS term FROM documents),
+      | tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      | dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+      | stats AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
+      | dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      | q AS (SELECT doc_id AS query_id,
+      |   unnest(list_distinct(list_slice(
+      |     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |       x -> len(x) > 0), 1, 5))) AS term
+      |  FROM documents WHERE doc_id < 5),
+      | c AS (SELECT q.query_id, tf.doc_id,
+      |   CAST(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |          / (CAST(df AS DOUBLE) + 0.5))
+      |     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |          / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+      |             + 0.75 * (CAST(len AS DOUBLE)
+      |                 / (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))))))
+      |     AS DECIMAL(28,12)) AS c
+      |  FROM q JOIN dfs USING (term) JOIN tf USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+      | s AS (SELECT query_id, doc_id, CAST(sum(c) AS DECIMAL(38,12)) AS s
+      |  FROM c GROUP BY 1, 2),
+      | r AS (SELECT query_id, doc_id, s,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY s DESC, doc_id) AS rank FROM s)
+      |SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score, rank
+      |FROM r WHERE rank <= 10 ORDER BY 1, 4""".stripMargin
+
   private val nearDupSql: String =
     """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),
       | e2 AS (SELECT vec_id AS b, embedding AS bv FROM embeddings),

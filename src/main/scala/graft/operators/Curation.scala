@@ -253,6 +253,46 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Query fixture for the BM25 gates: docs 0–4, each query the
+    * doc's first five corpus-law tokens — multi-term queries with
+    * guaranteed corpus hits, fully reproducible in SQL. */
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(Retrieval.alnumTokens(col("text")), 1, 5)).as("qtext"))
+
+  /** BM25 ranked retrieval (q137) — see [[Retrieval.bm25TopK]]:
+    * inverted-file scoring with the rational odds weight (every op
+    * +,−,×,÷ ⇒ bit-identical cross-engine; the ln of textbook BM25
+    * is the one transcendental IEEE does not pin down), per-term
+    * doubles accumulated in exact decimal, top-10 per query under
+    * the hash oracle. */
+  def q137Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Retrieval.bm25TopK(docs, "doc_id", "text",
+        bm25Queries(docs), "query_id", "qtext", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q137 served from the PERSISTED inverted file (q138) — the
+    * warehouse pattern: postings/dfs/stats built once per corpus
+    * ([[Retrieval.buildBm25Index]]), query batches pay only the
+    * prefix-pruned scans + the scoring exchange. Same oracle as
+    * q137: the stored path must reproduce the one-job derivation
+    * bit for bit. */
+  def q138Bm25Stored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = Warehouse.materializedDir(s, "bm25",
+      s"bm25:v1:1.2:0.75:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      Retrieval.buildBm25Index(docs, "doc_id", "text", d)
+    }
+    Retrieval.bm25TopKFromIndex(s, bm25Queries(docs),
+        "query_id", "qtext", idx, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Incremental PQ index maintenance (q135) — q133's analog for the
     * flat PQ layout: the index is BUILT on the existing corpus (75%,
     * books trained there), then the ingest batch (25%) is APPENDED

@@ -371,6 +371,31 @@ object TextDedup {
     * candidate-volume contract). */
   def bloomExactIncomingIds(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    val (lazyResult, bcast) =
+      bloomExactIncomingIdsLazy(existing, incoming, idCol, textCol, fpp)
+    // materialize the (small — true duplicates + fpp survivors die in
+    // the verify join) result EAGERLY, then destroy the broadcast:
+    // returning a lazy plan that captures it would leak one bitset
+    // broadcast per cycle in a long-lived driver at the 120 MB–1.2 GB
+    // design point until GC happens to collect the handles (round-16
+    // ADVICE). The operator was already eager (sizing count + the
+    // bloom aggregate), so the checkpoint adds no new plan-time job
+    // class.
+    val result = lazyResult.localCheckpoint(true)
+    bcast.destroy()
+    result
+  }
+
+  /** The LAZY plan behind [[bloomExactIncomingIds]], returned with
+    * its live bitset broadcast — package-private so PlanSpec can
+    * assert the executed shape (native map-side probe feeding the
+    * LeftSemi verify) that the public wrapper's checkpoint boundary
+    * hides; the caller owns the broadcast's lifecycle. */
+  private[graft] def bloomExactIncomingIdsLazy(existing: DataFrame,
+      incoming: DataFrame, idCol: String, textCol: String,
+      fpp: Double): (DataFrame,
+        org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]) = {
     // materialize the digest projection ONCE: three consumers follow
     // (sizing count, the bloom aggregate, the semi-join build side)
     // and each would otherwise rescan the existing corpus and
@@ -385,23 +410,13 @@ object TextDedup {
     // broadcast, not plan-embedded bytes: executors fetch the bitset
     // once through the block manager (see BloomMightContainExpr)
     val bcast = existing.sparkSession.sparkContext.broadcast(bf)
-    // materialize the (small — true duplicates + fpp survivors die in
-    // the verify join) result EAGERLY, then destroy the broadcast:
-    // returning a lazy plan that captures it would leak one bitset
-    // broadcast per cycle in a long-lived driver at the 120 MB–1.2 GB
-    // design point until GC happens to collect the handles (round-16
-    // ADVICE). The operator was already eager (sizing count + the
-    // bloom aggregate), so the checkpoint adds no new plan-time job
-    // class.
     val result = incoming
       .withColumn("__d", md5(col(textCol)))
       .filter(graft.functions.BloomExpressions.mightContain(
         col("__d"), bcast))
       .join(exDigests, Seq("__d"), "left_semi")
       .select(col(idCol))
-      .localCheckpoint(true)
-    bcast.destroy()
-    result
+    (result, bcast)
   }
 
   /** Build a PERSISTED Bloom dedup artifact at `dir` — the

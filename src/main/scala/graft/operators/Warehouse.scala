@@ -423,8 +423,14 @@ private[graft] object Warehouse {
       .filter(_.isDirectory)
       .filter(d => d.getName.startsWith(s"$family-") &&
         d.getName.contains("-data-") && !referenced(d.getName))
-      .filter(d => new java.io.File(d, "_GRAFT_LASTUSE")
-        .lastModified() < cutoff)
+      // age by the NEWEST of the last-use marker and the dir mtime:
+      // a concurrent loser's build IN PROGRESS has no marker yet
+      // (lastModified 0 would look ancient) but its dir mtime is
+      // seconds old — the winner's post-publish sweep must never
+      // delete a build out from under a still-writing racer (caught
+      // by the concurrent-convergence spec under suite pressure)
+      .filter(d => math.max(d.lastModified(),
+        new java.io.File(d, "_GRAFT_LASTUSE").lastModified()) < cutoff)
       .foreach { d =>
         System.err.println(
           s"[pairidx] sweeping orphaned (marker) ${d.getName}")

@@ -474,6 +474,70 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 index path answers exactly the q137 result, scans pruned to " +
+    "query-term prefixes, meta-less dirs rejected") {
+    withTempDir("bm25_idx") { dir =>
+      val docs = Tables.documents(spark, sf)
+      graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir)
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.operators.Retrieval.alnumTokens(col("text")), 1, 5))
+            .as("qtext"))
+        .localCheckpoint(true)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val fromIndex = rows(graft.operators.Retrieval.bm25TopKFromIndex(
+        spark, queries, "query_id", "qtext", dir, k = 10))
+      val inPlan = rows(Curation.q137Bm25TopK(spark, sf))
+      assert(inPlan.nonEmpty)
+      assert(fromIndex == inPlan,
+        s"stored BM25 diverges from q137: missing "
+          + s"${(inPlan -- fromIndex).take(5)}, "
+          + s"extra ${(fromIndex -- inPlan).take(5)}")
+      // read-side economics: both artifact scans (postings + dfs)
+      // carry static pfx partition filters and read exactly the
+      // probed prefix partitions
+      val prefixes = queries
+        .select(explode(graft.operators.Retrieval.alnumTokens(
+          col("qtext"))).as("t"))
+        .select(substring(col("t"), 1, 1)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val totalPfx = spark.read.parquet(s"$dir/postings.parquet")
+        .select(col("pfx")).distinct().count()
+      assert(prefixes.size < totalPfx,
+        "fixture degenerate: queries probe every prefix partition")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = graft.operators.Retrieval.bm25TopKFromIndex(
+          spark, queries, "query_id", "qtext", dir, k = 10)
+        q.collect()
+        val scans = allScans(q.queryExecution.executedPlan).filter(
+          _.metadata.get("Location").exists(l =>
+            l.contains("postings") || l.contains("dfs")))
+        assert(scans.size >= 2, "expected postings + dfs scans")
+        scans.foreach { s =>
+          assert(s.toString.contains("PartitionFilters") &&
+            s.toString.contains("pfx") && s.toString.contains("IN"),
+            s"artifact scan lacks static pfx filter:\n$s")
+          assert(s.metrics("numPartitions").value == prefixes.size,
+            s"expected ${prefixes.size} probed prefix partitions, got "
+              + s"${s.metrics("numPartitions").value} in:\n$s")
+        }
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the meta discipline
+      new java.io.File(dir, "_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.bm25TopKFromIndex(
+          spark, queries, "query_id", "qtext", dir, k = 10)
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    }
+  }
+
   test("object-store index root is rejected loudly at configuration time") {
     // round-14 missing #3: the commit protocol rests on POSIX rename
     // atomicity, advisory file locks, and dir mtimes — none of which

@@ -359,8 +359,24 @@ class PlanSpec extends AnyFunSuite {
       s"q80 does not scan the shared cosine pair index:\n$q80")
     // q129: the Bloom probe must be a map-side native filter on the
     // incoming scan (no UDF, no extra exchange) feeding the exact
-    // semi-join — candidates only cross the wire
-    val q129 = executedPlan(Curation.q129BloomIncrementalExact(spark, sf))
+    // semi-join — candidates only cross the wire. The public
+    // operator's returned frame sits behind its checkpoint boundary
+    // (the round-16 broadcast-lifecycle fix), so the executed probe
+    // shape is asserted on the package-private lazy twin over q129's
+    // own split
+    val d129 = Tables.documents(spark, sf)
+    val succ129 = d129.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("succ_text"))
+    val inc129 = d129.filter(col("doc_id") % 4 === 0)
+      .join(succ129, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 8 === 0, col("succ_text"))
+          .otherwise(col("text")).as("text"))
+    val (lazy129, b129) = graft.operators.TextDedup
+      .bloomExactIncomingIdsLazy(d129.filter(col("doc_id") % 4 =!= 0),
+        inc129, "doc_id", "text", 0.01)
+    val q129 = executedPlan(lazy129)
+    b129.destroy()
     assert(q129.contains("bloom_might_contain"),
       s"q129's plan carries no native bloom probe:\n$q129")
     assert(q129.contains("LeftSemi"),
