@@ -469,7 +469,12 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     val assigned = spark.read.parquet(s"$dir/assignments.parquet")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = probeLists(q, centroids, nProbe)
+    // checkpoint the tiny probe table (queries x nProbe rows): it has
+    // TWO consumers — the driver-side probed-id resolve and the
+    // broadcast scoring join — and left lazy each would re-run the
+    // centroid scan + crossJoin + window (one extra job per batch,
+    // measured on the q134 suite cell)
+    val probes = probeLists(q, centroids, nProbe).localCheckpoint(true)
     // STATIC partition pruning, by construction: resolve the probed
     // list ids driver-side (bounded — at most queries × nProbe rows
     // of one int; this is the inherent "plan the read" phase of any
@@ -534,7 +539,12 @@ object Similarity {
       k: Int, nProbe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = probeLists(q, centroids, nProbe)
+    // checkpoint the tiny probe table (queries x nProbe rows): it has
+    // TWO consumers — the driver-side probed-id resolve and the
+    // broadcast scoring join — and left lazy each would re-run the
+    // centroid scan + crossJoin + window (one extra job per batch,
+    // measured on the q134 suite cell)
+    val probes = probeLists(q, centroids, nProbe).localCheckpoint(true)
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     // queries quantize in-plan: scale hoisted to a column before the
@@ -1081,7 +1091,12 @@ object Similarity {
         s"nLists=$nLists but centroids.parquet holds $nCent — " +
         "rebuild the index")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = probeLists(q, centroids, nProbe)
+    // checkpoint the tiny probe table (queries x nProbe rows): it has
+    // TWO consumers — the driver-side probed-id resolve and the
+    // broadcast scoring join — and left lazy each would re-run the
+    // centroid scan + crossJoin + window (one extra job per batch,
+    // measured on the q134 suite cell)
+    val probes = probeLists(q, centroids, nProbe).localCheckpoint(true)
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     // phase 2: the codes-only, partition-pruned serving scan
