@@ -268,16 +268,18 @@ object ScaleBench {
     val cm = counters(scaledDir)
 
     // the fixed maintenance batch: the SAME rows whichever corpus the
-    // index was built on (ids shifted far past both id spaces; doc
-    // texts suffixed so the bloom merge inserts genuinely new digests)
+    // index was built on. Ids shift by 1000 strides — far past any
+    // plausible replica count (a 7-stride shift collided with replica
+    // 7 at the default mult=10, round-16 review); doc texts are
+    // suffixed so the bloom merge inserts genuinely new digests
     val batchVecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < 100)
-      .select((col("vec_id") + lit(7L * ScaleCorpus.IdStride))
+      .select((col("vec_id") + lit(1000L * ScaleCorpus.IdStride))
         .as("vec_id"), col("embedding"))
       .localCheckpoint(true)
     val batchDocs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 200)
-      .select((col("doc_id") + lit(7L * ScaleCorpus.IdStride))
+      .select((col("doc_id") + lit(1000L * ScaleCorpus.IdStride))
         .as("doc_id"),
         concat(col("text"), lit(" maintbatch")).as("text"))
       .localCheckpoint(true)
@@ -294,8 +296,12 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val countJson = c1.zip(cm).map { case ((k, v1), (_, vm)) =>
       s""""$k":{"c1x":$v1,"c${mult}x":$vm}""" }.mkString("{", ",", "}")
+    // Double.toString interpolation like times/counters — the f"%.3f"
+    // interpolator is default-locale (a comma-decimal locale would
+    // emit invalid JSON, round-16 review)
     val maintJson = m1.zip(mm).map { case ((k, v1), (_, vm)) =>
-      f""""$k":{"t1x":$v1%.3f,"t${mult}x":$vm%.3f}""" }
+      s""""$k":{"t1x":${math.rint(v1 * 1000) / 1000},""" +
+        s""""t${mult}x":${math.rint(vm * 1000) / 1000}}""" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"scale","mult":$mult,"sf":"$sfDir",""" +
       s""""npasses":$nPasses,"queries":$timesJson,""" +

@@ -212,7 +212,7 @@ object Curation {
   def q133CdcIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val idx = Warehouse.materializedDir(s, "ivfapp",
-      s"ivfapp:16:2:2:$dir:" +
+      s"ivfapp:v2:16:2:2:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 4 =!= 3),
         "vec_id", "embedding", d, nLists = 16, assignments = 2)
@@ -231,8 +231,10 @@ object Curation {
   private def storedPqIndex(s: SparkSession, dir: String): String =
     // v2: the layout gained _meta.json — the version in the key is
     // what retires a pre-meta artifact instead of rejecting it forever
+    // v3: bounded-sample training (round 16) changes built books for
+    // corpora above the cap — same discipline, retire don't mismatch
     Warehouse.materializedDir(s, "pq",
-      s"pq:v2:64:8:64:1:$dir:" +
+      s"pq:v3:64:8:64:1:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildPqIndex(Tables.embeddings(s, dir),
         "vec_id", "embedding", d, ks = 64, iterations = 1)
@@ -307,7 +309,7 @@ object Curation {
   def q135PqIndexAppend(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val idx = Warehouse.materializedDir(s, "pqapp",
-      s"pqapp:64:8:64:1:$dir:" +
+      s"pqapp:v2:64:8:64:1:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildPqIndex(e.filter(col("vec_id") % 4 =!= 3),
         "vec_id", "embedding", d, ks = 64, iterations = 1)
@@ -326,7 +328,7 @@ object Curation {
     * geometry + corpus fingerprint like every warehouse index. */
   private def storedIvfPqIndex(s: SparkSession, dir: String): String =
     Warehouse.materializedDir(s, "ivfpq",
-      s"ivfpq:16:2:2:64:8:64:1:$dir:" +
+      s"ivfpq:v2:16:2:2:64:8:64:1:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildIvfPqIndex(Tables.embeddings(s, dir),
         "vec_id", "embedding", d, nLists = 16, assignments = 2,
@@ -781,7 +783,7 @@ object Curation {
     * economics a deployment runs. */
   private def storedIvfIndex(s: SparkSession, dir: String): String =
     Warehouse.materializedDir(s, "ivf",
-      s"ivf-sq8v2:16:2:2:$dir:" +
+      s"ivf-sq8v3:16:2:2:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildIvfIndex(Tables.embeddings(s, dir),
         "vec_id", "embedding", d, nLists = 16, assignments = 2)

@@ -50,9 +50,14 @@ object Retrieval {
     * denormalized in — the serving row of the inverted file. */
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // tokenize ONCE into its own projection: explode and size over
+    // the same inline alnumTokens tree would lower + regex-split +
+    // HOF-filter every document twice (interpreted HOFs are the
+    // measured Spark 4.x trap; round-16 review)
     docs.select(col(idCol).as("doc_id"),
-        explode(alnumTokens(col(textCol))).as("term"),
-        size(alnumTokens(col(textCol))).as("len"))
+        alnumTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        size(col("toks")).as("len"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
 

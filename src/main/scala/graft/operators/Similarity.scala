@@ -370,8 +370,15 @@ object Similarity {
       assignments: Int = 1, trainCap: Int = 0): Unit = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val (centroids, lists) = trainCentroids(c, nLists, iterations,
+    val (centroids, _) = trainCentroids(c, nLists, iterations,
       trainCap)
+    // meta records the ACTUAL built list count, not the requested
+    // one: a Lloyd round can empty a list (recomputeCentroids groups
+    // by assigned list_id — a duplicate-heavy corpus starves seeds),
+    // and a cross-check against the REQUEST would permanently reject
+    // an index the build itself just produced (round-16 review). The
+    // count is one job over the tiny checkpointed centroid frame.
+    val lists = centroids.count()
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assign(c, centroids, assignments)
       // SQ8 codes materialize at BUILD time (the scale hoisted to its
@@ -1008,8 +1015,14 @@ object Similarity {
     val subDim = dims / m
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    val (centroids, lists) = trainCentroids(c, nLists, iterations,
+    val (centroids, _) = trainCentroids(c, nLists, iterations,
       trainCap)
+    // ACTUAL built list count into meta (see buildIvfIndex): a Lloyd
+    // round can empty a list, and the serving-side cross-check must
+    // compare against what was built, not what was requested. Books
+    // need no such guard — trainPqBooks' empty-cluster rule keeps
+    // every book at exactly ks entries by construction.
+    val lists = centroids.count()
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     val (subs, books) = trainBooksSampled(c, m, subDim, ks,
       pqIterations, trainCap)

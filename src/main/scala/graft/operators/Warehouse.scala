@@ -398,19 +398,48 @@ private[graft] object Warehouse {
         s"use of $dir; it may be swept while live")
     }
 
-  /** Marker-mode sweep: same-family DATA prefixes not referenced by
-    * the live pointer and unused past the age cutoff (the
-    * `_GRAFT_LASTUSE` marker is the only age channel), plus pointers
-    * whose sha differs (stale keys). Mirrors [[sweepOrphans]]'s
-    * rules; a store's native lifecycle/TTL keyed on the marker is
-    * the production equivalent. */
+  /** Marker-mode sweep, mirroring [[sweepOrphans]]'s reclamation
+    * guarantee: (a) same-family POINTERS (≠ the one just published)
+    * whose target's last use is past the age cutoff are deleted
+    * together with their data prefix — every corpus rewrite mints a
+    * new sha, so without this, superseded pointer+prefix pairs
+    * accumulate forever (round-16 review); (b) same-family data
+    * prefixes referenced by NO surviving pointer (crashed publishes,
+    * losers that died before cleanup) age out by the same rule. The
+    * `_GRAFT_LASTUSE` marker is the primary age channel with the dir
+    * mtime as the newest-wins fallback — a concurrent loser's build
+    * IN PROGRESS has no marker yet (lastModified 0 would look
+    * ancient) but its dir mtime is seconds old, and the winner's
+    * post-publish sweep must never delete a build out from under a
+    * still-writing racer (caught by the convergence spec under suite
+    * pressure). A store's native lifecycle/TTL keyed on the marker
+    * object is the production equivalent. */
   private def sweepMarkerOrphans(spark: SparkSession,
       root: java.io.File, family: String, keepData: String,
       ptrName: String): Unit = {
     val days = spark.conf.get("spark.graft.index.sweepAgeDays", "7").toDouble
     if (days <= 0) return
     val cutoff = System.currentTimeMillis() - (days * 86400000L).toLong
-    // every data prefix a live same-family pointer references stays
+    def lastUse(d: java.io.File): Long =
+      math.max(d.lastModified(),
+        new java.io.File(d, "_GRAFT_LASTUSE").lastModified())
+    // (a) aged sibling pointers: delete the pointer FIRST (no reader
+    // can adopt the prefix afterwards), then its data prefix
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(s"$family-") &&
+        f.getName.endsWith(".ptr") && f.getName != ptrName)
+      .foreach { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        val target = try src.mkString.trim finally src.close()
+        val dir = new java.io.File(root, target)
+        if (target.nonEmpty && target != keepData && lastUse(dir) < cutoff) {
+          System.err.println(
+            s"[pairidx] sweeping stale (marker) ${p.getName} -> $target")
+          p.delete()
+          deleteRec(dir)
+        }
+      }
+    // (b) aged data prefixes no surviving pointer references
     val referenced = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith(s"$family-") &&
         f.getName.endsWith(".ptr"))
@@ -423,14 +452,7 @@ private[graft] object Warehouse {
       .filter(_.isDirectory)
       .filter(d => d.getName.startsWith(s"$family-") &&
         d.getName.contains("-data-") && !referenced(d.getName))
-      // age by the NEWEST of the last-use marker and the dir mtime:
-      // a concurrent loser's build IN PROGRESS has no marker yet
-      // (lastModified 0 would look ancient) but its dir mtime is
-      // seconds old — the winner's post-publish sweep must never
-      // delete a build out from under a still-writing racer (caught
-      // by the concurrent-convergence spec under suite pressure)
-      .filter(d => math.max(d.lastModified(),
-        new java.io.File(d, "_GRAFT_LASTUSE").lastModified()) < cutoff)
+      .filter(lastUse(_) < cutoff)
       .foreach { d =>
         System.err.println(
           s"[pairidx] sweeping orphaned (marker) ${d.getName}")
