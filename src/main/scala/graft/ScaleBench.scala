@@ -2,7 +2,7 @@ package graft
 
 import java.io.File
 
-import graft.operators.{Curation, ScaleCorpus, Similarity, TextDedup}
+import graft.operators.{Curation, Retrieval, ScaleCorpus, Similarity, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +64,11 @@ object ScaleBench {
     "q129_dedup_bloom_incremental", "q136_dedup_bloom_artifact",
     "q126_embed_ann_ivf_sq8_stored", "q132_embed_ann_pq_stored",
     "q134_embed_ann_ivfpq_stored",
-    "q133_ann_index_append", "q135_pq_index_append")
+    "q133_ann_index_append", "q135_pq_index_append",
+    // BM25 retrieval: in-plan (one tokenize+shuffle postings build,
+    // ~linear), stored serving (prefix-pruned scans + broadcast
+    // query side), and the df-merge append
+    "q137_bm25_topk", "q138_bm25_stored", "q139_bm25_index_append")
 
   /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
     * index/sketch maintenance ops whose claim is cost ∝ batch — the
@@ -99,9 +103,17 @@ object ScaleBench {
       val aBloom = (1 to 2).map(_ => timed(TextDedup
         .appendToBloomArtifact(spark, batchDocs, "text",
           s"$tmp/bloom"))).min
+      val bBm25 = timed(Retrieval.buildBm25Index(docs, "doc_id",
+        "text", s"$tmp/bm25"))
+      // ONE append rep: repeating it would append the same doc ids
+      // again and double-count dfs — the other appends are idempotent
+      // for timing but this one's df merge is genuinely additive
+      val aBm25 = timed(Retrieval.appendToBm25Index(spark, batchDocs,
+        "doc_id", "text", s"$tmp/bm25"))
       Seq("ivf_build_sec" -> bIvf, "ivf_append_sec" -> aIvf,
         "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
-        "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom)
+        "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom,
+        "bm25_build_sec" -> bBm25, "bm25_append_sec" -> aBm25)
     } finally Warehouse.deleteRec(new File(tmp))
   }
 

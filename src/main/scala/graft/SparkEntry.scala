@@ -160,6 +160,7 @@ object SparkEntry {
       (Curation.q136BloomArtifactIncremental _),
     "q137_bm25_topk" -> (Curation.q137Bm25TopK _),
     "q138_bm25_stored" -> (Curation.q138Bm25Stored _),
+    "q139_bm25_index_append" -> (Curation.q139Bm25IndexAppend _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1146,6 +1147,10 @@ object SparkEntry {
     // the same ranking served from the persisted prefix-partitioned
     // inverted file — must reproduce the one-job derivation exactly
     "q138_bm25_stored" -> bm25Sql,
+    // index MAINTENANCE: built on 75%, the 25% batch appended with
+    // an additive df merge — the appended index must reproduce the
+    // union-corpus ranking exactly (df additivity is an identity)
+    "q139_bm25_index_append" -> bm25Sql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,

@@ -295,6 +295,31 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental BM25 index maintenance (q139) — the append with a
+    * MUTABLE aggregate: the index is built on 75% of the corpus
+    * (doc_id % 4 ≠ 3), the 25% batch appends —
+    * postings into their prefix partitions, document frequencies
+    * MERGED additively with a dynamic-partition rewrite of only the
+    * touched prefixes, corpus stats summed — and serving answers
+    * the SAME full-corpus oracle as q137/q138: df(union) =
+    * df(existing) + df(batch) is exact, so the appended index IS
+    * the union build ([[Retrieval.appendToBm25Index]];
+    * IndexPathSpec pins it row for row). */
+  def q139Bm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = Warehouse.materializedDir(s, "bm25app",
+      s"bm25app:v1:1.2:0.75:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      Retrieval.buildBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", d)
+      Retrieval.appendToBm25Index(s,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", d)
+    }
+    Retrieval.bm25TopKFromIndex(s, bm25Queries(docs),
+        "query_id", "qtext", idx, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Incremental PQ index maintenance (q135) — q133's analog for the
     * flat PQ layout: the index is BUILT on the existing corpus (75%,
     * books trained there), then the ingest batch (25%) is APPENDED

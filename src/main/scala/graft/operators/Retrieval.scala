@@ -151,6 +151,89 @@ object Retrieval {
         s""""k1E6":${math.round(k1 * 1e6)},"bE6":${math.round(b * 1e6)}}""")
   }
 
+  /** Append an ingest batch to a persisted BM25 index WITHOUT a
+    * rebuild (q139) — the maintenance op with a MUTABLE aggregate,
+    * which the IVF/PQ appends don't have: document frequencies and
+    * corpus stats change when docs arrive. Correctness is still an
+    * exact identity, because every stored quantity is either
+    * doc-local or additive:
+    *  - postings (term, doc_id, tf, len): tf and len are functions
+    *    of the document alone — batch rows APPEND into the matching
+    *    prefix partitions, existing rows untouched;
+    *  - dfs (term, df): df(union) = df(existing) + df(batch) — the
+    *    batch's own term→count merges in by rewriting ONLY the
+    *    prefix partitions the batch's terms touch (dynamic
+    *    partition overwrite; untouched prefixes are never read);
+    *  - `_meta.json` stats: nDocs and sumLen are sums.
+    * So append ≡ the index buildBm25Index would write for the union
+    * corpus, row for row (IndexPathSpec pins it), and serving after
+    * an append answers the SAME oracle as a fresh build — BM25
+    * scores of existing docs legitimately move when df moves; that
+    * is the ranking function's corpus-relativity, not drift.
+    *
+    * Per-cycle cost ∝ batch: one batch tokenize, one partitioned
+    * postings append, a dfs rewrite of the touched prefixes (each
+    * read scans one prefix's (term, df) rows — vocabulary-sized ÷
+    * prefix fanout, never the postings), one meta rewrite. Like
+    * every partitioned append here, it belongs inside an artifact
+    * build or behind the deployment's ingest-cycle barrier. */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"BM25 index at $dir has no _meta.json — not a complete " +
+        "buildBm25Index artifact; rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    def metaLong(key: String): Long =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalArgumentException(
+          s"BM25 index meta at $dir lacks '$key': $meta")
+      }
+    val postings = postingsOf(batch, idCol, textCol)
+      .localCheckpoint(true)
+    postings.withColumn("pfx", substring(col("term"), 1, 1))
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$dir/postings.parquet")
+    val batchDfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("bdf"))
+      .withColumn("pfx", substring(col("term"), 1, 1))
+      .localCheckpoint(true)
+    // df merge, touched prefixes only: read those partitions' stored
+    // (term, df), outer-join the batch counts, rewrite just those
+    // partitions (dynamic partition overwrite — untouched prefixes
+    // keep their files)
+    val touched = batchDfs.select(col("pfx")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val storedDfs = spark.read.parquet(s"$dir/dfs.parquet")
+      .filter(col("pfx").isin(touched.toSeq: _*))
+      .select(col("term"), col("df"))
+      .localCheckpoint(true) // materialize BEFORE overwriting the files
+    val merged = storedDfs
+      .join(batchDfs.select(col("term"), col("bdf")), Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
+          .as("df"))
+      .withColumn("pfx", substring(col("term"), 1, 1))
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "DYNAMIC")
+      merged.write.mode("overwrite").partitionBy("pfx")
+        .parquet(s"$dir/dfs.parquet")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
+    // additive corpus stats
+    val stats = postings.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+    java.nio.file.Files.writeString(p,
+      s"""{"nDocs":${metaLong("nDocs") + stats.getLong(0)},""" +
+        s""""sumLen":${metaLong("sumLen") + stats.getLong(1)},""" +
+        s""""k1E6":${metaLong("k1E6")},"bE6":${metaLong("bE6")}}""")
+  }
+
   /** Serve BM25 from the persisted inverted file (q138): identical
     * results to the in-plan [[bm25TopK]] (the postings/dfs/stats are
     * the same deterministic derivation), with zero index-build cost

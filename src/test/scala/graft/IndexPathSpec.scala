@@ -538,6 +538,67 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 append: postings appended, dfs merged additively, equals the " +
+    "union-corpus build row for row") {
+    withTempDir("bm25_append") { dir =>
+      val docs = Tables.documents(spark, sf)
+      val existing = docs.filter(col("doc_id") % 4 =!= 3)
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      graft.operators.Retrieval.buildBm25Index(existing,
+        "doc_id", "text", s"$dir/a")
+      val postingsBefore = spark.read.parquet(s"$dir/a/postings.parquet")
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      graft.operators.Retrieval.appendToBm25Index(spark, batch,
+        "doc_id", "text", s"$dir/a")
+      // the appended index must BE the union-corpus build: postings,
+      // merged dfs, and meta all reproduce the one-shot derivation
+      graft.operators.Retrieval.buildBm25Index(docs,
+        "doc_id", "text", s"$dir/b")
+      def postings(d: String) = spark.read.parquet(s"$d/postings.parquet")
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      def dfs(d: String) = spark.read.parquet(s"$d/dfs.parquet")
+        .select(col("term"), col("df"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val pA = postings(s"$dir/a")
+      assert(postingsBefore.subsetOf(pA), "append disturbed existing rows")
+      assert(pA == postings(s"$dir/b"),
+        "appended postings diverge from the union build")
+      assert(dfs(s"$dir/a") == dfs(s"$dir/b"),
+        "merged dfs diverge from the union build")
+      assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/a/_meta.json"))
+        == java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/b/_meta.json")),
+        "merged corpus stats diverge from the union build")
+      // and serving from the appended index equals the union ranking
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.operators.Retrieval.alnumTokens(col("text")), 1, 5))
+            .as("qtext"))
+        .localCheckpoint(true)
+      def served(d: String) = graft.operators.Retrieval
+        .bm25TopKFromIndex(spark, queries, "query_id", "qtext", d, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(served(s"$dir/a") == served(s"$dir/b"))
+      // meta discipline
+      new java.io.File(s"$dir/a/_meta.json").delete()
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.appendToBm25Index(spark, batch,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    }
+  }
+
   test("object-store index root is rejected loudly at configuration time") {
     // round-14 missing #3: the commit protocol rests on POSIX rename
     // atomicity, advisory file locks, and dir mtimes — none of which

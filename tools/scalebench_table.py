@@ -31,6 +31,9 @@ LABELS = {
     "q134_embed_ann_ivfpq_stored": "q134 IVFADC stored serving",
     "q133_ann_index_append": "q133 IVF append + serve",
     "q135_pq_index_append": "q135 PQ append + serve",
+    "q137_bm25_topk": "q137 BM25 retrieval (in-plan)",
+    "q138_bm25_stored": "q138 BM25 stored inverted file",
+    "q139_bm25_index_append": "q139 BM25 df-merge append + serve",
 }
 
 MAINT_LABELS = {
@@ -40,6 +43,8 @@ MAINT_LABELS = {
     "pq_append_sec": "PQ append, FIXED 100-vector batch",
     "bloom_build_sec": "Bloom artifact build (full corpus)",
     "bloom_merge_sec": "Bloom merge, FIXED 200-doc batch",
+    "bm25_build_sec": "BM25 index build (full corpus)",
+    "bm25_append_sec": "BM25 df-merge append, FIXED 200-doc batch",
 }
 
 COUNTER_LABELS = {
