@@ -161,6 +161,7 @@ object SparkEntry {
     "q137_bm25_topk" -> (Curation.q137Bm25TopK _),
     "q138_bm25_stored" -> (Curation.q138Bm25Stored _),
     "q139_bm25_index_append" -> (Curation.q139Bm25IndexAppend _),
+    "q140_link_pagerank" -> (Curation.q140LinkPageRank _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
   ) ++ graft.tally.TallyReportQueries.queries
@@ -1151,6 +1152,9 @@ object SparkEntry {
     // an additive df merge — the appended index must reproduce the
     // union-corpus ranking exactly (df additivity is an identity)
     "q139_bm25_index_append" -> bm25Sql,
+    // link-graph PageRank quality prior: five damped fixed-point
+    // iterations in pure integer arithmetic — rank values hash-exact
+    "q140_link_pagerank" -> pageRankSql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1656,6 +1660,38 @@ object SparkEntry {
       |     ORDER BY s DESC, doc_id) AS rank FROM s)
       |SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score, rank
       |FROM r WHERE rank <= 10 ORDER BY 1, 4""".stripMargin
+
+  /** The q140 PageRank oracle: the same fixed-point iteration
+    * unrolled as CTE pairs (contributions, ranks) — ALL integer
+    * arithmetic (// is DuckDB floor division ≡ Spark's `div` on the
+    * positive values here), so ranks are engine-exact; division
+    * order mirrors LinkGraph.pageRankFixed token for token. */
+  private val pageRankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s""" c$k AS (SELECT e.dst AS id, sum(r.r // e.od) AS cs
+         |  FROM r${k - 1} r JOIN edges e ON r.id = e.src GROUP BY 1),
+         | r$k AS (SELECT nodes.id,
+         |   ((1000000000000 // n) * 150) // 1000
+         |     + (850 * coalesce(c$k.cs, 0)) // 1000 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.id = c$k.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | edges0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+       |   unnest([ (CAST(doc_id AS BIGINT) * 31 + 7) % n,
+       |            (CAST(doc_id AS BIGINT) * 17 + 3) % n,
+       |            (CAST(doc_id AS BIGINT) * 13 + 11) % n ]) AS dst
+       |  FROM documents CROSS JOIN nn),
+       | outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
+       | edges AS (SELECT e.src, e.dst, o.od
+       |  FROM edges0 e JOIN outdeg o USING (src)),
+       | r0 AS (SELECT id, (1000000000000 // n) AS r
+       |  FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr
+       |FROM r5 ORDER BY 1""".stripMargin
+  }
 
   private val nearDupSql: String =
     """WITH e1 AS (SELECT vec_id AS a, embedding AS av FROM embeddings),

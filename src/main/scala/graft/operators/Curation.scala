@@ -295,6 +295,27 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Link-graph PageRank quality prior (q140) — see
+    * [[LinkGraph.pageRankFixed]]: five damped fixed-point iterations
+    * over a deterministic synthetic link law (each doc links to
+    * three id-arithmetic neighbors — fully SQL-reproducible, like
+    * every corpus law here), all-integer arithmetic so the ranks
+    * are hash-exact with no tolerance flag. The edge-table row
+    * count for the law's modulus comes from parquet footers — plan
+    * construction launches no Spark job for it. */
+  def q140LinkPageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val edges = docs.select(col("doc_id").cast("long").as("src"))
+      .select(col("src"), explode(array(
+        (col("src") * 31 + 7) % n,
+        (col("src") * 17 + 3) % n,
+        (col("src") * 13 + 11) % n)).as("dst"))
+    LinkGraph.pageRankFixed(edges, docs, "doc_id", iterations = 5)
+      .select(col("id").as("doc_id"), col("r").as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental BM25 index maintenance (q139) — the append with a
     * MUTABLE aggregate: the index is built on 75% of the corpus
     * (doc_id % 4 ≠ 3), the 25% batch appends —
