@@ -286,7 +286,7 @@ object Curation {
   def q138Bm25Stored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = Warehouse.materializedDir(s, "bm25",
-      s"bm25:v1:1.2:0.75:$dir:" +
+      s"bm25:v2:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(docs, "doc_id", "text", d)
     }
@@ -311,7 +311,8 @@ object Curation {
         (col("src") * 31 + 7) % n,
         (col("src") * 17 + 3) % n,
         (col("src") * 13 + 11) % n)).as("dst"))
-    LinkGraph.pageRankFixed(edges, docs, "doc_id", iterations = 5)
+    LinkGraph.pageRankFixed(edges, docs, "doc_id", iterations = 5,
+      nodeCountHint = n)
       .select(col("id").as("doc_id"), col("r").as("pr"))
       .orderBy(col("doc_id"))
   }
@@ -329,7 +330,7 @@ object Curation {
   def q139Bm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = Warehouse.materializedDir(s, "bm25app",
-      s"bm25app:v1:1.2:0.75:$dir:" +
+      s"bm25app:v2:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
         "doc_id", "text", d)

@@ -36,13 +36,17 @@ object LinkGraph {
   /** Fixed-point PageRank: `iterations` damped rounds over
     * `edges` (src, dst — both long), ranks for every row of
     * `nodes`. Returns (id, r) with r in mass micro-units.
-    * `dampingPermille` = 850 is the classic 0.85. */
+    * `dampingPermille` = 850 is the classic 0.85. A caller that
+    * already knows the node count (e.g. from parquet footers —
+    * [[graft.Tables.parquetRowCount]]) passes `nodeCountHint` and
+    * skips the count job (the stored-index precedent; round-16
+    * review — q140 was paying the count twice). */
   def pageRankFixed(edges: DataFrame, nodes: DataFrame, idCol: String,
       iterations: Int = 5, dampingPermille: Int = 850,
-      mass: Long = 1000000000000L): DataFrame = {
+      mass: Long = 1000000000000L, nodeCountHint: Long = 0L): DataFrame = {
     val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
       .localCheckpoint(true)
-    val n = nodeIds.count()
+    val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
     require(n > 0, "pageRankFixed needs a nonempty node set")
     // out-degree denormalized onto each edge ONCE before the loop:
     // the per-edge contribution is r div outdeg, and joining degree

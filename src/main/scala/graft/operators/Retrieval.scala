@@ -103,6 +103,47 @@ object Retrieval {
         round(col("s").cast("double"), 6).as("score"), col("rank"))
   }
 
+  /** Corpus stats from the postings themselves (one row per (term,
+    * doc) — distinct doc lengths): bounded driver fetch of two
+    * longs, null-safe on an empty/zero-token corpus (sum over zero
+    * rows is null — round-16 review). The ONE definition build,
+    * append, and the in-plan path all share. */
+  private def corpusStats(postings: DataFrame): (Long, Long) = {
+    val row = postings.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L)))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** The artifact's declared geometry + corpus stats. */
+  private final case class Bm25Meta(nDocs: Long, sumLen: Long,
+      k1E6: Long, bE6: Long)
+
+  /** Read `_meta.json`, rejecting partial/hand-copied dirs loudly —
+    * the ONE reader the append and serving paths share (round-16
+    * review: the require + regex was duplicated verbatim). */
+  private def readBm25Meta(dir: String): Bm25Meta = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"BM25 index at $dir has no _meta.json — not a complete " +
+        "buildBm25Index artifact; rebuild the index")
+    val meta = java.nio.file.Files.readString(p)
+    def metaLong(key: String): Long =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalArgumentException(
+          s"BM25 index meta at $dir lacks '$key': $meta")
+      }
+    Bm25Meta(metaLong("nDocs"), metaLong("sumLen"),
+      metaLong("k1E6"), metaLong("bE6"))
+  }
+
+  private def writeBm25Meta(dir: String, m: Bm25Meta): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"nDocs":${m.nDocs},"sumLen":${m.sumLen},""" +
+        s""""k1E6":${m.k1E6},"bE6":${m.bE6}}""")
+
   /** In-plan BM25 top-k (q137): postings, dfs, and corpus stats all
     * derive in one job — the interactive path; [[buildBm25Index]] +
     * [[bm25TopKFromIndex]] are the deployment path. */
@@ -112,12 +153,9 @@ object Retrieval {
     val postings = postingsOf(docs, idCol, textCol).localCheckpoint(true)
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    // corpus stats from the postings themselves (one row per (term,
-    // doc) — distinct doc lengths): bounded driver fetch of two longs
-    val stats = postings.select(col("doc_id"), col("len")).distinct()
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+    val (nDocs, sumLen) = corpusStats(postings)
     bm25Serve(queryTerms(queries, qidCol, qtextCol), postings, dfs,
-      stats.getLong(0), stats.getLong(1), k, k1, b)
+      nDocs, sumLen, k, k1, b)
   }
 
   /** Persist the inverted file to `dir`:
@@ -128,6 +166,9 @@ object Retrieval {
     *    sandbox-scale stand-in for hash-bucket routing; same static
     *    pruning mechanics as the IVF list probes);
     *  - `dfs.parquet` (term, df, pfx) — same partitioning;
+    *  - `ids.parquet` (doc_id) — the indexed-id ledger the append's
+    *    duplicate guard probes (8 bytes/doc, the q136 digest-table
+    *    shape);
     *  - `_meta.json` {nDocs, sumLen, k1E6, bE6} — corpus stats and
     *    the scoring parameters the index was DECLARED to serve (the
     *    meta discipline: serving reads them back, never trusts the
@@ -143,12 +184,11 @@ object Retrieval {
       .withColumn("pfx", substring(col("term"), 1, 1))
       .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/dfs.parquet")
-    val stats = postings.select(col("doc_id"), col("len")).distinct()
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"nDocs":${stats.getLong(0)},"sumLen":${stats.getLong(1)},""" +
-        s""""k1E6":${math.round(k1 * 1e6)},"bE6":${math.round(b * 1e6)}}""")
+    docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/ids.parquet")
+    val (nDocs, sumLen) = corpusStats(postings)
+    writeBm25Meta(dir, Bm25Meta(nDocs, sumLen,
+      math.round(k1 * 1e6), math.round(b * 1e6)))
   }
 
   /** Append an ingest batch to a persisted BM25 index WITHOUT a
@@ -176,23 +216,36 @@ object Retrieval {
     * read scans one prefix's (term, df) rows — vocabulary-sized ÷
     * prefix fanout, never the postings), one meta rewrite. Like
     * every partitioned append here, it belongs inside an artifact
-    * build or behind the deployment's ingest-cycle barrier. */
+    * build or behind the deployment's ingest-cycle barrier.
+    *
+    * APPEND-ONLY contract, enforced: a batch id already in the
+    * index would not just duplicate candidate rows (the benign IVF/
+    * PQ-append failure shape) — it would double-count df and nDocs
+    * and move EVERY score, so re-ingesting an indexed doc fails
+    * loudly against the stored id ledger (a broadcast probe of the
+    * batch ids against the 8-byte `ids.parquet` column — exchange ∝
+    * duplicates, the q136 verify shape). An empty batch (or one
+    * whose docs all tokenize to zero terms) is a no-op, not an NPE
+    * (round-16 review). Updates/deletes are out of scope: delete +
+    * rebuild, the standard inverted-file answer. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"BM25 index at $dir has no _meta.json — not a complete " +
-        "buildBm25Index artifact; rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
-    def metaLong(key: String): Long =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalArgumentException(
-          s"BM25 index meta at $dir lacks '$key': $meta")
-      }
+    val m = readBm25Meta(dir)
+    val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val dup = spark.read.parquet(s"$dir/ids.parquet")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"BM25 index at $dir already contains batch doc ids " +
+        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
+        "double-count df/nDocs and corrupt every score; the append " +
+        "contract is append-only (delete + rebuild to update)")
     val postings = postingsOf(batch, idCol, textCol)
       .localCheckpoint(true)
+    val (bDocs, bLen) = corpusStats(postings)
+    if (bDocs == 0) return // empty/zero-token batch: a no-op cycle
     postings.withColumn("pfx", substring(col("term"), 1, 1))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
@@ -225,13 +278,10 @@ object Retrieval {
         .parquet(s"$dir/dfs.parquet")
     } finally spark.conf.set(
       "spark.sql.sources.partitionOverwriteMode", prevMode)
-    // additive corpus stats
-    val stats = postings.select(col("doc_id"), col("len")).distinct()
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
-    java.nio.file.Files.writeString(p,
-      s"""{"nDocs":${metaLong("nDocs") + stats.getLong(0)},""" +
-        s""""sumLen":${metaLong("sumLen") + stats.getLong(1)},""" +
-        s""""k1E6":${metaLong("k1E6")},"bE6":${metaLong("bE6")}}""")
+    // the id ledger grows with the batch; corpus stats are additive
+    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+    writeBm25Meta(dir, m.copy(nDocs = m.nDocs + bDocs,
+      sumLen = m.sumLen + bLen))
   }
 
   /** Serve BM25 from the persisted inverted file (q138): identical
@@ -243,17 +293,7 @@ object Retrieval {
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, qidCol: String, qtextCol: String,
       dir: String, k: Int): DataFrame = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"BM25 index at $dir has no _meta.json — not a complete " +
-        "buildBm25Index artifact; rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
-    def metaLong(key: String): Long =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalArgumentException(
-          s"BM25 index meta at $dir lacks '$key': $meta")
-      }
+    val m = readBm25Meta(dir)
     val qterms = queryTerms(queries, qidCol, qtextCol)
       .localCheckpoint(true)
     // the probed prefixes, driver-resolved into literal partition
@@ -267,8 +307,7 @@ object Retrieval {
     val dfs = spark.read.parquet(s"$dir/dfs.parquet")
       .filter(col("pfx").isin(prefixes.toSeq: _*))
       .select(col("term"), col("df"))
-    bm25Serve(qterms, postings, dfs,
-      metaLong("nDocs"), metaLong("sumLen"), k,
-      metaLong("k1E6") / 1e6, metaLong("bE6") / 1e6)
+    bm25Serve(qterms, postings, dfs, m.nDocs, m.sumLen, k,
+      m.k1E6 / 1e6, m.bE6 / 1e6)
   }
 }

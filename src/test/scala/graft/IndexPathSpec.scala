@@ -589,6 +589,24 @@ class IndexPathSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
       assert(served(s"$dir/a") == served(s"$dir/b"))
+      // APPEND-ONLY contract: re-ingesting an already-indexed id
+      // would double-count df/nDocs and move every score — must
+      // refuse loudly against the stored id ledger
+      val dup = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.appendToBm25Index(spark, batch,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(dup.getMessage.contains("append-only"))
+      // an empty batch is a no-op cycle, not an NPE (sum over zero
+      // posting rows is null) — index unchanged
+      val metaBefore = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/a/_meta.json"))
+      graft.operators.Retrieval.appendToBm25Index(spark,
+        docs.filter(col("doc_id") < 0), "doc_id", "text", s"$dir/a")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/a/_meta.json")) == metaBefore)
+      assert(postings(s"$dir/a") == postings(s"$dir/b"),
+        "empty append disturbed the postings")
       // meta discipline
       new java.io.File(s"$dir/a/_meta.json").delete()
       val err = intercept[IllegalArgumentException] {
