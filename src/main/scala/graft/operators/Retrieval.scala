@@ -245,7 +245,14 @@ object Retrieval {
     val postings = postingsOf(batch, idCol, textCol)
       .localCheckpoint(true)
     val (bDocs, bLen) = corpusStats(postings)
-    if (bDocs == 0) return // empty/zero-token batch: a no-op cycle
+    if (bDocs == 0) {
+      // zero-token batch: no postings/df/stat changes, but the ids
+      // still enter the ledger — buildBm25Index ledgers every doc id
+      // regardless of token count, and an unledgered id would pass
+      // the dup guard on a later re-ingest (round-16 advice)
+      batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+      return
+    }
     postings.withColumn("pfx", substring(col("term"), 1, 1))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
@@ -269,15 +276,13 @@ object Retrieval {
         (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
           .as("df"))
       .withColumn("pfx", substring(col("term"), 1, 1))
-    val prevMode = spark.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-        "DYNAMIC")
-      merged.write.mode("overwrite").partitionBy("pfx")
-        .parquet(s"$dir/dfs.parquet")
-    } finally spark.conf.set(
-      "spark.sql.sources.partitionOverwriteMode", prevMode)
+    // per-WRITE dynamic overwrite (not a session-conf toggle): a
+    // concurrent writer in the same session must never inherit
+    // DYNAMIC from this append's window (round-16 verdict)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx")
+      .parquet(s"$dir/dfs.parquet")
     // the id ledger grows with the batch; corpus stats are additive
     batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
     writeBm25Meta(dir, m.copy(nDocs = m.nDocs + bDocs,

@@ -239,6 +239,38 @@ object Similarity {
     rerankExact(coded, k)
   }
 
+  /** The shared IVF training loop: derive the list count (√n by
+    * default — a CONSTANT nLists degenerates at 100×: lists grow
+    * linearly and every probe scans n/nLists ∝ n; the derive uses
+    * the bounded [[approxRowCount]], never a full pre-scan), then
+    * run the checkpointed Lloyd rounds over the BOUNDED training
+    * sample. Each round is checkpointed because centroids are tiny
+    * (nLists × dim) but their LINEAGE contains every prior round's
+    * sample-wide assignment — left lazy, each downstream consumer
+    * re-executes the whole k-means chain. The caller assigns the
+    * full corpus once against the returned centroids. */
+  private def trainCentroids(c: DataFrame, nLists: Int,
+      iterations: Int, trainCap: Int): (DataFrame, Int) = {
+    val n = approxRowCount(c)
+    val lists =
+      if (nLists > 0) nLists
+      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cap = if (trainCap > 0) trainCap else ivfTrainCapDefault(lists)
+    // checkpoint the SAMPLED frame (identity path stays lazy): the
+    // seed pick and every Lloyd round otherwise re-execute the
+    // full-corpus TakeOrdered, re-scanning n rows per round — the
+    // very cost the bounded-training contract removes (the PQ path
+    // checkpoints its sampled subvectors for the same reason)
+    val train0 = trainingSample(c, cap, n)
+    val train = if (train0 ne c) train0.localCheckpoint(true) else train0
+    var centroids = deterministicSeeds(train, lists)
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations)
+      centroids = recomputeCentroids(assign(train, centroids, 1))
+        .localCheckpoint(true)
+    (centroids, lists)
+  }
+
   /** Deterministic bounded TRAINING sample: the `cap` lowest-
     * xxhash64(id) corpus rows, or the corpus itself when it is at or
     * below the cap (identity — the correctness-gate regime, so every
@@ -258,32 +290,6 @@ object Similarity {
     * and engines. The n ≤ cap branch returns the corpus frame
     * itself (reference-equal), so at gate scale the plans are
     * byte-identical to the unsampled ones. */
-  /** The shared IVF training loop: derive the list count (√n by
-    * default — a CONSTANT nLists degenerates at 100×: lists grow
-    * linearly and every probe scans n/nLists ∝ n; the derive uses
-    * the bounded [[approxRowCount]], never a full pre-scan), then
-    * run the checkpointed Lloyd rounds over the BOUNDED training
-    * sample. Each round is checkpointed because centroids are tiny
-    * (nLists × dim) but their LINEAGE contains every prior round's
-    * sample-wide assignment — left lazy, each downstream consumer
-    * re-executes the whole k-means chain. The caller assigns the
-    * full corpus once against the returned centroids. */
-  private def trainCentroids(c: DataFrame, nLists: Int,
-      iterations: Int, trainCap: Int): (DataFrame, Int) = {
-    val n = approxRowCount(c)
-    val lists =
-      if (nLists > 0) nLists
-      else math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cap = if (trainCap > 0) trainCap else ivfTrainCapDefault(lists)
-    val train = trainingSample(c, cap, n)
-    var centroids = deterministicSeeds(train, lists)
-      .localCheckpoint(true)
-    for (_ <- 0 until iterations)
-      centroids = recomputeCentroids(assign(train, centroids, 1))
-        .localCheckpoint(true)
-    (centroids, lists)
-  }
-
   private[graft] def trainingSample(c: DataFrame, cap: Int,
       approxN: Long): DataFrame =
     if (approxN <= cap) c

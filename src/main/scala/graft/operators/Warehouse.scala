@@ -344,10 +344,31 @@ private[graft] object Warehouse {
         System.err.println(s"[pairidx] reusing (marker) $key <- $d")
         return d
       case None if ptr.exists() =>
-        // pointer to a missing/mismatched/incomplete target: a
-        // crashed or doctored publish. Remove it and re-race — the
-        // conditional create below still decides one winner.
-        ptr.delete()
+        // pointer to a missing/mismatched/incomplete target — but an
+        // EMPTY-reading pointer can also be a live winner inside its
+        // local create-then-write commit window (a real conditional
+        // put is content-atomic; the stand-in is not). Give it the
+        // same brief retry the loser-adopt loop gets before treating
+        // it as a crashed publish; deleting a live winner's pointer
+        // would admit a second publisher and two concurrent writers
+        // to one pointer file (round-16 advice).
+        var retried: Option[String] = None
+        var retries = 0
+        while (retried.isEmpty && retries < 5 && ptr.exists()) {
+          Thread.sleep(100)
+          retried = resolve()
+          retries += 1
+        }
+        retried match {
+          case Some(d) =>
+            System.err.println(s"[pairidx] reusing (marker) $key <- $d")
+            return d
+          case None =>
+            // still unadoptable after the grace window: crashed or
+            // doctored publish. Remove it and re-race — the
+            // conditional create below still decides one winner.
+            ptr.delete()
+        }
       case None =>
     }
     val dataDir = new java.io.File(root,

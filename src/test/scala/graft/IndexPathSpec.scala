@@ -589,6 +589,20 @@ class IndexPathSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
       assert(served(s"$dir/a") == served(s"$dir/b"))
+      // the id ledger must ALSO equal the union build's (the dup
+      // guard's ground truth — round-16 advice: the append≡build
+      // comparison previously skipped ids.parquet)
+      def ids(d: String) = spark.read.parquet(s"$d/ids.parquet")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids(s"$dir/a") == ids(s"$dir/b"),
+        "appended id ledger diverges from the union build")
+      // the dfs dynamic-partition rewrite must be per-write scoped:
+      // the SESSION conf is never toggled (round-16 verdict — a
+      // concurrent writer must not inherit DYNAMIC)
+      assert(spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("static"),
+        "appendToBm25Index leaked partitionOverwriteMode into the session")
       // APPEND-ONLY contract: re-ingesting an already-indexed id
       // would double-count df/nDocs and move every score — must
       // refuse loudly against the stored id ledger
@@ -607,6 +621,25 @@ class IndexPathSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$dir/a/_meta.json")) == metaBefore)
       assert(postings(s"$dir/a") == postings(s"$dir/b"),
         "empty append disturbed the postings")
+      // a batch whose docs tokenize to ZERO terms changes no
+      // postings/dfs/stats but must still be LEDGERED — build
+      // ledgers every id regardless of token count, and an
+      // unledgered id would pass the dup guard on re-ingest
+      // (round-16 advice)
+      import spark.implicits._
+      val zeroTok = Seq((900001L, "!!! ...")).toDF("doc_id", "text")
+      graft.operators.Retrieval.appendToBm25Index(spark, zeroTok,
+        "doc_id", "text", s"$dir/a")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/a/_meta.json")) == metaBefore,
+        "zero-token append changed corpus stats")
+      assert(ids(s"$dir/a").contains(900001L),
+        "zero-token batch ids missing from the ledger")
+      val zdup = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.appendToBm25Index(spark, zeroTok,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(zdup.getMessage.contains("append-only"))
       // meta discipline
       new java.io.File(s"$dir/a/_meta.json").delete()
       val err = intercept[IllegalArgumentException] {
