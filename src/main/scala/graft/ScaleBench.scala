@@ -110,10 +110,17 @@ object ScaleBench {
       // for timing but this one's df merge is genuinely additive
       val aBm25 = timed(Retrieval.appendToBm25Index(spark, batchDocs,
         "doc_id", "text", s"$tmp/bm25"))
+      val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
+        "text", s"$tmp/ndidx"))
+      // ONE append rep, like bm25: the append-only guard refuses a
+      // re-ingest of the same batch ids
+      val aNd = timed(TextDedup.appendToNearDupIndex(spark, batchDocs,
+        s"$tmp/ndidx", "doc_id", "text"))
       Seq("ivf_build_sec" -> bIvf, "ivf_append_sec" -> aIvf,
         "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
         "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom,
-        "bm25_build_sec" -> bBm25, "bm25_append_sec" -> aBm25)
+        "bm25_build_sec" -> bBm25, "bm25_append_sec" -> aBm25,
+        "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd)
     } finally Warehouse.deleteRec(new File(tmp))
   }
 

@@ -164,6 +164,8 @@ object SparkEntry {
     "q140_link_pagerank" -> (Curation.q140LinkPageRank _),
     "q116_dedup_incremental_stored" ->
       (Curation.q116DedupIncrementalStored _),
+    "q141_neardup_index_append" ->
+      (Curation.q141NearDupIndexAppend _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +351,9 @@ object SparkEntry {
     // persisted (band-key, gram) warehouse artifact must reproduce
     // the one-job derivation row for row
     "q116_dedup_incremental_stored" -> incrementalDedupSql,
+    // same result contract as q62/q116 — the append path must be
+    // invisible to the served answer (append ≡ union build)
+    "q141_neardup_index_append" -> incrementalDedupSql,
     // streaming ingest dedup: the SAME exact cross-side Jaccard
     // oracle as q62 — the stateless stream's pair set must be
     // independent of its micro-batch split

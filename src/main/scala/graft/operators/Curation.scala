@@ -511,6 +511,37 @@ object Curation {
       .orderBy(col("existing_id"), col("incoming_id"))
   }
 
+  /** q116's serving path after an INCREMENTAL INDEX APPEND (q141) —
+    * the last stored index to gain its maintenance op (round-16
+    * verdict #1): the near-dup index is BUILT on 75% of the existing
+    * corpus (doc_id % 4 ≠ 3, the q133/q135/q139 split law), the
+    * remaining 25% is APPENDED via
+    * [[TextDedup.appendToNearDupIndex]] — its band keys and grams
+    * are doc-local, so the appended index IS the union build row for
+    * row (IndexPathSpec pins it), both steps inside one warehouse
+    * publish (file append is not atomic). Serving then answers the
+    * SAME exact cross-side Jaccard oracle as q62/q116: a batch doc
+    * the append missed would drop its oracle pairs and fail the
+    * hash. */
+  def q141NearDupIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(
+      substring(md5(col("text")), 1, 1) >= Q62IncomingHex)
+    val existing = docs.filter(
+      substring(md5(col("text")), 1, 1) < Q62IncomingHex)
+    val idx = Warehouse.materializedDir(s, "ndapp",
+      s"ndapp:v1:3:128:32:<$Q62IncomingHex:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildNearDupIndex(
+        existing.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", d)
+      TextDedup.appendToNearDupIndex(s,
+        existing.filter(col("doc_id") % 4 === 3), d, "doc_id", "text")
+    }
+    TextDedup.incrementalNearDupPairsFromIndex(s, incoming, idx,
+        "doc_id", "text", n = 3, minJaccard = 0.8)
+      .orderBy(col("existing_id"), col("incoming_id"))
+  }
+
   /** Duplicate-CLUSTER assignment — the canonicalization step after
     * pair finding: every doc labeled with the min doc_id of its
     * near-dup connected component (singletons label themselves).

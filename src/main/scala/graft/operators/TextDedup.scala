@@ -641,6 +641,63 @@ object TextDedup {
       s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""")
   }
 
+  /** Append an ingest batch to a persisted near-dup index WITHOUT a
+    * rebuild — the maintenance op that was missing from the family
+    * (IVF q133, PQ q135, Bloom q136, BM25 q139): after an ingest
+    * cycle accepts a batch, its band keys and grams join the index so
+    * the NEXT cycle dedups against them. Both stored quantities are
+    * DOC-LOCAL — a doc's band keys are a function of its own gram
+    * set, its gram rows of its own text — so append ≡ the index
+    * [[buildNearDupIndex]] would write for the union corpus, row for
+    * row (IndexPathSpec pins it; the q133/q135 identity shape with
+    * no mutable aggregate). Per-cycle cost ∝ batch: one batch
+    * shingle+signature job, two file appends; the existing corpus is
+    * never read.
+    *
+    * APPEND-ONLY, enforced: re-ingesting an indexed id would
+    * DUPLICATE its gram rows, and the verify phase counts gram rows
+    * per id — sza/inter would double and every Jaccard involving
+    * that doc would change (not the benign duplicate-candidate shape
+    * of the IVF/PQ appends), so a batch id already present fails
+    * loudly against the stored keys (a broadcast semi-probe of the
+    * column-pruned 16-byte (id, bk) rows — the q139 guard shape
+    * without a separate ledger; a zero-gram doc has no key rows and
+    * so escapes the probe, but its re-ingest appends zero rows to
+    * both tables — a no-op, so the guard covers exactly the ids
+    * whose duplication could corrupt). Updates/deletes are delete +
+    * rebuild, the standard
+    * answer. An empty batch is a no-op. Like every partitioned/file
+    * append here, it belongs inside a warehouse publish or behind
+    * the deployment's ingest-cycle barrier. */
+  def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, indexDir: String, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    requireIndexConfig(indexDir, n, numHashes, bands)
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    // map-side probe: column-pruned id scan × broadcast batch ids —
+    // NO distinct (that would shuffle the corpus-sized key column;
+    // the ∝-batch law tolerates a cheap linear scan, never a
+    // corpus-sized exchange — the q139 ledger-probe shape)
+    val dup = spark.read.parquet(s"$indexDir/keys.parquet")
+      .select(col("id"))
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0)).distinct
+    require(dup.isEmpty,
+      s"near-dup index at $indexDir already contains batch ids " +
+        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
+        "duplicate its gram rows and corrupt every Jaccard it joins; " +
+        "the append contract is append-only (delete + rebuild to " +
+        "update)")
+    val grams = explodedShingles(batch, idCol, textCol, n)
+      .localCheckpoint(true)
+    bandBucketsFromGrams(grams, numHashes, bands)
+      .write.mode("append").parquet(s"$indexDir/keys.parquet")
+    grams.write.mode("append").parquet(s"$indexDir/grams.parquet")
+  }
+
   /** Fail-fast config check for [[incrementalNearDupPairsFromIndex]]:
     * a key join under mismatched banding parameters is not an error
     * Spark can see — it just finds (almost) nothing. */

@@ -813,4 +813,65 @@ class IndexPathSpec extends AnyFunSuite {
           + s", extra ${(fromIndex -- q62).take(5)}")
     }
   }
+
+  test("near-dup index append: keys+grams equal the union build, existing " +
+    "rows untouched, duplicate ingest refused, empty batch a no-op") {
+    withTempDir("neardup_append") { dir =>
+      val docs = Tables.documents(spark, sf)
+      val existing = docs.filter(
+        substring(md5(col("text")), 1, 1) < Curation.Q62IncomingHex)
+      val initial = existing.filter(col("doc_id") % 4 =!= 3)
+      val batch = existing.filter(col("doc_id") % 4 === 3)
+      TextDedup.buildNearDupIndex(initial, "doc_id", "text", s"$dir/a")
+      def keys(d: String) = spark.read.parquet(s"$d/keys.parquet")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def grams(d: String) = spark.read.parquet(s"$d/grams.parquet")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val keysBefore = keys(s"$dir/a")
+      val gramsBefore = grams(s"$dir/a")
+      TextDedup.appendToNearDupIndex(spark, batch, s"$dir/a",
+        "doc_id", "text")
+      // append ≡ the union-corpus build, row for row (band keys and
+      // grams are doc-local — the q133/q135 identity shape)
+      TextDedup.buildNearDupIndex(existing, "doc_id", "text", s"$dir/b")
+      val keysA = keys(s"$dir/a")
+      val gramsA = grams(s"$dir/a")
+      assert(keysBefore.subsetOf(keysA) && gramsBefore.subsetOf(gramsA),
+        "append disturbed existing index rows")
+      assert(keysA == keys(s"$dir/b"),
+        "appended band keys diverge from the union build")
+      assert(gramsA == grams(s"$dir/b"),
+        "appended grams diverge from the union build")
+      // serving from the appended index answers the union-index
+      // answer (and hence the q62 oracle the query entry gates)
+      val incoming = docs.filter(
+        substring(md5(col("text")), 1, 1) >= Curation.Q62IncomingHex)
+      def served(d: String) = TextDedup
+        .incrementalNearDupPairsFromIndex(spark, incoming, d,
+          "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sA = served(s"$dir/a")
+      assert(sA.nonEmpty && sA == served(s"$dir/b"))
+      // duplicate ingest would double gram rows and corrupt every
+      // Jaccard the doc joins — must refuse loudly
+      val dup = intercept[IllegalArgumentException] {
+        TextDedup.appendToNearDupIndex(spark, batch, s"$dir/a",
+          "doc_id", "text")
+      }
+      assert(dup.getMessage.contains("append-only"))
+      // empty batch: a no-op cycle
+      TextDedup.appendToNearDupIndex(spark,
+        docs.filter(col("doc_id") < 0), s"$dir/a", "doc_id", "text")
+      assert(keys(s"$dir/a") == keysA && grams(s"$dir/a") == gramsA,
+        "empty append disturbed the index")
+      // config discipline: a mismatched banding config is rejected
+      // before any write (keys are meaningless across configs)
+      val cfg = intercept[IllegalArgumentException] {
+        TextDedup.appendToNearDupIndex(spark, batch, s"$dir/a",
+          "doc_id", "text", n = 4)
+      }
+      assert(cfg.getMessage.contains("rebuild"))
+    }
+  }
 }
