@@ -166,6 +166,8 @@ object SparkEntry {
       (Curation.q116DedupIncrementalStored _),
     "q141_neardup_index_append" ->
       (Curation.q141NearDupIndexAppend _),
+    "q142_dup_clusters_fixpoint" ->
+      (Curation.q142DupClustersFixpoint _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +356,23 @@ object SparkEntry {
     // same result contract as q62/q116 — the append path must be
     // invisible to the served answer (append ≡ union build)
     "q141_neardup_index_append" -> incrementalDedupSql,
+    // min reachable id over the chain edge law via a reach-set
+    // recursive CTE (the q68 oracle shape over a closed-form edge
+    // table): exact regardless of how many rounds the Spark side's
+    // pointer-jumping loop needed — the oracle checks the FIXPOINT
+    "q142_dup_clusters_fixpoint" ->
+      s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        | e AS (SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id AS BIGINT) + 1 AS b
+        |  FROM documents, nn
+        |  WHERE doc_id % ${graft.operators.Curation.Q142ChainLen} <> ${graft.operators.Curation.Q142ChainLen - 1}
+        |   AND doc_id + 1 < nn.n),
+        | sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        | r AS (
+        |  SELECT doc_id AS id, doc_id AS reach FROM documents
+        |  UNION
+        |  SELECT r.id, s.b FROM r JOIN sym s ON s.a = r.reach)
+        |SELECT id AS doc_id, min(reach) AS cluster_id FROM r
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming ingest dedup: the SAME exact cross-side Jaccard
     // oracle as q62 — the stateless stream's pair set must be
     // independent of its micro-batch split

@@ -98,7 +98,18 @@ object Components {
     * diameter at logarithmic convergence. */
   def connectedComponents(edges: DataFrame,
       aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the VERIFIED round count — the
+    * testable surface of the logarithmic-convergence claim
+    * (ComponentsSpec pins rounds ≤ ⌈log₂ diameter⌉ + slack on a
+    * chain graph, the topology where the bounded variant provably
+    * under-merges). The returned count includes the final no-change
+    * round that proves the fixpoint. */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 50): (DataFrame, Int) = {
     val symSelf = symmetricWithSelf(edges, aCol, bCol).localCheckpoint(true)
     var lbl = firstRound(symSelf).localCheckpoint(true)
     var it = 0
@@ -118,7 +129,25 @@ object Components {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds")
-    lbl
+    (lbl, it)
+  }
+
+  /** [[dupClusters]]' fixpoint twin: cluster assignment via the
+    * VERIFIED-fixpoint [[connectedComponents]] instead of a round
+    * bound — the variant for duplicate topologies of unknown
+    * diameter (chain-shaped crawl re-posts A~B~C~…), where any fixed
+    * bound silently splits clusters. Same output contract as
+    * [[dupClusters]]: every doc labeled with its component's min id,
+    * singletons labeling themselves, the corpus scanned never
+    * iterated. */
+  def dupClustersFixpoint(docs: DataFrame, idCol: String,
+      edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val lbl = connectedComponents(edges, maxIters = maxIters)
+    docs.select(col(idCol).as("doc_id"))
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   /** Duplicate-cluster assignment for a corpus: every doc labeled with

@@ -564,6 +564,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Chain length for the q142 fixpoint-components law: long enough
+    * that ANY practical fixed round bound under-merges (the q68
+    * bounded variant at rounds=3 reaches 3 hops; these chains are 99
+    * hops deep), short enough that the reach-set oracle CTE stays
+    * ~n·100 rows. */
+  val Q142ChainLen = 100
+
+  /** Fixpoint connected components on a CHAIN-shaped duplicate
+    * topology (q142) — the regime SURVEY D10 reserves the
+    * checkpointed pointer-jumping variant for, and exactly where the
+    * bounded variant (q68's near-clique regime) provably
+    * under-merges: docs chain by consecutive id in runs of
+    * [[Q142ChainLen]] (A~B~C~… crawl re-posts — each doc near-dups
+    * its neighbor, ends share nothing), so a cluster's diameter is
+    * 99 hops and min-label needs the O(log d) pointer-jumping rounds
+    * ([[Components.connectedComponents]]), not a fixed bound.
+    * Cluster id = the chain's min doc id — which the reach-set
+    * recursive-CTE oracle computes from the same edge law (the q68
+    * oracle shape over a closed-form edge table). ComponentsSpec
+    * additionally pins the convergence-round law and the bounded
+    * variant's failure on this topology. */
+  def q142DupClustersFixpoint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val edges = docs.select(col("doc_id").cast("long").as("a"))
+      .filter(col("a") % Q142ChainLen =!= (Q142ChainLen - 1) &&
+        col("a") + 1 < n)
+      .select(col("a"), (col("a") + 1).as("b"))
+    Components.dupClustersFixpoint(docs, "doc_id", edges)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-hot n-gram count for the boilerplate detector (q69). */
   val Q69TopK = 100
 

@@ -65,6 +65,47 @@ class ComponentsSpec extends AnyFunSuite {
       6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 2L, 10L -> 10L))
   }
 
+  test("chain topology: bounded variant provably under-merges, fixpoint " +
+    "converges in logarithmic rounds (the q142 contract)") {
+    // a 64-node chain (diameter 63): every doc near-dups its
+    // neighbor, ends share nothing — the crawl re-post topology
+    // SURVEY D10 reserves the fixpoint variant for
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    // the bounded variant at q68's oracle setting reaches 3 hops:
+    // node 63 is 63 hops from the min — it MUST be mislabeled (the
+    // failure mode that motivates the fixpoint twin)
+    val b3 = labels(Components.connectedComponentsBounded(edges,
+      rounds = 3))
+    assert(b3(63L) != 0L,
+      "bounded rounds=3 unexpectedly resolved a 63-hop chain")
+    assert(b3.values.toSet.size > 1,
+      "bounded rounds=3 unexpectedly merged the whole chain")
+    // the fixpoint variant resolves it, in ≤ ⌈log₂ 63⌉ + 2 rounds
+    // (propagate+jump shrinks label distance at least geometrically;
+    // +2 = the first-round offset and the final no-change round that
+    // PROVES the fixpoint)
+    val (lbl, rounds) = Components.connectedComponentsWithRounds(edges)
+    val fx = labels(lbl)
+    assert((0L to 63L).forall(fx(_) == 0L),
+      s"fixpoint mislabeled the chain: ${fx.filter(_._2 != 0L).take(5)}")
+    val bound = math.ceil(math.log(63.0) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound,
+      s"fixpoint took $rounds rounds on diameter 63 (bound $bound) — " +
+        "pointer jumping is not converging logarithmically")
+    // and the q142 cluster law end-to-end: chains of Q142ChainLen
+    // label every member with the chain head
+    val docs = (0L until 250L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val n = 250L
+    val chainLen = graft.operators.Curation.Q142ChainLen
+    val chainEdges = (0L until n).filter(i =>
+        i % chainLen != chainLen - 1 && i + 1 < n)
+      .map(i => (i, i + 1)).toDF("a", "b")
+    val got = labels(Components.dupClustersFixpoint(docs, "doc_id",
+      chainEdges))
+    assert((0L until n).forall(i => got(i) == (i / chainLen) * chainLen),
+      "q142 chain law mislabeled")
+  }
+
   test("fixpoint variant fails loudly when maxIters is too small") {
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
