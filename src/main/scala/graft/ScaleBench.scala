@@ -82,6 +82,7 @@ object ScaleBench {
   private def maintenance(spark: SparkSession, dir: String,
       batchVecs: DataFrame, batchDocs: DataFrame): Seq[(String, Double)] = {
     import graft.operators.Warehouse
+    import spark.implicits._
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -110,6 +111,52 @@ object ScaleBench {
       // for timing but this one's df merge is genuinely additive
       val aBm25 = timed(Retrieval.appendToBm25Index(spark, batchDocs,
         "doc_id", "text", s"$tmp/bm25"))
+      // hot-term serving contrast (round-17 max-score pruning): a
+      // query pairing the corpus's HOTTEST term (df ∝ corpus — the
+      // stopword shape) with its lowest-df term of df ≥ 16 (floor
+      // depth ≥ k). The exhaustive reference must pay the hot list
+      // (cost grows with corpus); the max-score path's exchange is
+      // bounded by the rare term's list — the decoupling law.
+      val dfsArt = spark.read.parquet(s"$tmp/bm25/dfs.parquet")
+      val hotTerm = dfsArt.orderBy(col("df").desc, col("term").asc)
+        .select(col("term")).limit(1).collect()(0).getString(0)
+      val rareTerm = dfsArt.filter(col("df") >= 16)
+        .orderBy(col("df").asc, col("term").asc)
+        .select(col("term")).limit(1).collect()(0).getString(0)
+      val hotQ = Seq((1L, s"$rareTerm $hotTerm"))
+        .toDF("query_id", "qtext").localCheckpoint(true)
+      val sPruned = (1 to 2).map(_ => timed(
+        Retrieval.bm25TopKFromIndex(spark, hotQ, "query_id", "qtext",
+            s"$tmp/bm25", k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      val hotPostings = spark.read
+        .parquet(s"$tmp/bm25/postings.parquet")
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
+      val hotStats = hotPostings.select(col("doc_id"), col("len"))
+        .distinct().agg(count(lit(1)), sum(col("len"))).collect()(0)
+      val hotQt = hotQ.select(col("query_id"), explode(array_distinct(
+          Retrieval.alnumTokens(col("qtext")))).as("term"))
+        .localCheckpoint(true)
+      val sExhaustive = (1 to 2).map(_ => timed {
+        Retrieval.bm25Serve(hotQt, hotPostings,
+            dfsArt.select(col("term"), col("df")),
+            hotStats.getLong(0), hotStats.getLong(1), 10, 1.2, 0.75)
+          .write.format("noop").mode("overwrite").save()
+      }).min
+      // the decoupling LAW, measured as exact row counts (wall times
+      // at sandbox scale are fixed-overhead-dominated — the truth-
+      // counter discipline): the exhaustive exchange carries every
+      // matched posting (hot df ∝ corpus); the max-score exchange
+      // carries candidate rows (∝ the rare term's list)
+      val hotDfs = dfsArt.select(col("term"), col("df"), col("maxtf"),
+        col("minlen"))
+      val hotMatched = hotPostings
+        .join(hotQt.select(col("term")).distinct(), Seq("term")).count()
+      val hotScored = hotPostings.join(hotQt, Seq("term"))
+        .join(Retrieval.maxScoreCandidates(hotQt, hotPostings, hotDfs,
+            hotStats.getLong(0), hotStats.getLong(1), 10, 1.2, 0.75),
+          Seq("query_id", "doc_id"), "left_semi")
+        .count()
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
       // ONE append rep, like bm25: the append-only guard refuses a
@@ -120,6 +167,10 @@ object ScaleBench {
         "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
         "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom,
         "bm25_build_sec" -> bBm25, "bm25_append_sec" -> aBm25,
+        "bm25_hot_serve_sec" -> sPruned,
+        "bm25_hot_exhaustive_sec" -> sExhaustive,
+        "bm25_hot_matched_rows" -> hotMatched.toDouble,
+        "bm25_hot_scored_rows" -> hotScored.toDouble,
         "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd)
     } finally Warehouse.deleteRec(new File(tmp))
   }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding subword tokenizer — train +
+  * encode as first-class corpus operators. LLM pipelines budget in
+  * SUBWORD tokens, but the token accounting family (q29 frequencies,
+  * q75 packing, q89 effective tokens) was word-based; this closes
+  * the gap with the classic BPE algorithm (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units")
+  * made engine-exact:
+  *
+  *  - the WORD table carries the corpus (w, cnt) — training never
+  *    touches the corpus again after one tokenize pass (vocab ≪
+  *    corpus, the standard BPE scale shape);
+  *  - each word is a SYMBOL STRING: single-space wrapped,
+  *    double-space joined (" l  o  w "), so applying a merge (x, y)
+  *    is ONE literal string replace of " x␣␣y " with " xy " — the
+  *    double-space interior keeps consecutive matches from
+  *    consuming each other's boundary (with single spaces,
+  *    "a b a b a b" merges only its 1st and 3rd pair because the
+  *    middle match's delimiters are gone), and left-to-right
+  *    non-overlapping replace IS greedy BPE application, with
+  *    identical semantics in Spark and every SQL engine — no
+  *    floats anywhere, so the whole family sits under hash oracles
+  *    with no tolerance flag;
+  *  - merge selection is max pair frequency with (x asc, y asc)
+  *    lexicographic tie-break — fully deterministic, and each
+  *    selection step unrolls into the SQL oracle the way q140's
+  *    PageRank iterations do.
+  *
+  * Scale shape (100 TB): training is `numMerges` rounds of one
+  * vocab-sized pair-count aggregation + a driver argmax of ONE row
+  * + one vocab-sized projection (checkpointed per round, the
+  * [[LinkGraph]] loop discipline); the corpus is scanned exactly
+  * once to build (w, cnt). Encoding joins the corpus's exploded
+  * words against the vocab-sized (w, n_tok) table — broadcast here
+  * (the gate-scale vocab is tiny); a 10⁸-word vocab swaps the hint
+  * for a shuffle join on `w`, nothing else changes.
+  */
+object Bpe {
+
+  /** The corpus word-frequency table under the shared token law
+    * (q29/BM25: lower, split non-alnum, drop empties). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Retrieval.alnumTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol string of a word: characters single-space
+    * wrapped, double-space joined — " l  o  w ". */
+  private[graft] def initialSeq(w: Column): Column =
+    concat(lit(" "), array_join(split(w, ""), "  "), lit(" "))
+
+  /** Apply merge (x, y) to a symbol string: replace " x␣␣y " with
+    * " xy ". Literal replace (symbols are alnum concatenations —
+    * the token law admits no regex metacharacters, asserted), and
+    * regexp_replace's left-to-right non-overlapping scan matches
+    * SQL replace() exactly. */
+  private[graft] def applyMerge(seq: Column, x: String,
+      y: String): Column = {
+    require((x + y).matches("[a-z0-9]+"),
+      s"BPE symbols must be alnum (token law): '$x', '$y'")
+    regexp_replace(seq, s" $x  $y ", s" $x$y ")
+  }
+
+  /** Adjacent-pair frequencies of a vocab state (w, cnt, seq):
+    * (x, y, n = Σ cnt over occurrences). Vocab-sized. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"),
+        split(trim(col("seq")), "  ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(t)-2), " +
+          "i -> struct(element_at(t, i+1) AS x, " +
+          "element_at(t, i+2) AS y))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("cnt")).as("n"))
+
+  /** Train `numMerges` BPE merges over the corpus: the ordered merge
+    * table ((step, x, y) driver-side — numMerges rows, the model).
+    * Fails loudly if the vocabulary exhausts its pairs before
+    * `numMerges` (every word reduced to one symbol). */
+  def trainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var vocab = wordCounts(docs, textCol)
+      .withColumn("seq", initialSeq(col("w")))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String)]
+    for (step <- 1 to numMerges) {
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE training exhausted all pairs at step $step of " +
+          s"$numMerges — every word is a single symbol; lower " +
+          "numMerges")
+      val (x, y) = (top(0).getString(0), top(0).getString(1))
+      merges += ((step, x, y))
+      vocab = vocab
+        .withColumn("seq", applyMerge(col("seq"), x, y))
+        .localCheckpoint(true)
+    }
+    merges.result()
+  }
+
+  /** Persist a trained merge table: `merges.parquet` (step, x, y) +
+    * `_meta.json` {numMerges} — the meta discipline (a partial dir
+    * fails loudly; the step count is declared, never inferred). */
+  def buildMergeTable(spark: SparkSession, docs: DataFrame,
+      textCol: String, dir: String, numMerges: Int): Unit = {
+    import spark.implicits._
+    val merges = trainMerges(docs, textCol, numMerges)
+    new java.io.File(dir).mkdirs()
+    merges.toDF("step", "x", "y")
+      .write.mode("overwrite").parquet(s"$dir/merges.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"numMerges":$numMerges}""")
+  }
+
+  /** Read a stored merge table back, step-ordered. */
+  def readMerges(spark: SparkSession,
+      dir: String): Seq[(Int, String, String)] = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"BPE merge table at $dir has no _meta.json — not a complete " +
+        "buildMergeTable artifact; rebuild it")
+    val meta = java.nio.file.Files.readString(p)
+    val declared = """"numMerges":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt).getOrElse(throw
+        new IllegalArgumentException(
+          s"BPE merge table meta at $dir lacks 'numMerges': $meta"))
+    val merges = spark.read.parquet(s"$dir/merges.parquet")
+      .orderBy(col("step"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toSeq
+    require(merges.size == declared,
+      s"BPE merge table at $dir holds ${merges.size} merges, meta " +
+        s"declares $declared — partial artifact; rebuild it")
+    merges
+  }
+
+  /** Encode a word table against a trained merge table: (w, n_tok =
+    * BPE token count after applying every merge in step order). The
+    * merges fold into ONE projection of `numMerges` nested replaces
+    * — vocab-sized, no per-merge job. */
+  def wordTokenCounts(words: DataFrame, wCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val seq = merges.sortBy(_._1).foldLeft(initialSeq(col(wCol)))(
+      (c, m) => applyMerge(c, m._2, m._3))
+    words.select(col(wCol).as("w"))
+      .withColumn("n_tok",
+        size(split(trim(seq), "  ")).cast("long"))
+  }
+
+  /** Per-document BPE token counts: (doc_id, bpe_tokens). One
+    * corpus tokenize + a broadcast join against the vocab-sized
+    * (w, n_tok) table; docs whose text yields no tokens count 0. */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(Retrieval.alnumTokens(col(textCol))).as("w"))
+    val wt = wordTokenCounts(words.select(col("w")).distinct(), "w",
+      merges)
+    val counts = words.join(broadcast(wt), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).as("bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+}

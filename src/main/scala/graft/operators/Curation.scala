@@ -286,7 +286,8 @@ object Curation {
   def q138Bm25Stored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = Warehouse.materializedDir(s, "bm25",
-      s"bm25:v2:1.2:0.75:$dir:" +
+      // v3: dfs.parquet gained the max-score bounds (maxtf, minlen)
+      s"bm25:v3:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(docs, "doc_id", "text", d)
     }
@@ -330,7 +331,8 @@ object Curation {
   def q139Bm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = Warehouse.materializedDir(s, "bm25app",
-      s"bm25app:v2:1.2:0.75:$dir:" +
+      // v3: dfs.parquet gained the max-score bounds (maxtf, minlen)
+      s"bm25app:v3:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
         "doc_id", "text", d)
