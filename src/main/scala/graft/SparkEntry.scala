@@ -168,6 +168,9 @@ object SparkEntry {
       (Curation.q141NearDupIndexAppend _),
     "q142_dup_clusters_fixpoint" ->
       (Curation.q142DupClustersFixpoint _),
+    "q143_bpe_merges" -> (Curation.q143BpeMerges _),
+    "q144_bpe_token_counts" -> (Curation.q144BpeTokenCounts _),
+    "q145_bpe_packing" -> (Curation.q145BpePacking _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +363,9 @@ object SparkEntry {
     // recursive CTE (the q68 oracle shape over a closed-form edge
     // table): exact regardless of how many rounds the Spark side's
     // pointer-jumping loop needed — the oracle checks the FIXPOINT
+    "q143_bpe_merges" -> bpeMergesSql,
+    "q144_bpe_token_counts" -> bpeTokenCountsSql,
+    "q145_bpe_packing" -> bpePackingSql,
     "q142_dup_clusters_fixpoint" ->
       s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
         | e AS (SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id AS BIGINT) + 1 AS b
@@ -1684,6 +1690,89 @@ object SparkEntry {
       |     ORDER BY s DESC, doc_id) AS rank FROM s)
       |SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score, rank
       |FROM r WHERE rank <= 10 ORDER BY 1, 4""".stripMargin
+
+  /** The q143–q145 BPE oracle CTE chain: the corpus word table under
+    * the shared token law, then [[graft.operators.Curation.Q143Merges]]
+    * unrolled merge-selection steps (the q140 iteration precedent) —
+    * each step a pair-count aggregation, a (n desc, x, y) argmax, and
+    * a literal double-space replace (see [[graft.operators.Bpe]] for
+    * why the representation makes replace() exactly greedy BPE in
+    * both engines). Pure string/integer ops throughout. */
+  private def bpeCtes(k: Int): String = {
+    // every v_i is referenced TWICE (next step's pair counts + next
+    // replace); DuckDB inlines plain CTEs, so without MATERIALIZED
+    // the expansion doubles per step — 2^k plans, minutes at k=12
+    // (measured; the Catalyst round-10 lesson, DuckDB edition).
+    // MATERIALIZED pins each state to one evaluation: 0.2 s.
+    val sb = new StringBuilder
+    sb ++= "WITH v0 AS MATERIALIZED (SELECT w, cnt,\n" +
+      "  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq\n" +
+      " FROM (SELECT t AS w, count(*) AS cnt FROM (\n" +
+      "   SELECT unnest(list_filter(regexp_split_to_array(lower(text)," +
+      " '[^a-z0-9]+'),\n" +
+      "     x -> len(x) > 0)) AS t FROM documents) GROUP BY 1))"
+    for (i <- 1 to k) {
+      sb ++= s""",
+ p$i AS (SELECT cnt, list_extract(t, CAST(j AS INT)) AS x,
+   list_extract(t, CAST(j AS INT) + 1) AS y
+  FROM (SELECT cnt, string_split(trim(seq), '  ') AS t FROM v${i - 1}) tt
+  CROSS JOIN LATERAL unnest(range(1, len(t))) AS r(j)),
+ m$i AS (SELECT x, y FROM (
+   SELECT x, y, sum(cnt) AS n FROM p$i GROUP BY 1, 2)
+  ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+ v$i AS MATERIALIZED (SELECT w, cnt,
+   replace(seq, ' ' || m.x || '  ' || m.y || ' ',
+     ' ' || m.x || m.y || ' ') AS seq
+  FROM v${i - 1}, m$i m)"""
+    }
+    sb.toString
+  }
+
+  /** The shared q144/q145 tail: per-word BPE token counts from the
+    * final vocab state, joined back onto every doc's word multiset
+    * (zero-token docs count 0). */
+  private def bpeDocCountCtes(k: Int): String =
+    s""",
+ wt AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok
+  FROM v$k),
+ dw AS (SELECT doc_id, unnest(list_filter(
+   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+   x -> len(x) > 0)) AS w FROM documents),
+ dc AS (SELECT dw.doc_id, sum(wt.n_tok) AS bt
+  FROM dw JOIN wt USING (w) GROUP BY 1)"""
+
+  private def bpeMergesSql: String = {
+    val k = graft.operators.Curation.Q143Merges
+    bpeCtes(k) + "\nSELECT step, x, y FROM (" +
+      (1 to k).map(i =>
+        s"SELECT CAST($i AS INT) AS step, x, y FROM m$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY step"
+  }
+
+  private def bpeTokenCountsSql: String = {
+    val k = graft.operators.Curation.Q143Merges
+    bpeCtes(k) + bpeDocCountCtes(k) +
+      """
+SELECT d.doc_id, CAST(coalesce(dc.bt, 0) AS BIGINT) AS bpe_tokens
+FROM documents d LEFT JOIN dc ON dc.doc_id = d.doc_id
+ORDER BY 1"""
+  }
+
+  private def bpePackingSql: String = {
+    val k = graft.operators.Curation.Q143Merges
+    val budget = graft.operators.Curation.Q75PackBudget
+    bpeCtes(k) + bpeDocCountCtes(k) +
+      s""",
+ t AS (SELECT d.doc_id, d.source, CAST(coalesce(dc.bt, 0) AS INT) AS n_tokens
+  FROM documents d LEFT JOIN dc ON dc.doc_id = d.doc_id),
+ c AS (SELECT *, sum(n_tokens) OVER (
+   PARTITION BY source ORDER BY doc_id) AS endc FROM t)
+SELECT doc_id, source, n_tokens,
+ CAST(floor(CAST(endc - n_tokens AS DOUBLE) / $budget) AS INT) AS pack_id,
+ CAST((endc - n_tokens) % $budget AS INT) AS pack_offset
+FROM c ORDER BY 1"""
+  }
 
   /** The q140 PageRank oracle: the same fixed-point iteration
     * unrolled as CTE pairs (contributions, ranks) — ALL integer

@@ -733,6 +733,61 @@ object Curation {
         "doc_id", "text", "source", budget = Q75PackBudget)
       .orderBy(col("doc_id"))
 
+  /** Merge count for the q143–q145 BPE family: deep enough that
+    * multi-character subwords form (merges chain onto earlier
+    * merges), shallow enough that the unrolled SQL oracle stays
+    * tractable (12 CTE triples — the q140 unroll scale). */
+  val Q143Merges = 12
+
+  /** The stored BPE merge table the q143–q145 family shares — one
+    * training run per corpus version (the warehouse pattern), read
+    * back by every consumer. */
+  private def storedBpeMerges(s: SparkSession, dir: String): String =
+    Warehouse.materializedDir(s, "bpe",
+      s"bpe:v1:$Q143Merges:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      Bpe.buildMergeTable(s, Tables.documents(s, dir), "text", d,
+        Q143Merges)
+    }
+
+  /** The learned BPE merge table (q143) — [[Bpe.trainMerges]]: max
+    * pair frequency with lexicographic tie-break, each of the
+    * [[Q143Merges]] selection steps unrolled into the SQL oracle
+    * (the q140 iteration precedent). Pure string/integer ops — hash
+    * oracle, no tolerance flag. */
+  def q143BpeMerges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${storedBpeMerges(s, dir)}/merges.parquet")
+      .select(col("step"), col("x"), col("y"))
+      .orderBy(col("step"))
+
+  /** Per-doc BPE subword token counts (q144) — the subword twin of
+    * the word-based token accounting (q29/q89): every doc's word
+    * multiset joined against the vocab-sized encoded (w, n_tok)
+    * table, zero-token docs counting 0. */
+  def q144BpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Bpe.docTokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        Bpe.readMerges(s, storedBpeMerges(s, dir)))
+      .orderBy(col("doc_id"))
+
+  /** q75's packing twin by BPE subword tokens (q145) — the manifest
+    * a training loader actually wants (budgets are subword tokens,
+    * not words): same greedy per-source layout law
+    * ([[Mixture.sequencePackingByCount]]), token counts from the
+    * q144 encoding. */
+  def q145BpePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = Bpe.docTokenCounts(docs, "doc_id", "text",
+        Bpe.readMerges(s, storedBpeMerges(s, dir)))
+      .withColumnRenamed("bpe_tokens", "n_tokens")
+    Mixture.sequencePackingByCount(
+        docs.select(col("doc_id"), col("source"))
+          .join(counts, Seq("doc_id"))
+          .select(col("source"), col("doc_id"),
+            col("n_tokens").cast("int").as("n_tokens")),
+        "doc_id", "source", budget = Q75PackBudget)
+      .orderBy(col("doc_id"))
+  }
+
   /** Output fraction for q76's rebalanced sample. */
   val Q76OutFraction = 0.5
 

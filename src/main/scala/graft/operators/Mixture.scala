@@ -74,11 +74,22 @@ object Mixture {
     * sum, so the cumulative sums parallelize across groups exactly
     * like a real sharded layout job. */
   def sequencePacking(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Int): DataFrame =
+    sequencePackingByCount(
+      docs.select(col(groupCol), col(idCol),
+        size(split(col(textCol), " ")).as("n_tokens")),
+      idCol, groupCol, budget)
+
+  /** [[sequencePacking]] over a PRECOMPUTED token-count column —
+    * the same greedy layout law for any token accounting (the BPE
+    * subword counts of q145 pack through here; whitespace counts
+    * are just the default accounting). Input: (groupCol, idCol,
+    * n_tokens). */
+  def sequencePackingByCount(counts: DataFrame, idCol: String,
       groupCol: String, budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    docs.select(col(groupCol), col(idCol),
-        size(split(col(textCol), " ")).as("n_tokens"))
+    counts
       .withColumn("endc", sum(col("n_tokens")).over(w))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         floor((col("endc") - col("n_tokens")).cast("double") / budget)

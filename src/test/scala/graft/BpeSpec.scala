@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hand-computed merges: pair frequency argmax with lexicographic " +
+    "tie-break, merges chain onto earlier merges") {
+    // corpus: low ×5, lower ×2, newest ×6, widest ×3
+    // char pairs: (e,s) and (s,t) appear in newest+widest = 9 — top;
+    // tie between (e,s) and (e,w)? (n,e): newest 6; (e,w): newest 6;
+    // (e,s): 9, (s,t): 9 → step1 argmax: n=9 tie between (e,s),(s,t)
+    // → lexicographic: (e,s). step2: (es,t) now 9 → top again.
+    val docs = Seq(
+      (1L, ("low " * 5).trim),
+      (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim),
+      (4L, ("widest " * 3).trim)).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+    assert(merges(0) == ((1, "e", "s")), s"step1: ${merges(0)}")
+    assert(merges(1) == ((2, "es", "t")), s"step2: ${merges(1)}")
+    // step3: remaining pairs — lo: 7 (low 5 + lower 2) tops n/w ests
+    // joins: (n,e)=6,(w,e)? newest: n e w e s t → (e,w) 6, widest:
+    // w i d e s t → (d,est) 3... (l,o) = 7 is the max
+    assert(merges(2) == ((3, "l", "o")), s"step3: ${merges(2)}")
+  }
+
+  test("greedy application: consecutive pair runs merge every " +
+    "occurrence (the double-space representation law)") {
+    // "ababab" as chars: a b a b a b — merge (a,b) must produce
+    // ab ab ab (3 tokens), not the single-space representation's
+    // 2 merges + stranded middle pair
+    val words = Seq("ababab").toDF("w")
+    val got = Bpe.wordTokenCounts(words, "w", Seq((1, "a", "b")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("ababab") == 3L)
+    // and an odd run merges greedily left to right: aaa -> aa a
+    val odd = Seq("aaa").toDF("w")
+    val gotOdd = Bpe.wordTokenCounts(odd, "w", Seq((1, "a", "a")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(gotOdd("aaa") == 2L)
+  }
+
+  test("doc token counts: multiset-weighted, zero-token docs count 0") {
+    val docs = Seq(
+      (1L, "low low newest"),
+      (2L, "!!! ..."),
+      (3L, "widest")).toDF("doc_id", "text")
+    // no merges: every word counts its characters
+    val got = Bpe.docTokenCounts(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 12L, 2L -> 0L, 3L -> 6L))
+  }
+
+  test("stored merge table round-trips; partial artifacts rejected") {
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpespec").toString
+    try {
+      Bpe.buildMergeTable(spark, docs, "text", dir, 4)
+      val merges = Bpe.readMerges(spark, dir)
+      assert(merges.size == 4 && merges.map(_._1) == Seq(1, 2, 3, 4))
+      assert(merges == Bpe.trainMerges(docs, "text", 4))
+      // meta discipline
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$dir/_meta.json"))
+      val err = intercept[IllegalArgumentException] {
+        Bpe.readMerges(spark, dir)
+      }
+      assert(err.getMessage.contains("_meta.json"))
+    } finally graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+  }
+
+  test("training fails loudly when the vocabulary exhausts its pairs") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(docs, "text", 3) // only 1 possible merge
+    }
+    assert(err.getMessage.contains("exhausted"))
+  }
+}
