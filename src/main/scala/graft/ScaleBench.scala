@@ -157,6 +157,23 @@ object ScaleBench {
             hotStats.getLong(0), hotStats.getLong(1), 10, 1.2, 0.75),
           Seq("query_id", "doc_id"), "left_semi")
         .count()
+      // compaction receipt (round-17): ~10 append cycles accumulate
+      // one part-file per touched prefix per cycle — the classic
+      // inverted-file/LSM small-file problem — then ONE compaction
+      // collapses every multi-file partition to a single file with
+      // content identity (IndexPathSpec pins the identity; this
+      // measures the file-count law and the rewrite cost)
+      for (cycle <- 1 to 8)
+        Retrieval.appendToBm25Index(spark,
+          batchDocs.select(
+            (col("doc_id") + lit(cycle * 1000000L * ScaleCorpus.IdStride))
+              .as("doc_id"), col("text")),
+          "doc_id", "text", s"$tmp/bm25")
+      var compacted = (0, 0)
+      val cBm25 = timed {
+        compacted = Warehouse.compactIndexPartitions(spark,
+          s"$tmp/bm25/postings.parquet", "pfx")
+      }
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
       // ONE append rep, like bm25: the append-only guard refuses a
@@ -171,6 +188,9 @@ object ScaleBench {
         "bm25_hot_exhaustive_sec" -> sExhaustive,
         "bm25_hot_matched_rows" -> hotMatched.toDouble,
         "bm25_hot_scored_rows" -> hotScored.toDouble,
+        "bm25_compact_sec" -> cBm25,
+        "bm25_compact_files_before" -> compacted._1.toDouble,
+        "bm25_compact_files_after" -> compacted._2.toDouble,
         "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd)
     } finally Warehouse.deleteRec(new File(tmp))
   }

@@ -406,6 +406,57 @@ private[graft] object Warehouse {
     }
   }
 
+  /** Compact a PARTITIONED parquet artifact in place — the LSM-ish
+    * operational counterpart of the append family: every append
+    * cycle adds part-files to its touched partitions (BM25 postings,
+    * IVF/PQ assignments, near-dup keys accumulate one file per
+    * cycle), and after many cycles the per-partition file count —
+    * not the data — dominates open/plan cost. Rewrites ONLY the
+    * partitions holding more than one part-file, each into a single
+    * file, preserving content identity (IndexPathSpec pins query
+    * results before ≡ after): the partition's rows are materialized
+    * (localCheckpoint — never read-while-overwrite), then rewritten
+    * via per-write dynamic partition overwrite; untouched partitions
+    * keep their files byte-identical. Like the appends it cleans up
+    * after, it belongs behind the deployment's ingest-cycle barrier
+    * (or inside a warehouse publish) — it is not concurrent-safe
+    * against a simultaneous reader of the same partition.
+    *
+    * Returns (partFilesBefore, partFilesAfter) across the compacted
+    * partitions — the ScaleBench receipt. A dir already at one file
+    * per partition is a no-op (0, 0). */
+  private[graft] def compactIndexPartitions(spark: SparkSession,
+      dir: String, partitionCol: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val root = new java.io.File(dir)
+    require(root.isDirectory,
+      s"compactIndexPartitions: $dir is not a directory")
+    def partFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val multi = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        d.getName.startsWith(s"$partitionCol=") &&
+        partFiles(d).length > 1)
+    if (multi.isEmpty) return (0, 0)
+    val before = multi.map(partFiles(_).length).sum
+    val values = multi.map(_.getName.stripPrefix(s"$partitionCol="))
+      .toSeq
+    val rows = spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(values: _*))
+      .localCheckpoint(true) // materialize BEFORE overwriting files
+    rows
+      // one task per partition value -> one file per partition (two
+      // values hashing together still emit one file per directory)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(dir)
+    val after = multi.map(partFiles(_).length).sum
+    (before, after)
+  }
+
   /** Record last use as a marker OBJECT (the only channel the marker
     * protocol has — no directory mtimes on an object store). */
   private def writeLastUse(dir: java.io.File): Unit =

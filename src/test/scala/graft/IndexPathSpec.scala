@@ -650,6 +650,85 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("partition compaction: multi-cycle appends collapse to one file " +
+    "per partition, content and serving identical") {
+    withTempDir("compact") { dir =>
+      val docs = Tables.documents(spark, sf)
+      // three append cycles of disjoint batches (the %4===3 batch
+      // split into %8 slices) — each cycle adds a part-file per
+      // touched prefix partition
+      graft.operators.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", dir)
+      graft.operators.Retrieval.appendToBm25Index(spark,
+        docs.filter(col("doc_id") % 8 === 3), "doc_id", "text", dir)
+      graft.operators.Retrieval.appendToBm25Index(spark,
+        docs.filter(col("doc_id") % 8 === 7), "doc_id", "text", dir)
+      def postings() = spark.read.parquet(s"$dir/postings.parquet")
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            graft.operators.Retrieval.alnumTokens(col("text")), 1, 5))
+            .as("qtext"))
+        .localCheckpoint(true)
+      def served() = graft.operators.Retrieval
+        .bm25TopKFromIndex(spark, queries, "query_id", "qtext", dir,
+          k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val pBefore = postings()
+      val sBefore = served()
+      assert(sBefore.nonEmpty)
+      val (fb, fa) = graft.operators.Warehouse.compactIndexPartitions(
+        spark, s"$dir/postings.parquet", "pfx")
+      assert(fb > fa && fa > 0,
+        s"append cycles should leave multi-file partitions: $fb -> $fa")
+      // every compacted partition is now ONE file
+      val stillMulti = new java.io.File(s"$dir/postings.parquet")
+        .listFiles().filter(d => d.isDirectory &&
+          d.getName.startsWith("pfx=") &&
+          d.listFiles().count(_.getName.startsWith("part-")) > 1)
+      assert(stillMulti.isEmpty,
+        s"partitions left uncompacted: ${stillMulti.map(_.getName).toSeq}")
+      // content and serving identity
+      assert(postings() == pBefore, "compaction changed postings rows")
+      assert(served() == sBefore, "compaction changed the served ranking")
+      // idempotent: a compacted dir is a no-op
+      assert(graft.operators.Warehouse.compactIndexPartitions(
+        spark, s"$dir/postings.parquet", "pfx") == ((0, 0)))
+    }
+  }
+
+  test("partition compaction on the IVF assignments layout (int " +
+    "partition column)") {
+    withTempDir("compact_ivf") { dir =>
+      val e = Tables.embeddings(spark, sf)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", dir, nLists = 16, assignments = 2)
+      Similarity.appendToIvfIndex(spark,
+        e.filter(col("vec_id") % 8 === 3), "vec_id", "embedding", dir)
+      Similarity.appendToIvfIndex(spark,
+        e.filter(col("vec_id") % 8 === 7), "vec_id", "embedding", dir)
+      val queries = e.filter(col("vec_id") < 10).localCheckpoint(true)
+      def served() = Similarity.ivfTopKFromIndex(spark, queries,
+          "vec_id", "embedding", dir, k = 10, nProbe = 12)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val sBefore = served()
+      assert(sBefore.nonEmpty)
+      val (fb, fa) = graft.operators.Warehouse.compactIndexPartitions(
+        spark, s"$dir/assignments.parquet", "list_id")
+      assert(fb > fa && fa > 0, s"expected multi-file lists: $fb -> $fa")
+      assert(served() == sBefore,
+        "compaction changed the served IVF ranking")
+    }
+  }
+
   test("object-store index root is rejected loudly at configuration time") {
     // round-14 missing #3: the commit protocol rests on POSIX rename
     // atomicity, advisory file locks, and dir mtimes — none of which
