@@ -68,7 +68,11 @@ object ScaleBench {
     // BM25 retrieval: in-plan (one tokenize+shuffle postings build,
     // ~linear), stored serving (prefix-pruned scans + broadcast
     // query side), and the df-merge append
-    "q137_bm25_topk", "q138_bm25_stored", "q139_bm25_index_append")
+    "q137_bm25_topk", "q138_bm25_stored", "q139_bm25_index_append",
+    // round-17: the per-iteration one-shuffle PageRank law (ranks
+    // checkpointed per round, edge table built once) and its
+    // dangling-redistribution twin (adds one scalar aggregate/round)
+    "q140_link_pagerank", "q146_link_pagerank_dangling")
 
   /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
     * index/sketch maintenance ops whose claim is cost ∝ batch — the

@@ -171,6 +171,8 @@ object SparkEntry {
     "q143_bpe_merges" -> (Curation.q143BpeMerges _),
     "q144_bpe_token_counts" -> (Curation.q144BpeTokenCounts _),
     "q145_bpe_packing" -> (Curation.q145BpePacking _),
+    "q146_link_pagerank_dangling" ->
+      (Curation.q146LinkPageRankDangling _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1185,6 +1187,7 @@ object SparkEntry {
     // link-graph PageRank quality prior: five damped fixed-point
     // iterations in pure integer arithmetic — rank values hash-exact
     "q140_link_pagerank" -> pageRankSql,
+    "q146_link_pagerank_dangling" -> pageRankDanglingSql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1772,6 +1775,44 @@ SELECT doc_id, source, n_tokens,
  CAST(floor(CAST(endc - n_tokens AS DOUBLE) / $budget) AS INT) AS pack_id,
  CAST((endc - n_tokens) % $budget AS INT) AS pack_offset
 FROM c ORDER BY 1"""
+  }
+
+  /** The q146 dangling-mass PageRank oracle: q140's unrolled CTE
+    * pairs plus, per round, a ONE-ROW dangling-share CTE
+    * (Σ r over the dangling set, floor-divided by n) folded into the
+    * damped update exactly as
+    * [[graft.operators.LinkGraph.pageRankFixedDangling]] computes it.
+    * Edge law: docs ≡ 4 (mod 5) emit no links. */
+  private val pageRankDanglingSql: String = {
+    val iters = (1 to 5).map { k =>
+      s""" dg$k AS (SELECT coalesce((SELECT sum(r.r)
+         |    FROM r${k - 1} r JOIN dang USING (id)), 0)
+         |   // (SELECT n FROM nn) AS share),
+         | c$k AS (SELECT e.dst AS id, sum(r.r // e.od) AS cs
+         |  FROM r${k - 1} r JOIN edges e ON r.id = e.src GROUP BY 1),
+         | r$k AS (SELECT nodes.id,
+         |   ((1000000000000 // n) * 150) // 1000
+         |     + (850 * (coalesce(c$k.cs, 0) + dg$k.share)) // 1000 AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dg$k
+         |   LEFT JOIN c$k ON nodes.id = c$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | edges0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+       |   unnest([ (CAST(doc_id AS BIGINT) * 31 + 7) % n,
+       |            (CAST(doc_id AS BIGINT) * 17 + 3) % n,
+       |            (CAST(doc_id AS BIGINT) * 13 + 11) % n ]) AS dst
+       |  FROM documents CROSS JOIN nn WHERE doc_id % 5 <> 4),
+       | outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
+       | edges AS (SELECT e.src, e.dst, o.od
+       |  FROM edges0 e JOIN outdeg o USING (src)),
+       | dang AS (SELECT id FROM nodes
+       |  WHERE id NOT IN (SELECT DISTINCT src FROM edges0)),
+       | r0 AS (SELECT id, (1000000000000 // n) AS r
+       |  FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr
+       |FROM r5 ORDER BY 1""".stripMargin
   }
 
   /** The q140 PageRank oracle: the same fixed-point iteration

@@ -318,6 +318,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Dangling-mass PageRank (q146) — [[LinkGraph.pageRankFixedDangling]]
+    * over a link law WITH genuine dangling nodes (docs with id ≡ 4
+    * mod 5 emit no links — crawl leaves; the others link to q140's
+    * three arithmetic neighbors): a fifth of the mass would silently
+    * drain each round under q140's drop semantics, so this gate
+    * exercises the redistribution arithmetic, not a no-op. Same
+    * all-integer fixed point, same unrolled-CTE oracle shape with
+    * the per-round dangling share mirrored token for token. */
+  def q146LinkPageRankDangling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val edges = docs.select(col("doc_id").cast("long").as("src"))
+      .filter(col("src") % 5 =!= 4)
+      .select(col("src"), explode(array(
+        (col("src") * 31 + 7) % n,
+        (col("src") * 17 + 3) % n,
+        (col("src") * 13 + 11) % n)).as("dst"))
+    LinkGraph.pageRankFixedDangling(edges, docs, "doc_id",
+        iterations = 5, nodeCountHint = n)
+      .select(col("id").as("doc_id"), col("r").as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental BM25 index maintenance (q139) — the append with a
     * MUTABLE aggregate: the index is built on 75% of the corpus
     * (doc_id % 4 ≠ 3), the 25% batch appends —

@@ -79,4 +79,59 @@ object LinkGraph {
     }
     ranks.select(col("id"), col("r"))
   }
+
+  /** [[pageRankFixed]] with DANGLING-MASS REDISTRIBUTION — the
+    * variant production link-quality priors run: a node with no
+    * out-edges (a crawl leaf) re-emits its rank uniformly to every
+    * node instead of dropping it, so total mass is conserved up to
+    * the documented floor-division remainders. Same all-integer
+    * discipline; the one addition per round is a SCALAR aggregate —
+    * the dangling nodes' rank sum (one bounded driver action per
+    * iteration, the [[graft.operators.Hierarchy]] loop precedent;
+    * the rounds are already materialized per-round, so the action
+    * adds no extra corpus work) — whose per-node share
+    * `dangling div n` joins the damped update as
+    * r' = base + (d · (cs + share)) div 1000, mirrored token for
+    * token by the oracle's unrolled CTEs. The dangling id set is
+    * computed ONCE (nodes anti-join edge sources) before the loop. */
+  def pageRankFixedDangling(edges: DataFrame, nodes: DataFrame,
+      idCol: String, iterations: Int = 5, dampingPermille: Int = 850,
+      mass: Long = 1000000000000L, nodeCountHint: Long = 0L): DataFrame = {
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
+    require(n > 0, "pageRankFixedDangling needs a nonempty node set")
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("od"))
+    val edgesDeg = edges.join(outdeg, Seq("src"))
+      .select(col("src"), col("dst"), col("od"))
+      .localCheckpoint(true)
+    val danglingIds = nodeIds
+      .join(edges.select(col("src").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val r0 = mass / n
+    val base = r0 * (1000 - dampingPermille) / 1000
+    var ranks = nodeIds.select(col("id"), lit(r0).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)))
+        .collect()(0).getLong(0)
+      val share = dangling / n
+      val contrib = ranks
+        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+        .select(col("dst").as("id"), expr("r div od").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("cs"))
+      ranks = nodeIds.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(
+            s"($dampingPermille * (coalesce(cs, CAST(0 AS BIGINT)) + " +
+              s"CAST($share AS BIGINT))) div 1000"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r"))
+  }
 }
