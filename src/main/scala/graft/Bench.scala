@@ -82,7 +82,15 @@ object Bench {
     val r13Regimes = Seq("q23_dedup_simhash", "q51_embed_near_dup_lsh_hi",
       "q36_tally_group_tree_parent_child",
       "q37_tally_group_tree_children_parent").map(_ -> 13)
-    (tallyRescale ++ r13Regimes).toMap
+    // r17: BM25 serving switched to safe max-score pruning (floor
+    // pass + candidate semi-join — 3 posting scans instead of 1).
+    // At sandbox scale the fixed overhead exceeds the exchange win
+    // by design (the law is exchange VOLUME, measured in ScaleBench's
+    // bm25_hot_*_rows counters); pre-pruning serving minima are not
+    // comparable.
+    val r17MaxScore = Seq("q137_bm25_topk", "q138_bm25_stored",
+      "q139_bm25_index_append").map(_ -> 17)
+    (tallyRescale ++ r13Regimes ++ r17MaxScore).toMap
   }
 
   /** Best (minimum) recorded seconds per query across ALL prior

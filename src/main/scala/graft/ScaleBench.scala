@@ -123,18 +123,38 @@ object ScaleBench {
       // bounded by the rare term's list — the decoupling law.
       val dfsArt = spark.read.parquet(s"$tmp/bm25/dfs.parquet")
       val hotTerm = dfsArt.orderBy(col("df").desc, col("term").asc)
-        .select(col("term")).limit(1).collect()(0).getString(0)
+        .select(col("term")).limit(1).collect().headOption
+        .map(_.getString(0)).getOrElse(
+          throw new IllegalStateException(
+            "bm25 artifact has an empty vocabulary — corpus fixture " +
+              "broken"))
+      // rare side needs df ≥ 16 so the k=10 floor exists; a corpus
+      // without such a term degrades to a single-term hot query
+      // (non-crashing — the row is then a plain serving measurement)
       val rareTerm = dfsArt.filter(col("df") >= 16)
         .orderBy(col("df").asc, col("term").asc)
-        .select(col("term")).limit(1).collect()(0).getString(0)
+        .select(col("term")).limit(1).collect().headOption
+        .map(_.getString(0)).getOrElse {
+          System.err.println("[scalebench] no term with df >= 16 — " +
+            "hot-term contrast degrades to a single-term query")
+          hotTerm
+        }
       val hotQ = Seq((1L, s"$rareTerm $hotTerm"))
         .toDF("query_id", "qtext").localCheckpoint(true)
       val sPruned = (1 to 2).map(_ => timed(
         Retrieval.bm25TopKFromIndex(spark, hotQ, "query_id", "qtext",
             s"$tmp/bm25", k = 10)
           .write.format("noop").mode("overwrite").save())).min
+      // the exhaustive reference gets the SAME prefix pruning the
+      // stored serving path ships with (round-17 review: an
+      // unpruned reference would attribute prefix-pruning's win —
+      // shipped rounds ago — to the new max-score pruning); the
+      // contrast isolates exactly the candidate-filter difference
+      val hotPrefixes = Seq(hotTerm, rareTerm).map(_.substring(0, 1))
+        .distinct
       val hotPostings = spark.read
         .parquet(s"$tmp/bm25/postings.parquet")
+        .filter(col("pfx").isin(hotPrefixes: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
       val hotStats = hotPostings.select(col("doc_id"), col("len"))
         .distinct().agg(count(lit(1)), sum(col("len"))).collect()(0)

@@ -361,13 +361,13 @@ object SparkEntry {
     // same result contract as q62/q116 — the append path must be
     // invisible to the served answer (append ≡ union build)
     "q141_neardup_index_append" -> incrementalDedupSql,
+    "q143_bpe_merges" -> bpeMergesSql,
+    "q144_bpe_token_counts" -> bpeTokenCountsSql,
+    "q145_bpe_packing" -> bpePackingSql,
     // min reachable id over the chain edge law via a reach-set
     // recursive CTE (the q68 oracle shape over a closed-form edge
     // table): exact regardless of how many rounds the Spark side's
     // pointer-jumping loop needed — the oracle checks the FIXPOINT
-    "q143_bpe_merges" -> bpeMergesSql,
-    "q144_bpe_token_counts" -> bpeTokenCountsSql,
-    "q145_bpe_packing" -> bpePackingSql,
     "q142_dup_clusters_fixpoint" ->
       s"""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
         | e AS (SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id AS BIGINT) + 1 AS b

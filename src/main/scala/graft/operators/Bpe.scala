@@ -123,15 +123,8 @@ object Bpe {
   /** Read a stored merge table back, step-ordered. */
   def readMerges(spark: SparkSession,
       dir: String): Seq[(Int, String, String)] = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"BPE merge table at $dir has no _meta.json — not a complete " +
-        "buildMergeTable artifact; rebuild it")
-    val meta = java.nio.file.Files.readString(p)
-    val declared = """"numMerges":(\d+)""".r.findFirstMatchIn(meta)
-      .map(_.group(1).toInt).getOrElse(throw
-        new IllegalArgumentException(
-          s"BPE merge table meta at $dir lacks 'numMerges': $meta"))
+    val meta = Warehouse.readMetaJson(dir, "BPE merge table")
+    val declared = Warehouse.metaLong(meta, dir, "numMerges").toInt
     val merges = spark.read.parquet(s"$dir/merges.parquet")
       .orderBy(col("step"))
       .collect()

@@ -133,10 +133,16 @@ object Retrieval {
     * sums are computed in double (each op correctly rounded, but a
     * posting's contribution can exceed the term bound by rounding
     * noise), so a suffix is pruned only when it falls short of the
-    * floor by MORE than this margin — ~10⁷ ulps at score scale,
-    * vastly wider than any accumulated rounding, vanishingly small
-    * against real score gaps. */
-  private val MaxScoreMargin = 1e-6
+    * floor by MORE than a margin. The margin must SCALE with the
+    * floor — BM25 scores grow with corpus size (odds(df=1) ≈ N/1.5),
+    * so a fixed absolute margin is ~ulp-sized at 10⁹-doc score
+    * magnitudes and the safety argument would collapse exactly at
+    * the scale pruning targets (round-17 review). Relative 10⁻⁹ is
+    * ~2³⁰ ulps at any magnitude — vastly wider than the few-ulp
+    * accumulated rounding, vanishingly small against real score
+    * gaps; the absolute floor covers θ near zero. */
+  private def maxScoreMargin(theta: Column): Column =
+    greatest(lit(1e-6), theta * lit(1e-9))
 
   /** Safe max-score (MaxScore/WAND-family) scoring: result-IDENTICAL
     * to [[bm25Serve]] — same contributions, same decimal sums, same
@@ -162,16 +168,20 @@ object Retrieval {
     *     (θ ≤ its ub);
     *  4. candidates = docs matching ≥ 1 essential term; the full
     *     pass scores ALL query terms' postings but only for
-    *     candidate docs — the broadcast candidate semi-join filters
-    *     map-side, so the exchange carries candidate rows, not the
-    *     hot term's corpus-sized list.
+    *     candidate docs — an un-hinted semi-join that AQE converts
+    *     to broadcast when candidates are essential-list-sized (the
+    *     pruning-works regime: map-side filter, the exchange
+    *     carries candidate rows, not the hot term's corpus-sized
+    *     list) and that degrades to a shuffle on the aggregate's
+    *     own keys otherwise — worst case equals the exhaustive
+    *     plan's cost, never a broadcast failure.
     *
     * Everything composes into ONE lazy plan (windows over the tiny
-    * query×term frame, a broadcast floor, broadcast candidate
-    * pairs) — no driver job at plan construction, the query-entry
-    * contract. Scale contract: the candidate set is the essential
-    * lists' union — exactly the volume MaxScore commits to scoring;
-    * a query whose essential lists are themselves corpus-sized gets
+    * query×term frame, a broadcast floor, broadcast query frames) —
+    * no driver job at plan construction, the query-entry contract.
+    * Scale contract: the candidate set is the essential lists'
+    * union — exactly the volume MaxScore commits to scoring; a
+    * query whose essential lists are themselves corpus-sized gets
     * no pruning (and none is possible — those terms genuinely
     * contend for the top k). */
   /** Stages 1–4a of the max-score plan — the candidate (query_id,
@@ -209,11 +219,11 @@ object Retrieval {
       .filter(col("fr") === k)
       .select(col("query_id"), col("c").cast("double").as("theta"))
     // essential terms: suffix sum reaches the floor (monotone in r,
-    // so the pruned set is a clean suffix; margin: see MaxScoreMargin)
+    // so the pruned set is a clean suffix; margin: see maxScoreMargin)
+    val theta = coalesce(col("theta"), lit(0.0))
     val essential = ubq
       .join(broadcast(floor), Seq("query_id"), "left")
-      .filter(col("sfx") + lit(MaxScoreMargin) >=
-        coalesce(col("theta"), lit(0.0)))
+      .filter(col("sfx") + maxScoreMargin(theta) >= theta)
       .select(col("query_id"), col("term"))
     // candidate (query, doc) pairs from essential lists only
     postings.join(broadcast(essential), Seq("term"))
@@ -227,13 +237,23 @@ object Retrieval {
     val candidates = maxScoreCandidates(qterms, postings, dfs, nDocs,
       sumLen, k, k1, b)
     // full pass: every query term's contributions, candidate docs
-    // only — the broadcast semi-join filters before the exchange
+    // only. NO forced broadcast on candidates (round-17 review): in
+    // the pruning-works regime they are essential-list-sized and AQE
+    // converts the semi-join to broadcast at runtime — map-side
+    // filter, the exchange carries candidate rows only; in the
+    // no-cut regime (a query whose essential lists are corpus-sized)
+    // candidates are matched-doc-sized and a forced broadcast would
+    // FAIL HARD where the exhaustive plan merely shuffled — the
+    // un-hinted join degrades to a shuffle semi-join on the same
+    // (query_id, doc_id) keys the aggregate needs, so its exchange
+    // is reused and worst-case cost is the exhaustive plan's, never
+    // an OOM. The query-side frames stay explicitly broadcast (tiny
+    // by contract).
     val qdAll = qterms.join(dfs.select(col("term"), col("df")),
       Seq("term"))
     val scored = postings.join(broadcast(qdAll), Seq("term"))
       .withColumn("c", contribCol(k1, b, avgdl, nDocs))
-      .join(broadcast(candidates), Seq("query_id", "doc_id"),
-        "left_semi")
+      .join(candidates, Seq("query_id", "doc_id"), "left_semi")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).cast("decimal(38,12)").as("s"))
     topKWindow(scored, k)
@@ -256,22 +276,12 @@ object Retrieval {
       k1E6: Long, bE6: Long)
 
   /** Read `_meta.json`, rejecting partial/hand-copied dirs loudly —
-    * the ONE reader the append and serving paths share (round-16
-    * review: the require + regex was duplicated verbatim). */
+    * the ONE reader the append and serving paths share, via the
+    * warehouse-wide shared meta reader (round-17 review). */
   private def readBm25Meta(dir: String): Bm25Meta = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"BM25 index at $dir has no _meta.json — not a complete " +
-        "buildBm25Index artifact; rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
-    def metaLong(key: String): Long =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalArgumentException(
-          s"BM25 index meta at $dir lacks '$key': $meta")
-      }
-    Bm25Meta(metaLong("nDocs"), metaLong("sumLen"),
-      metaLong("k1E6"), metaLong("bE6"))
+    val meta = Warehouse.readMetaJson(dir, "BM25 index")
+    def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
+    Bm25Meta(f("nDocs"), f("sumLen"), f("k1E6"), f("bE6"))
   }
 
   private def writeBm25Meta(dir: String, m: Bm25Meta): Unit =
@@ -381,6 +391,11 @@ object Retrieval {
     val m = readBm25Meta(dir)
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
+    // a zero-ROW batch is a pure no-op — return before the dup
+    // probe AND before any ledger write (an unconditional ledger
+    // append would add one empty part-file per empty cycle to the
+    // unpartitioned ids.parquet; round-17 review)
+    if (batchIds.isEmpty) return
     val dup = spark.read.parquet(s"$dir/ids.parquet")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))

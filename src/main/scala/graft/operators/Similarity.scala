@@ -436,17 +436,9 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"IVF index at $dir has no _meta.json — not a complete " +
-        "buildIvfIndex artifact; rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
+    val meta = Warehouse.readMetaJson(dir, "IVF index")
     def metaInt(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toInt
-        case None => throw new IllegalArgumentException(
-          s"IVF index meta at $dir lacks '$key': $meta")
-      }
+      Warehouse.metaLong(meta, dir, key).toInt
     val assignments = metaInt("assignments")
     val nLists = metaInt("nLists")
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
@@ -922,18 +914,9 @@ object Similarity {
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"PQ index at $dir has no _meta.json — not a complete " +
-        "buildPqIndex artifact (partial build or manual copy); " +
-        "rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
+    val meta = Warehouse.readMetaJson(dir, "PQ index")
     def metaInt(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(mm) => mm.group(1).toInt
-        case None => throw new IllegalArgumentException(
-          s"PQ index meta at $dir lacks '$key': $meta")
-      }
+      Warehouse.metaLong(meta, dir, key).toInt
     val dims = metaInt("dims"); val m = metaInt("m")
     val ks = metaInt("ks")
     val nBooks = graft.Tables.parquetRowCount(spark,
@@ -967,18 +950,9 @@ object Similarity {
   def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, rerank: Int = 256): DataFrame = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"PQ index at $dir has no _meta.json — not a complete " +
-        "buildPqIndex artifact (partial build or manual copy); " +
-        "rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
+    val meta = Warehouse.readMetaJson(dir, "PQ index")
     def metaInt(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(mm) => mm.group(1).toInt
-        case None => throw new IllegalArgumentException(
-          s"PQ index meta at $dir lacks '$key': $meta")
-      }
+      Warehouse.metaLong(meta, dir, key).toInt
     val dims = metaInt("dims")
     val m = metaInt("m")
     val ks = metaInt("ks")
@@ -1076,18 +1050,9 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4, rerank: Int = 256): DataFrame = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"IVF-PQ index at $dir has no _meta.json — not a complete " +
-        "buildIvfPqIndex artifact (partial build or manual copy); " +
-        "rebuild the index")
-    val meta = java.nio.file.Files.readString(p)
+    val meta = Warehouse.readMetaJson(dir, "IVF-PQ index")
     def metaInt(key: String): Int =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(mm) => mm.group(1).toInt
-        case None => throw new IllegalArgumentException(
-          s"IVF-PQ index meta at $dir lacks '$key': $meta")
-      }
+      Warehouse.metaLong(meta, dir, key).toInt
     val dims = metaInt("dims"); val m = metaInt("m")
     val ks = metaInt("ks"); val nLists = metaInt("nLists")
     val books = spark.read.parquet(s"$dir/books.parquet")

@@ -474,18 +474,9 @@ object TextDedup {
   }
 
   private def readBloomMeta(dir: String): (Long, Long, Long) = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"Bloom artifact at $dir has no _meta.json — not a complete " +
-        "buildBloomArtifact artifact; rebuild it")
-    val meta = java.nio.file.Files.readString(p)
-    def metaLong(key: String): Long =
-      s""""$key":(\\d+)""".r.findFirstMatchIn(meta) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalArgumentException(
-          s"Bloom artifact meta at $dir lacks '$key': $meta")
-      }
-    (metaLong("expectedItems"), metaLong("fppE6"), metaLong("inserted"))
+    val meta = Warehouse.readMetaJson(dir, "Bloom artifact")
+    def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
+    (f("expectedItems"), f("fppE6"), f("inserted"))
   }
 
   private def readBloomBin(

@@ -406,6 +406,32 @@ private[graft] object Warehouse {
     }
   }
 
+  /** Shared `_meta.json` read for artifact dirs — the ONE loud-on-
+    * partial-dirs reader every stored-index family uses (round-17
+    * review: seven hand-rolled require+regex copies across
+    * Retrieval/Similarity/TextDedup/Bpe were drifting
+    * independently). `artifact` names the family for the error
+    * message ("BM25 index", "PQ index", …). */
+  private[graft] def readMetaJson(dir: String,
+      artifact: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"$artifact at $dir has no _meta.json — not a complete " +
+        "artifact (partial build or manual copy); rebuild it")
+    java.nio.file.Files.readString(p)
+  }
+
+  /** Extract a required integer field from an artifact's meta JSON
+    * (the declared-geometry discipline: stored indexes read their
+    * own parameters back, never trust the caller). */
+  private[graft] def metaLong(meta: String, dir: String,
+      key: String): Long =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new IllegalArgumentException(
+        s"artifact meta at $dir lacks '$key': $meta")
+    }
+
   /** Compact a PARTITIONED parquet artifact in place — the LSM-ish
     * operational counterpart of the append family: every append
     * cycle adds part-files to its touched partitions (BM25 postings,
