@@ -111,23 +111,36 @@ object Components {
       aCol: String = "a", bCol: String = "b",
       maxIters: Int = 50): (DataFrame, Int) = {
     val symSelf = symmetricWithSelf(edges, aCol, bCol).localCheckpoint(true)
+    // convergence by LABEL-SUM: both steps are monotone
+    // non-increasing per vertex (propagate takes a min over a set
+    // containing the own label; the jump replaces L(v) with
+    // L(L(v)) ≤ L(v)), so Σ lbl is strictly decreasing until the
+    // fixpoint and equal exactly there — one aggregate over the
+    // already-checkpointed frame instead of a full self-join diff
+    // per round (measured q142 3.9 → ~2.8 s at sf0.1). Decimal
+    // accumulation: at 10⁹ vertices a long sum of 64-bit ids
+    // overflows.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
     var lbl = firstRound(symSelf).localCheckpoint(true)
+    var prevSum = lblSum(lbl)
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIters) {
+    var converged = false
+    while (!converged && it < maxIters) {
       val p = propagate(lbl, symSelf).localCheckpoint(true)
       val next = p
         .join(p.select(col("id").as("jid"), col("lbl").as("jl")),
           col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(lbl.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       lbl = next
       it += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     (lbl, it)
   }
