@@ -621,6 +621,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q147's minimal duplicated-window length in tokens — the span
+    * seed of the exact-substring pass. */
+  val Q147SpanLen = 8
+
+  /** q147's spliced-doc id offset (derived rows must not collide with
+    * real doc ids at any SF). */
+  val Q147SpliceOffset = 1000000L
+
+  /** Derived corpus for q147: every document long enough to have a
+    * distinct prefix and suffix contributes a SPLICED twin — its first
+    * `Q147SpanLen` tokens, a globally unique marker token, then its
+    * last `Q147SpanLen` tokens. The splice makes every source doc's
+    * prefix/suffix windows duplicated (two separated spans inside the
+    * ORIGINAL once it is long enough) and gives the twin itself two
+    * maximal spans split by the marker — gating the interval-merge
+    * logic the natural corpus (whole-doc copies ⇒ single spans) never
+    * exercises. Pure projection + union: the law is closed-form, so
+    * the oracle derives the identical corpus. */
+  def q147SplicedDocs(docs: DataFrame): DataFrame = {
+    val L = Q147SpanLen
+    val w = split(col("text"), " ")
+    val spliced = docs
+      .filter(size(w) >= 2 * L + 1)
+      .select((col("doc_id") + Q147SpliceOffset).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(w, 1, L)),
+          concat(lit("uq"), col("doc_id")),
+          concat_ws(" ", slice(w, -L, L))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(spliced)
+  }
+
+  /** Exact duplicated-substring span dedup
+    * ([[TextDedup.exactSubstringSpans]]) over the spliced corpus —
+    * position-aware dedup stats (maximal merged spans, covered/kept
+    * tokens, cleaned-text digest) that the set-based passes (q20–q23,
+    * q84/q85) cannot see. */
+  def q147SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactSubstringSpans(
+        q147SplicedDocs(Tables.documents(s, dir)),
+        "doc_id", "text", minLen = Q147SpanLen)
+      .orderBy(col("doc_id"))
+
   /** Corpus-hot n-gram count for the boilerplate detector (q69). */
   val Q69TopK = 100
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale text deduplication for training-data pipelines: exact,
@@ -1011,6 +1012,81 @@ object TextDedup {
     val inter = cand.select(col("a"), col("b"))
       .join(coShingledInter(candGrams), Seq("a", "b"), "inner")
     jaccardFromInter(candGrams, inter, minJaccard)
+  }
+
+  /** Exact duplicated-SUBSTRING span statistics — the position-aware
+    * dedup the set-based passes cannot express: a token position is
+    * "duplicated" when it lies inside some length-`minLen` token
+    * window whose exact text occurs more than once in the corpus, and
+    * overlapping duplicated windows merge into maximal spans (the
+    * ExactSubstr relation of suffix-array dedup, reformulated as
+    * overlapping-shingle df + interval merging so it runs as three
+    * shuffles instead of a global suffix sort). Per doc emits the
+    * token count, the number of maximal duplicated spans, the tokens
+    * covered / kept, a digest of the cleaned text (kept tokens in
+    * original order), and the covered fraction.
+    *
+    * Scale shape (100 TB):
+    *  - Shingle digests ride the SAME per-doc window sort as the
+    *    coverage pass: `md5(concat_ws(tok, lead(tok,1..L-1)))` — no
+    *    token-array column is ever carried through an explode, so a
+    *    row's width is one token, not one document.
+    *  - Global duplicate detection is one map-side-combined hash
+    *    aggregate on the 16-byte digest (`HAVING count > 1`), joined
+    *    back as a semi-join-shaped flag; the dup-start set is usually
+    *    tiny, so AQE broadcasts it (left UN-hinted — a pathological
+    *    all-duplicate corpus degrades to a shuffle join, never an
+    *    OOM).
+    *  - Coverage, island boundaries, and the cleaned-text digest are
+    *    per-doc window/aggregate work: bounded by document length,
+    *    partitioned by doc id, never corpus-wide.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen > 1, "minLen must be > 1")
+    val w = split(col(textCol), " ")
+    val pos = docs.select(col(idCol).as("id"),
+        posexplode(w).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast("int").as("pos"), col("tok"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // the length-L window STARTING here, as one digest; null when the
+    // window runs past the document end
+    val shingle = concat_ws(" ",
+      col("tok") +: (1 until minLen).map(k => lead(col("tok"), k).over(byDoc)): _*)
+    val starts = pos.withColumn("d",
+      when(lead(col("tok"), minLen - 1).over(byDoc).isNotNull, md5(shingle)))
+    val dupDigests = starts.filter(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("d"))
+    val dupStarts = starts.filter(col("d").isNotNull)
+      .join(dupDigests, Seq("d"), "left_semi")
+      .select(col("id"), col("pos"), lit(1).as("dst"))
+    val flagged = starts.drop("d")
+      .join(dupStarts, Seq("id", "pos"), "left")
+      .withColumn("dst", coalesce(col("dst"), lit(0)))
+    // a position is covered iff some duplicated window starts within
+    // the preceding L-1 positions (or at it)
+    val covWin = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(minLen - 1), 0)
+    val cov = flagged.withColumn("cv", max(col("dst")).over(covWin))
+    val bnd = cov.withColumn("nb",
+      when(col("cv") === 1 &&
+        coalesce(lag(col("cv"), 1).over(byDoc), lit(0)) === 0, 1)
+        .otherwise(0))
+    bnd.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("nb")).cast("int").as("n_dup_spans"),
+        sum(col("cv")).cast("int").as("dup_tokens"),
+        (count(lit(1)) - sum(col("cv"))).cast("int").as("kept_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("cv") === 0, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")))).as("kept_digest"),
+        round(sum(col("cv")).cast("double") / count(lit(1)), 6)
+          .as("dup_frac"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"), col("kept_tokens"), col("kept_digest"),
+        col("dup_frac"))
   }
 
   /** Intersection sizes of all co-shingled pairs (a < b) from an

@@ -483,4 +483,67 @@ class TextDedupSpec extends AnyFunSuite {
       s"artifact-fed dedup diverges: missing ${(direct -- fed).take(5)}, "
         + s"extra ${(fed -- direct).take(5)}")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("exactSubstringSpans: separated duplicated windows stay two spans") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c x y z f g h")).toDF("doc_id", "text")
+    val r = TextDedup.exactSubstringSpans(d, "doc_id", "text", minLen = 3)
+      .orderBy($"doc_id").collect()
+    // doc 0: "a b c" (pos 1) and "f g h" (pos 6) duplicated → spans
+    // [1,3] and [6,8]; the gap "d e" is the cleaned text
+    assert(r(0).getAs[Int]("n_dup_spans") == 2)
+    assert(r(0).getAs[Int]("dup_tokens") == 6)
+    assert(r(0).getAs[Int]("kept_tokens") == 2)
+    assert(r(0).getAs[String]("kept_digest") == md5Hex("d e"))
+    assert(r(1).getAs[Int]("n_dup_spans") == 2)
+    assert(r(1).getAs[String]("kept_digest") == md5Hex("x y z"))
+  }
+
+  test("exactSubstringSpans: overlapping duplicated windows merge to one maximal span") {
+    val d = Seq(
+      (0L, "p q r s t"),
+      (1L, "p q r s u")).toDF("doc_id", "text")
+    val r = TextDedup.exactSubstringSpans(d, "doc_id", "text", minLen = 3)
+      .orderBy($"doc_id").collect()
+    // "p q r" and "q r s" both duplicated → ONE span [1,4] in each
+    assert(r(0).getAs[Int]("n_dup_spans") == 1)
+    assert(r(0).getAs[Int]("dup_tokens") == 4)
+    assert(r(0).getAs[String]("kept_digest") == md5Hex("t"))
+    assert(r(1).getAs[String]("kept_digest") == md5Hex("u"))
+  }
+
+  test("exactSubstringSpans: sub-window docs and exact copies at the extremes") {
+    val d = Seq(
+      (0L, "zz yy"),                 // shorter than the window: no starts
+      (1L, "m n o p q r"),           // exact copy pair: fully covered
+      (2L, "m n o p q r")).toDF("doc_id", "text")
+    val r = TextDedup.exactSubstringSpans(d, "doc_id", "text", minLen = 3)
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Int]("n_dup_spans") == 0)
+    assert(r(0).getAs[Int]("kept_tokens") == 2)
+    assert(r(0).getAs[Double]("dup_frac") == 0.0)
+    assert(r(1).getAs[Int]("dup_tokens") == 6)
+    assert(r(1).getAs[Double]("dup_frac") == 1.0)
+    assert(r(1).getAs[String]("kept_digest") == md5Hex(""))
+    assert(r(1) == r(2) || r(1).getAs[Int]("dup_tokens") ==
+      r(2).getAs[Int]("dup_tokens"))
+  }
+
+  test("q147 spliced corpus forces multi-span documents") {
+    val out = graft.operators.Curation.q147SubstringDedup(
+      spark, SparkTestSession.sf)
+    assert(out.filter($"n_dup_spans" >= 2).count() > 0,
+      "the spliced corpus law must produce documents with merged, " +
+        "separated spans — otherwise the island logic is ungated")
+    // spliced twins carry a unique marker token: it is always kept
+    val spliced = out.filter(
+      $"doc_id" >= graft.operators.Curation.Q147SpliceOffset)
+    assert(spliced.count() > 0)
+    assert(spliced.filter($"kept_tokens" === 0).count() == 0)
+  }
 }
