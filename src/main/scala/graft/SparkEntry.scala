@@ -174,6 +174,7 @@ object SparkEntry {
     "q146_link_pagerank_dangling" ->
       (Curation.q146LinkPageRankDangling _),
     "q147_substring_dedup" -> (Curation.q147SubstringDedup _),
+    "q148_stream_index_append" -> (Curation.q148StreamIndexAppend _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1490,6 +1491,11 @@ object SparkEntry {
     // against the fixed centroids — the exact full-corpus top-K must
     // still come back through the appended inverted file
     "q133_ann_index_append" ->
+      knnSql(graft.operators.Curation.AnnOracleK),
+    // the SAME maintenance contract driven through a real
+    // availableNow stream: three single-file micro-batch appends via
+    // foreachBatch must land exactly where q133's one batch did
+    "q148_stream_index_append" ->
       knnSql(graft.operators.Curation.AnnOracleK),
     // IVFADC: PQ codes served from inside the probed inverted-file
     // partitions — still the exact top-AnnOracleK or the hash fails

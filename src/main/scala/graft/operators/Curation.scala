@@ -225,6 +225,70 @@ object Curation {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Streaming INDEX MAINTENANCE executed as a real stream (q148) —
+    * where the maintenance tier (q133/q135/q139/q141) meets the
+    * streaming tier: the q133 append slice arrives as availableNow
+    * micro-batches and a `foreachBatch` sink calls
+    * [[Similarity.appendToIvfIndex]] once per batch — the continuous
+    * ingest loop a deployment actually runs against a served index.
+    *
+    * The SAME exact-KNN oracle as q133 gates it, which is the point:
+    * appends encode each vector against the FIXED stored centroids
+    * (per-vector determinism), so the final index content is
+    * independent of how the stream splits the slice into batches —
+    * three single-file micro-batches must land exactly where q133's
+    * one batch append did. availableNow processes each staged file
+    * exactly once, so no duplicate rows arise here; a deployment
+    * restarting mid-append gets at-least-once parquet appends, which
+    * IVF serving tolerates (duplicate neighbor rows rank identically
+    * and dedup at the candidate stage) — the idempotent variant is
+    * the marker-protocol rebuild.
+    *
+    * Scale notes: per-batch cost is the batch's encode + one
+    * partitioned append (the measured ∝-batch ScaleBench law); the
+    * stored index is never rewritten, and serving reads only probed
+    * list partitions as everywhere else. */
+  def q148StreamIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(s, dir)
+    val idx = Warehouse.materializedDir(s, "ivfstr",
+      s"ivfstr:v1:16:2:3:$dir:" +
+        Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", d, nLists = 16, assignments = 2)
+      // the remaining quarter arrives as a 3-file stream feed
+      val stage = stagedArrival(s, "stage-q148", dir,
+        "embeddings.parquet") { sd =>
+        e.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(sd)
+      }
+      val ss = streamSession(s)
+      val sch = ss.read.parquet(stage).schema
+      val stream = ss.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val qname = "q148_app_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.appendToIvfIndex(batch.sparkSession, batch,
+            "vec_id", "embedding", d)
+        }
+        .queryName(qname)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // foreachBatch sinks have no memory table to drop; reclaim the
+      // run's checkpoint dir the way finishStream does
+      shmCheckpointBase.foreach(b =>
+        Warehouse.deleteRec(new java.io.File(b, qname)))
+    }
+    Similarity.ivfTopKFromIndex(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 10, nProbe = 12)
+      .filter(col("rank") <= AnnOracleK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The stored PQ artifact q132 serves from (the q115/q126
     * warehouse pattern: keyed by build params + corpus fingerprint,
     * one build amortizing over query batches). */

@@ -312,4 +312,19 @@ class SimilaritySpec extends AnyFunSuite {
       s"PQ diverges: missing ${(exact -- pq).take(3)}, "
         + s"extra ${(pq -- exact).take(3)}")
   }
+
+  test("streamed micro-batch appends serve identically to the one-batch append (q148 ≡ q133)") {
+    // both entries end at the same served top-k; the stream variant
+    // must be invisible — appends encode against FIXED centroids, so
+    // the split into three single-file micro-batches cannot move a
+    // single served row
+    val batch = graft.operators.Curation
+      .q133CdcIvfAppend(spark, SparkTestSession.sf).collect().toSeq
+    val streamed = graft.operators.Curation
+      .q148StreamIndexAppend(spark, SparkTestSession.sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed appends diverge from the batch append: " +
+        s"${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
 }
