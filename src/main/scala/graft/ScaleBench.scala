@@ -65,6 +65,11 @@ object ScaleBench {
     "q126_embed_ann_ivf_sq8_stored", "q132_embed_ann_pq_stored",
     "q134_embed_ann_ivfpq_stored",
     "q133_ann_index_append", "q135_pq_index_append",
+    // round-17 late additions: the streamed twin of q133 (identical
+    // serving claim, plus fixed per-batch stream machinery) and the
+    // substring-span dedup (token-window digest shuffle + per-doc
+    // windows — ~linear, law pinned in ScaleContractSpec)
+    "q148_stream_index_append", "q147_substring_dedup",
     // BM25 retrieval: in-plan (one tokenize+shuffle postings build,
     // ~linear), stored serving (prefix-pruned scans + broadcast
     // query side), and the df-merge append
@@ -72,7 +77,10 @@ object ScaleBench {
     // round-17: the per-iteration one-shuffle PageRank law (ranks
     // checkpointed per round, edge table built once) and its
     // dangling-redistribution twin (adds one scalar aggregate/round)
-    "q140_link_pagerank", "q146_link_pagerank_dangling")
+    "q140_link_pagerank", "q146_link_pagerank_dangling",
+    // HITS: two shuffles + two scalar aggregates per round over the
+    // same once-built edge table
+    "q149_link_hits")
 
   /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
     * index/sketch maintenance ops whose claim is cost ∝ batch — the
@@ -367,6 +375,13 @@ object ScaleBench {
           "doc_id", "text", n = 3,
           minContainment = Curation.Q85MinContainment,
           maxShingleDf = Curation.Q21MaxShingleDf).count(),
+        // duplicated-substring token mass: windows never cross
+        // replicas, so exactly m× (ScaleContractSpec pins the law on
+        // the small fixture; this measures it at bench scale)
+        "substring_dup_tokens" -> TextDedup.exactSubstringSpans(docs,
+          "doc_id", "text", minLen = Curation.Q147SpanLen)
+          .agg(org.apache.spark.sql.functions.sum(
+            col("dup_tokens")).cast("long")).head().getLong(0),
         // fixed collision cap (constant cartesian fraction — grows
         // ~quadratically) vs the scale-aware derive (per-vector
         // budget — grows ~linearly): the contrast the 100 TB design

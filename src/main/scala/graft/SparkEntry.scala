@@ -175,6 +175,7 @@ object SparkEntry {
       (Curation.q146LinkPageRankDangling _),
     "q147_substring_dedup" -> (Curation.q147SubstringDedup _),
     "q148_stream_index_append" -> (Curation.q148StreamIndexAppend _),
+    "q149_link_hits" -> (Curation.q149LinkHits _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1190,6 +1191,9 @@ object SparkEntry {
     // iterations in pure integer arithmetic — rank values hash-exact
     "q140_link_pagerank" -> pageRankSql,
     "q146_link_pagerank_dangling" -> pageRankDanglingSql,
+    // HITS: integer sum-normalized mutual reinforcement — hubs and
+    // authorities hash-exact after four unrolled rounds
+    "q149_link_hits" -> hitsSql,
     // exact duplicated-substring spans: overlapping L-token window
     // digests, global df, then interval merging per doc — the spliced
     // derived corpus (prefix + unique marker + suffix) forces
@@ -1892,6 +1896,48 @@ FROM c ORDER BY 1"""
        |$iters
        |SELECT id AS doc_id, CAST(r AS BIGINT) AS pr
        |FROM r5 ORDER BY 1""".stripMargin
+  }
+
+  /** q149 HITS oracle: four unrolled mutual-reinforcement rounds in
+    * pure integer arithmetic — raw half-step tables MATERIALIZED
+    * because each feeds both its normalization scalar and the
+    * rescale (plain CTEs would inline exponentially). */
+  private val hitsSql: String = {
+    val m = 1000000000L
+    val iters = (1 to 4).map { k =>
+      s""" ar$k AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS cs
+         |  FROM h${k - 1} h JOIN edges e ON h.id = e.src GROUP BY 1),
+         | sa$k AS (SELECT sum(cs) AS s FROM ar$k),
+         | a$k AS MATERIALIZED (SELECT nodes.id,
+         |   (coalesce(ar$k.cs, 0) * $m) // sa$k.s AS a
+         |  FROM nodes CROSS JOIN sa$k LEFT JOIN ar$k ON nodes.id = ar$k.id),
+         | hr$k AS MATERIALIZED (SELECT e.src AS id, sum(a.a) AS cs
+         |  FROM a$k a JOIN edges e ON a.id = e.dst GROUP BY 1),
+         | sh$k AS (SELECT sum(cs) AS s FROM hr$k),
+         | h$k AS MATERIALIZED (SELECT nodes.id,
+         |   (coalesce(hr$k.cs, 0) * $m) // sh$k.s AS h
+         |  FROM nodes CROSS JOIN sh$k LEFT JOIN hr$k ON nodes.id = hr$k.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | edges AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 1
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 2),
+       | h0 AS (SELECT id, ($m // n) AS h FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT a4.id AS doc_id, CAST(a4.a AS BIGINT) AS auth,
+       | CAST(h4.h AS BIGINT) AS hub
+       |FROM a4 JOIN h4 ON a4.id = h4.id ORDER BY 1""".stripMargin
   }
 
   private val nearDupSql: String =

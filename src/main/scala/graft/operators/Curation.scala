@@ -405,6 +405,37 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** HITS hubs/authorities prior (q149) — [[LinkGraph.hitsFixed]]
+    * over a VARIABLE-out-degree link law: node `src` emits
+    * `src % 4` links through q140's three affine maps. q140's law
+    * itself would be degenerate here — each affine map is a
+    * bijection mod n, so every node gets in-degree exactly 3 and
+    * HITS collapses to uniform; restricting map k to sources with
+    * degree > k breaks the bijections, giving genuine hub tiers
+    * (out-degree 0–3) and varying authority structure — the
+    * directory-vs-canonical-page split the operator exists to
+    * separate. All-integer sum-normalized fixed point — both scores
+    * hash-exact under an unrolled MATERIALIZED-CTE oracle (each
+    * round's raw tables feed BOTH a scalar and the rescale — the
+    * double-consumer CTE shape that inlines to an exponential plan
+    * unless materialized, the q143 lesson). */
+  def q149LinkHits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val base = docs.select(col("doc_id").cast("long").as("src"))
+    def map(c: Int, d: Int, k: Int): DataFrame =
+      base.filter(col("src") % 4 > k)
+        .select(col("src"), ((col("src") * c + d) % n).as("dst"))
+    val edges = map(31, 7, 0)
+      .unionByName(map(17, 3, 1))
+      .unionByName(map(13, 11, 2))
+    LinkGraph.hitsFixed(edges, docs, "doc_id", iterations = 4,
+        nodeCountHint = n)
+      .select(col("id").as("doc_id"), col("a").as("auth"),
+        col("h").as("hub"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental BM25 index maintenance (q139) — the append with a
     * MUTABLE aggregate: the index is built on 75% of the corpus
     * (doc_id % 4 ≠ 3), the 25% batch appends —

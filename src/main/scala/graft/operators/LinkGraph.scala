@@ -134,4 +134,68 @@ object LinkGraph {
     }
     ranks.select(col("id"), col("r"))
   }
+
+  /** Fixed-point HITS — the OTHER classic link prior: a page is a
+    * good AUTHORITY when good hubs link to it, a good HUB when it
+    * links to good authorities (Kleinberg's mutual reinforcement).
+    * Crawl curation uses the pair where PageRank alone conflates the
+    * two roles: link directories score as hubs, canonical pages as
+    * authorities.
+    *
+    * Same all-integer discipline as [[pageRankFixed]], with HITS'
+    * per-round normalization replaced by integer SUM-normalization:
+    * after each half-step the raw scores are rescaled to total
+    * `mass` via `raw · mass div Σraw` — multiply before divide, all
+    * longs, so the result is hash-exact cross-engine (the textbook
+    * L2 norm is a sqrt — exactly the transcendental the fixed-point
+    * family exists to avoid). With `mass` ≤ 10⁹ the rescale product
+    * is ≤ 10¹⁸ < 2⁶³ because each raw score is bounded by the
+    * PREVIOUS round's total mass.
+    *
+    * Scale shape: two shuffles per round (authorities group by dst,
+    * hubs group by src — a deployment buckets the edge table by each
+    * once) plus two SCALAR normalization aggregates (one bounded
+    * driver action each, the dangling-PageRank precedent); scores
+    * are checkpointed per half-round so plans do not grow. */
+  def hitsFixed(edges: DataFrame, nodes: DataFrame, idCol: String,
+      iterations: Int = 4, mass: Long = 1000000000L,
+      nodeCountHint: Long = 0L): DataFrame = {
+    require(mass <= 1000000000L,
+      "mass above 1e9 can overflow the integer rescale product")
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
+    require(n > 0, "hitsFixed needs a nonempty node set")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    def rescale(raw: DataFrame, total: Long, out: String): DataFrame =
+      nodeIds.join(raw, Seq("id"), "left")
+        .select(col("id"), expr(
+          s"(coalesce(cs, CAST(0 AS BIGINT)) * CAST($mass AS BIGINT))" +
+            s" div CAST($total AS BIGINT)").as(out))
+        .localCheckpoint(true)
+    def massOf(raw: DataFrame): Long = {
+      val s = raw.agg(coalesce(sum(col("cs")), lit(0L)))
+        .collect()(0).getLong(0)
+      require(s > 0, "HITS mass vanished — node set unreachable " +
+        "from the edge set; check the edge law")
+      s
+    }
+    var hubs = nodeIds.select(col("id"), lit(mass / n).as("h"))
+      .localCheckpoint(true)
+    var auths: DataFrame = nodeIds.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iterations) {
+      val araw = hubs.join(e, hubs("id") === e("src"))
+        .select(col("dst").as("id"), col("h"))
+        .groupBy(col("id")).agg(sum(col("h")).as("cs"))
+        .localCheckpoint(true) // consumed twice: scalar + rescale
+      auths = rescale(araw, massOf(araw), "a")
+      val hraw = auths.join(e, auths("id") === e("dst"))
+        .select(col("src").as("id"), col("a"))
+        .groupBy(col("id")).agg(sum(col("a")).as("cs"))
+        .localCheckpoint(true)
+      hubs = rescale(hraw, massOf(hraw), "h")
+    }
+    auths.join(hubs, Seq("id")).select(col("id"), col("a"), col("h"))
+  }
 }

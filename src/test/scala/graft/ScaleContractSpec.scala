@@ -143,6 +143,25 @@ class ScaleContractSpec extends AnyFunSuite {
       ((Mult * rows1, Mult * pass1, Mult * dup1)))
   }
 
+  test("substring dup spans replicate exactly m× under replication") {
+    // duplicated windows are exact token sequences and replicas share
+    // no tokens, so no window crosses replicas: span count, covered
+    // tokens, and rows are all exactly m× — any super-linear growth
+    // in the dup-start set would be algorithmic
+    def stats(df: org.apache.spark.sql.DataFrame) = {
+      val r = TextDedup.exactSubstringSpans(df, "doc_id", "text",
+          minLen = Curation.Q147SpanLen)
+        .agg(count(lit(1)), sum(col("n_dup_spans")),
+          sum(col("dup_tokens"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (rows1, spans1, dup1) = stats(docs1)
+    val (rowsM, spansM, dupM) = stats(docsM)
+    assert(dup1 > 0, "fixture has no duplicated substrings")
+    assert((rowsM, spansM, dupM) ==
+      ((Mult * rows1, Mult * spans1, Mult * dup1)))
+  }
+
   test("containment pairs grow exactly m× under replication") {
     // kept-set semantics survive replication: gram document
     // frequencies are per-replica identical to the 1× corpus (no gram
