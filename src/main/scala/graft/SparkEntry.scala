@@ -176,6 +176,7 @@ object SparkEntry {
     "q147_substring_dedup" -> (Curation.q147SubstringDedup _),
     "q148_stream_index_append" -> (Curation.q148StreamIndexAppend _),
     "q149_link_hits" -> (Curation.q149LinkHits _),
+    "q150_token_heavy_hitters" -> (Curation.q150TokenHeavyHitters _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1194,6 +1195,18 @@ object SparkEntry {
     // HITS: integer sum-normalized mutual reinforcement — hubs and
     // authorities hash-exact after four unrolled rounds
     "q149_link_hits" -> hitsSql,
+    // count-min heavy hitters: exact top-k columns, constant-true
+    // CMS-law flags (raw estimates are sketch-internal — the
+    // q61/q83 self-gating discipline)
+    "q150_token_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        | cnt AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        | ranked AS (SELECT t, CAST(cnt AS BIGINT) AS cnt,
+        |   CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INT) AS rank
+        |  FROM cnt)
+        |SELECT t, cnt, rank, 1 AS est_ok FROM ranked
+        |WHERE rank <= ${graft.operators.Curation.Q150TopK}
+        |ORDER BY rank""".stripMargin,
     // exact duplicated-substring spans: overlapping L-token window
     // digests, global df, then interval merging per doc — the spliced
     // derived corpus (prefix + unique marker + suffix) forces

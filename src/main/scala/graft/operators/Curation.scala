@@ -1334,6 +1334,22 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q150's heavy-hitter count and CMS geometry: ε = 0.1% of total
+    * token mass, δ = 0.1% per query — over 20 queried tokens the
+    * union failure bound is 2%, and the fixed seed makes any run on a
+    * given corpus deterministic, so the gate either always passes or
+    * fails loudly at sweep time, never flakes. */
+  val Q150TopK = 20
+
+  /** Count-min heavy hitters ([[TextAnalysis.heavyHittersChecked]]) —
+    * the point-frequency sketch next to the GK/HLL++/Bloom twins;
+    * exact top-k columns + constant-true CMS-law flags, the q61/q83
+    * self-gating discipline. */
+  def q150TokenHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHittersChecked(Tables.documents(s, dir), "text",
+        k = Q150TopK, eps = 0.001, confidence = 0.999, seed = 42)
+      .orderBy(col("rank"))
+
   /** q84's passage width (tokens per window). */
   val Q84PassageLen = 10
 

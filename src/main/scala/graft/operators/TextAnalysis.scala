@@ -438,6 +438,46 @@ object TextAnalysis {
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
 
+  /** Heavy-hitter tokens with a Count-Min-Sketch cross-check — the
+    * sketch-family member the GK (q61), HLL++ (q83), and Bloom
+    * (q129/q136) twins don't cover: point-frequency estimation. Emits
+    * the EXACT top-`k` tokens (count desc, token asc — deterministic)
+    * plus a per-token flag asserting Spark's public
+    * `CountMinSketch` estimate obeys both CMS laws against the exact
+    * count: never an undercount, and overcount ≤ ε·N with the
+    * sketch's own confidence. Raw estimates are sketch-internal (seed
+    * + hash-family specific) and can never hash-match another engine,
+    * so — the q61/q83 discipline — the output carries exact values
+    * and constant-true flags, which the oracle asserts next to its
+    * own exact top-k.
+    *
+    * Scale shape: the exact side is one map-side-combined hash
+    * aggregate + a TakeOrdered k; the sketch side is one pass
+    * folding into a fixed ε/δ-sized table (~100 KB here) merged
+    * associatively across partitions — the flag computation touches
+    * k driver-side rows, never the corpus. */
+  def heavyHittersChecked(docs: DataFrame, textCol: String, k: Int,
+      eps: Double, confidence: Double, seed: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(split(col(textCol), " ")).as("t"))
+    val cnts = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val top = cnts.orderBy(col("cnt").desc, col("t")).limit(k)
+      .collect() // bounded: k rows
+    val n = cnts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .collect()(0).getLong(0)
+    val sketch = toks.stat.countMinSketch("t", eps, confidence, seed)
+    val bound = math.ceil(eps * n).toLong
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val (t, cnt) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(t)
+      (t, cnt, i + 1, if (est >= cnt && est - cnt <= bound) 1 else 0)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("t", "cnt", "rank", "est_ok")
+      .select(col("t"), col("cnt"), col("rank").cast("int").as("rank"),
+        col("est_ok").cast("int").as("est_ok"))
+  }
+
   /** Canonical content fingerprint: digest of the sorted distinct
     * token set — catches shuffled/reordered copies that exact dedup
     * misses. Per-row, zero shuffle. */

@@ -263,4 +263,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == ((1, s02)))
     assert(!got.contains(4L))       // one token → no bigram → no row
   }
+
+  test("heavy hitters: exact top-k counts, CMS never undercounts") {
+    val df = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "a a b c e")).toDF("doc_id", "text")
+    val r = TextAnalysis.heavyHittersChecked(df, "text", k = 3,
+      eps = 0.01, confidence = 0.999, seed = 42).orderBy($"rank")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2),
+        x.getInt(3)))
+    assert(r.toSeq == Seq(("a", 6L, 1, 1), ("b", 4L, 2, 1),
+      ("c", 3L, 3, 1)))
+    // the no-undercount law holds for EVERY token, not just the
+    // top-k the query emits — probe the sketch across the full vocab
+    val toks = df.select(explode(split($"text", " ")).as("t"))
+    val sk = toks.stat.countMinSketch("t", 0.01, 0.999, 42)
+    val exact = toks.groupBy($"t").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    exact.foreach { case (t, c) =>
+      assert(sk.estimateCount(t) >= c, s"CMS undercounted '$t'") }
+  }
+
+  test("heavy hitters: deterministic tie-break and corpus gate shape") {
+    val out = graft.operators.Curation.q150TokenHeavyHitters(
+      spark, SparkTestSession.sf).collect()
+    assert(out.length == graft.operators.Curation.Q150TopK)
+    assert(out.forall(_.getInt(3) == 1), "a CMS-law flag tripped")
+    // ranks are 1..k and counts non-increasing with token tie-break
+    val ranked = out.map(r => (r.getInt(2), r.getLong(1), r.getString(0)))
+    assert(ranked.map(_._1).toSeq == (1 to out.length))
+    ranked.sliding(2).foreach { case Array((_, c1, t1), (_, c2, t2)) =>
+      assert(c1 > c2 || (c1 == c2 && t1 < t2))
+    case _ => ()
+    }
+  }
 }
