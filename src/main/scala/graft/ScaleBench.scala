@@ -70,6 +70,7 @@ object ScaleBench {
     // substring-span dedup (token-window digest shuffle + per-doc
     // windows — ~linear, law pinned in ScaleContractSpec)
     "q148_stream_index_append", "q147_substring_dedup",
+    "q151_substring_dedup_stored",
     // BM25 retrieval: in-plan (one tokenize+shuffle postings build,
     // ~linear), stored serving (prefix-pruned scans + broadcast
     // query side), and the df-merge append
@@ -212,6 +213,13 @@ object ScaleBench {
       // re-ingest of the same batch ids
       val aNd = timed(TextDedup.appendToNearDupIndex(spark, batchDocs,
         s"$tmp/ndidx", "doc_id", "text"))
+      // substring-window segment index (q151): the append writes the
+      // batch's own (d, df) counts as a new segment and never reads
+      // existing ones — the purest ∝-batch shape in the family
+      val bSs = timed(TextDedup.buildSubstringIndex(docs, "doc_id",
+        "text", Curation.Q147SpanLen, s"$tmp/ssidx"))
+      val aSs = timed(TextDedup.appendToSubstringIndex(spark,
+        batchDocs, s"$tmp/ssidx", "doc_id", "text"))
       Seq("ivf_build_sec" -> bIvf, "ivf_append_sec" -> aIvf,
         "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
         "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom,
@@ -223,7 +231,8 @@ object ScaleBench {
         "bm25_compact_sec" -> cBm25,
         "bm25_compact_files_before" -> compacted._1.toDouble,
         "bm25_compact_files_after" -> compacted._2.toDouble,
-        "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd)
+        "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd,
+        "substring_build_sec" -> bSs, "substring_append_sec" -> aSs)
     } finally Warehouse.deleteRec(new File(tmp))
   }
 

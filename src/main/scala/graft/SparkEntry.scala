@@ -177,6 +177,8 @@ object SparkEntry {
     "q148_stream_index_append" -> (Curation.q148StreamIndexAppend _),
     "q149_link_hits" -> (Curation.q149LinkHits _),
     "q150_token_heavy_hitters" -> (Curation.q150TokenHeavyHitters _),
+    "q151_substring_dedup_stored" ->
+      (Curation.q151SubstringDedupStored _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,42 +1213,10 @@ object SparkEntry {
     // digests, global df, then interval merging per doc — the spliced
     // derived corpus (prefix + unique marker + suffix) forces
     // multi-span documents so the merge logic itself is gated
-    "q147_substring_dedup" -> {
-      val L = graft.operators.Curation.Q147SpanLen
-      val off = graft.operators.Curation.Q147SpliceOffset
-      s"""WITH spl AS (SELECT doc_id + $off AS doc_id,
-        |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
-        |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= ${2 * L + 1}),
-        | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl),
-        | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-        | pos AS (SELECT doc_id, w, CAST(i AS INT) AS pos,
-        |   list_extract(w, CAST(i AS INT)) AS tok, len(w) AS n
-        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)+1)) AS t(i)),
-        | starts AS (SELECT doc_id, pos,
-        |   md5(array_to_string(w[pos:pos+${L - 1}], ' ')) AS d
-        |  FROM pos WHERE pos <= n - $L + 1),
-        | occ AS (SELECT d FROM starts GROUP BY d HAVING count(*) > 1),
-        | dups AS (SELECT starts.doc_id, starts.pos, 1 AS dst
-        |  FROM starts JOIN occ USING (d)),
-        | flagged AS (SELECT p.doc_id, p.pos, p.tok, coalesce(s.dst, 0) AS dst
-        |  FROM pos p LEFT JOIN dups s ON p.doc_id = s.doc_id AND p.pos = s.pos),
-        | cov AS (SELECT doc_id, pos, tok, dst,
-        |   max(dst) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS cv
-        |  FROM flagged),
-        | bnd AS (SELECT *, CASE WHEN cv = 1 AND
-        |    coalesce(lag(cv) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
-        |   THEN 1 ELSE 0 END AS nb FROM cov)
-        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        | CAST(sum(nb) AS INT) AS n_dup_spans,
-        | CAST(sum(cv) AS INT) AS dup_tokens,
-        | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
-        | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
-        | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
-        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q147_substring_dedup" -> substringSpansSql,
+    // the same spans served from the stored segment index after a
+    // 25% append — segment-summed df must equal the in-plan df
+    "q151_substring_dedup_stored" -> substringSpansSql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1951,6 +1921,48 @@ FROM c ORDER BY 1"""
        |SELECT a4.id AS doc_id, CAST(a4.a AS BIGINT) AS auth,
        | CAST(h4.h AS BIGINT) AS hub
        |FROM a4 JOIN h4 ON a4.id = h4.id ORDER BY 1""".stripMargin
+  }
+
+  /** q147/q151 oracle: exact duplicated-substring spans over the
+    * spliced corpus — overlapping L-token window digests, global df,
+    * gaps-and-islands interval merging, cleaned-text digest. q151
+    * serves the identical law from the stored segment index, so both
+    * sit under this one SQL. */
+  private val substringSpansSql: String = {
+    val L = graft.operators.Curation.Q147SpanLen
+    val off = graft.operators.Curation.Q147SpliceOffset
+    s"""WITH spl AS (SELECT doc_id + $off AS doc_id,
+      |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= ${2 * L + 1}),
+      | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl),
+      | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      | pos AS (SELECT doc_id, w, CAST(i AS INT) AS pos,
+      |   list_extract(w, CAST(i AS INT)) AS tok, len(w) AS n
+      |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)+1)) AS t(i)),
+      | starts AS (SELECT doc_id, pos,
+      |   md5(array_to_string(w[pos:pos+${L - 1}], ' ')) AS d
+      |  FROM pos WHERE pos <= n - $L + 1),
+      | occ AS (SELECT d FROM starts GROUP BY d HAVING count(*) > 1),
+      | dups AS (SELECT starts.doc_id, starts.pos, 1 AS dst
+      |  FROM starts JOIN occ USING (d)),
+      | flagged AS (SELECT p.doc_id, p.pos, p.tok, coalesce(s.dst, 0) AS dst
+      |  FROM pos p LEFT JOIN dups s ON p.doc_id = s.doc_id AND p.pos = s.pos),
+      | cov AS (SELECT doc_id, pos, tok, dst,
+      |   max(dst) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS cv
+      |  FROM flagged),
+      | bnd AS (SELECT *, CASE WHEN cv = 1 AND
+      |    coalesce(lag(cv) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+      |   THEN 1 ELSE 0 END AS nb FROM cov)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      | CAST(sum(nb) AS INT) AS n_dup_spans,
+      | CAST(sum(cv) AS INT) AS dup_tokens,
+      | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
+      | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
+      | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
+      |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private val nearDupSql: String =

@@ -1334,6 +1334,30 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Substring dedup served from the PERSISTED window-df index
+    * (q151) — [[TextDedup.buildSubstringIndex]] on 75% of the spliced
+    * corpus (doc_id % 4 ≠ 3), the 25% batch appended as a pure
+    * segment ([[TextDedup.appendToSubstringIndex]] — df additivity
+    * over disjoint doc sets is an identity, so the segment-summed
+    * duplicate set equals the union-corpus in-plan set), then the
+    * full corpus scored from the stored segments under the SAME
+    * oracle as q147. The maintenance op for the one corpus-global
+    * quantity the substring pass has. */
+  def q151SubstringDedupStored(s: SparkSession, dir: String): DataFrame = {
+    val corpus = q147SplicedDocs(Tables.documents(s, dir))
+    val idx = Warehouse.materializedDir(s, "ssidx",
+      s"ssidx:v1:$Q147SpanLen:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildSubstringIndex(
+        corpus.filter(col("doc_id") % 4 =!= 3), "doc_id", "text",
+        Q147SpanLen, d)
+      TextDedup.appendToSubstringIndex(s,
+        corpus.filter(col("doc_id") % 4 === 3), d, "doc_id", "text")
+    }
+    TextDedup.substringSpansFromIndex(s, corpus, "doc_id", "text", idx)
+      .orderBy(col("doc_id"))
+  }
+
   /** q150's heavy-hitter count and CMS geometry: ε = 0.1% of total
     * token mass, δ = 0.1% per query — over 20 queried tokens the
     * union failure bound is 2%, and the fixed seed makes any run on a

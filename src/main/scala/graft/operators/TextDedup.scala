@@ -1043,23 +1043,41 @@ object TextDedup {
     */
   def exactSubstringSpans(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame = {
+    val starts = windowStarts(docs, idCol, textCol, minLen)
+    val dupDigests = starts.filter(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("d"))
+    spansFromStarts(starts, dupDigests, idCol, minLen)
+  }
+
+  /** Per-token rows of `docs` with each position's length-`minLen`
+    * window digest (`d`, null when the window runs past the document
+    * end) — the shared front half of the substring-dedup family. The
+    * digests ride the per-doc window sort via lead() chains, so no
+    * token array is carried through the explode. */
+  private def windowStarts(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
     require(minLen > 1, "minLen must be > 1")
     val w = split(col(textCol), " ")
     val pos = docs.select(col(idCol).as("id"),
         posexplode(w).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).cast("int").as("pos"), col("tok"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    // the length-L window STARTING here, as one digest; null when the
-    // window runs past the document end
     val shingle = concat_ws(" ",
       col("tok") +: (1 until minLen).map(k => lead(col("tok"), k).over(byDoc)): _*)
-    val starts = pos.withColumn("d",
+    pos.withColumn("d",
       when(lead(col("tok"), minLen - 1).over(byDoc).isNotNull, md5(shingle)))
-    val dupDigests = starts.filter(col("d").isNotNull)
-      .groupBy(col("d")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1).select(col("d"))
+  }
+
+  /** The shared back half: given token rows with window digests and
+    * the set of DUPLICATED digests (however derived — in-plan df or a
+    * stored index), merge covered positions into maximal spans and
+    * aggregate per doc. */
+  private def spansFromStarts(starts: DataFrame, dupDigests: DataFrame,
+      idCol: String, minLen: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val dupStarts = starts.filter(col("d").isNotNull)
-      .join(dupDigests, Seq("d"), "left_semi")
+      .join(dupDigests.select(col("d")), Seq("d"), "left_semi")
       .select(col("id"), col("pos"), lit(1).as("dst"))
     val flagged = starts.drop("d")
       .join(dupStarts, Seq("id", "pos"), "left")
@@ -1087,6 +1105,95 @@ object TextDedup {
       .select(col("id").as(idCol), col("n_tokens"), col("n_dup_spans"),
         col("dup_tokens"), col("kept_tokens"), col("kept_digest"),
         col("dup_frac"))
+  }
+
+  /** Persisted substring-window index — the STORED form of the
+    * [[exactSubstringSpans]] corpus-global side. What is corpus-global
+    * in the substring pass is exactly one table: window-digest
+    * frequencies. The index stores them as PURE-ADDITIVE SEGMENTS
+    * (the LSM shape): each build/append writes its own batch's
+    * `(d, df)` partial counts as new rows and never reads or rewrites
+    * existing ones — per-cycle cost ∝ batch with NO mutable aggregate
+    * (df is additive over disjoint doc sets, the q139 BM25 identity
+    * without q139's partition rewrite) — and serving merges segments
+    * with one narrow hash-aggregate sum before the duplicate filter.
+    * [[graft.operators.Warehouse.compactIndexPartitions]] is the
+    * matching compaction story when segment files accumulate.
+    *
+    * APPEND-ONLY, enforced via the `ids.parquet` ledger: re-ingesting
+    * an indexed doc would inflate its windows' summed df — a window
+    * with df = 1 would read as duplicated and every span in every doc
+    * sharing it would move (the q139 corruption class, not the benign
+    * IVF/PQ duplicate). `_meta.json` records `minLen`; serving reads
+    * it back rather than trusting the caller. */
+  def buildSubstringIndex(corpus: DataFrame, idCol: String,
+      textCol: String, minLen: Int, dir: String): Unit = {
+    segmentCounts(corpus, idCol, textCol, minLen)
+      .write.mode("overwrite").parquet(s"$dir/wdf.parquet")
+    corpus.select(col(idCol).cast("long").as("id"))
+      .write.mode("overwrite").parquet(s"$dir/ids.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"minLen":$minLen,"version":1}""")
+  }
+
+  /** One segment's (digest, partial df) rows — doc-local window
+    * digests, one combined hash aggregate. */
+  private def segmentCounts(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame =
+    windowStarts(docs, idCol, textCol, minLen)
+      .filter(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+
+  /** Append a batch to a [[buildSubstringIndex]] artifact: the
+    * batch's own `(d, df)` counts land as a new segment, batch ids
+    * join the ledger. Existing segments are never read — cost ∝
+    * batch. Empty batches are a no-op (after ledgering nothing,
+    * since a zero-token doc contributes no windows but IS a doc:
+    * its id must still be ledgered or a later re-ingest of a
+    * now-nonempty version would pass the guard). */
+  def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, indexDir: String, idCol: String,
+      textCol: String): Unit = {
+    val meta = Warehouse.readMetaJson(indexDir, "substring index")
+    val minLen = Warehouse.metaLong(meta, indexDir, "minLen").toInt
+    val batchIds = batch.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    // map-side probe of the column-pruned ledger × broadcast batch
+    // ids — no distinct, no corpus-sized exchange (the q139/q141
+    // guard shape)
+    val dup = spark.read.parquet(s"$indexDir/ids.parquet")
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.get(0)).distinct
+    require(dup.isEmpty,
+      s"substring index at $indexDir already contains batch ids " +
+        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
+        "inflate its windows' document frequencies and move every " +
+        "span sharing them; the append contract is append-only " +
+        "(delete + rebuild to update)")
+    segmentCounts(batch, idCol, textCol, minLen)
+      .write.mode("append").parquet(s"$indexDir/wdf.parquet")
+    batchIds.write.mode("append").parquet(s"$indexDir/ids.parquet")
+  }
+
+  /** Score `docs` against a persisted substring index: the duplicated
+    * window set comes from the stored segments (one narrow (d, df)
+    * scan + sum-merge + `> 1` filter) instead of an in-plan corpus
+    * pass. When the index covers exactly the corpus the docs came
+    * from, the result is IDENTICAL to [[exactSubstringSpans]] —
+    * that's the gate; a deployment scores each incoming BATCH against
+    * the index, paying window work only for the batch. */
+  def substringSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String): DataFrame = {
+    val meta = Warehouse.readMetaJson(indexDir, "substring index")
+    val minLen = Warehouse.metaLong(meta, indexDir, "minLen").toInt
+    val dupDigests = spark.read.parquet(s"$indexDir/wdf.parquet")
+      .groupBy(col("d")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 1).select(col("d"))
+    spansFromStarts(windowStarts(docs, idCol, textCol, minLen),
+      dupDigests, idCol, minLen)
   }
 
   /** Intersection sizes of all co-shingled pairs (a < b) from an

@@ -534,6 +534,51 @@ class TextDedupSpec extends AnyFunSuite {
       r(2).getAs[Int]("dup_tokens"))
   }
 
+  test("substring index: append ≡ union build, ledger rejects re-ingest, meta gates") {
+    val a = Seq((0L, "a b c d e f g h"), (1L, "a b c x y z f g h"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "a b c d e q r s"), (3L, "n o p q r s t u"))
+      .toDF("doc_id", "text")
+    val union = a.unionByName(b)
+    val dirU = java.nio.file.Files
+      .createTempDirectory("ss_union").toString
+    val dirA = java.nio.file.Files
+      .createTempDirectory("ss_appended").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try {
+      TextDedup.buildSubstringIndex(union, "doc_id", "text", 3, dirU)
+      TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
+      TextDedup.appendToSubstringIndex(spark, b, dirA, "doc_id", "text")
+      // segment-summed dfs equal the union build's exactly
+      def dfs(d: String) = spark.read.parquet(s"$d/wdf.parquet")
+        .groupBy($"d").agg(sum($"df").as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfs(dirA) == dfs(dirU))
+      // and the served spans equal the in-plan pass row for row
+      val served = TextDedup.substringSpansFromIndex(
+        spark, union, "doc_id", "text", dirA).orderBy($"doc_id").collect()
+      val inPlan = TextDedup.exactSubstringSpans(
+        union, "doc_id", "text", 3).orderBy($"doc_id").collect()
+      assert(served.toSeq == inPlan.toSeq)
+      // re-ingesting an indexed id fails loudly
+      val err = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark,
+          Seq((2L, "a b c")).toDF("doc_id", "text"), dirA,
+          "doc_id", "text")
+      }
+      assert(err.getMessage.contains("append-only"))
+      // a meta-less directory is not an artifact
+      rm(new java.io.File(s"$dirA/_meta.json"))
+      intercept[IllegalArgumentException] {
+        TextDedup.substringSpansFromIndex(spark, union, "doc_id",
+          "text", dirA)
+      }
+    } finally { rm(new java.io.File(dirU)); rm(new java.io.File(dirA)) }
+  }
+
   test("q147 spliced corpus forces multi-span documents") {
     val out = graft.operators.Curation.q147SubstringDedup(
       spark, SparkTestSession.sf)
