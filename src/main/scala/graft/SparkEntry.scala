@@ -1905,17 +1905,18 @@ FROM c ORDER BY 1"""
     s"""WITH nn AS (SELECT count(*) AS n FROM documents),
        | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
        | edges AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS src,
-       |    (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 0
-       |  UNION ALL
-       |  SELECT CAST(doc_id AS BIGINT) AS src,
-       |    (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 1
-       |  UNION ALL
-       |  SELECT CAST(doc_id AS BIGINT) AS src,
-       |    (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 2),
+       |  SELECT DISTINCT src, dst FROM (
+       |   SELECT CAST(doc_id AS BIGINT) AS src,
+       |     (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
+       |    FROM documents CROSS JOIN nn WHERE doc_id % 4 > 0
+       |   UNION ALL
+       |   SELECT CAST(doc_id AS BIGINT) AS src,
+       |     (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
+       |    FROM documents CROSS JOIN nn WHERE doc_id % 4 > 1
+       |   UNION ALL
+       |   SELECT CAST(doc_id AS BIGINT) AS src,
+       |     (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
+       |    FROM documents CROSS JOIN nn WHERE doc_id % 4 > 2)),
        | h0 AS (SELECT id, ($m // n) AS h FROM nodes CROSS JOIN nn),
        |$iters
        |SELECT a4.id AS doc_id, CAST(a4.a AS BIGINT) AS auth,

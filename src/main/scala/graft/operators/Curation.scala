@@ -251,18 +251,22 @@ object Curation {
   def q148StreamIndexAppend(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val e = Tables.embeddings(s, dir)
+    // staged OUTSIDE the index builder: materializedDir memoizes via
+    // computeIfAbsent, and a mapping function must not re-enter the
+    // map (recursive-update IllegalStateException when the two keys
+    // share a bin) — the other stream entries stage first for the
+    // same reason
+    val stage = stagedArrival(s, "stage-q148", dir,
+      "embeddings.parquet") { sd =>
+      e.filter(col("vec_id") % 4 === 3)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(sd)
+    }
     val idx = Warehouse.materializedDir(s, "ivfstr",
       s"ivfstr:v1:16:2:3:$dir:" +
         Warehouse.fingerprint(s"$dir/embeddings.parquet")) { d =>
       Similarity.buildIvfIndex(e.filter(col("vec_id") % 4 =!= 3),
         "vec_id", "embedding", d, nLists = 16, assignments = 2)
-      // the remaining quarter arrives as a 3-file stream feed
-      val stage = stagedArrival(s, "stage-q148", dir,
-        "embeddings.parquet") { sd =>
-        e.filter(col("vec_id") % 4 === 3)
-          .select(col("vec_id"), col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(sd)
-      }
       val ss = streamSession(s)
       val sch = ss.read.parquet(stage).schema
       val stream = ss.readStream.schema(sch)
@@ -720,9 +724,14 @@ object Curation {
     * seed of the exact-substring pass. */
   val Q147SpanLen = 8
 
-  /** q147's spliced-doc id offset (derived rows must not collide with
-    * real doc ids at any SF). */
-  val Q147SpliceOffset = 1000000L
+  /** q147's spliced-doc id offset. Set ABOVE anything the id scheme
+    * can produce: real ids are replica-strided
+    * (`base + r · ScaleCorpus.IdStride`, base bounded by a corpus
+    * block, replicas by the scale multiplier), so 10⁶ strides
+    * (10¹⁴ ≪ 2⁶³) cannot collide — a twin id equal to a real id
+    * would interleave two token streams under one window partition
+    * and corrupt every span in both. */
+  val Q147SpliceOffset = 1000000L * ScaleCorpus.IdStride
 
   /** Derived corpus for q147: every document long enough to have a
     * distinct prefix and suffix contributes a SPLICED twin — its first

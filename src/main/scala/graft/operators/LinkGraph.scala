@@ -150,7 +150,10 @@ object LinkGraph {
     * L2 norm is a sqrt — exactly the transcendental the fixed-point
     * family exists to avoid). With `mass` ≤ 10⁹ the rescale product
     * is ≤ 10¹⁸ < 2⁶³ because each raw score is bounded by the
-    * PREVIOUS round's total mass.
+    * PREVIOUS round's total mass — a bound that holds only on SIMPLE
+    * graphs, so edges are deduplicated at intake (parallel edges
+    * collapse; unbounded multigraph fan-in could otherwise push one
+    * raw score past the margin and wrap silently).
     *
     * Scale shape: two shuffles per round (authorities group by dst,
     * hubs group by src — a deployment buckets the edge table by each
@@ -167,7 +170,7 @@ object LinkGraph {
     val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
     require(n > 0, "hitsFixed needs a nonempty node set")
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
     def rescale(raw: DataFrame, total: Long, out: String): DataFrame =
       nodeIds.join(raw, Seq("id"), "left")
         .select(col("id"), expr(

@@ -463,10 +463,9 @@ object TextAnalysis {
     val cnts = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     val top = cnts.orderBy(col("cnt").desc, col("t")).limit(k)
       .collect() // bounded: k rows
-    val n = cnts.agg(coalesce(sum(col("cnt")), lit(0L)))
-      .collect()(0).getLong(0)
     val sketch = toks.stat.countMinSketch("t", eps, confidence, seed)
-    val bound = math.ceil(eps * n).toLong
+    // N is the sketch's own item count — no third corpus pass
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
     val rows = top.zipWithIndex.map { case (r, i) =>
       val (t, cnt) = (r.getString(0), r.getLong(1))
       val est = sketch.estimateCount(t)

@@ -1076,12 +1076,15 @@ object TextDedup {
   private def spansFromStarts(starts: DataFrame, dupDigests: DataFrame,
       idCol: String, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val dupStarts = starts.filter(col("d").isNotNull)
-      .join(dupDigests.select(col("d")), Seq("d"), "left_semi")
-      .select(col("id"), col("pos"), lit(1).as("dst"))
-    val flagged = starts.drop("d")
-      .join(dupStarts, Seq("id", "pos"), "left")
+    // ONE left join flags duplicated starts: dupDigests holds one row
+    // per digest, a null d never matches, and the costly windowStarts
+    // subtree is consumed once here instead of twice (semi-join +
+    // re-join) — round-17 review
+    val flagged = starts
+      .join(dupDigests.select(col("d")).withColumn("dst", lit(1)),
+        Seq("d"), "left")
       .withColumn("dst", coalesce(col("dst"), lit(0)))
+      .drop("d")
     // a position is covered iff some duplicated window starts within
     // the preceding L-1 positions (or at it)
     val covWin = Window.partitionBy(col("id")).orderBy(col("pos"))

@@ -544,10 +544,8 @@ class TextDedupSpec extends AnyFunSuite {
       .createTempDirectory("ss_union").toString
     val dirA = java.nio.file.Files
       .createTempDirectory("ss_appended").toString
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit =
+      graft.operators.Warehouse.deleteRec(f)
     try {
       TextDedup.buildSubstringIndex(union, "doc_id", "text", 3, dirU)
       TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
