@@ -179,6 +179,9 @@ object SparkEntry {
     "q150_token_heavy_hitters" -> (Curation.q150TokenHeavyHitters _),
     "q151_substring_dedup_stored" ->
       (Curation.q151SubstringDedupStored _),
+    "q152_substring_effective" ->
+      (Curation.q152SubstringEffective _),
+    "q153_link_quality_gate" -> (Curation.q153LinkQualityGate _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1197,6 +1200,10 @@ object SparkEntry {
     // HITS: integer sum-normalized mutual reinforcement — hubs and
     // authorities hash-exact after four unrolled rounds
     "q149_link_hits" -> hitsSql,
+    // PageRank over the variable-degree law, gated at the uniform
+    // prior, grouped by source — the quality prior composing into
+    // curation
+    "q153_link_quality_gate" -> linkQualityGateSql,
     // count-min heavy hitters: exact top-k columns, constant-true
     // CMS-law flags (raw estimates are sketch-internal — the
     // q61/q83 self-gating discipline)
@@ -1217,6 +1224,31 @@ object SparkEntry {
     // the same spans served from the stored segment index after a
     // 25% append — segment-summed df must equal the in-plan df
     "q151_substring_dedup_stored" -> substringSpansSql,
+    // the per-source token-budget report of the span pass, over the
+    // RAW corpus (no splice — the report is the deployment shape)
+    "q152_substring_effective" -> {
+      val L = graft.operators.Curation.Q147SpanLen
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        | pos AS (SELECT doc_id, source, w, CAST(i AS INT) AS pos, len(w) AS n
+        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)+1)) AS t(i)),
+        | starts AS (SELECT doc_id, pos,
+        |   md5(array_to_string(w[pos:pos+${L - 1}], ' ')) AS d
+        |  FROM pos WHERE pos <= n - $L + 1),
+        | occ AS (SELECT d FROM starts GROUP BY d HAVING count(*) > 1),
+        | dups AS (SELECT starts.doc_id, starts.pos, 1 AS dst
+        |  FROM starts JOIN occ USING (d)),
+        | flagged AS (SELECT p.doc_id, p.source, p.pos, coalesce(s.dst, 0) AS dst
+        |  FROM pos p LEFT JOIN dups s ON p.doc_id = s.doc_id AND p.pos = s.pos),
+        | cov AS (SELECT doc_id, source,
+        |   max(dst) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS cv
+        |  FROM flagged)
+        |SELECT source, CAST(count(*) AS BIGINT) AS gross_tokens,
+        | CAST(sum(cv) AS BIGINT) AS dup_tokens,
+        | CAST(count(*) - sum(cv) AS BIGINT) AS kept_tokens,
+        | round(CAST(count(*) - sum(cv) AS DOUBLE) / count(*), 6) AS kept_frac
+        |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1964,6 +1996,48 @@ FROM c ORDER BY 1"""
       | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
       | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
       |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q153 oracle: q140's unrolled integer PageRank arithmetic over
+    * the q149 variable-out-degree edge law (UNION ALL — multi-edges
+    * kept, mirroring the Spark side), gated at the uniform prior and
+    * grouped by source. The edge table feeds outdeg and all five
+    * contribution rounds — MATERIALIZED against re-inlining. */
+  private val linkQualityGateSql: String = {
+    val iters = (1 to 5).map { k =>
+      s""" c$k AS (SELECT e.dst AS id, sum(r.r // e.od) AS cs
+         |  FROM r${k - 1} r JOIN edges e ON r.id = e.src GROUP BY 1),
+         | r$k AS (SELECT nodes.id,
+         |   ((1000000000000 // n) * 150) // 1000
+         |     + (850 * coalesce(c$k.cs, 0)) // 1000 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.id = c$k.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | edges0 AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 1
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
+       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 2),
+       | outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
+       | edges AS MATERIALIZED (SELECT e.src, e.dst, o.od
+       |  FROM edges0 e JOIN outdeg o USING (src)),
+       | r0 AS (SELECT id, (1000000000000 // n) AS r
+       |  FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN r5.r > (1000000000000 // n) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | round(CAST(sum(CASE WHEN r5.r > (1000000000000 // n) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
+       |FROM r5 JOIN documents d ON r5.id = d.doc_id CROSS JOIN nn
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private val nearDupSql: String =

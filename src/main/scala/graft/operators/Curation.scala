@@ -1367,6 +1367,63 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Link-prior-gated corpus selection (q153) — the composition the
+    * "quality prior" family exists for: q140's fixed-point integer
+    * PageRank computed over the VARIABLE-out-degree law (q149's —
+    * q140's own bijection law yields uniform in-degree and a
+    * constant, gate-degenerate rank), joined onto the corpus, and
+    * each source reports how many of its documents rank ABOVE the
+    * uniform prior r₀ = mass div n (the natural "better than an
+    * unlinked page" cut — a pure integer compare, so the gate is
+    * hash-exact). Multi-edges the law emits are kept: PageRank's
+    * integer arithmetic is multi-edge-safe (od counts edge rows) and
+    * the oracle mirrors the same UNION ALL edge table. */
+  def q153LinkQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    val base = docs.select(col("doc_id").cast("long").as("src"))
+    def map(c: Int, d: Int, k: Int): DataFrame =
+      base.filter(col("src") % 4 > k)
+        .select(col("src"), ((col("src") * c + d) % n).as("dst"))
+    val edges = map(31, 7, 0)
+      .unionByName(map(17, 3, 1))
+      .unionByName(map(13, 11, 2))
+    val ranks = LinkGraph.pageRankFixed(edges, docs, "doc_id",
+      iterations = 5, nodeCountHint = n)
+    val r0 = 1000000000000L / n
+    docs.select(col("doc_id").cast("long").as("id"), col("source"))
+      .join(ranks, Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("r") > r0, 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        round(sum(when(col("r") > r0, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source training-token budget AFTER substring-span removal
+    * (q152) — the headline table an exact-substring dedup run ends
+    * with: for each source, gross tokens, tokens inside duplicated
+    * spans, tokens kept, and the kept fraction. Runs over the RAW
+    * corpus (q147's splice exists to gate the interval merge; the
+    * budget report is a deployment-shaped composition of the same
+    * span op with the source dimension). One extra broadcast-sized
+    * join + a sources-sized aggregate on top of the span pass. */
+  def q152SubstringEffective(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextDedup.exactSubstringSpans(docs, "doc_id", "text",
+        minLen = Q147SpanLen)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("gross_tokens"),
+        sum(col("dup_tokens")).cast("long").as("dup_tokens"),
+        sum(col("kept_tokens")).cast("long").as("kept_tokens"),
+        round(sum(col("kept_tokens")).cast("double") /
+          sum(col("n_tokens")), 6).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
   /** q150's heavy-hitter count and CMS geometry: ε = 0.1% of total
     * token mass, δ = 0.1% per query — over 20 queried tokens the
     * union failure bound is 2%, and the fixed seed makes any run on a
