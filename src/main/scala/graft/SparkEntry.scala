@@ -182,6 +182,7 @@ object SparkEntry {
     "q152_substring_effective" ->
       (Curation.q152SubstringEffective _),
     "q153_link_quality_gate" -> (Curation.q153LinkQualityGate _),
+    "q154_stream_bm25_serve" -> (Curation.q154StreamBm25Serve _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1189,6 +1190,11 @@ object SparkEntry {
     // the same ranking served from the persisted prefix-partitioned
     // inverted file — must reproduce the one-job derivation exactly
     "q138_bm25_stored" -> bm25Sql,
+    // the stored serving path driven through a real availableNow
+    // stream of query micro-batches — scoring is per-query
+    // independent over a read-only index, so any batch split must
+    // reproduce the one-batch answer
+    "q154_stream_bm25_serve" -> bm25Sql,
     // index MAINTENANCE: built on 75%, the 25% batch appended with
     // an additive df merge — the appended index must reproduce the
     // union-corpus ranking exactly (df additivity is an identity)

@@ -353,15 +353,66 @@ object Curation {
     * bit for bit. */
   def q138Bm25Stored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val idx = Warehouse.materializedDir(s, "bm25",
+    Retrieval.bm25TopKFromIndex(s, bm25Queries(docs),
+        "query_id", "qtext", storedBm25Index(s, dir), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The stored BM25 artifact q138/q154 serve from (one build per
+    * corpus, shared by the batch and streamed serving twins). */
+  private def storedBm25Index(s: SparkSession, dir: String): String =
+    Warehouse.materializedDir(s, "bm25",
       // v3: dfs.parquet gained the max-score bounds (maxtf, minlen)
       s"bm25:v3:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
-      Retrieval.buildBm25Index(docs, "doc_id", "text", d)
+      Retrieval.buildBm25Index(Tables.documents(s, dir),
+        "doc_id", "text", d)
     }
-    Retrieval.bm25TopKFromIndex(s, bm25Queries(docs),
-        "query_id", "qtext", idx, k = 10)
-      .orderBy(col("query_id"), col("rank"))
+
+  /** Streaming BM25 serving (q154) — the retrieval twin of q148's
+    * streamed maintenance: query batches arrive as availableNow
+    * micro-batches and a `foreachBatch` sink scores each against the
+    * STORED inverted file ([[Retrieval.bm25TopKFromIndex]] — the
+    * per-batch driver-side prefix resolution is exactly what
+    * foreachBatch exists to host), appending each batch's top-k to a
+    * run-local parquet accumulator (distributed — no driver-side
+    * result collect). Scoring is per-query independent and the index
+    * is read-only, so the union over ANY batch split equals the
+    * one-batch q138 answer — the SAME bm25 oracle gates it. */
+  def q154StreamBm25Serve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(s, dir)
+    val idx = storedBm25Index(s, dir)
+    val stage = stagedArrival(s, "stage-q154", dir,
+      "documents.parquet") { sd =>
+      bm25Queries(docs).repartition(3).write.mode("overwrite")
+        .parquet(sd)
+    }
+    val ss = streamSession(s)
+    val sch = ss.read.parquet(stage).schema
+    val stream = ss.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val out = java.nio.file.Files
+      .createTempDirectory("q154-serve-").toString
+    val qname = "q154_srv_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val query = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Retrieval.bm25TopKFromIndex(batch.sparkSession, batch,
+              "query_id", "qtext", idx, k = 10)
+            .write.mode("append").parquet(out)
+        }
+        .queryName(qname)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      shmCheckpointBase.foreach(b =>
+        Warehouse.deleteRec(new java.io.File(b, qname)))
+      s.read.parquet(out)
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+    } finally Warehouse.deleteRec(new java.io.File(out))
   }
 
   /** Link-graph PageRank quality prior (q140) — see
