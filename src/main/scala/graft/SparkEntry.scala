@@ -1232,29 +1232,7 @@ object SparkEntry {
     "q151_substring_dedup_stored" -> substringSpansSql,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
-    "q152_substring_effective" -> {
-      val L = graft.operators.Curation.Q147SpanLen
-      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-        | pos AS (SELECT doc_id, source, w, CAST(i AS INT) AS pos, len(w) AS n
-        |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)+1)) AS t(i)),
-        | starts AS (SELECT doc_id, pos,
-        |   md5(array_to_string(w[pos:pos+${L - 1}], ' ')) AS d
-        |  FROM pos WHERE pos <= n - $L + 1),
-        | occ AS (SELECT d FROM starts GROUP BY d HAVING count(*) > 1),
-        | dups AS (SELECT starts.doc_id, starts.pos, 1 AS dst
-        |  FROM starts JOIN occ USING (d)),
-        | flagged AS (SELECT p.doc_id, p.source, p.pos, coalesce(s.dst, 0) AS dst
-        |  FROM pos p LEFT JOIN dups s ON p.doc_id = s.doc_id AND p.pos = s.pos),
-        | cov AS (SELECT doc_id, source,
-        |   max(dst) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS cv
-        |  FROM flagged)
-        |SELECT source, CAST(count(*) AS BIGINT) AS gross_tokens,
-        | CAST(sum(cv) AS BIGINT) AS dup_tokens,
-        | CAST(count(*) - sum(cv) AS BIGINT) AS kept_tokens,
-        | round(CAST(count(*) - sum(cv) AS DOUBLE) / count(*), 6) AS kept_frac
-        |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q152_substring_effective" -> substringEffectiveSql,
     // URL dedup: the canonical form in closed form — scheme by
     // parity, host/path/params straight off the id laws; group sizes
     // shift if ANY normalization rule (case, www, ports, utm,
@@ -1962,22 +1940,20 @@ FROM c ORDER BY 1"""
        |FROM a4 JOIN h4 ON a4.id = h4.id ORDER BY 1""".stripMargin
   }
 
-  /** q147/q151 oracle: exact duplicated-substring spans over the
-    * spliced corpus — overlapping L-token window digests, global df,
-    * gaps-and-islands interval merging, cleaned-text digest. q151
-    * serves the identical law from the stored segment index, so both
-    * sit under this one SQL. */
-  private val substringSpansSql: String = {
+  /** Shared duplicated-substring span pipeline: `corpusCte` must
+    * define a CTE named `corpus` with (doc_id, text[, carried
+    * columns]); `carry`/`carryP` thread extra columns (e.g.
+    * ", source" / ", p.source") through to the final `bnd` table;
+    * `tail` is the final SELECT over `bnd` (columns: doc_id + carry,
+    * pos, tok, cv covered flag, nb span-boundary flag). One
+    * definition of the window/digest/coverage law serves every
+    * substring-family oracle. */
+  private def substringSpanPipelineSql(corpusCte: String,
+      carry: String, carryP: String, tail: String): String = {
     val L = graft.operators.Curation.Q147SpanLen
-    val off = graft.operators.Curation.Q147SpliceOffset
-    s"""WITH spl AS (SELECT doc_id + $off AS doc_id,
-      |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
-      |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= ${2 * L + 1}),
-      | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl),
-      | toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-      | pos AS (SELECT doc_id, w, CAST(i AS INT) AS pos,
+    s"""WITH $corpusCte,
+      | toks AS (SELECT doc_id$carry, string_split(text, ' ') AS w FROM corpus),
+      | pos AS (SELECT doc_id$carry, w, CAST(i AS INT) AS pos,
       |   list_extract(w, CAST(i AS INT)) AS tok, len(w) AS n
       |  FROM toks CROSS JOIN LATERAL unnest(range(1, len(w)+1)) AS t(i)),
       | starts AS (SELECT doc_id, pos,
@@ -1986,23 +1962,54 @@ FROM c ORDER BY 1"""
       | occ AS (SELECT d FROM starts GROUP BY d HAVING count(*) > 1),
       | dups AS (SELECT starts.doc_id, starts.pos, 1 AS dst
       |  FROM starts JOIN occ USING (d)),
-      | flagged AS (SELECT p.doc_id, p.pos, p.tok, coalesce(s.dst, 0) AS dst
+      | flagged AS (SELECT p.doc_id$carryP, p.pos, p.tok, coalesce(s.dst, 0) AS dst
       |  FROM pos p LEFT JOIN dups s ON p.doc_id = s.doc_id AND p.pos = s.pos),
-      | cov AS (SELECT doc_id, pos, tok, dst,
+      | cov AS (SELECT doc_id$carry, pos, tok, dst,
       |   max(dst) OVER (PARTITION BY doc_id ORDER BY pos
       |     ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS cv
       |  FROM flagged),
       | bnd AS (SELECT *, CASE WHEN cv = 1 AND
       |    coalesce(lag(cv) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
       |   THEN 1 ELSE 0 END AS nb FROM cov)
-      |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-      | CAST(sum(nb) AS INT) AS n_dup_spans,
-      | CAST(sum(cv) AS INT) AS dup_tokens,
-      | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
-      | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
-      | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
-      |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
+      |$tail""".stripMargin
   }
+
+  /** q147/q151 oracle: exact duplicated-substring spans over the
+    * spliced corpus — overlapping L-token window digests, global df,
+    * gaps-and-islands interval merging, cleaned-text digest. q151
+    * serves the identical law from the stored segment index, so both
+    * sit under this one SQL. */
+  private val substringSpansSql: String = {
+    val L = graft.operators.Curation.Q147SpanLen
+    val off = graft.operators.Curation.Q147SpliceOffset
+    substringSpanPipelineSql(
+      s"""spl AS (SELECT doc_id + $off AS doc_id,
+        |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= ${2 * L + 1}),
+        | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl)""".stripMargin,
+      carry = "", carryP = "",
+      tail = """SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        | CAST(sum(nb) AS INT) AS n_dup_spans,
+        | CAST(sum(cv) AS INT) AS dup_tokens,
+        | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
+        | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
+        | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q152 oracle: the same span pipeline over the RAW corpus, rolled
+    * up to the per-source token budget. */
+  private val substringEffectiveSql: String =
+    substringSpanPipelineSql(
+      "corpus AS (SELECT doc_id, source, text FROM documents)",
+      carry = ", source", carryP = ", p.source",
+      tail = """SELECT source, CAST(count(*) AS BIGINT) AS gross_tokens,
+        | CAST(sum(cv) AS BIGINT) AS dup_tokens,
+        | CAST(count(*) - sum(cv) AS BIGINT) AS kept_tokens,
+        | round(CAST(count(*) - sum(cv) AS DOUBLE) / count(*), 6) AS kept_frac
+        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q153 oracle: q140's unrolled integer PageRank arithmetic over
     * the q149 variable-out-degree edge law (UNION ALL — multi-edges
@@ -2021,18 +2028,21 @@ FROM c ORDER BY 1"""
     }.mkString(",\n")
     s"""WITH nn AS (SELECT count(*) AS n FROM documents),
        | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | degs AS (SELECT doc_id,
+       |   (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3 AS degm
+       |  FROM documents),
        | edges0 AS MATERIALIZED (
        |  SELECT CAST(doc_id AS BIGINT) AS src,
        |    (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 0
+       |   FROM degs CROSS JOIN nn WHERE degm >= 0
        |  UNION ALL
        |  SELECT CAST(doc_id AS BIGINT) AS src,
        |    (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 1
+       |   FROM degs CROSS JOIN nn WHERE degm >= 1
        |  UNION ALL
        |  SELECT CAST(doc_id AS BIGINT) AS src,
        |    (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
-       |   FROM documents CROSS JOIN nn WHERE doc_id % 4 > 2),
+       |   FROM degs CROSS JOIN nn WHERE degm >= 2),
        | outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
        | edges AS MATERIALIZED (SELECT e.src, e.dst, o.od
        |  FROM edges0 e JOIN outdeg o USING (src)),

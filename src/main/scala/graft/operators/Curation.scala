@@ -273,19 +273,21 @@ object Curation {
         .option("maxFilesPerTrigger", 1).parquet(stage)
       val qname = "q148_app_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          Similarity.appendToIvfIndex(batch.sparkSession, batch,
-            "vec_id", "embedding", d)
-        }
-        .queryName(qname)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      // foreachBatch sinks have no memory table to drop; reclaim the
-      // run's checkpoint dir the way finishStream does
-      shmCheckpointBase.foreach(b =>
-        Warehouse.deleteRec(new java.io.File(b, qname)))
+      try {
+        val query = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Similarity.appendToIvfIndex(batch.sparkSession, batch,
+              "vec_id", "embedding", d)
+          }
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally
+        // foreachBatch sinks have no memory table to drop; reclaim
+        // the run's RAM-backed checkpoint dir on failure too
+        shmCheckpointBase.foreach(b =>
+          Warehouse.deleteRec(new java.io.File(b, qname)))
     }
     Similarity.ivfTopKFromIndex(s, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", idx, k = 10, nProbe = 12)
@@ -407,12 +409,16 @@ object Curation {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      shmCheckpointBase.foreach(b =>
-        Warehouse.deleteRec(new java.io.File(b, qname)))
       s.read.parquet(out)
         .orderBy(col("query_id"), col("rank"))
         .localCheckpoint(true)
-    } finally Warehouse.deleteRec(new java.io.File(out))
+    } finally {
+      // reclaim the RAM-backed checkpoint on failure too, not just
+      // the success path (round-17 review)
+      shmCheckpointBase.foreach(b =>
+        Warehouse.deleteRec(new java.io.File(b, qname)))
+      Warehouse.deleteRec(new java.io.File(out))
+    }
   }
 
   /** Link-graph PageRank quality prior (q140) — see
@@ -1420,21 +1426,30 @@ object Curation {
 
   /** Link-prior-gated corpus selection (q153) — the composition the
     * "quality prior" family exists for: q140's fixed-point integer
-    * PageRank computed over the VARIABLE-out-degree law (q149's —
-    * q140's own bijection law yields uniform in-degree and a
-    * constant, gate-degenerate rank), joined onto the corpus, and
-    * each source reports how many of its documents rank ABOVE the
-    * uniform prior r₀ = mass div n (the natural "better than an
-    * unlinked page" cut — a pure integer compare, so the gate is
-    * hash-exact). Multi-edges the law emits are kept: PageRank's
+    * PageRank joined onto the corpus, each source reporting how many
+    * of its documents rank ABOVE the uniform prior r₀ = mass div n
+    * (the natural "better than an unlinked page" cut — a pure
+    * integer compare, so the gate is hash-exact).
+    *
+    * The edge law drives out-degree from the CONTENT HASH
+    * (deg = 1 + hex(md5(text)[0]) mod 3) with q140's affine
+    * destination maps: any arithmetic-only degree law factors
+    * through residue classes when their modulus divides n (dst ≡
+    * P(src) mod 4 whenever 4 | n — measured: q149's src % 4 law
+    * collapses ranks to FOUR constants and every source's kept_frac
+    * saturates to 0 or 1), while the hash decouples in-degree from
+    * src arithmetic, so ranks spread and the per-source fractions
+    * genuinely vary. Multi-edges the law emits are kept: PageRank's
     * integer arithmetic is multi-edge-safe (od counts edge rows) and
     * the oracle mirrors the same UNION ALL edge table. */
   def q153LinkQualityGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
-    val base = docs.select(col("doc_id").cast("long").as("src"))
+    val base = docs.select(col("doc_id").cast("long").as("src"),
+      ((instr(lit("0123456789abcdef"),
+        substring(md5(col("text")), 1, 1)) - 1) % 3).as("degm"))
     def map(c: Int, d: Int, k: Int): DataFrame =
-      base.filter(col("src") % 4 > k)
+      base.filter(col("degm") >= k)
         .select(col("src"), ((col("src") * c + d) % n).as("dst"))
     val edges = map(31, 7, 0)
       .unionByName(map(17, 3, 1))
