@@ -1412,7 +1412,10 @@ object Curation {
   def q151SubstringDedupStored(s: SparkSession, dir: String): DataFrame = {
     val corpus = q147SplicedDocs(Tables.documents(s, dir))
     val idx = Warehouse.materializedDir(s, "ssidx",
-      s"ssidx:v1:$Q147SpanLen:$dir:" +
+      // v2: segments partitioned by digest first hex char (the BM25
+      // postings convention) so compactIndexPartitions applies —
+      // layout change, so the key retires v1 artifacts
+      s"ssidx:v2:$Q147SpanLen:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       TextDedup.buildSubstringIndex(
         corpus.filter(col("doc_id") % 4 =!= 3), "doc_id", "text",

@@ -1132,21 +1132,27 @@ object TextDedup {
   def buildSubstringIndex(corpus: DataFrame, idCol: String,
       textCol: String, minLen: Int, dir: String): Unit = {
     segmentCounts(corpus, idCol, textCol, minLen)
-      .write.mode("overwrite").parquet(s"$dir/wdf.parquet")
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$dir/wdf.parquet")
     corpus.select(col(idCol).cast("long").as("id"))
       .write.mode("overwrite").parquet(s"$dir/ids.parquet")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"minLen":$minLen,"version":1}""")
+      s"""{"minLen":$minLen,"version":2}""")
   }
 
-  /** One segment's (digest, partial df) rows — doc-local window
-    * digests, one combined hash aggregate. */
+  /** One segment's (digest, partial df) rows, keyed for the
+    * digest-first-hex-char partition layout (the BM25 postings
+    * convention) so segment files accumulate under partitions
+    * [[graft.operators.Warehouse.compactIndexPartitions]] can
+    * rewrite — doc-local window digests, one combined hash
+    * aggregate. */
   private def segmentCounts(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame =
     windowStarts(docs, idCol, textCol, minLen)
       .filter(col("d").isNotNull)
       .groupBy(col("d")).agg(count(lit(1)).as("df"))
+      .withColumn("pfx", substring(col("d"), 1, 1))
 
   /** Append a batch to a [[buildSubstringIndex]] artifact: the
     * batch's own `(d, df)` counts land as a new segment, batch ids
@@ -1158,8 +1164,7 @@ object TextDedup {
   def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, indexDir: String, idCol: String,
       textCol: String): Unit = {
-    val meta = Warehouse.readMetaJson(indexDir, "substring index")
-    val minLen = Warehouse.metaLong(meta, indexDir, "minLen").toInt
+    val minLen = substringIndexMinLen(indexDir)
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
@@ -1176,8 +1181,23 @@ object TextDedup {
         "span sharing them; the append contract is append-only " +
         "(delete + rebuild to update)")
     segmentCounts(batch, idCol, textCol, minLen)
-      .write.mode("append").parquet(s"$indexDir/wdf.parquet")
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$indexDir/wdf.parquet")
     batchIds.write.mode("append").parquet(s"$indexDir/ids.parquet")
+  }
+
+  /** Meta gate shared by the substring-index readers/appenders:
+    * yields `minLen`, failing loudly on meta-less dirs and on the v1
+    * (unpartitioned-segment) layout — appending partitioned files
+    * into an unpartitioned dir would mix layouts silently. */
+  private def substringIndexMinLen(indexDir: String): Int = {
+    val meta = Warehouse.readMetaJson(indexDir, "substring index")
+    val version = Warehouse.metaLong(meta, indexDir, "version")
+    require(version == 2L,
+      s"substring index at $indexDir has layout version $version; " +
+        "this build reads/extends the prefix-partitioned v2 layout " +
+        "only — rebuild the index")
+    Warehouse.metaLong(meta, indexDir, "minLen").toInt
   }
 
   /** Score `docs` against a persisted substring index: the duplicated
@@ -1190,8 +1210,7 @@ object TextDedup {
   def substringSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String): DataFrame = {
-    val meta = Warehouse.readMetaJson(indexDir, "substring index")
-    val minLen = Warehouse.metaLong(meta, indexDir, "minLen").toInt
+    val minLen = substringIndexMinLen(indexDir)
     val dupDigests = spark.read.parquet(s"$indexDir/wdf.parquet")
       .groupBy(col("d")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 1).select(col("d"))

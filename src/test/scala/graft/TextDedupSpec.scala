@@ -561,6 +561,16 @@ class TextDedupSpec extends AnyFunSuite {
       val inPlan = TextDedup.exactSubstringSpans(
         union, "doc_id", "text", 3).orderBy($"doc_id").collect()
       assert(served.toSeq == inPlan.toSeq)
+      // segment files accumulate under prefix partitions; compaction
+      // rewrites multi-file partitions with content identity
+      val (before, after) = graft.operators.Warehouse
+        .compactIndexPartitions(spark, s"$dirA/wdf.parquet", "pfx")
+      assert(before > after && after > 0,
+        s"append cycles should leave compactable partitions ($before -> $after)")
+      assert(dfs(dirA) == dfs(dirU))
+      val servedC = TextDedup.substringSpansFromIndex(
+        spark, union, "doc_id", "text", dirA).orderBy($"doc_id").collect()
+      assert(servedC.toSeq == inPlan.toSeq)
       // re-ingesting an indexed id fails loudly
       val err = intercept[IllegalArgumentException] {
         TextDedup.appendToSubstringIndex(spark,
