@@ -953,4 +953,24 @@ class IndexPathSpec extends AnyFunSuite {
       assert(cfg.getMessage.contains("rebuild"))
     }
   }
+
+  test("substring index serving scans only the narrow (d, df) segment columns") {
+    withTempDir("ssidx_read") { dir =>
+      val docs = Tables.documents(spark, sf)
+      TextDedup.buildSubstringIndex(docs, "doc_id", "text",
+        graft.operators.Curation.Q147SpanLen, dir)
+      val q = TextDedup.substringSpansFromIndex(spark, docs,
+        "doc_id", "text", dir)
+      q.collect()
+      val scans = allScans(q.queryExecution.executedPlan).filter(
+        _.metadata.get("Location").exists(_.contains("wdf.parquet")))
+      assert(scans.nonEmpty, "no wdf.parquet scan found in the plan")
+      // the dup-digest merge reads exactly the two data columns — the
+      // partition key resolves from directory names, and nothing else
+      // exists to leak, so this pins the segment rows staying narrow
+      assert(scans.forall(
+          _.requiredSchema.fieldNames.toSet == Set("d", "df")),
+        scans.map(_.requiredSchema).mkString("\n"))
+    }
+  }
 }

@@ -42,6 +42,21 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r.getLong(2) == n)
   }
 
+  test("hitsFixed collapses parallel edges (simple-graph intake)") {
+    // the overflow bound raw ≤ previous total mass holds only on
+    // simple graphs; intake dedup makes a multigraph input score
+    // exactly like its simple projection
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val simple = Seq((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val multi = simple.unionByName(simple).unionByName(simple)
+    val a = LinkGraph.hitsFixed(simple, nodes, "id", iterations = 3)
+      .orderBy($"id").collect().toSeq
+    val b = LinkGraph.hitsFixed(multi, nodes, "id", iterations = 3)
+      .orderBy($"id").collect().toSeq
+    assert(a == b)
+  }
+
   test("q149 scores separate hubs from authorities on the arithmetic law") {
     val out = Curation.q149LinkHits(spark, SparkTestSession.sf)
     // non-degenerate: both scores vary, and the two rankings differ
