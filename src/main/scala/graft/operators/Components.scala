@@ -120,8 +120,14 @@ object Components {
     // per round (measured q142 3.9 → ~2.8 s at sf0.1). Decimal
     // accumulation: at 10⁹ vertices a long sum of 64-bit ids
     // overflows.
+    // coalesce to 0: an EMPTY edge set (legitimate dupClustersFixpoint
+    // input — a corpus with zero duplicate pairs) makes sum() null and
+    // a bare getDecimal NPEs on the first compare; with 0 the first
+    // propagate round is also empty-sum 0 and the loop converges
+    // immediately to the all-singleton answer.
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)")))
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
     var lbl = firstRound(symSelf).localCheckpoint(true)
     var prevSum = lblSum(lbl)

@@ -365,7 +365,9 @@ object Curation {
   private def storedBm25Index(s: SparkSession, dir: String): String =
     Warehouse.materializedDir(s, "bm25",
       // v3: dfs.parquet gained the max-score bounds (maxtf, minlen)
-      s"bm25:v3:1.2:0.75:$dir:" +
+      // v4: _meta.json gained the layout version field the reader
+      // now requires (round-17 advice) — retire version-less metas
+      s"bm25:v4:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(Tables.documents(s, dir),
         "doc_id", "text", d)
@@ -510,8 +512,9 @@ object Curation {
   def q139Bm25IndexAppend(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = Warehouse.materializedDir(s, "bm25app",
-      // v3: dfs.parquet gained the max-score bounds (maxtf, minlen)
-      s"bm25app:v3:1.2:0.75:$dir:" +
+      // v3: dfs.parquet gained the max-score bounds (maxtf, minlen);
+      // v4: _meta.json gained the required layout version field
+      s"bm25app:v4:1.2:0.75:$dir:" +
         Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
       Retrieval.buildBm25Index(docs.filter(col("doc_id") % 4 =!= 3),
         "doc_id", "text", d)

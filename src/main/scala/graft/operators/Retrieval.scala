@@ -277,17 +277,33 @@ object Retrieval {
 
   /** Read `_meta.json`, rejecting partial/hand-copied dirs loudly —
     * the ONE reader the append and serving paths share, via the
-    * warehouse-wide shared meta reader (round-17 review). */
+    * warehouse-wide shared meta reader (round-17 review). Gated on
+    * layout version 2 (round-17 ADVICE): `dfs.parquet` gained the
+    * maxtf/minlen pruning-bound columns in round 17, and an
+    * EXTERNALLY stored pre-round-17 artifact would otherwise fail
+    * deep inside serving with an opaque missing-column
+    * AnalysisException instead of a rebuild-the-index message (the
+    * substring index's v2 gate, mirrored; in-repo artifacts already
+    * retire through the warehouse key bump). */
   private def readBm25Meta(dir: String): Bm25Meta = {
     val meta = Warehouse.readMetaJson(dir, "BM25 index")
+    require(meta.contains("\"version\""),
+      s"BM25 index at $dir predates the versioned layout (no " +
+        "version field in _meta.json — its dfs.parquet lacks the " +
+        "maxtf/minlen pruning bounds) — rebuild the index")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
+    val v = f("version")
+    require(v == 2L,
+      s"BM25 index at $dir has layout version $v; this build " +
+        "reads/extends the v2 layout (maxtf/minlen pruning bounds " +
+        "in dfs.parquet) only — rebuild the index")
     Bm25Meta(f("nDocs"), f("sumLen"), f("k1E6"), f("bE6"))
   }
 
   private def writeBm25Meta(dir: String, m: Bm25Meta): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"nDocs":${m.nDocs},"sumLen":${m.sumLen},""" +
+      s"""{"version":2,"nDocs":${m.nDocs},"sumLen":${m.sumLen},""" +
         s""""k1E6":${m.k1E6},"bE6":${m.bE6}}""")
 
   /** In-plan BM25 top-k (q137): postings, dfs, and corpus stats all
@@ -396,6 +412,9 @@ object Retrieval {
     // append would add one empty part-file per empty cycle to the
     // unpartitioned ids.parquet; round-17 review)
     if (batchIds.isEmpty) return
+    // the ledger probe below only sees PREVIOUSLY indexed ids — a
+    // doc appearing twice within this batch needs its own guard
+    Warehouse.requireUniqueBatchIds(batch, idCol, "BM25 index")
     val dup = spark.read.parquet(s"$dir/ids.parquet")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))

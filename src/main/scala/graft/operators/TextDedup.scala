@@ -669,6 +669,9 @@ object TextDedup {
     val batchIds = batch.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true)
     if (batchIds.isEmpty) return
+    // the stored-key probe below only sees PREVIOUSLY indexed ids — a
+    // doc appearing twice within this batch needs its own guard
+    Warehouse.requireUniqueBatchIds(batch, idCol, "near-dup index")
     // map-side probe: column-pruned id scan × broadcast batch ids —
     // NO distinct (that would shuffle the corpus-sized key column;
     // the ∝-batch law tolerates a cheap linear scan, never a
@@ -1168,6 +1171,9 @@ object TextDedup {
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
+    // the ledger probe below only sees PREVIOUSLY indexed ids — a
+    // doc appearing twice within this batch needs its own guard
+    Warehouse.requireUniqueBatchIds(batch, idCol, "substring index")
     // map-side probe of the column-pruned ledger × broadcast batch
     // ids — no distinct, no corpus-sized exchange (the q139/q141
     // guard shape)
@@ -1201,21 +1207,44 @@ object TextDedup {
   }
 
   /** Score `docs` against a persisted substring index: the duplicated
-    * window set comes from the stored segments (one narrow (d, df)
-    * scan + sum-merge + `> 1` filter) instead of an in-plan corpus
-    * pass. When the index covers exactly the corpus the docs came
-    * from, the result is IDENTICAL to [[exactSubstringSpans]] —
+    * window set comes from the stored segments instead of an in-plan
+    * corpus pass. When the index covers exactly the corpus the docs
+    * came from, the result is IDENTICAL to [[exactSubstringSpans]] —
     * that's the gate; a deployment scores each incoming BATCH against
-    * the index, paying window work only for the batch. */
+    * the index, paying window work only for the batch.
+    *
+    * The segment scan is RESTRICTED to the batch's own window
+    * digests BEFORE the sum-merge (round-17 verdict: the unrestricted
+    * shape aggregated the ENTIRE corpus-token-sized segment table per
+    * serving call, so per-batch cost grew with the index and the
+    * "window work only for the batch" contract held only for the
+    * window pass). The restriction is an exact identity: the span
+    * merge consumes dup flags per batch window digest only, and
+    * `df > 1` needs the GLOBAL summed count only for digests the
+    * batch actually contains — every other segment row can never
+    * match the flag join (TextDedupSpec pins restricted ≡
+    * unrestricted on a strict-subset batch). The semi-join stays
+    * UN-hinted per the house AQE discipline: a small batch's digest
+    * set broadcasts at runtime (map-side segment filter — the scan
+    * still reads only the narrow (d, df) columns); a corpus-sized
+    * "batch" (the gate's full-corpus serve) degrades to a shuffle on
+    * the sum-merge's own key, worst case the unrestricted plan's
+    * cost, never an OOM. The window-starts frame feeds the digest
+    * set AND the span pass, so it is checkpointed (∝ batch — the
+    * [[shared]] barrier shape). */
   def substringSpansFromIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, idCol: String, textCol: String,
       indexDir: String): DataFrame = {
     val minLen = substringIndexMinLen(indexDir)
+    val starts = windowStarts(docs, idCol, textCol, minLen)
+      .localCheckpoint(true)
+    val batchDigests = starts.filter(col("d").isNotNull)
+      .select(col("d")).distinct()
     val dupDigests = spark.read.parquet(s"$indexDir/wdf.parquet")
+      .join(batchDigests, Seq("d"), "left_semi")
       .groupBy(col("d")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 1).select(col("d"))
-    spansFromStarts(windowStarts(docs, idCol, textCol, minLen),
-      dupDigests, idCol, minLen)
+    spansFromStarts(starts, dupDigests, idCol, minLen)
   }
 
   /** Intersection sizes of all co-shingled pairs (a < b) from an

@@ -432,6 +432,33 @@ private[graft] object Warehouse {
         s"artifact meta at $dir lacks '$key': $meta")
     }
 
+  /** Intra-batch id-uniqueness guard for the append-only index
+    * maintenance ops (round-17 ADVICE): their duplicate guards probe
+    * the STORED ledger/keys, so a batch carrying the same doc id
+    * TWICE used to pass and append duplicated gram/window/posting
+    * rows — exactly the df-inflation/Jaccard-corruption class the
+    * guards exist to prevent, arriving inside one batch instead of
+    * across cycles. One bounded aggregate (count vs count-distinct,
+    * both ∝ batch); the offender list is fetched only on the failure
+    * path. */
+  private[graft] def requireUniqueBatchIds(batch: DataFrame,
+      idCol: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val r = batch.agg(count(col(idCol)).as("n"),
+      countDistinct(col(idCol)).as("nd")).collect()(0)
+    val (n, nd) = (r.getLong(0), r.getLong(1))
+    if (n != nd) {
+      val dups = batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(5).collect()
+        .map(_.get(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"$what append batch contains duplicated ids ($n rows, " +
+          s"$nd distinct): $dups… — appending one doc twice " +
+          "duplicates its index rows exactly like a re-ingest; " +
+          "deduplicate the batch first")
+    }
+  }
+
   /** Compact a PARTITIONED parquet artifact in place — the LSM-ish
     * operational counterpart of the append family: every append
     * cycle adds part-files to its touched partitions (BM25 postings,

@@ -106,6 +106,18 @@ class ComponentsSpec extends AnyFunSuite {
       "q142 chain law mislabeled")
   }
 
+  test("empty edge set: fixpoint converges immediately, clusters are all singletons") {
+    // round-17 ADVICE: a corpus with ZERO duplicate pairs is a
+    // legitimate dupClustersFixpoint input — the label-sum convergence
+    // check used to NPE on the null sum over the empty label frame
+    val docs = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty).count() == 0)
+    val got = Components.dupClustersFixpoint(docs, "doc_id", empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("fixpoint variant fails loudly when maxIters is too small") {
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

