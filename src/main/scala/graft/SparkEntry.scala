@@ -183,6 +183,8 @@ object SparkEntry {
       (Curation.q152SubstringEffective _),
     "q153_link_quality_gate" -> (Curation.q153LinkQualityGate _),
     "q154_stream_bm25_serve" -> (Curation.q154StreamBm25Serve _),
+    "q155_link_prior_stored" -> (Curation.q155LinkPriorStored _),
+    "q156_hits_prior_stored" -> (Curation.q156HitsPriorStored _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1210,6 +1212,11 @@ object SparkEntry {
     // prior, grouped by source — the quality prior composing into
     // curation
     "q153_link_quality_gate" -> linkQualityGateSql,
+    // the same gate served from the STORED centrality prior (ranks
+    // computed once at publish, joined per batch) — identical law,
+    // so the identical SQL gates it; likewise HITS from its prior
+    "q155_link_prior_stored" -> linkQualityGateSql,
+    "q156_hits_prior_stored" -> hitsSql,
     // count-min heavy hitters: exact top-k columns, constant-true
     // CMS-law flags (raw estimates are sketch-internal — the
     // q61/q83 self-gating discipline)

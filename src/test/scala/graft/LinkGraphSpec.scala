@@ -57,6 +57,62 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stored centrality priors reproduce the in-plan derivation; meta gates") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .limit(200).localCheckpoint(true)
+    val n = docs.count()
+    val edges = docs.select($"doc_id".cast("long").as("src"))
+      .select($"src", (($"src" * 31 + 7) % n).as("dst"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("linkprior").toString
+    try {
+      LinkGraph.buildPageRankPrior(edges, docs, "doc_id",
+        s"$dir/pr", iterations = 3, nodeCountHint = n)
+      LinkGraph.buildHitsPrior(edges, docs, "doc_id",
+        s"$dir/hits", iterations = 2, nodeCountHint = n)
+      // serving ≡ retraining, row for row (the prior IS the same
+      // fixed-point derivation, persisted)
+      val (pr, storedN) = LinkGraph.readPageRankPrior(spark,
+        s"$dir/pr", iterations = 3)
+      assert(storedN == n)
+      val prLive = LinkGraph.pageRankFixed(edges, docs, "doc_id",
+        iterations = 3, nodeCountHint = n)
+      assert(pr.orderBy($"id").collect().toSeq ==
+        prLive.orderBy($"id").collect().toSeq)
+      val hits = LinkGraph.readHitsPrior(spark, s"$dir/hits",
+        iterations = 2)
+      val hitsLive = LinkGraph.hitsFixed(edges, docs, "doc_id",
+        iterations = 2, nodeCountHint = n)
+      assert(hits.orderBy($"id").collect().toSeq ==
+        hitsLive.orderBy($"id").collect().toSeq)
+      // declared-parameters discipline: a caller expecting different
+      // training parameters is refused — ranks are meaningless under
+      // other (iterations, damping, mass)
+      val e1 = intercept[IllegalArgumentException] {
+        LinkGraph.readPageRankPrior(spark, s"$dir/pr", iterations = 5)
+      }
+      assert(e1.getMessage.contains("rebuild or match"))
+      val e2 = intercept[IllegalArgumentException] {
+        LinkGraph.readHitsPrior(spark, s"$dir/hits", iterations = 4)
+      }
+      assert(e2.getMessage.contains("rebuild or match"))
+      // a meta-less dir is not an artifact
+      new java.io.File(s"$dir/pr/_meta.json").delete()
+      intercept[IllegalArgumentException] {
+        LinkGraph.readPageRankPrior(spark, s"$dir/pr", iterations = 3)
+      }
+    } finally graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+  }
+
+  test("q155/q156 stored-prior serving equals the in-plan q153/q149 entries") {
+    val sf = SparkTestSession.sf
+    assert(Curation.q155LinkPriorStored(spark, sf).collect().toSeq ==
+      Curation.q153LinkQualityGate(spark, sf).collect().toSeq)
+    assert(Curation.q156HitsPriorStored(spark, sf).collect().toSeq ==
+      Curation.q149LinkHits(spark, sf).collect().toSeq)
+  }
+
   test("q149 scores separate hubs from authorities on the arithmetic law") {
     val out = Curation.q149LinkHits(spark, SparkTestSession.sf)
     // non-degenerate: both scores vary, and the two rankings differ
