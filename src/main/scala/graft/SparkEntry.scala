@@ -185,6 +185,8 @@ object SparkEntry {
     "q154_stream_bm25_serve" -> (Curation.q154StreamBm25Serve _),
     "q155_link_prior_stored" -> (Curation.q155LinkPriorStored _),
     "q156_hits_prior_stored" -> (Curation.q156HitsPriorStored _),
+    "q157_cms_heavy_hitters_stored" ->
+      (Curation.q157CmsHeavyHittersStored _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1220,15 +1222,11 @@ object SparkEntry {
     // count-min heavy hitters: exact top-k columns, constant-true
     // CMS-law flags (raw estimates are sketch-internal — the
     // q61/q83 self-gating discipline)
-    "q150_token_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-        | cnt AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
-        | ranked AS (SELECT t, CAST(cnt AS BIGINT) AS cnt,
-        |   CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INT) AS rank
-        |  FROM cnt)
-        |SELECT t, cnt, rank, 1 AS est_ok FROM ranked
-        |WHERE rank <= ${graft.operators.Curation.Q150TopK}
-        |ORDER BY rank""".stripMargin,
+    "q150_token_heavy_hitters" -> heavyHittersSql,
+    // the same answer served from the persisted artifact after a 25%
+    // sketch merge + count-segment append — merged ≡ rebuilt is an
+    // exact identity, so the identical SQL gates it
+    "q157_cms_heavy_hitters_stored" -> heavyHittersSql,
     // exact duplicated-substring spans: overlapping L-token window
     // digests, global df, then interval merging per doc — the spliced
     // derived corpus (prefix + unique marker + suffix) forces
@@ -1946,6 +1944,20 @@ FROM c ORDER BY 1"""
        | CAST(h4.h AS BIGINT) AS hub
        |FROM a4 JOIN h4 ON a4.id = h4.id ORDER BY 1""".stripMargin
   }
+
+  /** q150/q157 oracle: the exact token top-k (count desc, token asc)
+    * plus constant-true CMS-law flags — shared by the in-plan sketch
+    * pass and the stored merged-artifact serve (merged ≡ rebuilt is
+    * byte-exact, so both answer the same SQL). */
+  private val heavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      | cnt AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+      | ranked AS (SELECT t, CAST(cnt AS BIGINT) AS cnt,
+      |   CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INT) AS rank
+      |  FROM cnt)
+      |SELECT t, cnt, rank, 1 AS est_ok FROM ranked
+      |WHERE rank <= ${graft.operators.Curation.Q150TopK}
+      |ORDER BY rank""".stripMargin
 
   /** Shared duplicated-substring span pipeline: `corpusCte` must
     * define a CTE named `corpus` with (doc_id, text[, carried

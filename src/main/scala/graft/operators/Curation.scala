@@ -1570,6 +1570,27 @@ object Curation {
         k = Q150TopK, eps = 0.001, confidence = 0.999, seed = 42)
       .orderBy(col("rank"))
 
+  /** CMS heavy hitters served from the PERSISTED, MERGE-MAINTAINED
+    * artifact (q157) — the q136 pattern for the count-min family:
+    * the sketch is built on 75% of the corpus, the 25% batch merges
+    * in (`mergeInPlace` — same-geometry counter tables ADD, so
+    * merged ≡ rebuilt byte for byte) and its exact counts land as a
+    * new segment; serving then answers the SAME self-gating oracle
+    * as the in-plan q150 with zero corpus rescan. */
+  def q157CmsHeavyHittersStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = Warehouse.materializedDir(s, "cmsidx",
+      s"cmsidx:v1:1000000:999000:42:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextAnalysis.buildCmsArtifact(docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", d, eps = 0.001, confidence = 0.999, seed = 42)
+      TextAnalysis.appendToCmsArtifact(s,
+        docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", d)
+    }
+    TextAnalysis.heavyHittersFromArtifact(s, idx, Q150TopK)
+      .orderBy(col("rank"))
+  }
+
   /** q84's passage width (tokens per window). */
   val Q84PassageLen = 10
 

@@ -477,6 +477,153 @@ object TextAnalysis {
         col("est_ok").cast("int").as("est_ok"))
   }
 
+  /** Persist a CMS heavy-hitter artifact at `dir` — the sketch-family
+    * maintenance story [[heavyHittersChecked]] lacked (round-17
+    * verdict #2 of the missing list): a monitoring deployment merges
+    * per-batch sketches, it never rescans the corpus, and
+    * `CountMinSketch.mergeInPlace` is exactly as associative as the
+    * Bloom OR the q136 artifact is built on (counter tables of
+    * identical geometry ADD, so merged ≡ insert-by-insert rebuilt
+    * byte for byte — TextAnalysisSpec pins the bin bytes). Layout:
+    *  - `cms.bin` — the serialized sketch (`CountMinSketch.writeTo`,
+    *    Spark's own stable format), rewritten whole per merge (one
+    *    fixed ε/δ-sized table, ~100 KB at the q150 geometry — not a
+    *    row store);
+    *  - `counts.parquet` (t, cnt, pfx) — the EXACT token counts as
+    *    pure-additive segments (the q151 LSM shape: each cycle
+    *    appends its own batch's counts, serving sum-merges), hash-
+    *    bucketed by `pfx` so [[Warehouse.compactIndexPartitions]]
+    *    applies when segment files accumulate. Exact counts ride the
+    *    artifact because the operator's contract is exact top-k +
+    *    sketch LAW flags (estimates are seed-internal, never
+    *    comparable cross-engine — the q61/q83 discipline);
+    *  - `ids.parquet` — the indexed-id ledger: token counts are
+    *    additive over disjoint doc sets, so a re-ingested doc would
+    *    inflate its tokens' counts AND the sketch (the q139
+    *    corruption class) — append-only, enforced;
+    *  - `_meta.json` {version, epsE9, confidenceE6, seed} — the
+    *    sketch GEOMETRY (two sketches merge iff eps/confidence/seed
+    *    match, which fix depth, width, and the hash family); the
+    *    append derives its batch sketch from the stored meta, never
+    *    the caller. */
+  def buildCmsArtifact(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, eps: Double, confidence: Double, seed: Int): Unit = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("t"))
+    new java.io.File(dir).mkdirs()
+    segmentTokenCounts(toks)
+      .write.mode("overwrite").partitionBy("pfx")
+      .parquet(s"$dir/counts.parquet")
+    docs.select(col(idCol).cast("long").as("id"))
+      .write.mode("overwrite").parquet(s"$dir/ids.parquet")
+    writeCmsBin(toks.stat.countMinSketch("t", eps, confidence, seed), dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_meta.json"),
+      s"""{"version":1,"epsE9":${math.round(eps * 1e9)},""" +
+        s""""confidenceE6":${math.round(confidence * 1e6)},""" +
+        s""""seed":$seed}""")
+  }
+
+  /** One segment's (t, cnt) rows, hash-bucketed into 16 `pfx`
+    * partitions (tokens are arbitrary strings — a first-char layout
+    * would mint unbounded partition values, so the bucket key is a
+    * hash residue; the partition column exists for compaction, not
+    * pruning: top-k serving is global by nature). */
+  private def segmentTokenCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("pfx", pmod(xxhash64(col("t")), lit(16)).cast("int"))
+
+  private def writeCmsBin(
+      sketch: org.apache.spark.util.sketch.CountMinSketch,
+      dir: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$dir/.cms.bin.tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try sketch.writeTo(out) finally out.close()
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$dir/cms.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCmsBin(
+      dir: String): org.apache.spark.util.sketch.CountMinSketch = {
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(s"$dir/cms.bin"))
+    try org.apache.spark.util.sketch.CountMinSketch.readFrom(in)
+    finally in.close()
+  }
+
+  /** (epsE9, confidenceE6, seed) from the artifact meta, v1-gated. */
+  private def readCmsMeta(dir: String): (Long, Long, Long) = {
+    val meta = Warehouse.readMetaJson(dir, "CMS artifact")
+    def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
+    require(f("version") == 1L,
+      s"CMS artifact at $dir has layout version ${f("version")}; " +
+        "this build reads v1 only — rebuild the artifact")
+    (f("epsE9"), f("confidenceE6"), f("seed"))
+  }
+
+  /** Merge an ingest batch into a persisted CMS artifact — cost ∝
+    * batch: the batch's tokens fold into a sketch with the ARTIFACT'S
+    * OWN geometry (from `_meta.json`, never the caller) and
+    * `mergeInPlace` adds the counter tables; the batch's exact counts
+    * land as a new segment; the existing corpus is never read.
+    * Append-only against the id ledger, intra-batch duplicates
+    * refused ([[Warehouse.requireUniqueBatchIds]]); an empty batch is
+    * a no-op. */
+  def appendToCmsArtifact(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val (epsE9, confE6, seed) = readCmsMeta(dir)
+    val batchIds = batch.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    Warehouse.requireUniqueBatchIds(batch, idCol, "CMS artifact")
+    val dup = spark.read.parquet(s"$dir/ids.parquet")
+      .join(broadcast(batchIds), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"CMS artifact at $dir already contains batch ids " +
+        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
+        "inflate its tokens' counts and the sketch; the append " +
+        "contract is append-only (delete + rebuild to update)")
+    val toks = batch.select(explode(split(col(textCol), " ")).as("t"))
+      .localCheckpoint(true) // feeds the segment AND the batch sketch
+    segmentTokenCounts(toks)
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$dir/counts.parquet")
+    val merged = readCmsBin(dir)
+    merged.mergeInPlace(toks.stat.countMinSketch("t",
+      epsE9 / 1e9, confE6 / 1e6, seed.toInt))
+    writeCmsBin(merged, dir)
+    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+  }
+
+  /** [[heavyHittersChecked]] served from the persisted artifact: the
+    * exact top-k comes from one sum-merge over the (vocabulary-sized)
+    * count segments, the law flags from the stored (merged) sketch —
+    * zero corpus rescan per serving call, and because merged ≡
+    * rebuilt exactly, the result sits under the SAME self-gating
+    * oracle as the in-plan pass. */
+  def heavyHittersFromArtifact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame = {
+    val (epsE9, _, _) = readCmsMeta(dir)
+    val sketch = readCmsBin(dir)
+    val top = spark.read.parquet(s"$dir/counts.parquet")
+      .groupBy(col("t")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+      .collect() // bounded: k rows
+    val bound = math.ceil(epsE9 / 1e9 * sketch.totalCount()).toLong
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val (t, cnt) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(t)
+      (t, cnt, i + 1, if (est >= cnt && est - cnt <= bound) 1 else 0)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("t", "cnt", "rank", "est_ok")
+      .select(col("t"), col("cnt"), col("rank").cast("int").as("rank"),
+        col("est_ok").cast("int").as("est_ok"))
+  }
+
   /** Canonical content fingerprint: digest of the sorted distinct
     * token set — catches shuffled/reordered copies that exact dedup
     * misses. Per-row, zero shuffle. */

@@ -284,6 +284,66 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(sk.estimateCount(t) >= c, s"CMS undercounted '$t'") }
   }
 
+  test("CMS artifact: merged sketch ≡ rebuilt byte for byte, counts additive, guards") {
+    val a = Seq((1L, "a a a a b b b c c d"), (2L, "a a b c e"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "a b b f f f"), (4L, "c c c a"))
+      .toDF("doc_id", "text")
+    val union = a.unionByName(b)
+    val dirA = java.nio.file.Files.createTempDirectory("cms_a").toString
+    val dirU = java.nio.file.Files.createTempDirectory("cms_u").toString
+    def bin(d: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/cms.bin"))
+    try {
+      TextAnalysis.buildCmsArtifact(a, "doc_id", "text", dirA,
+        eps = 0.01, confidence = 0.999, seed = 42)
+      TextAnalysis.appendToCmsArtifact(spark, b, "doc_id", "text", dirA)
+      TextAnalysis.buildCmsArtifact(union, "doc_id", "text", dirU,
+        eps = 0.01, confidence = 0.999, seed = 42)
+      // merged ≡ rebuilt: identical geometry counter tables ADD, so
+      // the serialized sketches are byte-identical
+      assert(java.util.Arrays.equals(bin(dirA), bin(dirU)),
+        "merged CMS bin diverges from the union rebuild")
+      // segment-summed counts equal the union build's
+      def counts(d: String) = spark.read.parquet(s"$d/counts.parquet")
+        .groupBy($"t").agg(sum($"cnt").as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts(dirA) == counts(dirU))
+      // and the served top-k equals the in-plan checked pass
+      val served = TextAnalysis.heavyHittersFromArtifact(spark, dirA, 3)
+        .orderBy($"rank").collect().toSeq
+      val inPlan = TextAnalysis.heavyHittersChecked(union, "text",
+        k = 3, eps = 0.01, confidence = 0.999, seed = 42)
+        .orderBy($"rank").collect().toSeq
+      assert(served == inPlan)
+      // re-ingest refused against the ledger; intra-batch dups refused
+      val err = intercept[IllegalArgumentException] {
+        TextAnalysis.appendToCmsArtifact(spark, b, "doc_id", "text",
+          dirA)
+      }
+      assert(err.getMessage.contains("append-only"))
+      val errDup = intercept[IllegalArgumentException] {
+        TextAnalysis.appendToCmsArtifact(spark,
+          Seq((9L, "x"), (9L, "y")).toDF("doc_id", "text"),
+          "doc_id", "text", dirA)
+      }
+      assert(errDup.getMessage.contains("duplicated ids"))
+      // empty batch: a no-op
+      val before = bin(dirA).toSeq
+      TextAnalysis.appendToCmsArtifact(spark,
+        union.filter($"doc_id" < 0), "doc_id", "text", dirA)
+      assert(bin(dirA).toSeq == before)
+      // meta discipline
+      new java.io.File(s"$dirA/_meta.json").delete()
+      intercept[IllegalArgumentException] {
+        TextAnalysis.heavyHittersFromArtifact(spark, dirA, 3)
+      }
+    } finally {
+      graft.operators.Warehouse.deleteRec(new java.io.File(dirA))
+      graft.operators.Warehouse.deleteRec(new java.io.File(dirU))
+    }
+  }
+
   test("heavy hitters: deterministic tie-break and corpus gate shape") {
     val out = graft.operators.Curation.q150TokenHeavyHitters(
       spark, SparkTestSession.sf).collect()
