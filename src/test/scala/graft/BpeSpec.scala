@@ -74,6 +74,35 @@ class BpeSpec extends AnyFunSuite {
     } finally graft.operators.Warehouse.deleteRec(new java.io.File(dir))
   }
 
+  test("segmented encode ≡ the one-projection fold on trained merges; " +
+    "past-the-wall merge tables encode correctly") {
+    // trained merges with real cascading effect: the gate-scale
+    // equality pin (segmentation is a plan barrier, never semantic)
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 12)
+    val words = Seq("lowest", "newest", "widest", "low", "ababab")
+      .toDF("w")
+    def counts(segmentEvery: Int) =
+      Bpe.wordTokenCounts(words, "w", merges, segmentEvery)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val oneShot = counts(1000)
+    assert(counts(3) == oneShot && counts(5) == oneShot)
+    // a merge table past the one-projection wall (512+ nested
+    // replaces StackOverflow Spark's Column→Expression conversion —
+    // the measured law in Bpe.DefaultSegmentEvery's scaladoc): each
+    // merge k consumes one more 'b' into the growing prefix symbol,
+    // so every merge has real effect and the final count is exact
+    val deep = (1 to 700).map(k => (k, "a" + "b" * (k - 1), "b"))
+    val long = Seq("a" + "b" * 1024).toDF("w")
+    val got = Bpe.wordTokenCounts(long, "w", deep)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 1025 char symbols, 700 merges each absorbing one: 325 tokens
+    assert(got("a" + "b" * 1024) == 325L)
+  }
+
   test("training fails loudly when the vocabulary exhausts its pairs") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {
