@@ -187,6 +187,9 @@ object SparkEntry {
     "q156_hits_prior_stored" -> (Curation.q156HitsPriorStored _),
     "q157_cms_heavy_hitters_stored" ->
       (Curation.q157CmsHeavyHittersStored _),
+    "q158_stream_substring_append" ->
+      (Curation.q158StreamSubstringAppend _),
+    "q159_link_ppr" -> (Curation.q159LinkPersonalizedPageRank _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1219,6 +1222,9 @@ object SparkEntry {
     // so the identical SQL gates it; likewise HITS from its prior
     "q155_link_prior_stored" -> linkQualityGateSql,
     "q156_hits_prior_stored" -> hitsSql,
+    // personalized PageRank: the teleport vector concentrated on one
+    // target domain's documents — integer rounds, hash-exact
+    "q159_link_ppr" -> personalizedPageRankSql,
     // count-min heavy hitters: exact top-k columns, constant-true
     // CMS-law flags (raw estimates are sketch-internal — the
     // q61/q83 self-gating discipline)
@@ -1235,6 +1241,11 @@ object SparkEntry {
     // the same spans served from the stored segment index after a
     // 25% append — segment-summed df must equal the in-plan df
     "q151_substring_dedup_stored" -> substringSpansSql,
+    // the same spans after the append slice arrives as STREAMED
+    // micro-batches (one pure-additive segment per batch — df is
+    // additive over any disjoint split, so the stream answers the
+    // one-batch oracle)
+    "q158_stream_substring_append" -> substringSpansSql,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
     "q152_substring_effective" -> substringEffectiveSql,
@@ -2073,6 +2084,56 @@ FROM c ORDER BY 1"""
        | round(CAST(sum(CASE WHEN r5.r > (1000000000000 // n) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_frac
        |FROM r5 JOIN documents d ON r5.id = d.doc_id CROSS JOIN nn
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q159 oracle: personalized PageRank — q153's content-hash degree
+    * edge law, five unrolled integer rounds where the teleport term
+    * lands ONLY on the seed domain's documents (min source), mirrored
+    * token for token against
+    * [[graft.operators.LinkGraph.pageRankFixedPersonalized]]. */
+  private val personalizedPageRankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s""" c$k AS (SELECT e.dst AS id, sum(r.r // e.od) AS cs
+         |  FROM r${k - 1} r JOIN edges e ON r.id = e.src GROUP BY 1),
+         | r$k AS (SELECT nodes.id,
+         |   (CASE WHEN seeds.id IS NOT NULL
+         |     THEN ((1000000000000 // s) * 150) // 1000 ELSE 0 END)
+         |     + (850 * coalesce(c$k.cs, 0)) // 1000 AS r
+         |  FROM nodes CROSS JOIN ns
+         |   LEFT JOIN seeds ON nodes.id = seeds.id
+         |   LEFT JOIN c$k ON nodes.id = c$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       | nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       | seeds AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS id
+       |  FROM documents
+       |  WHERE source = (SELECT min(source) FROM documents)),
+       | ns AS (SELECT count(*) AS s FROM seeds),
+       | degs AS (SELECT doc_id,
+       |   (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 3 AS degm
+       |  FROM documents),
+       | edges0 AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 31 + 7) % n AS dst
+       |   FROM degs CROSS JOIN nn WHERE degm >= 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 17 + 3) % n AS dst
+       |   FROM degs CROSS JOIN nn WHERE degm >= 1
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) AS src,
+       |    (CAST(doc_id AS BIGINT) * 13 + 11) % n AS dst
+       |   FROM degs CROSS JOIN nn WHERE degm >= 2),
+       | outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
+       | edges AS MATERIALIZED (SELECT e.src, e.dst, o.od
+       |  FROM edges0 e JOIN outdeg o USING (src)),
+       | r0 AS (SELECT nodes.id,
+       |   CASE WHEN seeds.id IS NOT NULL THEN (1000000000000 // s)
+       |    ELSE 0 END AS r
+       |  FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.id = seeds.id),
+       |$iters
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS ppr
+       |FROM r5 ORDER BY 1""".stripMargin
   }
 
   private val nearDupSql: String =

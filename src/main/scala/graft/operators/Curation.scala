@@ -1434,6 +1434,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Streamed substring-segment appends (q158) — the LAST appendable
+    * index without a streaming twin (round-17 verdict #5): the q151
+    * append slice arrives as availableNow micro-batches and a
+    * `foreachBatch` sink calls [[TextDedup.appendToSubstringIndex]]
+    * once per batch, so each micro-batch lands as its own
+    * pure-additive (d, df) segment. Window df is additive over ANY
+    * disjoint partition of the doc set, so the segment-summed
+    * duplicate set — and therefore serving — is independent of how
+    * the stream splits the slice into batches: three single-file
+    * micro-batches must answer exactly the one-batch q151's oracle
+    * (the q147 SQL), which is the gate. Per-batch cost is the batch's
+    * window pass + one partitioned segment append + the ledger write;
+    * stored segments are never read (the measured flat-append law). */
+  def q158StreamSubstringAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = q147SplicedDocs(Tables.documents(s, dir))
+    // staged OUTSIDE the index builder (materializedDir must not
+    // re-enter itself — the q148 lesson)
+    val stage = stagedArrival(s, "stage-q158", dir,
+      "documents.parquet") { sd =>
+      corpus.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(sd)
+    }
+    val idx = Warehouse.materializedDir(s, "ssstr",
+      s"ssstr:v1:$Q147SpanLen:3:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildSubstringIndex(
+        corpus.filter(col("doc_id") % 4 =!= 3), "doc_id", "text",
+        Q147SpanLen, d)
+      val ss = streamSession(s)
+      val sch = ss.read.parquet(stage).schema
+      val stream = ss.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val qname = "q158_app_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val query = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            TextDedup.appendToSubstringIndex(batch.sparkSession,
+              batch, d, "doc_id", "text")
+          }
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      } finally
+        shmCheckpointBase.foreach(b =>
+          Warehouse.deleteRec(new java.io.File(b, qname)))
+    }
+    TextDedup.substringSpansFromIndex(s, corpus, "doc_id", "text", idx)
+      .orderBy(col("doc_id"))
+  }
+
   /** Link-prior-gated corpus selection (q153) — the composition the
     * "quality prior" family exists for: q140's fixed-point integer
     * PageRank joined onto the corpus, each source reporting how many
@@ -1509,6 +1563,29 @@ object Curation {
       LinkGraph.buildHitsPrior(hitsEdgeLaw(docs, n), docs, "doc_id",
         s"$d/hits", iterations = 4, nodeCountHint = n)
     }
+
+  /** Personalized PageRank (q159) —
+    * [[LinkGraph.pageRankFixedPersonalized]] over q153's content-hash
+    * degree law, teleporting to ONE target domain's documents (the
+    * lexicographically smallest `source` — deterministic in both
+    * engines): the DSIR-style "rank relative to a target domain"
+    * prior, scoring every crawl page by its link proximity to the
+    * seed domain where global PageRank scores popularity. Composes
+    * with q153's gate (join + threshold) unchanged. All-integer, so
+    * ppr values are hash-exact under the unrolled-CTE oracle. */
+  def q159LinkPersonalizedPageRank(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = Tables.parquetRowCount(s, s"$dir/documents.parquet")
+    // one bounded scalar: the seed domain (min source)
+    val seedSource = docs.agg(min(col("source")))
+      .collect()(0).getString(0)
+    val seeds = docs.filter(col("source") === seedSource)
+    LinkGraph.pageRankFixedPersonalized(contentHashEdgeLaw(docs, n),
+        docs, "doc_id", seeds, "doc_id", iterations = 5)
+      .select(col("id").as("doc_id"), col("r").as("ppr"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q153 served from the STORED PageRank prior (q155): the selection
     * batch pays ONE equi-join against the persisted (id, rank) table —

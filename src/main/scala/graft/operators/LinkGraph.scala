@@ -202,6 +202,67 @@ object LinkGraph {
     auths.join(hubs, Seq("id")).select(col("id"), col("a"), col("h"))
   }
 
+  /** PERSONALIZED fixed-point PageRank — the targeted-selection twin
+    * of [[pageRankFixed]] (the DSIR-style "rank relative to a target
+    * domain" prior): the teleport vector concentrates on `seeds`
+    * instead of spreading uniformly, so rank measures proximity to
+    * the seed set through the link structure — a crawl page heavily
+    * linked FROM the target domain's neighborhood outranks a globally
+    * popular but unrelated hub. Classic formulation (Page et al.'s
+    * personalized vector; Haveliwala's topic-sensitive PageRank),
+    * same all-integer discipline: seeds start with `mass div nSeeds`
+    * (everyone else 0) and receive the whole teleport share each
+    * round — r' = [seed]·(r₀·(1000−d)) div 1000 + (d·cs) div 1000 —
+    * so every value stays a long and the result is hash-exact under
+    * an unrolled-CTE oracle. Dangling mass drops (the [[pageRankFixed]]
+    * semantics, documented; the redistribution variant composes the
+    * same way as q146 if needed). Scale shape unchanged: one
+    * dst-grouped shuffle per round over the degree-denormalized edge
+    * table, the seed flag denormalized onto the rank table once
+    * before the loop, one bounded seed count up front. */
+  def pageRankFixedPersonalized(edges: DataFrame, nodes: DataFrame,
+      idCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, dampingPermille: Int = 850,
+      mass: Long = 1000000000000L): DataFrame = {
+    val nodeIds = nodes.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0,
+      "pageRankFixedPersonalized needs a nonempty seed set")
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("od"))
+    val edgesDeg = edges.join(outdeg, Seq("src"))
+      .select(col("src"), col("dst"), col("od"))
+      .localCheckpoint(true)
+    // seed flag denormalized once: the per-round teleport term is
+    // isSeed · base, never a join against the seed set inside the loop
+    val flagged = nodeIds
+      .join(seedIds.withColumn("isSeed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("isSeed"), lit(0L)).as("isSeed"))
+      .localCheckpoint(true)
+    val r0 = mass / nSeeds
+    val base = r0 * (1000 - dampingPermille) / 1000
+    var ranks = flagged.select(col("id"),
+        (col("isSeed") * r0).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+        .select(col("dst").as("id"), expr("r div od").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("cs"))
+      ranks = flagged.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("isSeed") * base + expr(
+            s"($dampingPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r"))
+  }
+
   /** Persist a PageRank PRIOR artifact — the "compute offline, join
     * at curation time" form of the centrality family (round-17
     * verdict #1 of the missing list): every selection query was

@@ -510,6 +510,34 @@ private[graft] object Warehouse {
     (before, after)
   }
 
+  /** Compact an UNPARTITIONED parquet dir to a single part-file,
+    * content-identical — [[compactIndexPartitions]]' counterpart for
+    * the `ids.parquet` ledgers (BM25, substring, near-dup, CMS),
+    * which append one part-file per ingest cycle and have no
+    * partition column for the partitioned rewrite to key on (that
+    * function's documented limit; round-17 verdict #6). Rows are
+    * materialized first (localCheckpoint — never read-while-
+    * overwrite), then rewritten as one file; row MULTISET identity is
+    * preserved (ledger consumers are semi-join probes, order-free).
+    * Returns (partFilesBefore, partFilesAfter); a dir already at ≤ 1
+    * part-file is a no-op (0, 0). Same concurrency contract as the
+    * partitioned compaction: behind the deployment's ingest-cycle
+    * barrier, never against a concurrent reader of the same dir. */
+  private[graft] def compactUnpartitionedLedger(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val root = new java.io.File(dir)
+    require(root.isDirectory,
+      s"compactUnpartitionedLedger: $dir is not a directory")
+    def partFiles: Int = Option(root.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    val before = partFiles
+    if (before <= 1) return (0, 0)
+    val rows = spark.read.parquet(dir).localCheckpoint(true)
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    (before, partFiles)
+  }
+
   /** Record last use as a marker OBJECT (the only channel the marker
     * protocol has — no directory mtimes on an object store). */
   private def writeLastUse(dir: java.io.File): Unit =

@@ -988,6 +988,44 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("ledger compaction: 10 append cycles collapse to one part-file, " +
+    "content identical, guards intact") {
+    withTempDir("ledger_compact") { dir =>
+      import spark.implicits._
+      val docs = (0L until 8L)
+        .map(i => (i, s"w$i x$i y$i z$i a b c")).toDF("doc_id", "text")
+      TextDedup.buildSubstringIndex(docs, "doc_id", "text", 3, dir)
+      for (c <- 1 to 10)
+        TextDedup.appendToSubstringIndex(spark,
+          Seq((1000L + c, s"m$c n$c o$c p$c")).toDF("doc_id", "text"),
+          dir, "doc_id", "text")
+      def parts = Option(new java.io.File(s"$dir/ids.parquet")
+          .listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      def ids = spark.read.parquet(s"$dir/ids.parquet")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val before = parts
+      assert(before >= 11,
+        s"10 cycles should leave >= 11 ledger part-files, got $before")
+      val idsBefore = ids
+      val (b, a) = graft.operators.Warehouse
+        .compactUnpartitionedLedger(spark, s"$dir/ids.parquet")
+      assert(b == before && a == 1, s"compaction receipt ($b, $a)")
+      assert(parts == 1)
+      assert(ids == idsBefore, "compaction changed the ledger content")
+      // the dup guard still probes the compacted ledger
+      val err = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark,
+          Seq((1001L, "q r s t")).toDF("doc_id", "text"),
+          dir, "doc_id", "text")
+      }
+      assert(err.getMessage.contains("append-only"))
+      // idempotent: already compacted is a no-op
+      assert(graft.operators.Warehouse.compactUnpartitionedLedger(
+        spark, s"$dir/ids.parquet") == ((0, 0)))
+    }
+  }
+
   test("substring index serving scans only the narrow (d, df) segment columns") {
     withTempDir("ssidx_read") { dir =>
       val docs = Tables.documents(spark, sf)

@@ -608,6 +608,17 @@ class TextDedupSpec extends AnyFunSuite {
     } finally { rm(new java.io.File(dirU)); rm(new java.io.File(dirA)) }
   }
 
+  test("q158 streamed segment appends answer the one-batch q151 result") {
+    // df is additive over any disjoint split of the doc set, so three
+    // single-file micro-batch segments must serve exactly what q151's
+    // one-batch append serves
+    val sf = SparkTestSession.sf
+    assert(graft.operators.Curation.q158StreamSubstringAppend(spark, sf)
+        .collect().toSeq ==
+      graft.operators.Curation.q151SubstringDedupStored(spark, sf)
+        .collect().toSeq)
+  }
+
   test("q147 spliced corpus forces multi-span documents") {
     val out = graft.operators.Curation.q147SubstringDedup(
       spark, SparkTestSession.sf)
