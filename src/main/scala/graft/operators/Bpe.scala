@@ -183,12 +183,16 @@ object Bpe {
         .withColumn("n_tok",
           size(split(trim(seq), "  ")).cast("long"))
     } else {
+      // checkpoints go BETWEEN segments (they exist to bound plan
+      // depth, not to materialize the result) — the final segment's
+      // replaces stay lazy under the n_tok projection
+      val groups = sorted.grouped(segmentEvery).toSeq
       var state = words.select(col(wCol).as("w"))
         .withColumn("seq", initialSeq(col("w")))
-      sorted.grouped(segmentEvery).foreach { g =>
+      for ((g, i) <- groups.zipWithIndex) {
         state = state.withColumn("seq",
-            g.foldLeft(col("seq"))((c, m) => applyMerge(c, m._2, m._3)))
-          .localCheckpoint(true)
+          g.foldLeft(col("seq"))((c, m) => applyMerge(c, m._2, m._3)))
+        if (i < groups.size - 1) state = state.localCheckpoint(true)
       }
       state.select(col("w"),
         size(split(trim(col("seq")), "  ")).cast("long").as("n_tok"))

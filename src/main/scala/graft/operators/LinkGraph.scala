@@ -41,6 +41,49 @@ object LinkGraph {
     * [[graft.Tables.parquetRowCount]]) passes `nodeCountHint` and
     * skips the count job (the stored-index precedent; round-16
     * review — q140 was paying the count twice). */
+  /** Out-degree denormalized onto each edge ONCE before a loop: the
+    * per-edge contribution is r div outdeg, and joining degree per
+    * iteration would re-shuffle the corpus-scale edge table every
+    * round. Shared by every PageRank variant. */
+  private def degreeEdges(edges: DataFrame): DataFrame =
+    edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("od")),
+        Seq("src"))
+      .select(col("src"), col("dst"), col("od"))
+      .localCheckpoint(true)
+
+  /** THE damped fixed-point loop all three PageRank variants share
+    * (one implementation — round-18 review: three hand-mirrored
+    * copies meant a loop fix had to find them all). Every variant is
+    * the same per-round shape — contributions grouped by destination
+    * over the once-built degree-denormalized edge table, ranks
+    * checkpointed per round so plans don't grow — differing only in
+    * the per-node TELEPORT column of `spine` (id, tel) and the
+    * optional per-round SCALAR `extraPerRound` (the dangling share;
+    * 0 elsewhere — integer `+ 0` is the identity, so the fixed/
+    * personalized arithmetic is unchanged token for token and every
+    * unrolled-CTE oracle still matches). */
+  private def dampedLoop(spine: DataFrame, edgesDeg: DataFrame,
+      init: DataFrame, iterations: Int, dampingPermille: Int,
+      extraPerRound: DataFrame => Long): DataFrame = {
+    var ranks = init.localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val extra = extraPerRound(ranks)
+      val contrib = ranks
+        .join(edgesDeg, ranks("id") === edgesDeg("src"))
+        .select(col("dst").as("id"), expr("r div od").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("cs"))
+      ranks = spine.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("tel") + expr(
+            s"($dampingPermille * (coalesce(cs, CAST(0 AS BIGINT)) " +
+              s"+ CAST($extra AS BIGINT))) div 1000"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r"))
+  }
+
   def pageRankFixed(edges: DataFrame, nodes: DataFrame, idCol: String,
       iterations: Int = 5, dampingPermille: Int = 850,
       mass: Long = 1000000000000L, nodeCountHint: Long = 0L): DataFrame = {
@@ -48,36 +91,15 @@ object LinkGraph {
       .localCheckpoint(true)
     val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
     require(n > 0, "pageRankFixed needs a nonempty node set")
-    // out-degree denormalized onto each edge ONCE before the loop:
-    // the per-edge contribution is r div outdeg, and joining degree
-    // per iteration would re-shuffle the corpus-scale edge table
-    // every round
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("od"))
-    val edgesDeg = edges.join(outdeg, Seq("src"))
-      .select(col("src"), col("dst"), col("od"))
-      .localCheckpoint(true)
     // all integer arithmetic, division order pinned (the oracle
     // mirrors it token for token): r0 = mass div n; base teleport
     // term = (r0 · (1000 − d)) div 1000
     val r0 = mass / n
     val base = r0 * (1000 - dampingPermille) / 1000
-    var ranks = nodeIds.select(col("id"), lit(r0).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val contrib = ranks
-        .join(edgesDeg, ranks("id") === edgesDeg("src"))
-        .select(col("dst").as("id"), expr("r div od").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("cs"))
-      ranks = nodeIds.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(
-            s"($dampingPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
-            .as("r"))
-        .localCheckpoint(true)
-    }
-    ranks.select(col("id"), col("r"))
+    dampedLoop(nodeIds.select(col("id"), lit(base).as("tel")),
+      degreeEdges(edges),
+      nodeIds.select(col("id"), lit(r0).as("r")),
+      iterations, dampingPermille, _ => 0L)
   }
 
   /** [[pageRankFixed]] with DANGLING-MASS REDISTRIBUTION — the
@@ -101,38 +123,21 @@ object LinkGraph {
       .localCheckpoint(true)
     val n = if (nodeCountHint > 0) nodeCountHint else nodeIds.count()
     require(n > 0, "pageRankFixedDangling needs a nonempty node set")
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("od"))
-    val edgesDeg = edges.join(outdeg, Seq("src"))
-      .select(col("src"), col("dst"), col("od"))
-      .localCheckpoint(true)
     val danglingIds = nodeIds
       .join(edges.select(col("src").as("id")).distinct(),
         Seq("id"), "left_anti")
       .localCheckpoint(true)
     val r0 = mass / n
     val base = r0 * (1000 - dampingPermille) / 1000
-    var ranks = nodeIds.select(col("id"), lit(r0).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
+    dampedLoop(nodeIds.select(col("id"), lit(base).as("tel")),
+      degreeEdges(edges),
+      nodeIds.select(col("id"), lit(r0).as("r")),
+      iterations, dampingPermille,
+      // the one variant-specific piece: the dangling set's rank sum,
+      // one bounded scalar per round, share = dangling div n
+      ranks => ranks.join(danglingIds, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)))
-        .collect()(0).getLong(0)
-      val share = dangling / n
-      val contrib = ranks
-        .join(edgesDeg, ranks("id") === edgesDeg("src"))
-        .select(col("dst").as("id"), expr("r div od").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("cs"))
-      ranks = nodeIds.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(
-            s"($dampingPermille * (coalesce(cs, CAST(0 AS BIGINT)) + " +
-              s"CAST($share AS BIGINT))) div 1000"))
-            .as("r"))
-        .localCheckpoint(true)
-    }
-    ranks.select(col("id"), col("r"))
+        .collect()(0).getLong(0) / n)
   }
 
   /** Fixed-point HITS — the OTHER classic link prior: a page is a
@@ -231,11 +236,6 @@ object LinkGraph {
     val nSeeds = seedIds.count()
     require(nSeeds > 0,
       "pageRankFixedPersonalized needs a nonempty seed set")
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("od"))
-    val edgesDeg = edges.join(outdeg, Seq("src"))
-      .select(col("src"), col("dst"), col("od"))
-      .localCheckpoint(true)
     // seed flag denormalized once: the per-round teleport term is
     // isSeed · base, never a join against the seed set inside the loop
     val flagged = nodeIds
@@ -244,23 +244,10 @@ object LinkGraph {
       .localCheckpoint(true)
     val r0 = mass / nSeeds
     val base = r0 * (1000 - dampingPermille) / 1000
-    var ranks = flagged.select(col("id"),
-        (col("isSeed") * r0).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val contrib = ranks
-        .join(edgesDeg, ranks("id") === edgesDeg("src"))
-        .select(col("dst").as("id"), expr("r div od").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("cs"))
-      ranks = flagged.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (col("isSeed") * base + expr(
-            s"($dampingPermille * coalesce(cs, CAST(0 AS BIGINT))) div 1000"))
-            .as("r"))
-        .localCheckpoint(true)
-    }
-    ranks.select(col("id"), col("r"))
+    dampedLoop(flagged.select(col("id"), (col("isSeed") * base).as("tel")),
+      degreeEdges(edges),
+      flagged.select(col("id"), (col("isSeed") * r0).as("r")),
+      iterations, dampingPermille, _ => 0L)
   }
 
   /** Persist a PageRank PRIOR artifact — the "compute offline, join
@@ -306,10 +293,9 @@ object LinkGraph {
       dir: String, iterations: Int = 5, dampingPermille: Int = 850,
       mass: Long = 1000000000000L): (DataFrame, Long) = {
     val meta = Warehouse.readMetaJson(dir, "PageRank prior")
+    Warehouse.requireMetaVersion(meta, dir, "PageRank prior", 1L,
+      "persisted rank table + training parameters")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
-    require(f("version") == 1L,
-      s"PageRank prior at $dir has layout version ${f("version")}; " +
-        "this build reads v1 only — rebuild the prior")
     require(f("iterations") == iterations &&
         f("dampingPermille") == dampingPermille && f("mass") == mass,
       s"PageRank prior at $dir was trained with $meta, queried with " +
@@ -340,10 +326,9 @@ object LinkGraph {
       dir: String, iterations: Int = 4,
       mass: Long = 1000000000L): DataFrame = {
     val meta = Warehouse.readMetaJson(dir, "HITS prior")
+    Warehouse.requireMetaVersion(meta, dir, "HITS prior", 1L,
+      "persisted rank table + training parameters")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
-    require(f("version") == 1L,
-      s"HITS prior at $dir has layout version ${f("version")}; " +
-        "this build reads v1 only — rebuild the prior")
     require(f("iterations") == iterations && f("mass") == mass,
       s"HITS prior at $dir was trained with $meta, queried with " +
         s"iterations=$iterations mass=$mass — rebuild or match the " +

@@ -287,16 +287,9 @@ object Retrieval {
     * retire through the warehouse key bump). */
   private def readBm25Meta(dir: String): Bm25Meta = {
     val meta = Warehouse.readMetaJson(dir, "BM25 index")
-    require(meta.contains("\"version\""),
-      s"BM25 index at $dir predates the versioned layout (no " +
-        "version field in _meta.json — its dfs.parquet lacks the " +
-        "maxtf/minlen pruning bounds) — rebuild the index")
+    Warehouse.requireMetaVersion(meta, dir, "BM25 index", 2L,
+      "maxtf/minlen pruning bounds in dfs.parquet")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
-    val v = f("version")
-    require(v == 2L,
-      s"BM25 index at $dir has layout version $v; this build " +
-        "reads/extends the v2 layout (maxtf/minlen pruning bounds " +
-        "in dfs.parquet) only — rebuild the index")
     Bm25Meta(f("nDocs"), f("sumLen"), f("k1E6"), f("bE6"))
   }
 
@@ -412,17 +405,15 @@ object Retrieval {
     // append would add one empty part-file per empty cycle to the
     // unpartitioned ids.parquet; round-17 review)
     if (batchIds.isEmpty) return
-    // the ledger probe below only sees PREVIOUSLY indexed ids — a
-    // doc appearing twice within this batch needs its own guard
-    Warehouse.requireUniqueBatchIds(batch, idCol, "BM25 index")
-    val dup = spark.read.parquet(s"$dir/ids.parquet")
-      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
-    require(dup.isEmpty,
-      s"BM25 index at $dir already contains batch doc ids " +
-        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
-        "double-count df/nDocs and corrupt every score; the append " +
-        "contract is append-only (delete + rebuild to update)")
+    // the ledger probe only sees PREVIOUSLY indexed ids — a doc
+    // appearing twice within this batch needs its own guard, on the
+    // SAME cast the ledger stores
+    Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
+      "BM25 index")
+    Warehouse.requireAppendOnly(
+      spark.read.parquet(s"$dir/ids.parquet"), batchIds, "doc_id",
+      s"BM25 index at $dir",
+      "double-count df/nDocs and corrupt every score")
     val postings = postingsOf(batch, idCol, textCol)
       .localCheckpoint(true)
     val (bDocs, bLen) = corpusStats(postings)

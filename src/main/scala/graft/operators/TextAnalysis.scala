@@ -464,7 +464,19 @@ object TextAnalysis {
     val top = cnts.orderBy(col("cnt").desc, col("t")).limit(k)
       .collect() // bounded: k rows
     val sketch = toks.stat.countMinSketch("t", eps, confidence, seed)
-    // N is the sketch's own item count — no third corpus pass
+    checkedRows(spark, top, sketch, eps)
+  }
+
+  /** The shared flag tail of the heavy-hitter pair (in-plan q150 /
+    * stored q157): exact top rows + both CMS laws asserted against
+    * the sketch — ONE definition so the bound formula and output
+    * schema cannot drift between the paths that claim the same
+    * oracle. N is the sketch's own item count — no extra corpus
+    * pass. */
+  private def checkedRows(spark: org.apache.spark.sql.SparkSession,
+      top: Array[org.apache.spark.sql.Row],
+      sketch: org.apache.spark.util.sketch.CountMinSketch,
+      eps: Double): DataFrame = {
     val bound = math.ceil(eps * sketch.totalCount()).toLong
     val rows = top.zipWithIndex.map { case (r, i) =>
       val (t, cnt) = (r.getString(0), r.getLong(1))
@@ -515,12 +527,20 @@ object TextAnalysis {
       .parquet(s"$dir/counts.parquet")
     docs.select(col(idCol).cast("long").as("id"))
       .write.mode("overwrite").parquet(s"$dir/ids.parquet")
-    writeCmsBin(toks.stat.countMinSketch("t", eps, confidence, seed), dir)
+    // the stored sketch is built from the SAME rounded values the
+    // meta persists (round-18 review): the append reconstructs ε/δ
+    // from epsE9/confidenceE6, and CMS geometry (width = ⌈2/ε⌉) is a
+    // ceiling of the raw double — an un-roundtrippable ε would build
+    // a different width than every later batch sketch and the first
+    // mergeInPlace would throw AFTER the counts segment landed
+    val (epsE9, confE6) = (math.round(eps * 1e9),
+      math.round(confidence * 1e6))
+    writeCmsBin(toks.stat.countMinSketch("t", epsE9 / 1e9,
+      confE6 / 1e6, seed), dir)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"version":1,"epsE9":${math.round(eps * 1e9)},""" +
-        s""""confidenceE6":${math.round(confidence * 1e6)},""" +
-        s""""seed":$seed}""")
+      s"""{"version":1,"epsE9":$epsE9,""" +
+        s""""confidenceE6":$confE6,"seed":$seed}""")
   }
 
   /** One segment's (t, cnt) rows, hash-bucketed into 16 `pfx`
@@ -555,10 +575,9 @@ object TextAnalysis {
   /** (epsE9, confidenceE6, seed) from the artifact meta, v1-gated. */
   private def readCmsMeta(dir: String): (Long, Long, Long) = {
     val meta = Warehouse.readMetaJson(dir, "CMS artifact")
+    Warehouse.requireMetaVersion(meta, dir, "CMS artifact", 1L,
+      "merged sketch bytes + additive count segments")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
-    require(f("version") == 1L,
-      s"CMS artifact at $dir has layout version ${f("version")}; " +
-        "this build reads v1 only — rebuild the artifact")
     (f("epsE9"), f("confidenceE6"), f("seed"))
   }
 
@@ -577,23 +596,25 @@ object TextAnalysis {
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
-    Warehouse.requireUniqueBatchIds(batch, idCol, "CMS artifact")
-    val dup = spark.read.parquet(s"$dir/ids.parquet")
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
-    require(dup.isEmpty,
-      s"CMS artifact at $dir already contains batch ids " +
-        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
-        "inflate its tokens' counts and the sketch; the append " +
-        "contract is append-only (delete + rebuild to update)")
+    Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
+      "CMS artifact")
+    Warehouse.requireAppendOnly(
+      spark.read.parquet(s"$dir/ids.parquet"), batchIds, "id",
+      s"CMS artifact at $dir",
+      "inflate its tokens' counts and the sketch")
     val toks = batch.select(explode(split(col(textCol), " ")).as("t"))
       .localCheckpoint(true) // feeds the segment AND the batch sketch
-    segmentTokenCounts(toks)
-      .write.mode("append").partitionBy("pfx")
-      .parquet(s"$dir/counts.parquet")
+    // read + merge IN MEMORY before any write (round-18 review): a
+    // merge failure (corrupt bin, doctored geometry) must abort the
+    // cycle with the artifact untouched — segment-first ordering left
+    // an orphan segment the ledger guard cannot see, and a retry then
+    // double-counted the batch
     val merged = readCmsBin(dir)
     merged.mergeInPlace(toks.stat.countMinSketch("t",
       epsE9 / 1e9, confE6 / 1e6, seed.toInt))
+    segmentTokenCounts(toks)
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$dir/counts.parquet")
     writeCmsBin(merged, dir)
     batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
   }
@@ -612,16 +633,7 @@ object TextAnalysis {
       .groupBy(col("t")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("t")).limit(k)
       .collect() // bounded: k rows
-    val bound = math.ceil(epsE9 / 1e9 * sketch.totalCount()).toLong
-    val rows = top.zipWithIndex.map { case (r, i) =>
-      val (t, cnt) = (r.getString(0), r.getLong(1))
-      val est = sketch.estimateCount(t)
-      (t, cnt, i + 1, if (est >= cnt && est - cnt <= bound) 1 else 0)
-    }
-    import spark.implicits._
-    rows.toSeq.toDF("t", "cnt", "rank", "est_ok")
-      .select(col("t"), col("cnt"), col("rank").cast("int").as("rank"),
-        col("est_ok").cast("int").as("est_ok"))
+    checkedRows(spark, top, sketch, epsE9 / 1e9)
   }
 
   /** Canonical content fingerprint: digest of the sorted distinct

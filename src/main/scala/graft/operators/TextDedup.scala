@@ -669,23 +669,17 @@ object TextDedup {
     val batchIds = batch.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true)
     if (batchIds.isEmpty) return
-    // the stored-key probe below only sees PREVIOUSLY indexed ids — a
-    // doc appearing twice within this batch needs its own guard
-    Warehouse.requireUniqueBatchIds(batch, idCol, "near-dup index")
-    // map-side probe: column-pruned id scan × broadcast batch ids —
-    // NO distinct (that would shuffle the corpus-sized key column;
-    // the ∝-batch law tolerates a cheap linear scan, never a
-    // corpus-sized exchange — the q139 ledger-probe shape)
-    val dup = spark.read.parquet(s"$indexDir/keys.parquet")
-      .select(col("id"))
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-      .limit(5).collect().map(_.get(0)).distinct
-    require(dup.isEmpty,
-      s"near-dup index at $indexDir already contains batch ids " +
-        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
-        "duplicate its gram rows and corrupt every Jaccard it joins; " +
-        "the append contract is append-only (delete + rebuild to " +
-        "update)")
+    // the stored-key probe only sees PREVIOUSLY indexed ids — a doc
+    // appearing twice within this batch needs its own guard (the
+    // probe itself is the shared map-side shape: column-pruned key
+    // scan × broadcast batch ids, NO distinct — a distinct would
+    // shuffle the corpus-sized key column)
+    Warehouse.requireUniqueBatchIds(batch, col(idCol),
+      "near-dup index")
+    Warehouse.requireAppendOnly(
+      spark.read.parquet(s"$indexDir/keys.parquet").select(col("id")),
+      batchIds, "id", s"near-dup index at $indexDir",
+      "duplicate its gram rows and corrupt every Jaccard it joins")
     val grams = explodedShingles(batch, idCol, textCol, n)
       .localCheckpoint(true)
     bandBucketsFromGrams(grams, numHashes, bands)
@@ -1171,21 +1165,17 @@ object TextDedup {
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
-    // the ledger probe below only sees PREVIOUSLY indexed ids — a
-    // doc appearing twice within this batch needs its own guard
-    Warehouse.requireUniqueBatchIds(batch, idCol, "substring index")
-    // map-side probe of the column-pruned ledger × broadcast batch
-    // ids — no distinct, no corpus-sized exchange (the q139/q141
-    // guard shape)
-    val dup = spark.read.parquet(s"$indexDir/ids.parquet")
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-      .limit(5).collect().map(_.get(0)).distinct
-    require(dup.isEmpty,
-      s"substring index at $indexDir already contains batch ids " +
-        s"${dup.mkString(", ")}… — re-ingesting an indexed doc would " +
-        "inflate its windows' document frequencies and move every " +
-        "span sharing them; the append contract is append-only " +
-        "(delete + rebuild to update)")
+    // the ledger probe only sees PREVIOUSLY indexed ids — a doc
+    // appearing twice within this batch needs its own guard, on the
+    // SAME cast the ledger stores (two raw ids colliding post-cast
+    // are one ledger id)
+    Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
+      "substring index")
+    Warehouse.requireAppendOnly(
+      spark.read.parquet(s"$indexDir/ids.parquet"), batchIds, "id",
+      s"substring index at $indexDir",
+      "inflate its windows' document frequencies and move every " +
+        "span sharing them")
     segmentCounts(batch, idCol, textCol, minLen)
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$indexDir/wdf.parquet")
@@ -1198,11 +1188,8 @@ object TextDedup {
     * into an unpartitioned dir would mix layouts silently. */
   private def substringIndexMinLen(indexDir: String): Int = {
     val meta = Warehouse.readMetaJson(indexDir, "substring index")
-    val version = Warehouse.metaLong(meta, indexDir, "version")
-    require(version == 2L,
-      s"substring index at $indexDir has layout version $version; " +
-        "this build reads/extends the prefix-partitioned v2 layout " +
-        "only — rebuild the index")
+    Warehouse.requireMetaVersion(meta, indexDir, "substring index",
+      2L, "prefix-partitioned segments")
     Warehouse.metaLong(meta, indexDir, "minLen").toInt
   }
 

@@ -438,17 +438,30 @@ private[graft] object Warehouse {
     * TWICE used to pass and append duplicated gram/window/posting
     * rows — exactly the df-inflation/Jaccard-corruption class the
     * guards exist to prevent, arriving inside one batch instead of
-    * across cycles. One bounded aggregate (count vs count-distinct,
-    * both ∝ batch); the offender list is fetched only on the failure
-    * path. */
+    * across cycles. `idExpr` is the SAME expression the caller
+    * ledgers (e.g. the cast to long) — uniqueness of the raw column
+    * is the wrong invariant when the ledger stores a cast (two raw
+    * ids colliding post-cast are one ledger id). NULL ids are
+    * rejected outright: count/count-distinct both skip nulls, so an
+    * all-null batch would sail through BOTH guards and its ledger
+    * row would never match a later probe — the silently re-ingestable
+    * id (round-18 review). One bounded aggregate, ∝ batch; offender
+    * lists are fetched only on failure paths. */
   private[graft] def requireUniqueBatchIds(batch: DataFrame,
-      idCol: String, what: String): Unit = {
+      idExpr: org.apache.spark.sql.Column, what: String): Unit = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
-    val r = batch.agg(count(col(idCol)).as("n"),
-      countDistinct(col(idCol)).as("nd")).collect()(0)
-    val (n, nd) = (r.getLong(0), r.getLong(1))
+    val id = idExpr.as("__id")
+    val r = batch.select(id).agg(count(lit(1)).as("rows"),
+      count(col("__id")).as("n"),
+      countDistinct(col("__id")).as("nd")).collect()(0)
+    val (rows, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(rows == n,
+      s"$what append batch contains ${rows - n} NULL ids — a null " +
+        "never matches the ledger probe, so the batch would be " +
+        "silently re-ingestable forever; assign real ids first")
     if (n != nd) {
-      val dups = batch.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      val dups = batch.select(id).groupBy(col("__id"))
+        .agg(count(lit(1)).as("c"))
         .filter(col("c") > 1).limit(5).collect()
         .map(_.get(0)).mkString(", ")
       throw new IllegalArgumentException(
@@ -457,6 +470,43 @@ private[graft] object Warehouse {
           "duplicates its index rows exactly like a re-ingest; " +
           "deduplicate the batch first")
     }
+  }
+
+  /** The stored-ledger append-only probe the maintenance family
+    * shares (hoisted round-18 — it was hand-copied four times):
+    * broadcast the (small, checkpointed) batch id set against the
+    * column-pruned ledger/key scan — map-side, exchange ∝ duplicates
+    * found, never a corpus-sized shuffle — and refuse loudly when any
+    * batch id is already indexed. `corruption` names the
+    * family-specific damage a re-ingest would do. */
+  private[graft] def requireAppendOnly(ledgerIds: DataFrame,
+      batchIds: DataFrame, joinCol: String, what: String,
+      corruption: String): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val dup = ledgerIds
+      .join(broadcast(batchIds), Seq(joinCol), "left_semi")
+      .limit(5).collect().map(_.get(0)).distinct
+    require(dup.isEmpty,
+      s"$what already contains batch ids ${dup.mkString(", ")}… — " +
+        s"re-ingesting an indexed doc would $corruption; the append " +
+        "contract is append-only (delete + rebuild to update)")
+  }
+
+  /** Layout-version gate shared by the artifact readers (five
+    * hand-rolled copies before round 18): fails loudly with a
+    * rebuild-the-artifact message when the meta predates versioning
+    * or declares a different layout — never an opaque missing-column
+    * error deep inside serving. `detail` names what the expected
+    * layout carries (for the operator's error message). */
+  private[graft] def requireMetaVersion(meta: String, dir: String,
+      what: String, expected: Long, detail: String): Unit = {
+    require(meta.contains("\"version\""),
+      s"$what at $dir predates the versioned layout (no version " +
+        s"field in _meta.json — $detail) — rebuild it")
+    val v = metaLong(meta, dir, "version")
+    require(v == expected,
+      s"$what at $dir has layout version $v; this build " +
+        s"reads/extends v$expected ($detail) only — rebuild it")
   }
 
   /** Compact a PARTITIONED parquet artifact in place — the LSM-ish
@@ -533,8 +583,21 @@ private[graft] object Warehouse {
       .count(f => f.isFile && f.getName.startsWith("part-"))
     val before = partFiles
     if (before <= 1) return (0, 0)
-    val rows = spark.read.parquet(dir).localCheckpoint(true)
-    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    // write-aside-then-swap, NOT an in-place overwrite (round-18
+    // review): Spark's overwrite deletes the existing files before
+    // task commit, so a crash mid-rewrite would leave a readable
+    // SUBSET of the ledger — silently disarming the re-ingest guard,
+    // the worst failure available. With the swap, the only crash
+    // window (between delete and move) leaves the dir ABSENT, which
+    // every reader fails on loudly, and the compacted tmp dir intact
+    // for recovery.
+    val tmp = new java.io.File(root.getParentFile,
+      s".${root.getName}.compact-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(dir).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(root)
+    java.nio.file.Files.move(tmp.toPath, root.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     (before, partFiles)
   }
 

@@ -634,7 +634,8 @@ class IndexPathSpec extends AnyFunSuite {
         graft.operators.Retrieval.bm25TopKFromIndex(
           spark, queries, "query_id", "qtext", s"$dir/a", k = 10)
       }
-      assert(verr.getMessage.contains("rebuild the index"))
+      assert(verr.getMessage.contains("rebuild") &&
+        verr.getMessage.contains("version"))
       java.nio.file.Files.writeString(metaPath, metaNow)
       // an empty batch is a no-op cycle, not an NPE (sum over zero
       // posting rows is null) — index unchanged

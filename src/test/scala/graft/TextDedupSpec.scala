@@ -599,6 +599,14 @@ class TextDedupSpec extends AnyFunSuite {
             .toDF("doc_id", "text"), dirA, "doc_id", "text")
       }
       assert(errDup.getMessage.contains("duplicated ids"))
+      // a NULL id would never match a ledger probe — the silently
+      // re-ingestable id (round-18 review); refused
+      val errNull = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark,
+          Seq((None: Option[Long], "a b c d"))
+            .toDF("doc_id", "text"), dirA, "doc_id", "text")
+      }
+      assert(errNull.getMessage.contains("NULL ids"))
       // a meta-less directory is not an artifact
       rm(new java.io.File(s"$dirA/_meta.json"))
       intercept[IllegalArgumentException] {
