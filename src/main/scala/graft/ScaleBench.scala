@@ -239,6 +239,17 @@ object ScaleBench {
         TextDedup.substringSpansFromIndex(spark, batchDocs,
             "doc_id", "text", s"$tmp/ssidx")
           .write.format("noop").mode("overwrite").save())).min
+      // tombstone delete of the SAME fixed batch (∝ batch: one window
+      // pass + one negative segment + the tombstone ledger), then the
+      // SUMMING compaction that physically reclaims cancelled mass —
+      // rows before/after are the receipt. ONE delete rep (a second
+      // would be refused — the batch is no longer active).
+      val dSs = timed(TextDedup.deleteFromSubstringIndex(spark,
+        batchDocs, s"$tmp/ssidx", "doc_id", "text"))
+      var ssRows = (0L, 0L)
+      val cSs = timed {
+        ssRows = TextDedup.compactSubstringSegments(spark, s"$tmp/ssidx")
+      }
       // ledger compaction receipt (round-17 verdict #6): the 8 bm25
       // append cycles above each added one part-file to the
       // UNPARTITIONED ids.parquet ledger — compaction collapses them
@@ -271,6 +282,10 @@ object ScaleBench {
         "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd,
         "substring_build_sec" -> bSs, "substring_append_sec" -> aSs,
         "substring_serve_sec" -> sSs,
+        "substring_delete_sec" -> dSs,
+        "substring_compact_sec" -> cSs,
+        "substring_rows_before" -> ssRows._1.toDouble,
+        "substring_rows_after" -> ssRows._2.toDouble,
         "bm25_ledger_compact_sec" -> cLedger,
         "bm25_ledger_files_before" -> ledger._1.toDouble,
         "bm25_ledger_files_after" -> ledger._2.toDouble,

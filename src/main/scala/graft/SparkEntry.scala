@@ -190,6 +190,7 @@ object SparkEntry {
     "q158_stream_substring_append" ->
       (Curation.q158StreamSubstringAppend _),
     "q159_link_ppr" -> (Curation.q159LinkPersonalizedPageRank _),
+    "q160_substring_delete" -> (Curation.q160SubstringDelete _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1246,6 +1247,10 @@ object SparkEntry {
     // additive over any disjoint split, so the stream answers the
     // one-batch oracle)
     "q158_stream_substring_append" -> substringSpansSql,
+    // the post-DELETE index serving the remaining corpus: tombstone
+    // segments cancel the deleted quarter's window mass exactly, so
+    // the oracle recomputes the span law over the remaining corpus
+    "q160_substring_delete" -> substringDeleteSql,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
     "q152_substring_effective" -> substringEffectiveSql,
@@ -2004,30 +2009,52 @@ FROM c ORDER BY 1"""
       |$tail""".stripMargin
   }
 
-  /** q147/q151 oracle: exact duplicated-substring spans over the
-    * spliced corpus — overlapping L-token window digests, global df,
-    * gaps-and-islands interval merging, cleaned-text digest. q151
-    * serves the identical law from the stored segment index, so both
-    * sit under this one SQL. */
-  private val substringSpansSql: String = {
+  /** The spliced derived corpus (prefix-L + unique marker + suffix-L
+    * twins at +Q147SpliceOffset ids) as CTEs ending in `corpus0` —
+    * shared by every substring-family oracle over the spliced corpus
+    * (q147/q151/q158 full, q160 post-delete subset). */
+  private def splicedCorpusCtes: String = {
     val L = graft.operators.Curation.Q147SpanLen
     val off = graft.operators.Curation.Q147SpliceOffset
-    substringSpanPipelineSql(
-      s"""spl AS (SELECT doc_id + $off AS doc_id,
-        |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
-        |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= ${2 * L + 1}),
-        | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl)""".stripMargin,
-      carry = "", carryP = "",
-      tail = """SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        | CAST(sum(nb) AS INT) AS n_dup_spans,
-        | CAST(sum(cv) AS INT) AS dup_tokens,
-        | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
-        | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
-        | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
-        |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin)
+    s"""spl AS (SELECT doc_id + $off AS doc_id,
+      |   array_to_string(w[1:$L], ' ') || ' uq' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |   array_to_string(w[len(w)-${L - 1}:len(w)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= ${2 * L + 1}),
+      | corpus0 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM spl)""".stripMargin
   }
+
+  /** The per-doc span report tail shared by the spliced-corpus
+    * substring oracles. */
+  private val substringSpansTail: String =
+    """SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      | CAST(sum(nb) AS INT) AS n_dup_spans,
+      | CAST(sum(cv) AS INT) AS dup_tokens,
+      | CAST(count(*) - sum(cv) AS INT) AS kept_tokens,
+      | md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cv = 0), '')) AS kept_digest,
+      | round(CAST(sum(cv) AS DOUBLE) / count(*), 6) AS dup_frac
+      |FROM bnd GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q147/q151/q158 oracle: exact duplicated-substring spans over the
+    * spliced corpus — overlapping L-token window digests, global df,
+    * gaps-and-islands interval merging, cleaned-text digest. q151/
+    * q158 serve the identical law from the stored segment index, so
+    * all sit under this one SQL. */
+  private val substringSpansSql: String =
+    substringSpanPipelineSql(
+      splicedCorpusCtes +
+        ",\n corpus AS (SELECT doc_id, text FROM corpus0)",
+      carry = "", carryP = "", tail = substringSpansTail)
+
+  /** q160 oracle: the SAME span law over the corpus MINUS the deleted
+    * quarter (doc_id ≡ 1 mod 4) — the ground truth a tombstone-
+    * deleted index must reproduce exactly (delete ≡ rebuild-without
+    * is a signed-multiset identity). */
+  private val substringDeleteSql: String =
+    substringSpanPipelineSql(
+      splicedCorpusCtes +
+        ",\n corpus AS (SELECT doc_id, text FROM corpus0 WHERE doc_id % 4 <> 1)",
+      carry = "", carryP = "", tail = substringSpansTail)
 
   /** q152 oracle: the same span pipeline over the RAW corpus, rolled
     * up to the per-source token budget. */

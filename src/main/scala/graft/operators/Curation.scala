@@ -1488,6 +1488,30 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Tombstone deletes on the substring index (q160) — the operation
+    * the append family otherwise answers with "delete + rebuild"
+    * ([[TextDedup.deleteFromSubstringIndex]]): the FULL spliced
+    * corpus is indexed, a quarter (doc_id ≡ 1 mod 4 — the takedown
+    * batch) is deleted via negative segments, and the REMAINING
+    * corpus is served from the post-delete index under an oracle
+    * computing [[TextDedup.exactSubstringSpans]] over the remaining
+    * corpus directly — delete ≡ rebuild-without is an exact signed-
+    * multiset identity, gated end-to-end. */
+  def q160SubstringDelete(s: SparkSession, dir: String): DataFrame = {
+    val corpus = q147SplicedDocs(Tables.documents(s, dir))
+    val idx = Warehouse.materializedDir(s, "ssdel",
+      s"ssdel:v1:$Q147SpanLen:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      TextDedup.buildSubstringIndex(corpus, "doc_id", "text",
+        Q147SpanLen, d)
+      TextDedup.deleteFromSubstringIndex(s,
+        corpus.filter(col("doc_id") % 4 === 1), d, "doc_id", "text")
+    }
+    TextDedup.substringSpansFromIndex(s,
+        corpus.filter(col("doc_id") % 4 =!= 1), "doc_id", "text", idx)
+      .orderBy(col("doc_id"))
+  }
+
   /** Link-prior-gated corpus selection (q153) — the composition the
     * "quality prior" family exists for: q140's fixed-point integer
     * PageRank joined onto the corpus, each source reporting how many

@@ -1171,15 +1171,134 @@ object TextDedup {
     // are one ledger id)
     Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
       "substring index")
-    Warehouse.requireAppendOnly(
-      spark.read.parquet(s"$indexDir/ids.parquet"), batchIds, "id",
-      s"substring index at $indexDir",
-      "inflate its windows' document frequencies and move every " +
-        "span sharing them")
+    // ACTIVE-id guard, not a bare ledger probe: a doc DELETED via
+    // [[deleteFromSubstringIndex]] is legitimately re-ingestable —
+    // its window mass was cancelled by the tombstone segment, so a
+    // re-append restores exactly the union-build state
+    val dup = activeNet(spark, indexDir, batchIds)
+      .filter(col("net") > 0)
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"substring index at $indexDir already contains batch ids " +
+        s"${dup.mkString(", ")}… — re-ingesting an ACTIVE doc would " +
+        "inflate its windows' document frequencies and move every " +
+        "span sharing them; the append contract is append-only " +
+        "(deleteFromSubstringIndex first, or delete + rebuild)")
     segmentCounts(batch, idCol, textCol, minLen)
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$indexDir/wdf.parquet")
     batchIds.write.mode("append").parquet(s"$indexDir/ids.parquet")
+  }
+
+  /** Net ingest count per BATCH id: +1 per `ids.parquet` row, −1 per
+    * `dels.parquet` tombstone row (absent file = no deletes — the
+    * pre-delete layout, still v2: the file is purely additive and
+    * old artifacts read identically). Both ledger scans semi-join
+    * the broadcast batch ids MAP-SIDE before the tiny per-id count,
+    * so exchange stays ∝ batch — never a corpus-sized ledger
+    * shuffle. net > 0 ⇔ the id is ACTIVE (ingested more times than
+    * deleted). */
+  private def activeNet(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchIds: DataFrame): DataFrame = {
+    val ins = spark.read.parquet(s"$indexDir/ids.parquet")
+      .select(col("id"), lit(1L).as("w"))
+    val delsDir = new java.io.File(s"$indexDir/dels.parquet")
+    val both = if (delsDir.exists())
+      ins.unionByName(spark.read.parquet(s"$indexDir/dels.parquet")
+        .select(col("id"), lit(-1L).as("w")))
+    else ins
+    both.join(broadcast(batchIds), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(sum(col("w")).as("net"))
+  }
+
+  /** TOMBSTONE DELETES — the LSM rung above the pure-additive
+    * appends, and the operation the whole append family answers with
+    * "delete + rebuild": here a rebuild is NOT needed, because window
+    * df is additive over SIGNED multisets. Deleting a doc appends its
+    * windows' counts NEGATED as one more segment; serving's sum-merge
+    * cancels the mass exactly, so the post-delete index answers the
+    * remaining corpus's [[exactSubstringSpans]] bit for bit
+    * (TextDedupSpec pins delete ≡ rebuild-without; the q160 oracle
+    * gates it end-to-end). Takedown/opt-out pipelines run exactly
+    * this shape — re-deriving a 100 TB corpus's window index per
+    * removal batch is not an option.
+    *
+    * Contract: the caller deletes the SAME (id, text) rows it
+    * ingested — the index stores only aggregated counts, so a text
+    * mismatch is undetectable here and corrupts dfs (the standard
+    * tombstone contract; deployments keep the ingested text
+    * addressable by id). Every batch id must be ACTIVE (net ingests
+    * > deletes — enforced via the ledgers, exchange ∝ batch);
+    * deleted ids become re-ingestable, and a re-ingest restores the
+    * union-build state exactly. Tombstone rows accumulate like any
+    * segment; [[compactSubstringSegments]] physically reclaims
+    * cancelled mass. Per-cycle cost ∝ batch: one window pass, one
+    * partitioned segment append, one tombstone-ledger append. */
+  def deleteFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, indexDir: String, idCol: String,
+      textCol: String): Unit = {
+    val minLen = substringIndexMinLen(indexDir)
+    val delIds = docs.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    if (delIds.isEmpty) return
+    Warehouse.requireUniqueBatchIds(docs, col(idCol).cast("long"),
+      "substring index delete")
+    val net = activeNet(spark, indexDir, delIds)
+    val inactive = delIds
+      .join(net.filter(col("net") > 0), Seq("id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(inactive.isEmpty,
+      s"substring index at $indexDir: ids ${inactive.mkString(", ")}… " +
+        "are not active (never ingested, or already deleted) — a " +
+        "tombstone for an absent doc would push its windows' dfs " +
+        "negative and corrupt every span they join")
+    segmentCounts(docs, idCol, textCol, minLen)
+      .withColumn("df", -col("df"))
+      .write.mode("append").partitionBy("pfx")
+      .parquet(s"$indexDir/wdf.parquet")
+    delIds.write.mode("append").parquet(s"$indexDir/dels.parquet")
+  }
+
+  /** LSM compaction for the substring SEGMENT table — the companion
+    * [[graft.operators.Warehouse.compactIndexPartitions]] cannot be:
+    * that rewrite preserves rows, but after deletes the table holds
+    * tombstones and their cancelled positive mass, which only a
+    * SUMMING rewrite reclaims. Each prefix partition is rewritten to
+    * the summed (d, df) rows with zero-sum digests dropped — an
+    * exact serving identity, since serving is the same sum-merge.
+    * Partitions whose digests ALL cancel are deleted outright
+    * (dynamic overwrite never touches partitions absent from the
+    * writeout — they would otherwise keep stale files). Returns
+    * (rowsBefore, rowsAfter). Same barrier contract as every
+    * compaction here. */
+  def compactSubstringSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Long, Long) = {
+    substringIndexMinLen(indexDir) // the meta gate
+    val path = s"$indexDir/wdf.parquet"
+    val before = spark.read.parquet(path).count()
+    val merged = spark.read.parquet(path)
+      .groupBy(col("pfx"), col("d")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0)
+      .select(col("d"), col("df"), col("pfx"))
+      .localCheckpoint(true) // materialize BEFORE overwriting files
+    val after = merged.count()
+    merged.repartition(col("pfx"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx")
+      .parquet(path)
+    // reclaim partitions the dynamic overwrite never touched (all
+    // their digests cancelled): bounded driver work — ≤ 16 one-char
+    // prefix values
+    val live = merged.select(col("pfx")).distinct()
+      .collect().map(r => s"pfx=${r.get(0)}").toSet
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("pfx=") &&
+        !live(d.getName))
+      .foreach(Warehouse.deleteRec)
+    (before, after)
   }
 
   /** Meta gate shared by the substring-index readers/appenders:

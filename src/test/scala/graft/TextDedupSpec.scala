@@ -616,6 +616,73 @@ class TextDedupSpec extends AnyFunSuite {
     } finally { rm(new java.io.File(dirU)); rm(new java.io.File(dirA)) }
   }
 
+  test("substring index tombstone deletes: delete ≡ rebuild-without, " +
+    "re-ingest restores, guards, compaction reclaims") {
+    val a = Seq((0L, "a b c d e f g h"), (1L, "a b c x y z f g h"))
+      .toDF("doc_id", "text")
+    val b = Seq((2L, "a b c d e q r s"), (3L, "n o p q r s t u"))
+      .toDF("doc_id", "text")
+    val union = a.unionByName(b)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss_del").toString
+    val dirA = java.nio.file.Files
+      .createTempDirectory("ss_del_ref").toString
+    try {
+      TextDedup.buildSubstringIndex(union, "doc_id", "text", 3, dir)
+      TextDedup.deleteFromSubstringIndex(spark, b, dir, "doc_id", "text")
+      // the post-delete index answers the a-only corpus's truth
+      val served = TextDedup.substringSpansFromIndex(
+        spark, a, "doc_id", "text", dir).orderBy($"doc_id").collect()
+      val truth = TextDedup.exactSubstringSpans(a, "doc_id", "text", 3)
+        .orderBy($"doc_id").collect()
+      assert(served.toSeq == truth.toSeq,
+        "tombstone delete diverges from the rebuild-without truth")
+      // and the summed segment table equals a fresh a-only build's
+      TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
+      def dfs(d: String) = spark.read.parquet(s"$d/wdf.parquet")
+        .groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfs(dir) == dfs(dirA))
+      // deleted ids are re-ingestable; the re-append restores the
+      // union-build state exactly
+      TextDedup.appendToSubstringIndex(spark, b, dir, "doc_id", "text")
+      val reServed = TextDedup.substringSpansFromIndex(
+        spark, union, "doc_id", "text", dir).orderBy($"doc_id").collect()
+      val unionTruth = TextDedup.exactSubstringSpans(
+        union, "doc_id", "text", 3).orderBy($"doc_id").collect()
+      assert(reServed.toSeq == unionTruth.toSeq,
+        "re-ingest after delete diverges from the union build")
+      // guards: double delete and deleting an unindexed doc refuse
+      TextDedup.deleteFromSubstringIndex(spark, b, dir, "doc_id", "text")
+      val dd = intercept[IllegalArgumentException] {
+        TextDedup.deleteFromSubstringIndex(spark, b, dir,
+          "doc_id", "text")
+      }
+      assert(dd.getMessage.contains("not active"))
+      val un = intercept[IllegalArgumentException] {
+        TextDedup.deleteFromSubstringIndex(spark,
+          Seq((99L, "zz yy xx ww")).toDF("doc_id", "text"), dir,
+          "doc_id", "text")
+      }
+      assert(un.getMessage.contains("not active"))
+      // compaction physically reclaims the cancelled mass: rows
+      // shrink, zero-sum digests vanish, serving identical
+      val rowsBefore = spark.read.parquet(s"$dir/wdf.parquet").count()
+      val (cb, ca) = TextDedup.compactSubstringSegments(spark, dir)
+      assert(cb == rowsBefore && ca < cb,
+        s"compaction should shrink the segment table ($cb -> $ca)")
+      assert(dfs(dir) == dfs(dirA),
+        "compaction changed the summed dfs")
+      val servedC = TextDedup.substringSpansFromIndex(
+        spark, a, "doc_id", "text", dir).orderBy($"doc_id").collect()
+      assert(servedC.toSeq == truth.toSeq,
+        "compaction changed the served spans")
+    } finally {
+      graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+      graft.operators.Warehouse.deleteRec(new java.io.File(dirA))
+    }
+  }
+
   test("q158 streamed segment appends answer the one-batch q151 result") {
     // df is additive over any disjoint split of the doc set, so three
     // single-file micro-batch segments must serve exactly what q151's
