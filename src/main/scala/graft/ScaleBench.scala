@@ -90,7 +90,10 @@ object ScaleBench {
     // personalized PageRank (q140's per-round one-shuffle law with a
     // seed-flagged teleport)
     "q155_link_prior_stored", "q157_cms_heavy_hitters_stored",
-    "q158_stream_substring_append", "q159_link_ppr")
+    "q158_stream_substring_append", "q159_link_ppr",
+    // tombstone deletes: substring (signed-multiset cancellation) and
+    // BM25 (df subtraction + serve-time anti-join)
+    "q160_substring_delete", "q161_bm25_delete")
 
   /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
     * index/sketch maintenance ops whose claim is cost ∝ batch — the
@@ -216,6 +219,14 @@ object ScaleBench {
         compacted = Warehouse.compactIndexPartitions(spark,
           s"$tmp/bm25/postings.parquet", "pfx")
       }
+      // BM25 tombstone delete of the SAME fixed batch appended above
+      // (∝ batch: one batch tokenize + a touched-prefix dfs rewrite +
+      // the ledger — near-flat is the law), then the physical purge
+      // (∝ index — the compaction-tier rewrite, expected to grow)
+      val dBm25 = timed(Retrieval.deleteFromBm25Index(spark, batchDocs,
+        "doc_id", "text", s"$tmp/bm25"))
+      val gBm25 = timed(Retrieval.purgeBm25Deletes(spark,
+        s"$tmp/bm25"))
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
       // ONE append rep, like bm25: the append-only guard refuses a
@@ -277,6 +288,7 @@ object ScaleBench {
         "bm25_hot_matched_rows" -> hotMatched.toDouble,
         "bm25_hot_scored_rows" -> hotScored.toDouble,
         "bm25_compact_sec" -> cBm25,
+        "bm25_delete_sec" -> dBm25, "bm25_purge_sec" -> gBm25,
         "bm25_compact_files_before" -> compacted._1.toDouble,
         "bm25_compact_files_after" -> compacted._2.toDouble,
         "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd,

@@ -191,6 +191,7 @@ object SparkEntry {
       (Curation.q158StreamSubstringAppend _),
     "q159_link_ppr" -> (Curation.q159LinkPersonalizedPageRank _),
     "q160_substring_delete" -> (Curation.q160SubstringDelete _),
+    "q161_bm25_delete" -> (Curation.q161Bm25Delete _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1251,6 +1252,11 @@ object SparkEntry {
     // segments cancel the deleted quarter's window mass exactly, so
     // the oracle recomputes the span law over the remaining corpus
     "q160_substring_delete" -> substringDeleteSql,
+    // the tombstone-deleted inverted file serving the remaining
+    // corpus's queries: dfs subtracted exactly, postings anti-joined
+    // against the tombstone ledger — the oracle recomputes BM25 over
+    // the remaining corpus directly
+    "q161_bm25_delete" -> bm25DeleteSql,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
     "q152_substring_effective" -> substringEffectiveSql,
@@ -1734,10 +1740,16 @@ object SparkEntry {
     * (correctly rounded ⇒ bit-identical) cast to DECIMAL(28,12) and
     * summed order-independently. Corpus stats count token-bearing
     * docs (the postings-derived law). */
-  private val bm25Sql: String =
-    """WITH tok AS (SELECT doc_id,
+  /** The BM25 oracle over a corpus CTE: rational odds weight ×
+    * tf-saturation, decimal accumulation, top-10 per query (queries =
+    * the first five corpus-law tokens of the corpus's docs 0–4).
+    * `corpusSel` selects (doc_id, text) — the full table for
+    * q137/q138/q139/q154, the post-delete remainder for q161. */
+  private def bm25SqlOver(corpusSel: String): String =
+    s"""WITH docs AS ($corpusSel),
+      | tok AS (SELECT doc_id,
       |   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-      |     x -> len(x) > 0)) AS term FROM documents),
+      |     x -> len(x) > 0)) AS term FROM docs),
       | tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
       | dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
       | stats AS (SELECT count(*) AS n, sum(len) AS sl FROM dl),
@@ -1746,7 +1758,7 @@ object SparkEntry {
       |   unnest(list_distinct(list_slice(
       |     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
       |       x -> len(x) > 0), 1, 5))) AS term
-      |  FROM documents WHERE doc_id < 5),
+      |  FROM docs WHERE doc_id < 5),
       | c AS (SELECT q.query_id, tf.doc_id,
       |   CAST(((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
       |          / (CAST(df AS DOUBLE) + 0.5))
@@ -1764,6 +1776,16 @@ object SparkEntry {
       |     ORDER BY s DESC, doc_id) AS rank FROM s)
       |SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 6) AS score, rank
       |FROM r WHERE rank <= 10 ORDER BY 1, 4""".stripMargin
+
+  private val bm25Sql: String =
+    bm25SqlOver("SELECT doc_id, text FROM documents")
+
+  /** q161 oracle: the SAME BM25 law over the corpus minus the deleted
+    * quarter — the ground truth a tombstone-deleted inverted file
+    * must reproduce, df corrections and all. */
+  private val bm25DeleteSql: String =
+    bm25SqlOver(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1")
 
   /** The q143–q145 BPE oracle CTE chain: the corpus word table under
     * the shared token law, then [[graft.operators.Curation.Q143Merges]]

@@ -423,6 +423,31 @@ object Curation {
     }
   }
 
+  /** Tombstone deletes on the BM25 index (q161) — q160's retrieval
+    * twin ([[Retrieval.deleteFromBm25Index]]): the FULL corpus is
+    * indexed, the doc_id ≡ 1 (mod 4) quarter is deleted (dfs
+    * subtracted exactly, stats subtracted, postings tombstoned behind
+    * the serve-time anti-join, pruning bounds stale-but-safe), and
+    * the remaining corpus's queries are served under an oracle that
+    * recomputes BM25 over the remaining corpus directly — delete ≡
+    * rebuild-without, end to end, scores and all (df corrections
+    * included: a deleted doc's term occurrences must stop counting
+    * toward every OTHER doc's odds weight). */
+  def q161Bm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val remaining = docs.filter(col("doc_id") % 4 =!= 1)
+    val idx = Warehouse.materializedDir(s, "bm25del",
+      s"bm25del:v1:1.2:0.75:$dir:" +
+        Warehouse.fingerprint(s"$dir/documents.parquet")) { d =>
+      Retrieval.buildBm25Index(docs, "doc_id", "text", d)
+      Retrieval.deleteFromBm25Index(s,
+        docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", d)
+    }
+    Retrieval.bm25TopKFromIndex(s, bm25Queries(remaining),
+        "query_id", "qtext", idx, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Link-graph PageRank quality prior (q140) — see
     * [[LinkGraph.pageRankFixed]]: five damped fixed-point iterations
     * over a deterministic synthetic link law (each doc links to

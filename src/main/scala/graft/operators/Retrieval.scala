@@ -410,6 +410,22 @@ object Retrieval {
     // SAME cast the ledger stores
     Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
       "BM25 index")
+    // a TOMBSTONED id is not re-ingestable: its physical posting rows
+    // would resurface next to the new generation's under one doc_id
+    // once the anti-join filter lifts — purge first. Checked BEFORE
+    // the generic ledger probe (tombstoned ids are still in
+    // ids.parquet until a purge, and the purge-first message is the
+    // actionable one).
+    if (new java.io.File(s"$dir/dels.parquet").exists()) {
+      val ghosts = spark.read.parquet(s"$dir/dels.parquet")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(ghosts.isEmpty,
+        s"BM25 index at $dir: doc ids ${ghosts.mkString(", ")}… are " +
+          "tombstoned — re-ingesting before purgeBm25Deletes would " +
+          "resurface their old posting rows under the same id; purge " +
+          "first")
+    }
     Warehouse.requireAppendOnly(
       spark.read.parquet(s"$dir/ids.parquet"), batchIds, "doc_id",
       s"BM25 index at $dir",
@@ -472,6 +488,171 @@ object Retrieval {
       sumLen = m.sumLen + bLen))
   }
 
+  /** Tombstone DELETES for the BM25 index (q161) — the retrieval twin
+    * of the substring index's signed-multiset deletes, closing the
+    * "delete + rebuild" answer for this family too. Every stored
+    * quantity either subtracts EXACTLY or stays SAFE:
+    *  - `dfs`: df(remaining) = df − df(batch) — the same additive
+    *    identity the append merges with, rewritten for the touched
+    *    prefixes only (rows reaching df = 0 drop — the term no longer
+    *    exists in the remaining corpus, matching a rebuild);
+    *  - `_meta.json` stats: nDocs and sumLen subtract;
+    *  - postings: the deleted docs' rows stay physically present and
+    *    serving filters them with an anti-join against the
+    *    `dels.parquet` tombstone ledger (un-hinted — AQE broadcasts
+    *    the ledger while deletion volume is small, degrades to a
+    *    shuffle otherwise; [[purgeBm25Deletes]] is the physical
+    *    reclaim);
+    *  - maxtf/minlen pruning bounds are NOT recomputed — max/min are
+    *    not groups — but a stale bound is a SUPERSET bound: the
+    *    per-term ub can only overestimate, so max-score pruning stays
+    *    SAFE, merely less tight, until a purge-then-rebuild or fresh
+    *    build re-tightens it.
+    * Serving after a delete therefore equals a fresh build on the
+    * remaining corpus EXACTLY (scores read df/nDocs/sumLen/tf/len,
+    * all corrected; the bounds only gate which docs get fully scored
+    * — RetrievalSpec pins served ≡ rebuilt-without and the df table;
+    * the q161 oracle gates it end-to-end).
+    *
+    * Contract: the caller deletes the SAME (id, text) rows it
+    * ingested (the standard tombstone contract — df subtraction
+    * recomputes the batch's postings from the caller's text). Every
+    * batch id must be indexed and not already tombstoned. UNLIKE the
+    * substring index, a tombstoned id is NOT re-ingestable — its
+    * physical posting rows would resurface next to the new
+    * generation's under one doc_id — until [[purgeBm25Deletes]]
+    * physically removes them (the append guard refuses with a
+    * purge-first message). */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val m = readBm25Meta(dir)
+    val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
+      "BM25 index delete")
+    // every id must be indexed…
+    val unindexed = batchIds
+      .join(spark.read.parquet(s"$dir/ids.parquet"), Seq("doc_id"),
+        "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(unindexed.isEmpty,
+      s"BM25 index at $dir: doc ids ${unindexed.mkString(", ")}… were " +
+        "never ingested — deleting them would subtract dfs that were " +
+        "never added")
+    // …and not already tombstoned
+    val delsDir = new java.io.File(s"$dir/dels.parquet")
+    if (delsDir.exists()) {
+      val twice = spark.read.parquet(s"$dir/dels.parquet")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(twice.isEmpty,
+        s"BM25 index at $dir: doc ids ${twice.mkString(", ")}… are " +
+          "already tombstoned — a second delete would subtract their " +
+          "dfs twice")
+    }
+    val postings = postingsOf(batch, idCol, textCol)
+      .localCheckpoint(true)
+    val (bDocs, bLen) = corpusStats(postings)
+    if (bDocs > 0) {
+      // subtract the batch's dfs from the touched prefixes — the
+      // append's merge with the sign flipped; df = 0 rows drop
+      val batchDfs = dfsOf(postings)
+        .select(col("term"), col("df").as("bdf"))
+        .withColumn("pfx", substring(col("term"), 1, 1))
+        .localCheckpoint(true)
+      val touched = batchDfs.select(col("pfx")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val storedDfs = spark.read.parquet(s"$dir/dfs.parquet")
+        .filter(col("pfx").isin(touched.toSeq: _*))
+        .select(col("term"), col("df"), col("maxtf"), col("minlen"))
+        .localCheckpoint(true) // materialize BEFORE overwriting files
+      val merged = storedDfs
+        .join(batchDfs.select(col("term"), col("bdf")), Seq("term"),
+          "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("bdf"), lit(0L))).as("df"),
+          col("maxtf"), col("minlen"))
+        .filter(col("df") > 0)
+        .withColumn("pfx", substring(col("term"), 1, 1))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pfx")
+        .parquet(s"$dir/dfs.parquet")
+      // a prefix whose terms ALL dropped is absent from the writeout
+      // — dynamic overwrite never touches it, so its stale files must
+      // go explicitly (bounded: ≤ 36 one-char values)
+      val live = merged.select(col("pfx")).distinct()
+        .collect().map(r => s"pfx=${r.getString(0)}").toSet
+      touched.map(v => new java.io.File(s"$dir/dfs.parquet/pfx=$v"))
+        .filter(d => d.isDirectory && !live(d.getName))
+        .foreach(Warehouse.deleteRec)
+    }
+    batchIds.write.mode("append").parquet(s"$dir/dels.parquet")
+    writeBm25Meta(dir, m.copy(nDocs = m.nDocs - bDocs,
+      sumLen = m.sumLen - bLen))
+  }
+
+  /** Filter tombstoned docs out of a postings scan — the serve-side
+    * half of [[deleteFromBm25Index]]. Absent ledger = the pre-delete
+    * layout, no filter (still v2: the file is purely additive). */
+  private def withoutTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      postings: DataFrame): DataFrame =
+    if (!new java.io.File(s"$dir/dels.parquet").exists()) postings
+    else postings.join(spark.read.parquet(s"$dir/dels.parquet"),
+      Seq("doc_id"), "left_anti")
+
+  /** Physically reclaim tombstoned docs: rewrite the postings
+    * partitions without the deleted rows, shrink the id ledger to the
+    * active set, drop the tombstone ledger — after which the purged
+    * ids are re-ingestable again. Cost ∝ index (a full postings
+    * rewrite — the compaction-tier operation, run at the deployment's
+    * compaction cadence, not per delete). The maxtf/minlen bounds
+    * stay conservative until a rebuild re-tightens them (documented;
+    * safe — see [[deleteFromBm25Index]]). Returns (postingRowsBefore,
+    * postingRowsAfter); a ledger-less index is a no-op (0, 0). */
+  def purgeBm25Deletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    readBm25Meta(dir) // the meta gate
+    val delsDir = new java.io.File(s"$dir/dels.parquet")
+    if (!delsDir.exists()) return (0L, 0L)
+    val dels = spark.read.parquet(s"$dir/dels.parquet").distinct()
+      .localCheckpoint(true)
+    val p = spark.read.parquet(s"$dir/postings.parquet")
+    val before = p.count()
+    val kept = p.join(dels, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // materialize BEFORE overwriting files
+    val after = kept.count()
+    kept.repartition(col("pfx"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx")
+      .parquet(s"$dir/postings.parquet")
+    val live = kept.select(col("pfx")).distinct()
+      .collect().map(r => s"pfx=${r.getString(0)}").toSet
+    Option(new java.io.File(s"$dir/postings.parquet").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("pfx=") &&
+        !live(d.getName))
+      .foreach(Warehouse.deleteRec)
+    // active id ledger via write-aside-then-swap (the
+    // compactUnpartitionedLedger crash discipline)
+    val idsPath = new java.io.File(s"$dir/ids.parquet")
+    val tmp = new java.io.File(dir,
+      s".ids.purge-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(idsPath.toString)
+      .join(dels, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    Warehouse.deleteRec(idsPath)
+    java.nio.file.Files.move(tmp.toPath, idsPath.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Warehouse.deleteRec(delsDir)
+    (before, after)
+  }
+
   /** Serve BM25 from the persisted inverted file (q138): identical
     * results to the in-plan [[bm25TopK]] (the postings/dfs/stats are
     * the same deterministic derivation), with zero index-build cost
@@ -489,9 +670,10 @@ object Retrieval {
     // phase of any index lookup
     val prefixes = qterms.select(substring(col("term"), 1, 1).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-      .filter(col("pfx").isin(prefixes.toSeq: _*))
-      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+    val postings = withoutTombstones(spark, dir,
+      spark.read.parquet(s"$dir/postings.parquet")
+        .filter(col("pfx").isin(prefixes.toSeq: _*))
+        .select(col("term"), col("doc_id"), col("tf"), col("len")))
     val dfs = spark.read.parquet(s"$dir/dfs.parquet")
       .filter(col("pfx").isin(prefixes.toSeq: _*))
       .select(col("term"), col("df"), col("maxtf"), col("minlen"))

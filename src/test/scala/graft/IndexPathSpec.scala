@@ -676,6 +676,88 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 tombstone deletes: delete ≡ rebuild-without, purge restores " +
+    "re-ingestability") {
+    withTempDir("bm25_delete") { dir =>
+      val docs = Tables.documents(spark, sf)
+      val keep = docs.filter(col("doc_id") % 4 =!= 1)
+      val gone = docs.filter(col("doc_id") % 4 === 1)
+      graft.operators.Retrieval.buildBm25Index(docs,
+        "doc_id", "text", s"$dir/a")
+      graft.operators.Retrieval.deleteFromBm25Index(spark, gone,
+        "doc_id", "text", s"$dir/a")
+      graft.operators.Retrieval.buildBm25Index(keep,
+        "doc_id", "text", s"$dir/b")
+      def queriesOf(corpus: org.apache.spark.sql.DataFrame) =
+        corpus.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(
+              graft.operators.Retrieval.alnumTokens(col("text")), 1, 5))
+              .as("qtext"))
+          .localCheckpoint(true)
+      val qKeep = queriesOf(keep)
+      def served(d: String, q: org.apache.spark.sql.DataFrame) =
+        graft.operators.Retrieval
+          .bm25TopKFromIndex(spark, q, "query_id", "qtext", d, k = 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+      assert(served(s"$dir/a", qKeep) == served(s"$dir/b", qKeep),
+        "tombstone delete diverges from the rebuild-without ranking")
+      // df subtraction is exact (bounds stay conservative — compare
+      // the score-bearing columns only) and corpus stats subtract
+      def dfs(d: String) = spark.read.parquet(s"$d/dfs.parquet")
+        .select(col("term"), col("df"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(dfs(s"$dir/a") == dfs(s"$dir/b"),
+        "subtracted dfs diverge from the rebuild-without dfs")
+      assert(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/a/_meta.json"))
+        == java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/b/_meta.json")),
+        "subtracted corpus stats diverge")
+      // guards: tombstoned re-ingest (purge first), double delete,
+      // deleting an unindexed doc
+      val goneSlice = gone.filter(col("doc_id") < 20)
+        .localCheckpoint(true)
+      val ghost = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.appendToBm25Index(spark, goneSlice,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(ghost.getMessage.contains("purge"))
+      val dd = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.deleteFromBm25Index(spark, goneSlice,
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(dd.getMessage.contains("already tombstoned"))
+      import spark.implicits._
+      val un = intercept[IllegalArgumentException] {
+        graft.operators.Retrieval.deleteFromBm25Index(spark,
+          Seq((990001L, "never here")).toDF("doc_id", "text"),
+          "doc_id", "text", s"$dir/a")
+      }
+      assert(un.getMessage.contains("never ingested"))
+      // purge physically reclaims the tombstoned rows; serving
+      // unchanged; the purged ids become re-ingestable, restoring the
+      // full-corpus index exactly
+      val (pb, pa) = graft.operators.Retrieval
+        .purgeBm25Deletes(spark, s"$dir/a")
+      assert(pb > pa && pa > 0, s"purge receipt ($pb, $pa)")
+      assert(served(s"$dir/a", qKeep) == served(s"$dir/b", qKeep),
+        "purge changed the served ranking")
+      assert(graft.operators.Retrieval
+        .purgeBm25Deletes(spark, s"$dir/a") == ((0L, 0L)))
+      graft.operators.Retrieval.appendToBm25Index(spark, gone,
+        "doc_id", "text", s"$dir/a")
+      graft.operators.Retrieval.buildBm25Index(docs,
+        "doc_id", "text", s"$dir/c")
+      val qFull = queriesOf(docs)
+      assert(served(s"$dir/a", qFull) == served(s"$dir/c", qFull),
+        "delete → purge → re-ingest diverges from the fresh build")
+      assert(dfs(s"$dir/a") == dfs(s"$dir/c"))
+    }
+  }
+
   test("partition compaction: multi-cycle appends collapse to one file " +
     "per partition, content and serving identical") {
     withTempDir("compact") { dir =>
