@@ -219,14 +219,6 @@ object ScaleBench {
         compacted = Warehouse.compactIndexPartitions(spark,
           s"$tmp/bm25/postings.parquet", "pfx")
       }
-      // BM25 tombstone delete of the SAME fixed batch appended above
-      // (∝ batch: one batch tokenize + a touched-prefix dfs rewrite +
-      // the ledger — near-flat is the law), then the physical purge
-      // (∝ index — the compaction-tier rewrite, expected to grow)
-      val dBm25 = timed(Retrieval.deleteFromBm25Index(spark, batchDocs,
-        "doc_id", "text", s"$tmp/bm25"))
-      val gBm25 = timed(Retrieval.purgeBm25Deletes(spark,
-        s"$tmp/bm25"))
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
       // ONE append rep, like bm25: the append-only guard refuses a
@@ -270,6 +262,17 @@ object ScaleBench {
         ledger = Warehouse.compactUnpartitionedLedger(spark,
           s"$tmp/bm25/ids.parquet")
       }
+      // BM25 tombstone delete of the SAME fixed batch (∝ batch: one
+      // batch tokenize + a touched-prefix dfs rewrite + the ledger —
+      // near-flat is the law), then the physical purge (∝ index — the
+      // compaction-tier rewrite, expected to grow). AFTER the ledger
+      // receipt above: purge rewrites ids.parquet wholesale, which
+      // would otherwise turn that receipt into a measurement of this
+      // rewrite's fan-out (round-18 review)
+      val dBm25 = timed(Retrieval.deleteFromBm25Index(spark, batchDocs,
+        "doc_id", "text", s"$tmp/bm25"))
+      val gBm25 = timed(Retrieval.purgeBm25Deletes(spark,
+        s"$tmp/bm25"))
       // CMS artifact (round-17 verdict #3): build ∝ corpus (one
       // tokenize + sketch fold), merge ∝ batch (same-geometry
       // mergeInPlace + one segment append — the near-flat law). ONE

@@ -392,8 +392,10 @@ object Retrieval {
     * batch ids against the 8-byte `ids.parquet` column — exchange ∝
     * duplicates, the q136 verify shape). An empty batch (or one
     * whose docs all tokenize to zero terms) is a no-op, not an NPE
-    * (round-16 review). Updates/deletes are out of scope: delete +
-    * rebuild, the standard inverted-file answer. */
+    * (round-16 review). Deletes are [[deleteFromBm25Index]] (df
+    * subtraction + serve-time tombstones; updates = delete + purge +
+    * re-append); a TOMBSTONED id stays un-appendable until
+    * [[purgeBm25Deletes]] physically reclaims its old rows. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
@@ -532,10 +534,14 @@ object Retrieval {
     if (batchIds.isEmpty) return
     Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
       "BM25 index delete")
-    // every id must be indexed…
-    val unindexed = batchIds
-      .join(spark.read.parquet(s"$dir/ids.parquet"), Seq("doc_id"),
-        "left_anti")
+    // every id must be indexed… (ledger semi-joined MAP-SIDE against
+    // the broadcast batch first — a direct batch-anti-ledger join
+    // would shuffle the corpus-sized ledger, round-18 review — then
+    // two batch-sized sets anti-join)
+    val present = spark.read.parquet(s"$dir/ids.parquet")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val unindexed = batchIds.join(present, Seq("doc_id"), "left_anti")
       .limit(5).collect().map(_.getLong(0))
     require(unindexed.isEmpty,
       s"BM25 index at $dir: doc ids ${unindexed.mkString(", ")}… were " +
@@ -555,6 +561,21 @@ object Retrieval {
     val postings = postingsOf(batch, idCol, textCol)
       .localCheckpoint(true)
     val (bDocs, bLen) = corpusStats(postings)
+    // refuse to empty the index: with zero token-bearing docs left,
+    // the dfs rewrite would drop every row of every touched prefix
+    // and a later read would fail on a schema-less dir — the
+    // delete-everything degenerate belongs to delete-the-directory +
+    // rebuild (round-18 review)
+    require(m.nDocs - bDocs > 0,
+      s"BM25 index at $dir: this delete removes every indexed " +
+        "document — an empty inverted file has nothing to serve; " +
+        "delete the index directory and rebuild instead")
+    // tombstone ledger FIRST (round-18 review): if the dfs rewrite
+    // below crashes mid-way, a RETRY must fail loudly on the
+    // already-tombstoned guard (repair = rebuild) — the reverse
+    // ordering let a retry double-subtract dfs silently, the
+    // disarmed-guard failure class
+    batchIds.write.mode("append").parquet(s"$dir/dels.parquet")
     if (bDocs > 0) {
       // subtract the batch's dfs from the touched prefixes — the
       // append's merge with the sign flipped; df = 0 rows drop
@@ -581,16 +602,14 @@ object Retrieval {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pfx")
         .parquet(s"$dir/dfs.parquet")
-      // a prefix whose terms ALL dropped is absent from the writeout
-      // — dynamic overwrite never touches it, so its stale files must
-      // go explicitly (bounded: ≤ 36 one-char values)
-      val live = merged.select(col("pfx")).distinct()
-        .collect().map(r => s"pfx=${r.getString(0)}").toSet
-      touched.map(v => new java.io.File(s"$dir/dfs.parquet/pfx=$v"))
-        .filter(d => d.isDirectory && !live(d.getName))
-        .foreach(Warehouse.deleteRec)
+      // a prefix whose terms ALL dropped is absent from the writeout;
+      // restricted to the touched set — untouched prefixes were never
+      // rewritten and must keep their files
+      Warehouse.deleteStalePartitionDirs(s"$dir/dfs.parquet", "pfx",
+        merged.select(col("pfx")).distinct()
+          .collect().map(_.getString(0)).toSet,
+        restrictTo = Some(touched.toSet))
     }
-    batchIds.write.mode("append").parquet(s"$dir/dels.parquet")
     writeBm25Meta(dir, m.copy(nDocs = m.nDocs - bDocs,
       sumLen = m.sumLen - bLen))
   }
@@ -626,25 +645,33 @@ object Retrieval {
     val kept = p.join(dels, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // materialize BEFORE overwriting files
     val after = kept.count()
+    // refuse to purge an index down to ZERO posting rows: the
+    // partition cleanup below would then remove every data file and
+    // the next read would fail on a schema-less dir (round-18
+    // review) — the everything-deleted degenerate belongs to
+    // delete-the-directory + rebuild. Checked BEFORE any mutation.
+    require(after > 0,
+      s"BM25 index at $dir: purging would remove every posting row " +
+        "— an empty inverted file has nothing to serve; delete the " +
+        "index directory and rebuild instead")
     kept.repartition(col("pfx"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pfx")
       .parquet(s"$dir/postings.parquet")
-    val live = kept.select(col("pfx")).distinct()
-      .collect().map(r => s"pfx=${r.getString(0)}").toSet
-    Option(new java.io.File(s"$dir/postings.parquet").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(d => d.isDirectory && d.getName.startsWith("pfx=") &&
-        !live(d.getName))
-      .foreach(Warehouse.deleteRec)
+    Warehouse.deleteStalePartitionDirs(s"$dir/postings.parquet", "pfx",
+      kept.select(col("pfx")).distinct()
+        .collect().map(_.getString(0)).toSet)
     // active id ledger via write-aside-then-swap (the
-    // compactUnpartitionedLedger crash discipline)
+    // compactUnpartitionedLedger crash discipline), one part-file —
+    // the ledger receipt must keep measuring append-cycle
+    // accumulation, not this rewrite's shuffle fan-out
     val idsPath = new java.io.File(s"$dir/ids.parquet")
     val tmp = new java.io.File(dir,
       s".ids.purge-${java.util.UUID.randomUUID()}")
     spark.read.parquet(idsPath.toString)
       .join(dels, Seq("doc_id"), "left_anti")
+      .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     Warehouse.deleteRec(idsPath)
     java.nio.file.Files.move(tmp.toPath, idsPath.toPath,

@@ -1252,11 +1252,16 @@ object TextDedup {
         "are not active (never ingested, or already deleted) — a " +
         "tombstone for an absent doc would push its windows' dfs " +
         "negative and corrupt every span they join")
+    // tombstone ledger FIRST (round-18 review): if the negative-
+    // segment write below crashes mid-way, a RETRY must fail loudly
+    // on the not-active guard (repair = rebuild) — the reverse
+    // ordering let a retry append a SECOND negative segment and push
+    // the batch's window dfs negative silently
+    delIds.write.mode("append").parquet(s"$indexDir/dels.parquet")
     segmentCounts(docs, idCol, textCol, minLen)
       .withColumn("df", -col("df"))
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$indexDir/wdf.parquet")
-    delIds.write.mode("append").parquet(s"$indexDir/dels.parquet")
   }
 
   /** LSM compaction for the substring SEGMENT table — the companion
@@ -1283,21 +1288,26 @@ object TextDedup {
       .select(col("d"), col("df"), col("pfx"))
       .localCheckpoint(true) // materialize BEFORE overwriting files
     val after = merged.count()
+    // refuse to compact the segment table down to ZERO rows (every
+    // digest cancelled — the everything-deleted degenerate): the
+    // partition cleanup would remove every data file and the next
+    // read would fail on a schema-less dir; delete the index
+    // directory and rebuild instead (round-18 review). Checked
+    // BEFORE any mutation.
+    require(after > 0,
+      s"substring index at $indexDir: compaction would cancel every " +
+        "segment row — an index over zero documents has nothing to " +
+        "serve; delete the index directory and rebuild instead")
     merged.repartition(col("pfx"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pfx")
       .parquet(path)
     // reclaim partitions the dynamic overwrite never touched (all
-    // their digests cancelled): bounded driver work — ≤ 16 one-char
-    // prefix values
-    val live = merged.select(col("pfx")).distinct()
-      .collect().map(r => s"pfx=${r.get(0)}").toSet
-    Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(d => d.isDirectory && d.getName.startsWith("pfx=") &&
-        !live(d.getName))
-      .foreach(Warehouse.deleteRec)
+    // their digests cancelled)
+    Warehouse.deleteStalePartitionDirs(path, "pfx",
+      merged.select(col("pfx")).distinct()
+        .collect().map(_.get(0).toString).toSet)
     (before, after)
   }
 

@@ -601,6 +601,28 @@ private[graft] object Warehouse {
     (before, partFiles)
   }
 
+  /** Delete partition directories under `path` whose value is not in
+    * `live` — the shared tail of every dynamic-overwrite rewrite that
+    * can EMPTY a partition (dynamic overwrite never touches
+    * partitions absent from the writeout, so their stale files must
+    * go explicitly; hand-copied three times before this helper —
+    * round-18 review). `restrictTo` limits the sweep to a candidate
+    * value set (the delete path must never touch partitions it did
+    * not rewrite). Bounded driver work: partition values here are
+    * ≤ 36 one-char prefixes. */
+  private[graft] def deleteStalePartitionDirs(path: String,
+      partitionCol: String, live: Set[String],
+      restrictTo: Option[Set[String]] = None): Unit =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory &&
+        d.getName.startsWith(s"$partitionCol="))
+      .filter { d =>
+        val v = d.getName.stripPrefix(s"$partitionCol=")
+        !live(v) && restrictTo.forall(_(v))
+      }
+      .foreach(deleteRec)
+
   /** Record last use as a marker OBJECT (the only channel the marker
     * protocol has — no directory mtimes on an object store). */
   private def writeLastUse(dir: java.io.File): Unit =
