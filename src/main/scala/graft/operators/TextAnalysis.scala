@@ -520,7 +520,12 @@ object TextAnalysis {
     *    the caller. */
   def buildCmsArtifact(docs: DataFrame, idCol: String, textCol: String,
       dir: String, eps: Double, confidence: Double, seed: Int): Unit = {
+    // materialize once: toks feeds BOTH the counts write and the
+    // sketch fold — un-checkpointed, the corpus would be tokenized
+    // twice per build (round-18 ADVICE; the append path already
+    // checkpoints its batch toks for the same reason)
     val toks = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .localCheckpoint(true)
     new java.io.File(dir).mkdirs()
     segmentTokenCounts(toks)
       .write.mode("overwrite").partitionBy("pfx")
@@ -612,11 +617,18 @@ object TextAnalysis {
     val merged = readCmsBin(dir)
     merged.mergeInPlace(toks.stat.countMinSketch("t",
       epsE9 / 1e9, confE6 / 1e6, seed.toInt))
+    // ledger FIRST (round-18 ADVICE, matching the delete paths'
+    // ordering): a crash after the ledger lands but before the
+    // segment/sketch writes makes the RETRY fail loudly on the
+    // append-only guard (repair = rebuild) — the safe failure. The
+    // old segment-then-sketch-then-ledger order left the batch's data
+    // present but unledgered, so a retry passed requireAppendOnly and
+    // silently double-counted the batch: the disarmed-guard class.
+    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
     segmentTokenCounts(toks)
       .write.mode("append").partitionBy("pfx")
       .parquet(s"$dir/counts.parquet")
     writeCmsBin(merged, dir)
-    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
   }
 
   /** [[heavyHittersChecked]] served from the persisted artifact: the

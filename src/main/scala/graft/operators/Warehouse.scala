@@ -455,8 +455,11 @@ private[graft] object Warehouse {
       count(col("__id")).as("n"),
       countDistinct(col("__id")).as("nd")).collect()(0)
     val (rows, n, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // `what` carries the full operation name ("BM25 index delete",
+    // "CMS artifact append") — no hardcoded verb here, the guard
+    // serves append AND delete paths (round-18 ADVICE)
     require(rows == n,
-      s"$what append batch contains ${rows - n} NULL ids — a null " +
+      s"$what batch contains ${rows - n} NULL ids — a null " +
         "never matches the ledger probe, so the batch would be " +
         "silently re-ingestable forever; assign real ids first")
     if (n != nd) {
@@ -465,8 +468,8 @@ private[graft] object Warehouse {
         .filter(col("c") > 1).limit(5).collect()
         .map(_.get(0)).mkString(", ")
       throw new IllegalArgumentException(
-        s"$what append batch contains duplicated ids ($n rows, " +
-          s"$nd distinct): $dups… — appending one doc twice " +
+        s"$what batch contains duplicated ids ($n rows, " +
+          s"$nd distinct): $dups… — carrying one doc twice " +
           "duplicates its index rows exactly like a re-ingest; " +
           "deduplicate the batch first")
     }
@@ -618,7 +621,14 @@ private[graft] object Warehouse {
       .filter(d => d.isDirectory &&
         d.getName.startsWith(s"$partitionCol="))
       .filter { d =>
-        val v = d.getName.stripPrefix(s"$partitionCol=")
+        // directory names carry Spark's partition-path ESCAPING
+        // (spaces, '%', '=' arrive percent-encoded), while `live` and
+        // `restrictTo` hold raw partition VALUES from collect() —
+        // compare in value space or a value containing an escaped
+        // char would never match `live` and its freshly rewritten
+        // directory would be deleted (round-18 ADVICE)
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getName.stripPrefix(s"$partitionCol="))
         !live(v) && restrictTo.forall(_(v))
       }
       .foreach(deleteRec)
