@@ -146,6 +146,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // exclusive run lock shared with ScaleBench (round-19 verdict
+    // #6): overlapped measurement runs contaminate both artifacts
+    val runLock = RunLock.acquire("target/graft-bench.lock")
+    try mainLocked() finally runLock.close()
+  }
+
+  private def mainLocked(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)

@@ -217,7 +217,7 @@ object ScaleBench {
       var compacted = (0, 0)
       val cBm25 = timed {
         compacted = Warehouse.compactIndexPartitions(spark,
-          s"$tmp/bm25/postings.parquet", "pfx")
+          s"$tmp/bm25", "postings.parquet", "pfx")
       }
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
@@ -225,6 +225,20 @@ object ScaleBench {
       // re-ingest of the same batch ids
       val aNd = timed(TextDedup.appendToNearDupIndex(spark, batchDocs,
         s"$tmp/ndidx", "doc_id", "text"))
+      // near-dup DELETE tier (round-19): tombstone the appended batch
+      // (∝ batch — one ledger append after batch-sized guard probes),
+      // then the physical purge (∝ index by contract)
+      val dNd = timed(TextDedup.deleteFromNearDupIndex(spark,
+        batchDocs, s"$tmp/ndidx", "doc_id"))
+      val gNd = timed(TextDedup.purgeNearDupDeletes(spark, s"$tmp/ndidx"))
+      // ANN delete tier (round-19): doc-local tombstones — the ledger
+      // append is the whole delete — then the purge rewrite
+      val dIvf = timed(Similarity.deleteFromIvfIndex(spark, batchVecs,
+        "vec_id", s"$tmp/ivf"))
+      val gIvf = timed(Similarity.purgeIvfDeletes(spark, s"$tmp/ivf"))
+      val dPq = timed(Similarity.deleteFromPqIndex(spark, batchVecs,
+        "vec_id", s"$tmp/pq"))
+      val gPq = timed(Similarity.purgePqDeletes(spark, s"$tmp/pq"))
       // substring-window segment index (q151): the append writes the
       // batch's own (d, df) counts as a new segment and never reads
       // existing ones — the purest ∝-batch shape in the family
@@ -232,21 +246,42 @@ object ScaleBench {
         "text", Curation.Q147SpanLen, s"$tmp/ssidx"))
       val aSs = timed(TextDedup.appendToSubstringIndex(spark,
         batchDocs, s"$tmp/ssidx", "doc_id", "text"))
-      // batch-restricted SERVING against the substring index
-      // (round-17 verdict #1): the SAME fixed batch scored against a
-      // 1× and an m× index — near-flat growth measures the
-      // batch-digest semi-join restriction (the unrestricted shape
-      // sum-merged the ENTIRE corpus-token-sized segment table per
-      // call, so this row grew with the index)
+      // dup-summary compaction (round-19 verdict #2): fold the
+      // segments, mint `dups.parquet` — after this, serving probes
+      // the summary instead of scanning every corpus window
+      val cSsSummary = timed(
+        TextDedup.compactSubstringSegments(spark, s"$tmp/ssidx"))
+      // SERVING the fixed batch against the COMPACTED index — the
+      // deployment steady state and THE law row: cost ∝ dup summary
+      // ∩ batch (the batch's own mass sits in the base, whose
+      // unique windows are decided by summary ABSENCE — no base
+      // scan), so the 1×→m× growth should be near-flat where the
+      // round-18 full-segment restriction still read every (d, df)
+      // row (0.70 → 2.80 s at 100×)
       val sSs = (1 to 2).map(_ => timed(
         TextDedup.substringSpansFromIndex(spark, batchDocs,
             "doc_id", "text", s"$tmp/ssidx")
           .write.format("noop").mode("overwrite").save())).min
+      // a SECOND disjoint batch appended post-compaction lands in the
+      // delta table; serving the original batch then pays summary ⊕
+      // delta scan (no base probe — disjoint windows), still ∝
+      // dup-set + recent deltas
+      val batch2 = batchDocs.select(
+        (col("doc_id") + lit(1000000L * ScaleCorpus.IdStride))
+          .as("doc_id"),
+        concat(col("text"), lit(" deltabatch")).as("text"))
+        .localCheckpoint(true)
+      TextDedup.appendToSubstringIndex(spark, batch2, s"$tmp/ssidx",
+        "doc_id", "text")
+      val sSsDelta = (1 to 2).map(_ => timed(
+        TextDedup.substringSpansFromIndex(spark, batchDocs,
+            "doc_id", "text", s"$tmp/ssidx")
+          .write.format("noop").mode("overwrite").save())).min
       // tombstone delete of the SAME fixed batch (∝ batch: one window
-      // pass + one negative segment + the tombstone ledger), then the
-      // SUMMING compaction that physically reclaims cancelled mass —
-      // rows before/after are the receipt. ONE delete rep (a second
-      // would be refused — the batch is no longer active).
+      // pass + one negative delta segment + the tombstone ledger),
+      // then the SUMMING compaction that physically reclaims the
+      // cancelled mass — rows before/after are the receipt. ONE
+      // delete rep (a second would be refused — no longer active).
       val dSs = timed(TextDedup.deleteFromSubstringIndex(spark,
         batchDocs, s"$tmp/ssidx", "doc_id", "text"))
       var ssRows = (0L, 0L)
@@ -260,7 +295,7 @@ object ScaleBench {
       var ledger = (0, 0)
       val cLedger = timed {
         ledger = Warehouse.compactUnpartitionedLedger(spark,
-          s"$tmp/bm25/ids.parquet")
+          s"$tmp/bm25", "ids.parquet")
       }
       // BM25 tombstone delete of the SAME fixed batch (∝ batch: one
       // batch tokenize + a touched-prefix dfs rewrite + the ledger —
@@ -282,6 +317,25 @@ object ScaleBench {
         seed = 42))
       val aCms = timed(TextAnalysis.appendToCmsArtifact(spark,
         batchDocs, "doc_id", "text", s"$tmp/cms"))
+      // BPE train law (round-19 verdict #4): incremental pair-count
+      // maintenance vs the retired per-round full recount, SAME
+      // corpus and merge count — the recount grows ∝ rounds × vocab
+      // while the incremental trainer's explode work rides only the
+      // winning pair's words. The recount contrast joins the
+      // retired-shape family behind SKIP_FIXED (at 100× it is
+      // exactly the cost the incremental trainer exists to avoid;
+      // -1 = skipped, documented in BASELINE.md).
+      val bpeMerges = 64
+      val tBpe = timed {
+        graft.operators.Bpe.trainMerges(docs, "text", bpeMerges)
+        ()
+      }
+      val skipFixedMaint =
+        sys.env.contains("SPARK_GRAFT_SCALE_SKIP_FIXED")
+      val tBpeRecount = if (skipFixedMaint) -1.0 else timed {
+        graft.operators.Bpe.trainMergesRecount(docs, "text", bpeMerges)
+        ()
+      }
       Seq("ivf_build_sec" -> bIvf, "ivf_append_sec" -> aIvf,
         "pq_build_sec" -> bPq, "pq_append_sec" -> aPq,
         "bloom_build_sec" -> bBloom, "bloom_merge_sec" -> aBloom,
@@ -295,8 +349,13 @@ object ScaleBench {
         "bm25_compact_files_before" -> compacted._1.toDouble,
         "bm25_compact_files_after" -> compacted._2.toDouble,
         "neardup_build_sec" -> bNd, "neardup_append_sec" -> aNd,
+        "neardup_delete_sec" -> dNd, "neardup_purge_sec" -> gNd,
+        "ivf_delete_sec" -> dIvf, "ivf_purge_sec" -> gIvf,
+        "pq_delete_sec" -> dPq, "pq_purge_sec" -> gPq,
         "substring_build_sec" -> bSs, "substring_append_sec" -> aSs,
+        "substring_summary_sec" -> cSsSummary,
         "substring_serve_sec" -> sSs,
+        "substring_serve_delta_sec" -> sSsDelta,
         "substring_delete_sec" -> dSs,
         "substring_compact_sec" -> cSs,
         "substring_rows_before" -> ssRows._1.toDouble,
@@ -304,7 +363,9 @@ object ScaleBench {
         "bm25_ledger_compact_sec" -> cLedger,
         "bm25_ledger_files_before" -> ledger._1.toDouble,
         "bm25_ledger_files_after" -> ledger._2.toDouble,
-        "cms_build_sec" -> bCms, "cms_merge_sec" -> aCms)
+        "cms_build_sec" -> bCms, "cms_merge_sec" -> aCms,
+        "bpe_train_sec" -> tBpe,
+        "bpe_train_recount_sec" -> tBpeRecount)
     } finally Warehouse.deleteRec(new File(tmp))
   }
 
@@ -338,6 +399,14 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // exclusive run lock (round-19 verdict #6): an overlapped
+    // Bench/ScaleBench run contaminates both artifacts — refuse
+    // loudly; a crashed holder's lock dies with its JVM (see RunLock)
+    val runLock = RunLock.acquire("target/graft-bench.lock")
+    try mainLocked() finally runLock.close()
+  }
+
+  private def mainLocked(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

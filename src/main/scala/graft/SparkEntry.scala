@@ -192,6 +192,12 @@ object SparkEntry {
     "q159_link_ppr" -> (Curation.q159LinkPersonalizedPageRank _),
     "q160_substring_delete" -> (Curation.q160SubstringDelete _),
     "q161_bm25_delete" -> (Curation.q161Bm25Delete _),
+    "q162_ann_ivf_sq8_delete" -> (Curation.q162EmbedAnnIvfSq8Delete _),
+    "q163_ann_pq_delete" -> (Curation.q163EmbedAnnPqDelete _),
+    "q164_ann_ivfpq_delete" -> (Curation.q164EmbedAnnIvfPqDelete _),
+    "q165_neardup_index_delete" ->
+      (Curation.q165NearDupIndexDelete _),
+    "q166_semantic_decontam" -> (Curation.q166SemanticDecontam _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1257,6 +1263,51 @@ object SparkEntry {
     // against the tombstone ledger — the oracle recomputes BM25 over
     // the remaining corpus directly
     "q161_bm25_delete" -> bm25DeleteSql,
+    // the ANN delete tier (doc-local tombstones + serve-time
+    // anti-join): each index serves the REMAINING corpus's exact
+    // top-AnnOracleK — the oracle recomputes KNN over the corpus
+    // minus the deleted quarter directly (delete ≡ rebuild-without
+    // under the recall gate)
+    "q162_ann_ivf_sq8_delete" ->
+      knnDeleteSql(graft.operators.Curation.AnnOracleK),
+    "q163_ann_pq_delete" ->
+      knnDeleteSql(graft.operators.Curation.AnnOracleK),
+    "q164_ann_ivfpq_delete" ->
+      knnDeleteSql(graft.operators.Curation.AnnOracleK),
+    // near-dup delete tier: index built on the FULL corpus, the
+    // incoming slice deleted — serving the incoming batch then
+    // answers exactly the existing-only oracle q62/q116 share
+    // (delete ≡ rebuild-without is EXACT for doc-local tables)
+    "q165_neardup_index_delete" -> incrementalDedupSql,
+    // semantic decontamination: paraphrase probes (corpus vectors
+    // with dim 1 zeroed, ids +5M) against the stored IVF-SQ8 codes —
+    // the oracle recomputes the identical int8 quantization and
+    // quantized cosine over ALL (train, eval) pairs and keeps
+    // qc ≥ 0.8 (the q124 integer-exact discipline: every product an
+    // integer, the score a partition-order-independent rational)
+    "q166_semantic_decontam" ->
+      """WITH ev AS (SELECT vec_id + 5000000 AS vec_id,
+        |   [CAST(0 AS FLOAT)] || embedding[2:] AS embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        | sq AS (SELECT vec_id,
+        |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+        |   embedding FROM ev),
+        | q AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv FROM sq),
+        | qn AS (SELECT vec_id, qv,
+        |   sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM q),
+        | sc AS (SELECT vec_id,
+        |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+        |   embedding FROM embeddings),
+        | c AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv FROM sc),
+        | cn AS (SELECT vec_id, qv,
+        |   sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM c),
+        | p AS (SELECT c.vec_id AS train_id, e.vec_id AS eval_id,
+        |   CAST(list_dot_product(c.qv, e.qv) AS DOUBLE) / (c.nrm * e.nrm) AS qc
+        |  FROM cn c CROSS JOIN qn e)
+        |SELECT train_id, eval_id, round(qc, 6) + 0 AS score
+        |FROM p WHERE qc >= 0.8 ORDER BY eval_id, train_id""".stripMargin,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
     "q152_substring_effective" -> substringEffectiveSql,
@@ -2230,6 +2281,30 @@ FROM c ORDER BY 1"""
   private def knnSql(maxRank: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
+       |   FROM q JOIN c ON query_id <> neighbor_id),
+       | dots AS (SELECT query_id, neighbor_id,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS dot,
+       |   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS na,
+       |   sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS nb
+       |  FROM flat GROUP BY 1,2),
+       | scored AS (SELECT query_id, neighbor_id,
+       |   round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cos
+       |  FROM dots),
+       | ranked AS (SELECT query_id, neighbor_id, cos,
+       |   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $maxRank
+       |ORDER BY 1, 4""".stripMargin
+
+  /** [[knnSql]] over the corpus MINUS the ANN delete gates' quarter
+    * (vec_id ≡ 1 mod 4, sparing the query ids — mirrors
+    * Curation.annDeleteBatch): the rebuild-without ground truth a
+    * tombstone-deleted vector index must serve exactly. */
+  private def knnDeleteSql(maxRank: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+       |   WHERE NOT (vec_id % 4 = 1 AND vec_id >= 10)),
        | flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y
        |   FROM q JOIN c ON query_id <> neighbor_id),
        | dots AS (SELECT query_id, neighbor_id,

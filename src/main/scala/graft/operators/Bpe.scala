@@ -80,9 +80,69 @@ object Bpe {
   /** Train `numMerges` BPE merges over the corpus: the ordered merge
     * table ((step, x, y) driver-side — numMerges rows, the model).
     * Fails loudly if the vocabulary exhausts its pairs before
-    * `numMerges` (every word reduced to one symbol). */
+    * `numMerges` (every word reduced to one symbol).
+    *
+    * INCREMENTAL pair-count maintenance (round-19 verdict #4): the
+    * previous shape recounted every word's adjacent pairs every
+    * round — numMerges full vocab explodes, so a 32k-merge
+    * production vocabulary was ~32k corpus-vocab-sized Spark jobs.
+    * This is the standard trainer fix: between rounds, ONLY words
+    * containing the winning pair change, so the round's delta is
+    * (new pairs of affected words) − (old pairs of affected words),
+    * summed into the carried pair-count table. Per-round
+    * explode+aggregate work is ∝ affected words (typically a
+    * vanishing vocab fraction once the frequent pairs are merged);
+    * the residual per-round cost is one narrow `contains` filter +
+    * one replace projection over the vocab — no explode, no pair
+    * shuffle. The selection rule (max n, then x asc, y asc) and the
+    * counts are EXACTLY the recount's (BpeSpec pins incremental ≡
+    * recount merges on the shared training table), so q143–q145 and
+    * every stored merge table are unchanged. Driver rounds remain
+    * numMerges — inherent to BPE's sequential selection. */
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(Int, String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var vocab = wordCounts(docs, textCol)
+      .withColumn("seq", initialSeq(col("w")))
+      .localCheckpoint(true)
+    var pc = pairCounts(vocab).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String)]
+    for (step <- 1 to numMerges) {
+      val top = pc
+        .orderBy(col("n").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE training exhausted all pairs at step $step of " +
+          s"$numMerges — every word is a single symbol; lower " +
+          "numMerges")
+      val (x, y) = (top(0).getString(0), top(0).getString(1))
+      merges += ((step, x, y))
+      // the round's delta rides ONLY the words containing the winning
+      // pair (literal contains on the double-space symbol form — the
+      // same pattern applyMerge replaces)
+      val affected = vocab.filter(col("seq").contains(s" $x  $y "))
+        .localCheckpoint(true)
+      val delta = pairCounts(affected)
+        .select(col("x"), col("y"), (-col("n")).as("n"))
+        .unionByName(pairCounts(
+          affected.withColumn("seq", applyMerge(col("seq"), x, y))))
+      pc = pc.unionByName(delta)
+        .groupBy(col("x"), col("y")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint(true)
+      vocab = vocab
+        .withColumn("seq", applyMerge(col("seq"), x, y))
+        .localCheckpoint(true)
+    }
+    merges.result()
+  }
+
+  /** The per-round FULL-recount trainer the incremental
+    * [[trainMerges]] replaced — kept as the correctness reference
+    * (BpeSpec pins incremental ≡ recount merge-for-merge); never on
+    * the production path. */
+  private[graft] def trainMergesRecount(docs: DataFrame,
+      textCol: String, numMerges: Int): Seq[(Int, String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
     var vocab = wordCounts(docs, textCol)
       .withColumn("seq", initialSeq(col("w")))

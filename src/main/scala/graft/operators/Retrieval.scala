@@ -400,6 +400,7 @@ object Retrieval {
       batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val m = readBm25Meta(dir)
+    val snap = Warehouse.indexSnapshot(dir)
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     // a zero-ROW batch is a pure no-op — return before the dup
@@ -417,9 +418,11 @@ object Retrieval {
     // once the anti-join filter lifts — purge first. Checked BEFORE
     // the generic ledger probe (tombstoned ids are still in
     // ids.parquet until a purge, and the purge-first message is the
-    // actionable one).
-    if (new java.io.File(s"$dir/dels.parquet").exists()) {
-      val ghosts = spark.read.parquet(s"$dir/dels.parquet")
+    // actionable one). PHYSICAL existence check — the guards take the
+    // conservative view (a dels dir whose manifest registration
+    // crashed must still refuse).
+    if (snap.hasPhysical("dels.parquet")) {
+      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(ghosts.isEmpty,
@@ -429,7 +432,7 @@ object Retrieval {
           "first")
     }
     Warehouse.requireAppendOnly(
-      spark.read.parquet(s"$dir/ids.parquet"), batchIds, "doc_id",
+      spark.read.parquet(snap.path("ids.parquet")), batchIds, "doc_id",
       s"BM25 index at $dir",
       "double-count df/nDocs and corrupt every score")
     val postings = postingsOf(batch, idCol, textCol)
@@ -440,12 +443,12 @@ object Retrieval {
       // still enter the ledger — buildBm25Index ledgers every doc id
       // regardless of token count, and an unledgered id would pass
       // the dup guard on a later re-ingest (round-16 advice)
-      batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+      batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
       return
     }
     postings.withColumn("pfx", substring(col("term"), 1, 1))
       .write.mode("append").partitionBy("pfx")
-      .parquet(s"$dir/postings.parquet")
+      .parquet(snap.path("postings.parquet"))
     val batchDfs = dfsOf(postings)
       .withColumnRenamed("df", "bdf")
       .withColumnRenamed("maxtf", "bmaxtf")
@@ -460,7 +463,7 @@ object Retrieval {
     // what keeps append ≡ union-corpus build exact
     val touched = batchDfs.select(col("pfx")).distinct()
       .collect().map(_.getString(0)).sorted
-    val storedDfs = spark.read.parquet(s"$dir/dfs.parquet")
+    val storedDfs = spark.read.parquet(snap.path("dfs.parquet"))
       .filter(col("pfx").isin(touched.toSeq: _*))
       .select(col("term"), col("df"), col("maxtf"), col("minlen"))
       .localCheckpoint(true) // materialize BEFORE overwriting the files
@@ -483,9 +486,9 @@ object Retrieval {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pfx")
-      .parquet(s"$dir/dfs.parquet")
+      .parquet(snap.path("dfs.parquet"))
     // the id ledger grows with the batch; corpus stats are additive
-    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+    batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
     writeBm25Meta(dir, m.copy(nDocs = m.nDocs + bDocs,
       sumLen = m.sumLen + bLen))
   }
@@ -529,6 +532,7 @@ object Retrieval {
       batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val m = readBm25Meta(dir)
+    val snap = Warehouse.indexSnapshot(dir)
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
@@ -538,7 +542,7 @@ object Retrieval {
     // the broadcast batch first — a direct batch-anti-ledger join
     // would shuffle the corpus-sized ledger, round-18 review — then
     // two batch-sized sets anti-join)
-    val present = spark.read.parquet(s"$dir/ids.parquet")
+    val present = spark.read.parquet(snap.path("ids.parquet"))
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
     val unindexed = batchIds.join(present, Seq("doc_id"), "left_anti")
@@ -547,10 +551,10 @@ object Retrieval {
       s"BM25 index at $dir: doc ids ${unindexed.mkString(", ")}… were " +
         "never ingested — deleting them would subtract dfs that were " +
         "never added")
-    // …and not already tombstoned
-    val delsDir = new java.io.File(s"$dir/dels.parquet")
-    if (delsDir.exists()) {
-      val twice = spark.read.parquet(s"$dir/dels.parquet")
+    // …and not already tombstoned (physical check — the guards take
+    // the conservative view across crashed registrations)
+    if (snap.hasPhysical("dels.parquet")) {
+      val twice = spark.read.parquet(snap.path("dels.parquet"))
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(twice.isEmpty,
@@ -575,7 +579,7 @@ object Retrieval {
     // already-tombstoned guard (repair = rebuild) — the reverse
     // ordering let a retry double-subtract dfs silently, the
     // disarmed-guard failure class
-    batchIds.write.mode("append").parquet(s"$dir/dels.parquet")
+    Warehouse.appendToTable(dir, "dels.parquet", batchIds)
     if (bDocs > 0) {
       // subtract the batch's dfs from the touched prefixes — the
       // append's merge with the sign flipped; df = 0 rows drop
@@ -585,7 +589,7 @@ object Retrieval {
         .localCheckpoint(true)
       val touched = batchDfs.select(col("pfx")).distinct()
         .collect().map(_.getString(0)).sorted
-      val storedDfs = spark.read.parquet(s"$dir/dfs.parquet")
+      val storedDfs = spark.read.parquet(snap.path("dfs.parquet"))
         .filter(col("pfx").isin(touched.toSeq: _*))
         .select(col("term"), col("df"), col("maxtf"), col("minlen"))
         .localCheckpoint(true) // materialize BEFORE overwriting files
@@ -601,11 +605,11 @@ object Retrieval {
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pfx")
-        .parquet(s"$dir/dfs.parquet")
+        .parquet(snap.path("dfs.parquet"))
       // a prefix whose terms ALL dropped is absent from the writeout;
       // restricted to the touched set — untouched prefixes were never
       // rewritten and must keep their files
-      Warehouse.deleteStalePartitionDirs(s"$dir/dfs.parquet", "pfx",
+      Warehouse.deleteStalePartitionDirs(snap.path("dfs.parquet"), "pfx",
         merged.select(col("pfx")).distinct()
           .collect().map(_.getString(0)).toSet,
         restrictTo = Some(touched.toSet))
@@ -618,10 +622,10 @@ object Retrieval {
     * half of [[deleteFromBm25Index]]. Absent ledger = the pre-delete
     * layout, no filter (still v2: the file is purely additive). */
   private def withoutTombstones(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      postings: DataFrame): DataFrame =
-    if (!new java.io.File(s"$dir/dels.parquet").exists()) postings
-    else postings.join(spark.read.parquet(s"$dir/dels.parquet"),
+      spark: org.apache.spark.sql.SparkSession,
+      snap: Warehouse.IndexSnapshot, postings: DataFrame): DataFrame =
+    if (!snap.has("dels.parquet")) postings
+    else postings.join(spark.read.parquet(snap.path("dels.parquet")),
       Seq("doc_id"), "left_anti")
 
   /** Physically reclaim tombstoned docs: rewrite the postings
@@ -631,52 +635,59 @@ object Retrieval {
     * rewrite — the compaction-tier operation, run at the deployment's
     * compaction cadence, not per delete). The maxtf/minlen bounds
     * stay conservative until a rebuild re-tightens them (documented;
-    * safe — see [[deleteFromBm25Index]]). Returns (postingRowsBefore,
-    * postingRowsAfter); a ledger-less index is a no-op (0, 0). */
+    * safe — see [[deleteFromBm25Index]]).
+    *
+    * SNAPSHOT-ISOLATED (round-19): new postings and ids land in fresh
+    * epoch dirs and the THREE-table change (postings rewritten, ids
+    * shrunk, dels dropped) commits as ONE atomic manifest swap — a
+    * concurrent reader serves either the pre-purge view (old postings
+    * + tombstone anti-join) or the post-purge view (purged postings,
+    * no ledger), never old postings without the ledger. Crash before
+    * the swap leaves the pre-purge layout fully intact; the round-18
+    * write-aside-then-swap window (ids dir briefly ABSENT) is gone.
+    *
+    * Returns (postingRowsBefore, postingRowsAfter); a ledger-less
+    * index is a no-op (0, 0). */
   def purgeBm25Deletes(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Long, Long) = {
     readBm25Meta(dir) // the meta gate
-    val delsDir = new java.io.File(s"$dir/dels.parquet")
-    if (!delsDir.exists()) return (0L, 0L)
-    val dels = spark.read.parquet(s"$dir/dels.parquet").distinct()
+    val snap = Warehouse.indexSnapshot(dir)
+    if (!snap.has("dels.parquet")) return (0L, 0L)
+    val dels = spark.read.parquet(snap.path("dels.parquet")).distinct()
       .localCheckpoint(true)
-    val p = spark.read.parquet(s"$dir/postings.parquet")
+    val p = spark.read.parquet(snap.path("postings.parquet"))
     val before = p.count()
+    // the checkpoint only saves a second full scan (count + write) —
+    // the epoch layout reads old files and writes new ones, so there
+    // is no read-while-overwrite hazard left to guard
     val kept = p.join(dels, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // materialize BEFORE overwriting files
+      .localCheckpoint(true)
     val after = kept.count()
-    // refuse to purge an index down to ZERO posting rows: the
-    // partition cleanup below would then remove every data file and
-    // the next read would fail on a schema-less dir (round-18
-    // review) — the everything-deleted degenerate belongs to
-    // delete-the-directory + rebuild. Checked BEFORE any mutation.
+    // refuse to purge an index down to ZERO posting rows: an empty
+    // inverted file has nothing to serve and a later read would fail
+    // on a schema-less dir (round-18 review) — the everything-deleted
+    // degenerate belongs to delete-the-directory + rebuild. Checked
+    // BEFORE any mutation.
     require(after > 0,
       s"BM25 index at $dir: purging would remove every posting row " +
         "— an empty inverted file has nothing to serve; delete the " +
         "index directory and rebuild instead")
+    val postEpoch = Warehouse.epochDirName("postings.parquet")
     kept.repartition(col("pfx"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pfx")
-      .parquet(s"$dir/postings.parquet")
-    Warehouse.deleteStalePartitionDirs(s"$dir/postings.parquet", "pfx",
-      kept.select(col("pfx")).distinct()
-        .collect().map(_.getString(0)).toSet)
-    // active id ledger via write-aside-then-swap (the
-    // compactUnpartitionedLedger crash discipline), one part-file —
-    // the ledger receipt must keep measuring append-cycle
-    // accumulation, not this rewrite's shuffle fan-out
-    val idsPath = new java.io.File(s"$dir/ids.parquet")
-    val tmp = new java.io.File(dir,
-      s".ids.purge-${java.util.UUID.randomUUID()}")
-    spark.read.parquet(idsPath.toString)
+      .write.partitionBy("pfx")
+      .parquet(s"$dir/$postEpoch")
+    // active id ledger as one part-file — the ledger receipt must
+    // keep measuring append-cycle accumulation, not this rewrite's
+    // shuffle fan-out
+    val idsEpoch = Warehouse.epochDirName("ids.parquet")
+    spark.read.parquet(snap.path("ids.parquet"))
       .join(dels, Seq("doc_id"), "left_anti")
       .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Warehouse.deleteRec(idsPath)
-    java.nio.file.Files.move(tmp.toPath, idsPath.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Warehouse.deleteRec(delsDir)
+      .write.parquet(s"$dir/$idsEpoch")
+    Warehouse.commitEpoch(dir, snap.allTables
+      + ("postings.parquet" -> postEpoch)
+      + ("ids.parquet" -> idsEpoch)
+      - "dels.parquet")
     (before, after)
   }
 
@@ -690,6 +701,11 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtextCol: String,
       dir: String, k: Int): DataFrame = {
     val m = readBm25Meta(dir)
+    // ONE snapshot resolve per query batch: every table read below
+    // belongs to the same epoch, so a purge/compaction committing
+    // mid-query can never mix old postings with a new (or dropped)
+    // tombstone ledger
+    val snap = Warehouse.indexSnapshot(dir)
     val qterms = queryTerms(queries, qidCol, qtextCol)
       .localCheckpoint(true)
     // the probed prefixes, driver-resolved into literal partition
@@ -697,11 +713,11 @@ object Retrieval {
     // phase of any index lookup
     val prefixes = qterms.select(substring(col("term"), 1, 1).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
-    val postings = withoutTombstones(spark, dir,
-      spark.read.parquet(s"$dir/postings.parquet")
+    val postings = withoutTombstones(spark, snap,
+      spark.read.parquet(snap.path("postings.parquet"))
         .filter(col("pfx").isin(prefixes.toSeq: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("len")))
-    val dfs = spark.read.parquet(s"$dir/dfs.parquet")
+    val dfs = spark.read.parquet(snap.path("dfs.parquet"))
       .filter(col("pfx").isin(prefixes.toSeq: _*))
       .select(col("term"), col("df"), col("maxtf"), col("minlen"))
     bm25ServeMaxScore(qterms, postings, dfs, m.nDocs, m.sumLen, k,

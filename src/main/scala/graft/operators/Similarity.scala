@@ -441,7 +441,17 @@ object Similarity {
       Warehouse.metaLong(meta, dir, key).toInt
     val assignments = metaInt("assignments")
     val nLists = metaInt("nLists")
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val snap = Warehouse.indexSnapshot(dir)
+    // a TOMBSTONED id is not re-appendable until the purge physically
+    // removes its old rows — they would resurface next to the new
+    // generation's under one id once the serve-time anti-join lifts
+    // (the BM25 q161 rule; duplicate APPENDS of a live id stay benign
+    // — serving dedups candidate pairs)
+    requireNoTombstoned(spark, snap,
+      batch.select(col(idCol).as("neighbor_id")).distinct()
+        .localCheckpoint(true),
+      s"IVF index at $dir")
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
       .localCheckpoint(true)
     // cross-check the full geometry, not just the redundancy
     // (round-16 ADVICE): a hand-assembled directory whose centroids
@@ -459,7 +469,7 @@ object Similarity {
       .withColumn("codes",
         int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>"))
       .write.mode("append").partitionBy("list_id")
-      .parquet(s"$dir/assignments.parquet")
+      .parquet(snap.path("assignments.parquet"))
   }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): probe the
@@ -471,8 +481,13 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
-    val assigned = spark.read.parquet(s"$dir/assignments.parquet")
+    // ONE snapshot per batch: both artifact scans and the tombstone
+    // filter resolve against the same epoch (a purge committing
+    // mid-query can never mix old rows with a dropped ledger)
+    val snap = Warehouse.indexSnapshot(dir)
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
+    val assigned = withoutDeleted(spark, snap,
+      spark.read.parquet(snap.path("assignments.parquet")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // checkpoint the tiny probe table (queries x nProbe rows): it has
     // TWO consumers — the driver-side probed-id resolve and the
@@ -542,7 +557,8 @@ object Similarity {
   def ivfSq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val snap = Warehouse.indexSnapshot(dir)
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // checkpoint the tiny probe table (queries x nProbe rows): it has
     // TWO consumers — the driver-side probed-id resolve and the
@@ -562,9 +578,10 @@ object Similarity {
     // phase 2: the codes-only serving scan. The projection lists
     // exactly the prerank columns so the parquet reader never
     // materializes `cv` — the scan IS the int8 memory layout.
-    val codeScan = spark.read.parquet(s"$dir/assignments.parquet")
-      .filter(col("list_id").isin(probedIds.toSeq: _*))
-      .select(col("list_id"), col("neighbor_id"), col("codes"))
+    val codeScan = withoutDeleted(spark, snap,
+      spark.read.parquet(snap.path("assignments.parquet"))
+        .filter(col("list_id").isin(probedIds.toSeq: _*))
+        .select(col("list_id"), col("neighbor_id"), col("codes")))
     val prerank = broadcast(qCoded).join(codeScan, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // multi-assignment: a pair can meet in several probed lists
@@ -589,7 +606,9 @@ object Similarity {
     // dedup before the join would be an aggregate over every probed
     // row's float vector, re-shipping the very column the SQ8
     // layout exists to avoid (round-15 review).
-    val cvFetch = spark.read.parquet(s"$dir/assignments.parquet")
+    // no tombstone filter needed here: a deleted id cannot survive
+    // the (filtered) prerank, and cvFetch only joins survivors
+    val cvFetch = spark.read.parquet(snap.path("assignments.parquet"))
       .filter(col("list_id").isin(probedIds.toSeq: _*))
       .select(col("neighbor_id"), col("cv"))
     val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
@@ -919,19 +938,24 @@ object Similarity {
       Warehouse.metaLong(meta, dir, key).toInt
     val dims = metaInt("dims"); val m = metaInt("m")
     val ks = metaInt("ks")
+    val snap = Warehouse.indexSnapshot(dir)
     val nBooks = graft.Tables.parquetRowCount(spark,
-      s"$dir/books.parquet")
+      snap.path("books.parquet"))
     require(nBooks == m.toLong * ks,
       s"PQ index at $dir is inconsistent: _meta.json declares " +
         s"m=$m ks=$ks (${m * ks} book entries) but books.parquet " +
         s"holds $nBooks — rebuild the index")
-    val books = spark.read.parquet(s"$dir/books.parquet")
+    val books = spark.read.parquet(snap.path("books.parquet"))
       .localCheckpoint(true)
     val b = batch.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
+    // tombstoned ids must purge before re-appending (see
+    // [[appendToIvfIndex]])
+    requireNoTombstoned(spark, snap,
+      b.select(col("neighbor_id")).distinct(), s"PQ index at $dir")
     encodePq(subvectors(b, m, dims / m), books)
       .join(b, Seq("neighbor_id"))
-      .write.mode("append").parquet(s"$dir/codes.parquet")
+      .write.mode("append").parquet(snap.path("codes.parquet"))
   }
 
   /** Serve ANN from a persisted PQ index ([[buildPqIndex]]):
@@ -956,10 +980,14 @@ object Similarity {
     val dims = metaInt("dims")
     val m = metaInt("m")
     val ks = metaInt("ks")
-    val books = spark.read.parquet(s"$dir/books.parquet")
-    val stored = spark.read.parquet(s"$dir/codes.parquet")
+    val snap = Warehouse.indexSnapshot(dir)
+    val books = spark.read.parquet(snap.path("books.parquet"))
+    val stored = spark.read.parquet(snap.path("codes.parquet"))
+    // tombstone filter on the PRERANK side only: a deleted id cannot
+    // survive it, and the float fetch joins survivors
     pqServe(queries, idCol, vecCol, books,
-      stored.select(col("neighbor_id"), col("codes"), col("xnorm")),
+      withoutDeleted(spark, snap,
+        stored.select(col("neighbor_id"), col("codes"), col("xnorm"))),
       stored.select(col("neighbor_id"), col("cv")),
       k, m, ks, dims / m, rerank)
   }
@@ -1021,6 +1049,52 @@ object Similarity {
         s""""ks":$ks,"pqIterations":$pqIterations}""")
   }
 
+  /** Append an ingest batch to a persisted IVF-PQ index WITHOUT a
+    * rebuild — the composed analog of [[appendToIvfIndex]] +
+    * [[appendToPqIndex]] (both coarse quantizer and codebooks are
+    * trained artifacts; neither moves per batch): the batch assigns
+    * to the stored centroids, encodes against the stored books, and
+    * its rows append into the matching `list_id` partitions. Same
+    * identity as the parents (per-vector against fixed artifacts ≡
+    * the union build on these artifacts), same geometry cross-checks,
+    * same tombstone purge-first rule, per-cycle cost ∝ batch. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val meta = Warehouse.readMetaJson(dir, "IVF-PQ index")
+    def metaInt(key: String): Int =
+      Warehouse.metaLong(meta, dir, key).toInt
+    val dims = metaInt("dims"); val m = metaInt("m")
+    val ks = metaInt("ks"); val nLists = metaInt("nLists")
+    val assignments = metaInt("assignments")
+    val snap = Warehouse.indexSnapshot(dir)
+    val nBooks = graft.Tables.parquetRowCount(spark,
+      snap.path("books.parquet"))
+    val nCent = graft.Tables.parquetRowCount(spark,
+      snap.path("centroids.parquet"))
+    require(nBooks == m.toLong * ks,
+      s"IVF-PQ index at $dir is inconsistent: _meta.json declares " +
+        s"m=$m ks=$ks (${m * ks} book entries) but books.parquet " +
+        s"holds $nBooks — rebuild the index")
+    require(nCent == nLists,
+      s"IVF-PQ index at $dir is inconsistent: _meta.json declares " +
+        s"nLists=$nLists but centroids.parquet holds $nCent — " +
+        "rebuild the index")
+    val b = batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")).localCheckpoint(true)
+    requireNoTombstoned(spark, snap,
+      b.select(col("neighbor_id")).distinct(), s"IVF-PQ index at $dir")
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
+      .localCheckpoint(true)
+    val books = spark.read.parquet(snap.path("books.parquet"))
+      .localCheckpoint(true)
+    assign(b, centroids, assignments)
+      .join(encodePq(subvectors(b, m, dims / m), books),
+        Seq("neighbor_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(snap.path("assignments.parquet"))
+  }
+
   /** Serve ANN from a persisted IVF-PQ index ([[buildIvfPqIndex]]) —
     * the deepest serving rung: probe → static partition prune → ADC
     * over probed lists only → exact rerank.
@@ -1055,17 +1129,18 @@ object Similarity {
       Warehouse.metaLong(meta, dir, key).toInt
     val dims = metaInt("dims"); val m = metaInt("m")
     val ks = metaInt("ks"); val nLists = metaInt("nLists")
-    val books = spark.read.parquet(s"$dir/books.parquet")
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val snap = Warehouse.indexSnapshot(dir)
+    val books = spark.read.parquet(snap.path("books.parquet"))
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
     // cross-check stored geometry against the meta declaration — a
     // hand-assembled dir with mismatched books/centroids must fail
     // loudly, not silently misalign the positional ADC table. Counts
     // come from the parquet FOOTERS ([[graft.Tables.parquetRowCount]])
     // — zero Spark jobs, so the check costs microseconds per batch
     val nBooks = graft.Tables.parquetRowCount(spark,
-      s"$dir/books.parquet")
+      snap.path("books.parquet"))
     val nCent = graft.Tables.parquetRowCount(spark,
-      s"$dir/centroids.parquet")
+      snap.path("centroids.parquet"))
     require(nBooks == m.toLong * ks,
       s"IVF-PQ index at $dir is inconsistent: _meta.json declares " +
         s"m=$m ks=$ks (${m * ks} book entries) but books.parquet " +
@@ -1083,11 +1158,14 @@ object Similarity {
     val probes = probeLists(q, centroids, nProbe).localCheckpoint(true)
     val probedIds = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    // phase 2: the codes-only, partition-pruned serving scan
-    val codeScan = spark.read.parquet(s"$dir/assignments.parquet")
-      .filter(col("list_id").isin(probedIds.toSeq: _*))
-      .select(col("list_id"), col("neighbor_id"), col("codes"),
-        col("xnorm"))
+    // phase 2: the codes-only, partition-pruned serving scan (with
+    // the serve-time tombstone filter — survivors drive phase 3, so
+    // the prerank filter alone keeps deleted ids out)
+    val codeScan = withoutDeleted(spark, snap,
+      spark.read.parquet(snap.path("assignments.parquet"))
+        .filter(col("list_id").isin(probedIds.toSeq: _*))
+        .select(col("list_id"), col("neighbor_id"), col("codes"),
+          col("xnorm")))
     // multi-assignment dedup runs on the NARROW candidate rows
     // (query_id, neighbor_id, m-byte codes, xnorm ≈ tens of bytes)
     // BEFORE the per-query ADC table attaches: a distinct over rows
@@ -1116,7 +1194,7 @@ object Similarity {
     // map-side joined against the broadcast survivor set, dedup
     // AFTER the join keyed on the survivor pair (the q126 rationale:
     // a pre-join dedup would aggregate every probed row's floats)
-    val cvFetch = spark.read.parquet(s"$dir/assignments.parquet")
+    val cvFetch = spark.read.parquet(snap.path("assignments.parquet"))
       .filter(col("list_id").isin(probedIds.toSeq: _*))
       .select(col("neighbor_id"), col("cv"))
     val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
@@ -1125,6 +1203,239 @@ object Similarity {
     topKByScore(exact, "cos", k)
       .select(col("query_id"), col("neighbor_id"), col("cos"),
         col("rank"))
+  }
+
+  // ── tombstone deletes for the stored ANN indexes (round-19
+  //    verdict #3 — the q161 pattern where rows are DOC-LOCAL) ──────
+
+  /** Serve-time tombstone filter: anti-join the ledger on
+    * neighbor_id. Un-hinted — AQE broadcasts the (small) ledger while
+    * deletion volume is low, degrades to a shuffle otherwise.
+    * Manifest-gated like the BM25 twin: a post-purge reader must not
+    * see the superseded ledger dir in its grace window. */
+  private def withoutDeleted(spark: org.apache.spark.sql.SparkSession,
+      snap: Warehouse.IndexSnapshot, rows: DataFrame): DataFrame =
+    if (!snap.has("dels.parquet")) rows
+    else rows.join(spark.read.parquet(snap.path("dels.parquet")),
+      Seq("neighbor_id"), "left_anti")
+
+  /** Append-side ghost guard shared by the IVF/PQ appends: a
+    * tombstoned id stays un-appendable until the purge physically
+    * removes its old rows. PHYSICAL ledger check — conservative
+    * across crashed manifest registrations. */
+  private def requireNoTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      snap: Warehouse.IndexSnapshot, batchIds: DataFrame,
+      what: String): Unit =
+    if (snap.hasPhysical("dels.parquet")) {
+      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
+        .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(ghosts.isEmpty,
+        s"$what: ids ${ghosts.mkString(", ")}… are tombstoned — " +
+          "re-ingesting before the purge would resurface their old " +
+          "rows under the same id; purge first")
+    }
+
+  /** Tombstone DELETES for the stored vector indexes — the easy
+    * shape of the q160/q161 delete tier: every stored row is
+    * DOC-LOCAL (a vector's assignment/code row is a function of the
+    * vector alone), so there is NO aggregate to cancel — the delete
+    * is one tombstone-ledger append, serving filters with a
+    * serve-time anti-join, and the matching purge physically
+    * reclaims. Takedown/opt-out applies to embeddings exactly as to
+    * postings; re-deriving a 10⁹-vector index per removal batch is
+    * not an option.
+    *
+    * `batch` needs only the id column (no vectors — deletion is by
+    * identity). Guards: NULL/duplicate batch ids refused (the shared
+    * discipline), every id must be INDEXED (present in the stored
+    * rows), not already tombstoned, and the delete must not empty
+    * the index (an index over zero vectors has nothing to serve —
+    * delete the directory and rebuild instead). The ledger write is
+    * the ONLY mutation, so crash ordering is trivial: a retry after
+    * a committed write fails loudly on the already-tombstoned guard.
+    * Deleted ids become re-appendable only after the purge (their
+    * physical rows would otherwise resurface — the BM25 rule). */
+  private def deleteFromVectorIndex(
+      spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, dir: String, table: String, what: String): Unit = {
+    Warehouse.readMetaJson(dir, what) // the meta gate
+    val snap = Warehouse.indexSnapshot(dir)
+    Warehouse.requireUniqueBatchIds(batch, col(idCol), s"$what delete")
+    val batchIds = batch.select(col(idCol).as("neighbor_id"))
+      .distinct().localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    // every id must be indexed: column-pruned id scan, semi-joined
+    // MAP-SIDE against the broadcast batch (exchange ∝ batch)
+    val present = spark.read.parquet(snap.path(table))
+      .select(col("neighbor_id"))
+      .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
+      .distinct() // multi-assignment stores one row per list
+      .localCheckpoint(true)
+    val unindexed = batchIds.join(present, Seq("neighbor_id"),
+      "left_anti").limit(5).collect().map(_.get(0))
+    require(unindexed.isEmpty,
+      s"$what: ids ${unindexed.mkString(", ")}… were never indexed " +
+        "— a tombstone for an absent vector can only mask a caller " +
+        "bug; nothing would be deleted")
+    if (snap.hasPhysical("dels.parquet")) {
+      val twice = spark.read.parquet(snap.path("dels.parquet"))
+        .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(twice.isEmpty,
+        s"$what: ids ${twice.mkString(", ")}… are already tombstoned")
+    }
+    // refuse to tombstone the LAST live vectors: serving would return
+    // empty top-ks and the purge would be refused — a dead index.
+    // One column-pruned scan with an early-out limit(1).
+    val delsAll = if (snap.hasPhysical("dels.parquet"))
+      batchIds.unionByName(spark.read.parquet(snap.path("dels.parquet"))
+        .select(col("neighbor_id")))
+    else batchIds
+    val remaining = spark.read.parquet(snap.path(table))
+      .select(col("neighbor_id"))
+      .join(broadcast(delsAll.distinct().localCheckpoint(true)),
+        Seq("neighbor_id"), "left_anti")
+      .limit(1).collect()
+    require(remaining.nonEmpty,
+      s"$what: this delete tombstones every indexed vector — an " +
+        "index over zero vectors has nothing to serve; delete the " +
+        "index directory and rebuild instead")
+    Warehouse.appendToTable(dir, "dels.parquet", batchIds)
+  }
+
+  /** Physically reclaim tombstoned vectors: rewrite the stored rows
+    * without the deleted ids and drop the ledger — after which the
+    * purged ids are re-appendable. Cost ∝ index (the compaction-tier
+    * rewrite). SNAPSHOT-ISOLATED: the rewritten table lands in a
+    * fresh epoch dir and the two-table change (rows rewritten, dels
+    * dropped) commits as one atomic manifest swap — a concurrent
+    * reader serves the pre-purge view (old rows + anti-join) or the
+    * post-purge view, never old rows without the ledger. Returns
+    * (rowsBefore, rowsAfter); ledger-less index is a no-op (0, 0). */
+  private def purgeVectorIndexDeletes(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, partitionCol: Option[String],
+      what: String): (Long, Long) = {
+    Warehouse.readMetaJson(dir, what) // the meta gate
+    val snap = Warehouse.indexSnapshot(dir)
+    if (!snap.has("dels.parquet")) return (0L, 0L)
+    val dels = spark.read.parquet(snap.path("dels.parquet"))
+      .distinct().localCheckpoint(true)
+    val rows = spark.read.parquet(snap.path(table))
+    val before = rows.count()
+    val kept = rows.join(dels, Seq("neighbor_id"), "left_anti")
+      .localCheckpoint(true) // one materialization: count + write
+    val after = kept.count()
+    require(after > 0,
+      s"$what: purging would remove every stored row — delete the " +
+        "index directory and rebuild instead")
+    val epochName = Warehouse.epochDirName(table)
+    partitionCol match {
+      case Some(pc) => kept.repartition(col(pc))
+        .write.partitionBy(pc).parquet(s"$dir/$epochName")
+      case None => kept.write.parquet(s"$dir/$epochName")
+    }
+    Warehouse.commitEpoch(dir, snap.allTables
+      + (table -> epochName) - "dels.parquet")
+    (before, after)
+  }
+
+  /** [[deleteFromVectorIndex]] for the IVF / IVF-SQ8 artifact
+    * ([[buildIvfIndex]] — one artifact serves both q115 and q126):
+    * tombstones filter both serving paths' assignment scans. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, dir: String): Unit =
+    deleteFromVectorIndex(spark, batch, idCol, dir,
+      "assignments.parquet", s"IVF index at $dir")
+
+  def purgeIvfDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) =
+    purgeVectorIndexDeletes(spark, dir, "assignments.parquet",
+      Some("list_id"), s"IVF index at $dir")
+
+  /** [[deleteFromVectorIndex]] for the flat PQ artifact
+    * ([[buildPqIndex]]). */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, dir: String): Unit =
+    deleteFromVectorIndex(spark, batch, idCol, dir, "codes.parquet",
+      s"PQ index at $dir")
+
+  def purgePqDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) =
+    purgeVectorIndexDeletes(spark, dir, "codes.parquet", None,
+      s"PQ index at $dir")
+
+  /** [[deleteFromVectorIndex]] for the IVF-PQ (IVFADC) artifact
+    * ([[buildIvfPqIndex]]). */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, dir: String): Unit =
+    deleteFromVectorIndex(spark, batch, idCol, dir,
+      "assignments.parquet", s"IVF-PQ index at $dir")
+
+  def purgeIvfPqDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) =
+    purgeVectorIndexDeletes(spark, dir, "assignments.parquet",
+      Some("list_id"), s"IVF-PQ index at $dir")
+
+  /** SEMANTIC eval-set decontamination from the stored IVF-SQ8 index
+    * (round-19 verdict #5) — the embedding twin of the q64 n-gram
+    * sweep: paraphrased or translated eval contamination shares no
+    * verbatim 8-gram, so the n-gram pass walks straight past it, but
+    * it sits at high cosine to its source. Eval queries PROBE the
+    * corpus index ([[buildIvfIndex]]'s artifact — the same one
+    * q115/q126 serve from) and every corpus vector whose QUANTIZED
+    * cosine reaches `tau` is flagged as (train_id, eval_id, score).
+    *
+    * Scoring is the q124 integer-exact discipline over the index's
+    * STORED int8 codes: per-vector scales cancel out of the cosine,
+    * every product and partial sum is an integer below 2⁵³, so the
+    * score is a partition-order-independent rational — hash-exact
+    * under a DuckDB oracle recomputing the same quantization, no
+    * tolerance flag. The float column is never read.
+    *
+    * Scale shape: the eval side is tiny by nature (benchmarks are
+    * KBs–MBs against a 100 TB corpus) and broadcasts; each eval
+    * vector reads only its `nProbe` nearest lists' code columns
+    * (static partition pruning, the q126 mechanics), so the sweep
+    * costs probes × list size — never a corpus scan. Recall is
+    * dataset-conditional like every ANN gate: a τ-near pair has
+    * strong nearest-centroid locality (the cluster-fixture
+    * argument), and the q166 gate's planted paraphrases sit at
+    * cos ≈ 0.99. Tombstoned (deleted) corpus vectors never flag. */
+  def semanticContaminationFromIndex(
+      spark: org.apache.spark.sql.SparkSession, evalSet: DataFrame,
+      idCol: String, vecCol: String, dir: String, tau: Double,
+      nProbe: Int = 4): DataFrame = {
+    val snap = Warehouse.indexSnapshot(dir)
+    val centroids = spark.read.parquet(snap.path("centroids.parquet"))
+    val q = evalSet.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val probes = probeLists(q, centroids, nProbe).localCheckpoint(true)
+    val probedIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val qCoded = probes
+      .withColumn("sa", int8Scale(col("qv")))
+      .withColumn("qcodes",
+        int8CodesFrom(col("qv"), col("sa")).cast("array<float>"))
+      .select(col("query_id"), col("qcodes"), col("list_id"))
+    val codeScan = withoutDeleted(spark, snap,
+      spark.read.parquet(snap.path("assignments.parquet"))
+        .filter(col("list_id").isin(probedIds.toSeq: _*))
+        .select(col("list_id"), col("neighbor_id"), col("codes")))
+    broadcast(qCoded).join(codeScan, Seq("list_id"))
+      // multi-assignment: a pair can meet in several probed lists
+      .select(col("query_id"), col("qcodes"), col("neighbor_id"),
+        col("codes"))
+      .distinct()
+      .withColumn("qc",
+        cosineFast(col("qcodes"), col("codes").cast("array<float>")))
+      .filter(col("qc") >= tau)
+      .select(col("neighbor_id").as("train_id"),
+        col("query_id").as("eval_id"),
+        // + 0.0 = the mandated negative-zero normalization (q124)
+        (round(col("qc"), 6) + 0.0).as("score"))
   }
 
   /** The `nProbe` nearest lists per query (centroids broadcast). */

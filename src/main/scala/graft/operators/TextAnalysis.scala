@@ -598,13 +598,14 @@ object TextAnalysis {
       batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val (epsE9, confE6, seed) = readCmsMeta(dir)
+    val snap = Warehouse.indexSnapshot(dir)
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
     Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
       "CMS artifact")
     Warehouse.requireAppendOnly(
-      spark.read.parquet(s"$dir/ids.parquet"), batchIds, "id",
+      spark.read.parquet(snap.path("ids.parquet")), batchIds, "id",
       s"CMS artifact at $dir",
       "inflate its tokens' counts and the sketch")
     val toks = batch.select(explode(split(col(textCol), " ")).as("t"))
@@ -624,12 +625,27 @@ object TextAnalysis {
     // old segment-then-sketch-then-ledger order left the batch's data
     // present but unledgered, so a retry passed requireAppendOnly and
     // silently double-counted the batch: the disarmed-guard class.
-    batchIds.write.mode("append").parquet(s"$dir/ids.parquet")
+    batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
     segmentTokenCounts(toks)
       .write.mode("append").partitionBy("pfx")
-      .parquet(s"$dir/counts.parquet")
+      .parquet(snap.path("counts.parquet"))
     writeCmsBin(merged, dir)
   }
+
+  // NO DELETE TIER for the CMS artifact, by construction (round-19
+  // delete-contract note): a Count-Min sketch is a sum of hashed
+  // counter increments with no per-doc attribution, so removing a
+  // document's tokens from `cms.bin` is impossible — subtracting a
+  // batch sketch would break the never-undercount law for every
+  // colliding token. The EXACT count segments are additive and could
+  // cancel, but the sketch they cross-check cannot follow, and a
+  // subtracted count table against an unsubtractable sketch would
+  // fail the est ≥ cnt law this artifact exists to assert.
+  // Takedown/opt-out here is REBUILD: drop the directory and re-run
+  // [[buildCmsArtifact]] over the remaining corpus (cost ∝ corpus —
+  // the documented trade of every irreversible sketch; the Bloom
+  // artifact carries the same contract, see
+  // [[TextDedup.buildBloomArtifact]]).
 
   /** [[heavyHittersChecked]] served from the persisted artifact: the
     * exact top-k comes from one sum-merge over the (vocabulary-sized)
@@ -641,7 +657,8 @@ object TextAnalysis {
       dir: String, k: Int): DataFrame = {
     val (epsE9, _, _) = readCmsMeta(dir)
     val sketch = readCmsBin(dir)
-    val top = spark.read.parquet(s"$dir/counts.parquet")
+    val snap = Warehouse.indexSnapshot(dir)
+    val top = spark.read.parquet(snap.path("counts.parquet"))
       .groupBy(col("t")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("t")).limit(k)
       .collect() // bounded: k rows

@@ -512,96 +512,100 @@ private[graft] object Warehouse {
         s"reads/extends v$expected ($detail) only — rebuild it")
   }
 
-  /** Compact a PARTITIONED parquet artifact in place — the LSM-ish
-    * operational counterpart of the append family: every append
-    * cycle adds part-files to its touched partitions (BM25 postings,
-    * IVF/PQ assignments, near-dup keys accumulate one file per
-    * cycle), and after many cycles the per-partition file count —
-    * not the data — dominates open/plan cost. Rewrites ONLY the
+  /** Compact a PARTITIONED parquet table of the index at `indexDir`
+    * — the LSM-ish operational counterpart of the append family:
+    * every append cycle adds part-files to its touched partitions
+    * (BM25 postings, IVF/PQ assignments, near-dup keys accumulate one
+    * file per cycle), and after many cycles the per-partition file
+    * count — not the data — dominates open/plan cost. Rewrites the
     * partitions holding more than one part-file, each into a single
     * file, preserving content identity (IndexPathSpec pins query
-    * results before ≡ after): the partition's rows are materialized
-    * (localCheckpoint — never read-while-overwrite), then rewritten
-    * via per-write dynamic partition overwrite; untouched partitions
-    * keep their files byte-identical. Like the appends it cleans up
-    * after, it belongs behind the deployment's ingest-cycle barrier
-    * (or inside a warehouse publish) — it is not concurrent-safe
-    * against a simultaneous reader of the same partition.
+    * results before ≡ after); single-file partitions are HARDLINKED
+    * into the new epoch dir unrewritten (cost: one link syscall per
+    * file, never a byte rewrite — the object-store analog is a
+    * server-side copy).
+    *
+    * SNAPSHOT-ISOLATED (round-19): the compacted table lands in a
+    * fresh `<table>.e-*` dir and commits via [[commitEpoch]]'s atomic
+    * manifest swap — a concurrent reader serves the old epoch or the
+    * new, never a half-rewritten dir, and a crash before the swap
+    * leaves the old layout untouched. Mutating ops still serialize
+    * with each other (single maintenance writer per index).
     *
     * Returns (partFilesBefore, partFilesAfter) across the compacted
-    * partitions — the ScaleBench receipt. A dir already at one file
+    * partitions — the ScaleBench receipt. A table already at one file
     * per partition is a no-op (0, 0). */
   private[graft] def compactIndexPartitions(spark: SparkSession,
-      dir: String, partitionCol: String): (Int, Int) = {
+      indexDir: String, table: String, partitionCol: String): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val root = new java.io.File(dir)
-    require(root.isDirectory,
-      s"compactIndexPartitions: $dir is not a directory")
+    val snap = indexSnapshot(indexDir)
+    val cur = new java.io.File(snap.path(table))
+    require(cur.isDirectory,
+      s"compactIndexPartitions: ${snap.path(table)} is not a directory")
     def partFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val multi = Option(root.listFiles()).getOrElse(Array.empty)
+    val parts = Option(cur.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
-        d.getName.startsWith(s"$partitionCol=") &&
-        partFiles(d).length > 1)
+        d.getName.startsWith(s"$partitionCol="))
+    val multi = parts.filter(partFiles(_).length > 1)
     if (multi.isEmpty) return (0, 0)
     val before = multi.map(partFiles(_).length).sum
     val values = multi.map(_.getName.stripPrefix(s"$partitionCol="))
       .toSeq
-    val rows = spark.read.parquet(dir)
+    val epochName = epochDirName(table)
+    val epochDir = new java.io.File(indexDir, epochName)
+    // one task per partition value -> one file per partition (two
+    // values hashing together still emit one file per directory);
+    // reads old files, writes new ones — no read-while-overwrite, so
+    // no materialization barrier is needed
+    spark.read.parquet(cur.toString)
       .filter(col(partitionCol).isin(values: _*))
-      .localCheckpoint(true) // materialize BEFORE overwriting files
-    rows
-      // one task per partition value -> one file per partition (two
-      // values hashing together still emit one file per directory)
       .repartition(col(partitionCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(dir)
-    val after = multi.map(partFiles(_).length).sum
+      .write.partitionBy(partitionCol)
+      .parquet(epochDir.toString)
+    // carry the already-single-file partitions over by hardlink
+    for (p <- parts if partFiles(p).length == 1) {
+      val dst = new java.io.File(epochDir, p.getName)
+      dst.mkdirs()
+      partFiles(p).foreach(f =>
+        linkOrCopy(f, new java.io.File(dst, f.getName)))
+    }
+    commitEpoch(indexDir, snap.allTables + (table -> epochName))
+    val after = multi.map(m => partFiles(
+      new java.io.File(epochDir, m.getName)).length).sum
     (before, after)
   }
 
-  /** Compact an UNPARTITIONED parquet dir to a single part-file,
-    * content-identical — [[compactIndexPartitions]]' counterpart for
-    * the `ids.parquet` ledgers (BM25, substring, near-dup, CMS),
-    * which append one part-file per ingest cycle and have no
-    * partition column for the partitioned rewrite to key on (that
-    * function's documented limit; round-17 verdict #6). Rows are
-    * materialized first (localCheckpoint — never read-while-
-    * overwrite), then rewritten as one file; row MULTISET identity is
-    * preserved (ledger consumers are semi-join probes, order-free).
-    * Returns (partFilesBefore, partFilesAfter); a dir already at ≤ 1
-    * part-file is a no-op (0, 0). Same concurrency contract as the
-    * partitioned compaction: behind the deployment's ingest-cycle
-    * barrier, never against a concurrent reader of the same dir. */
+  /** Compact an UNPARTITIONED parquet table of the index at
+    * `indexDir` to a single part-file, content-identical —
+    * [[compactIndexPartitions]]' counterpart for the `ids.parquet`
+    * ledgers (BM25, substring, near-dup, CMS), which append one
+    * part-file per ingest cycle and have no partition column for the
+    * partitioned rewrite to key on (round-17 verdict #6). Row
+    * MULTISET identity is preserved (ledger consumers are semi-join
+    * probes, order-free). SNAPSHOT-ISOLATED like the partitioned
+    * compaction: the single file lands in a fresh epoch dir and the
+    * manifest swap is the commit — the round-18 write-aside-then-swap
+    * crash window (dir briefly ABSENT between delete and move) is
+    * gone entirely. Returns (partFilesBefore, partFilesAfter); a
+    * table already at ≤ 1 part-file is a no-op (0, 0). */
   private[graft] def compactUnpartitionedLedger(spark: SparkSession,
-      dir: String): (Int, Int) = {
-    val root = new java.io.File(dir)
-    require(root.isDirectory,
-      s"compactUnpartitionedLedger: $dir is not a directory")
-    def partFiles: Int = Option(root.listFiles())
+      indexDir: String, table: String): (Int, Int) = {
+    val snap = indexSnapshot(indexDir)
+    val cur = new java.io.File(snap.path(table))
+    require(cur.isDirectory,
+      s"compactUnpartitionedLedger: ${snap.path(table)} is not a directory")
+    def partFiles(d: java.io.File): Int = Option(d.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .count(f => f.isFile && f.getName.startsWith("part-"))
-    val before = partFiles
+    val before = partFiles(cur)
     if (before <= 1) return (0, 0)
-    // write-aside-then-swap, NOT an in-place overwrite (round-18
-    // review): Spark's overwrite deletes the existing files before
-    // task commit, so a crash mid-rewrite would leave a readable
-    // SUBSET of the ledger — silently disarming the re-ingest guard,
-    // the worst failure available. With the swap, the only crash
-    // window (between delete and move) leaves the dir ABSENT, which
-    // every reader fails on loudly, and the compacted tmp dir intact
-    // for recovery.
-    val tmp = new java.io.File(root.getParentFile,
-      s".${root.getName}.compact-${java.util.UUID.randomUUID()}")
-    spark.read.parquet(dir).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    deleteRec(root)
-    java.nio.file.Files.move(tmp.toPath, root.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    (before, partFiles)
+    val epochName = epochDirName(table)
+    spark.read.parquet(cur.toString).coalesce(1)
+      .write.parquet(s"$indexDir/$epochName")
+    commitEpoch(indexDir, snap.allTables + (table -> epochName))
+    (before, partFiles(new java.io.File(indexDir, epochName)))
   }
 
   /** Delete partition directories under `path` whose value is not in
@@ -632,6 +636,185 @@ private[graft] object Warehouse {
         !live(v) && restrictTo.forall(_(v))
       }
       .foreach(deleteRec)
+
+  // ── epoch-manifest snapshot layer (round-19 verdict #1) ──────────
+  //
+  // Serving-while-maintaining: every MUTATING maintenance op
+  // (compaction, purge) used to overwrite table files in place behind
+  // a documented stop-the-world barrier — a live reader during the
+  // overwrite window saw missing part-files. The epoch layer removes
+  // the barrier for READERS: a maintenance op writes its result under
+  // a NEW uniquely-named table dir (`<table>.e-<hex>`) and commits
+  // with ONE atomic manifest swap; a reader resolves `_manifest.json`
+  // once per query and sees a consistent snapshot of EVERY table —
+  // old epoch or new, never a mix (the manifest covers all tables, so
+  // multi-table ops like the BM25 purge, which rewrites postings+ids
+  // AND drops the tombstone ledger, swap as one unit). Crash anywhere
+  // before the swap leaves the old manifest and its dirs untouched
+  // (orphan epoch dirs are swept at the next successful commit);
+  // crash mid-swap is impossible by POSIX rename atomicity.
+  //
+  // Grace: a superseded table dir survives exactly ONE further commit
+  // (the cleanup deletes dirs referenced by neither the new nor the
+  // outgoing manifest), so a reader is safe as long as its query does
+  // not span two full maintenance cycles — compaction cadences are
+  // hours, query lifetimes seconds. WRITERS still serialize: one
+  // mutating op per index at a time (append/delete remain behind the
+  // deployment's ingest-cycle barrier — they mutate shared files in
+  // place by design); only reader-vs-maintenance is now unbarriered.
+  //
+  // Legacy compatibility: an index that has never been maintained has
+  // no manifest — `indexSnapshot` then resolves every table to its
+  // plain build-time name, byte-identical to the pre-epoch behavior.
+  // The FIRST maintenance commit records the legacy names for every
+  // table it does not rewrite, so untouched tables never move.
+
+  private[graft] val ManifestName = "_manifest.json"
+
+  /** One consistent view of an index directory's table layout —
+    * constructed from ONE manifest read, so every table path it
+    * resolves belongs to the same epoch. Readers build one per query;
+    * mutating ops build one at entry and commit against it. */
+  private[graft] final class IndexSnapshot(val root: String,
+      private[graft] val tables: Option[Map[String, String]]) {
+    /** Physical path of logical `table` ("postings.parquet", …) under
+      * this snapshot. Unregistered tables resolve to their plain name
+      * (the write path for a table being created, and the whole story
+      * for manifest-less legacy dirs). */
+    def path(table: String): String =
+      s"$root/${tables.flatMap(_.get(table)).getOrElse(table)}"
+
+    /** Whether `table` exists IN THIS SNAPSHOT. Manifest-authoritative
+      * when a manifest exists: after a purge drops the tombstone
+      * ledger, the superseded dels dir lingers on disk for the grace
+      * window, and a new-epoch reader must not see it. */
+    def has(table: String): Boolean = tables match {
+      case Some(m) => m.contains(table)
+      case None => new java.io.File(root, table).exists()
+    }
+
+    /** Physical existence at the resolved path — the CONSERVATIVE
+      * view the write-side guards use: a crash between a ledger write
+      * and its manifest registration must still refuse a retry. */
+    def hasPhysical(table: String): Boolean =
+      new java.io.File(path(table)).exists()
+
+    /** The full logical→physical mapping a commit starts from: the
+      * manifest's, or (first commit on a legacy dir) every existing
+      * plain `*.parquet` table mapped to itself. */
+    def allTables: Map[String, String] = tables.getOrElse(
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName.endsWith(".parquet"))
+        .map(d => d.getName -> d.getName).toMap)
+  }
+
+  private def parseManifest(txt: String,
+      dir: String): Map[String, String] = {
+    val body = """"tables":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        s"index manifest at $dir/$ManifestName is malformed " +
+          s"(no tables object): $txt"))
+    """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Resolve the index at `dir` to one consistent table snapshot (one
+    * manifest read; legacy dirs resolve to plain names). */
+  private[graft] def indexSnapshot(dir: String): IndexSnapshot = {
+    val f = new java.io.File(dir, ManifestName)
+    if (!f.exists()) new IndexSnapshot(dir, None)
+    else new IndexSnapshot(dir, Some(parseManifest(
+      java.nio.file.Files.readString(f.toPath), dir)))
+  }
+
+  /** Fresh physical dir name for a new epoch of `table`. */
+  private[graft] def epochDirName(table: String): String =
+    s"$table.e-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private val EpochDirPattern = """.*\.parquet\.e-[0-9a-f]{8}"""
+
+  /** Commit a new table layout for the index at `dir`: write the new
+    * manifest to a temp file, ATOMIC_MOVE it over `_manifest.json`
+    * (readers see old XOR new — never a torn manifest), then sweep
+    * table dirs referenced by NEITHER the new nor the outgoing
+    * manifest (= superseded two commits ago, or orphaned by a crashed
+    * op). Dirs of the manifest just replaced survive this commit —
+    * the one-cycle reader grace. The FIRST commit on a legacy dir is
+    * the exception: plain-named dirs it supersedes are reclaimed
+    * immediately — pre-manifest readers never had snapshot isolation
+    * (the old contract was an in-place overwrite), and a lingering
+    * plain-named dir would collide with the fallback path the
+    * write-guards use for never-registered tables. */
+  private[graft] def commitEpoch(dir: String,
+      tables: Map[String, String]): Unit = {
+    val root = new java.io.File(dir)
+    val cur = new java.io.File(root, ManifestName)
+    val hadManifest = cur.exists()
+    val outgoing = if (hadManifest) indexSnapshot(dir).allTables
+      else Map.empty[String, String]
+    val epoch: Long = (if (hadManifest)
+      """"epoch":(\d+)""".r.findFirstMatchIn(
+        java.nio.file.Files.readString(cur.toPath))
+        .map(_.group(1).toLong).getOrElse(0L)
+      else 0L) + 1
+    val json = tables.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString(s"""{"epoch":$epoch,"tables":{""", ",", "}}")
+    val tmp = new java.io.File(root,
+      s".$ManifestName.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp.toPath, json)
+    java.nio.file.Files.move(tmp.toPath, cur.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val referenced = tables.values.toSet ++ outgoing.values.toSet
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .filter(d => (d.getName.endsWith(".parquet") ||
+        d.getName.matches(EpochDirPattern)) && !referenced(d.getName))
+      .foreach { d =>
+        System.err.println(s"[epoch] sweeping superseded ${d.getName}" +
+          s" under $dir")
+        deleteRec(d)
+      }
+  }
+
+  /** Append `rows` to logical `table` of the index at `dir`,
+    * CREATING it when absent — the one definition of table birth
+    * under the epoch layer (tombstone ledgers, post-compaction delta
+    * segments). On a legacy dir the table is born under its plain
+    * name (pre-manifest semantics are physical-existence semantics);
+    * under a manifest it is born in an EPOCH-NAMED dir and
+    * registered with one commit, so a later drop (purge/compaction)
+    * can grace-retain the dir without the plain-name fallback ever
+    * resurrecting it. Write-then-register: a crash between the two
+    * leaves an orphan epoch dir (swept at the next commit) and NO
+    * visible state change — the retry re-runs cleanly. */
+  private[graft] def appendToTable(dir: String, table: String,
+      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val snap = indexSnapshot(dir)
+    def write(path: String): Unit = {
+      val w = rows.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(path)
+    }
+    if (snap.tables.isEmpty || snap.has(table)) write(snap.path(table))
+    else {
+      val name = epochDirName(table)
+      write(s"$dir/$name")
+      commitEpoch(dir, indexSnapshot(dir).allTables + (table -> name))
+    }
+  }
+
+  /** Hardlink `src` into `dst` (same filesystem — the epoch dirs live
+    * next to the table they supersede), falling back to a byte copy
+    * where links are unsupported. Used to carry untouched partition
+    * files into a new epoch dir without rewriting them. */
+  private def linkOrCopy(src: java.io.File, dst: java.io.File): Unit =
+    try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
 
   /** Record last use as a marker OBJECT (the only channel the marker
     * protocol has — no directory mtimes on an object store). */

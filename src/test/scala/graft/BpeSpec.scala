@@ -103,6 +103,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got("a" + "b" * 1024) == 325L)
   }
 
+  test("incremental pair-count training ≡ the full recount, " +
+    "merge for merge, on the harness corpus") {
+    // round-19 verdict #4: trainMerges now maintains the pair-count
+    // table by delta (only words containing the winning pair re-emit
+    // counts) instead of a full vocab recount per round — the merge
+    // SEQUENCE must be bit-identical, including the (n desc, x asc,
+    // y asc) tie-breaks, through a real corpus's long tie-heavy tail
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val incremental = Bpe.trainMerges(docs, "text", 64)
+    val recount = Bpe.trainMergesRecount(docs, "text", 64)
+    assert(incremental == recount,
+      s"first divergence: ${incremental.zip(recount)
+        .indexWhere(p => p._1 != p._2)}")
+  }
+
   test("training fails loudly when the vocabulary exhausts its pairs") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {

@@ -771,7 +771,9 @@ class IndexPathSpec extends AnyFunSuite {
         docs.filter(col("doc_id") % 8 === 3), "doc_id", "text", dir)
       graft.operators.Retrieval.appendToBm25Index(spark,
         docs.filter(col("doc_id") % 8 === 7), "doc_id", "text", dir)
-      def postings() = spark.read.parquet(s"$dir/postings.parquet")
+      def postingsPath = graft.operators.Warehouse.indexSnapshot(dir)
+        .path("postings.parquet")
+      def postings() = spark.read.parquet(postingsPath)
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
@@ -792,11 +794,12 @@ class IndexPathSpec extends AnyFunSuite {
       val sBefore = served()
       assert(sBefore.nonEmpty)
       val (fb, fa) = graft.operators.Warehouse.compactIndexPartitions(
-        spark, s"$dir/postings.parquet", "pfx")
+        spark, dir, "postings.parquet", "pfx")
       assert(fb > fa && fa > 0,
         s"append cycles should leave multi-file partitions: $fb -> $fa")
-      // every compacted partition is now ONE file
-      val stillMulti = new java.io.File(s"$dir/postings.parquet")
+      // every compacted partition is now ONE file (resolved through
+      // the manifest — the table moved to an epoch dir, round-19)
+      val stillMulti = new java.io.File(postingsPath)
         .listFiles().filter(d => d.isDirectory &&
           d.getName.startsWith("pfx=") &&
           d.listFiles().count(_.getName.startsWith("part-")) > 1)
@@ -807,7 +810,7 @@ class IndexPathSpec extends AnyFunSuite {
       assert(served() == sBefore, "compaction changed the served ranking")
       // idempotent: a compacted dir is a no-op
       assert(graft.operators.Warehouse.compactIndexPartitions(
-        spark, s"$dir/postings.parquet", "pfx") == ((0, 0)))
+        spark, dir, "postings.parquet", "pfx") == ((0, 0)))
     }
   }
 
@@ -830,7 +833,7 @@ class IndexPathSpec extends AnyFunSuite {
       val sBefore = served()
       assert(sBefore.nonEmpty)
       val (fb, fa) = graft.operators.Warehouse.compactIndexPartitions(
-        spark, s"$dir/assignments.parquet", "list_id")
+        spark, dir, "assignments.parquet", "list_id")
       assert(fb > fa && fa > 0, s"expected multi-file lists: $fb -> $fa")
       assert(served() == sBefore,
         "compaction changed the served IVF ranking")
@@ -1082,17 +1085,21 @@ class IndexPathSpec extends AnyFunSuite {
         TextDedup.appendToSubstringIndex(spark,
           Seq((1000L + c, s"m$c n$c o$c p$c")).toDF("doc_id", "text"),
           dir, "doc_id", "text")
-      def parts = Option(new java.io.File(s"$dir/ids.parquet")
+      // resolve through the snapshot: compaction moves the table to
+      // an epoch dir and commits via the manifest (round-19)
+      def idsPath = graft.operators.Warehouse.indexSnapshot(dir)
+        .path("ids.parquet")
+      def parts = Option(new java.io.File(idsPath)
           .listFiles()).getOrElse(Array.empty[java.io.File])
         .count(f => f.isFile && f.getName.startsWith("part-"))
-      def ids = spark.read.parquet(s"$dir/ids.parquet")
+      def ids = spark.read.parquet(idsPath)
         .collect().map(_.getLong(0)).sorted.toSeq
       val before = parts
       assert(before >= 11,
         s"10 cycles should leave >= 11 ledger part-files, got $before")
       val idsBefore = ids
       val (b, a) = graft.operators.Warehouse
-        .compactUnpartitionedLedger(spark, s"$dir/ids.parquet")
+        .compactUnpartitionedLedger(spark, dir, "ids.parquet")
       assert(b == before && a == 1, s"compaction receipt ($b, $a)")
       assert(parts == 1)
       assert(ids == idsBefore, "compaction changed the ledger content")
@@ -1105,7 +1112,245 @@ class IndexPathSpec extends AnyFunSuite {
       assert(err.getMessage.contains("append-only"))
       // idempotent: already compacted is a no-op
       assert(graft.operators.Warehouse.compactUnpartitionedLedger(
-        spark, s"$dir/ids.parquet") == ((0, 0)))
+        spark, dir, "ids.parquet") == ((0, 0)))
+    }
+  }
+
+  test("epoch snapshot isolation: a pre-maintenance reader's resolved " +
+    "paths stay intact through the commit (old XOR new, never a mix), " +
+    "a crashed op leaves the old layout untouched, grace = one commit") {
+    withTempDir("epoch_iso") { dir =>
+      import spark.implicits._
+      val W = graft.operators.Warehouse
+      val docs = (0L until 12L)
+        .map(i => (i, s"alpha$i beta$i gamma common words here"))
+        .toDF("doc_id", "text").localCheckpoint(true)
+      graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir)
+      graft.operators.Retrieval.appendToBm25Index(spark,
+        Seq((100L, "fresh batch words")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      // 1. mint the manifest via a ledger compaction (first commit)
+      val (lb, la) = W.compactUnpartitionedLedger(spark, dir, "ids.parquet")
+      assert(lb > 1 && la == 1)
+      val snap1 = W.indexSnapshot(dir)
+      assert(snap1.tables.isDefined, "compaction must mint a manifest")
+      assert(snap1.path("ids.parquet") != s"$dir/ids.parquet",
+        "compacted table must live in an epoch dir")
+      // the superseded LEGACY ids dir is reclaimed immediately (the
+      // pre-manifest layout never had isolation to preserve)
+      assert(!new java.io.File(s"$dir/ids.parquet").exists())
+      // 2. crash simulation: a maintenance op that died BEFORE its
+      // commit leaves stray epoch dirs and must change nothing a
+      // reader can see
+      val stray = new java.io.File(dir,
+        W.epochDirName("postings.parquet"))
+      stray.mkdirs()
+      assert(W.indexSnapshot(dir).path("postings.parquet")
+        == s"$dir/postings.parquet",
+        "a crashed (uncommitted) op must not move any table")
+      // 3. a delete (registers the tombstone ledger, epoch-named
+      // under the manifest) followed by a purge — the three-table
+      // commit a concurrent reader must see atomically
+      val gone = docs.filter(col("doc_id") % 2 === 1)
+      graft.operators.Retrieval.deleteFromBm25Index(spark, gone,
+        "doc_id", "text", dir)
+      val preSnap = W.indexSnapshot(dir) // the mid-maintenance reader
+      assert(preSnap.has("dels.parquet"))
+      assert(preSnap.path("dels.parquet") != s"$dir/dels.parquet",
+        "a ledger born under a manifest must be epoch-named")
+      val prePostings = preSnap.path("postings.parquet")
+      val preDels = preSnap.path("dels.parquet")
+      val goneIds = gone.select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      val (pb, pa) = graft.operators.Retrieval.purgeBm25Deletes(spark, dir)
+      assert(pb > pa && pa > 0)
+      // the crash orphan was swept by the purge's commit
+      assert(!stray.exists(), "orphan epoch dirs must be swept")
+      // OLD-snapshot reader: both its resolved dirs still exist
+      // (one-commit grace) and together serve the PRE-purge view —
+      // tombstoned rows present, ledger listing them
+      val oldPost = spark.read.parquet(prePostings)
+        .select(col("doc_id")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(goneIds.subsetOf(oldPost),
+        "old epoch must still hold the tombstoned rows")
+      val oldDels = spark.read.parquet(preDels)
+        .collect().map(_.getLong(0)).toSet
+      assert(oldDels == goneIds)
+      // NEW snapshot: purged postings, no ledger entry — never a mix
+      val postSnap = W.indexSnapshot(dir)
+      assert(!postSnap.has("dels.parquet"))
+      assert(postSnap.path("postings.parquet") != prePostings)
+      val newPost = spark.read.parquet(
+          postSnap.path("postings.parquet"))
+        .select(col("doc_id")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(goneIds.intersect(newPost).isEmpty,
+        "new epoch must not hold purged rows")
+      // 4. grace expiry: the NEXT commit sweeps the pre-purge dirs
+      graft.operators.Retrieval.appendToBm25Index(spark, gone,
+        "doc_id", "text", dir) // purged ids re-appendable; adds files
+      val (cb2, ca2) = W.compactIndexPartitions(spark, dir,
+        "postings.parquet", "pfx")
+      assert(cb2 > ca2, "re-append should leave multi-file partitions")
+      assert(!new java.io.File(prePostings).exists(),
+        "two commits later, the old epoch must be reclaimed")
+      assert(!new java.io.File(preDels).exists())
+    }
+  }
+
+  test("vector index tombstone deletes: deleted ids vanish from " +
+    "IVF-SQ8/PQ/IVF-PQ serving, purge + re-append restores the " +
+    "original ranking, guards refuse misuse") {
+    val e = Tables.embeddings(spark, sf).localCheckpoint(true)
+    val gone = e.filter(col("vec_id") % 4 === 1)
+      .filter(col("vec_id") >= 10) // keep the query ids alive
+      .localCheckpoint(true)
+    val kept = e.join(gone.select(col("vec_id")), Seq("vec_id"),
+      "left_anti").localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < 10).localCheckpoint(true)
+    val goneIds = gone.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // ── IVF / IVF-SQ8 (one artifact serves both rungs)
+    withTempDir("ivf_del") { dir =>
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2)
+      val full = asSet(Similarity.ivfSq8TopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12))
+      Similarity.deleteFromIvfIndex(spark, gone, "vec_id", dir)
+      val served = asSet(Similarity.ivfSq8TopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12))
+      assert(served.nonEmpty &&
+        served.forall(r => !goneIds(r._2)),
+        "deleted ids must vanish from served neighbors")
+      // the remaining corpus's exact top-AnnOracleK still holds (the
+      // q126 recall-gate contract, now post-delete)
+      val exact = asSet(Similarity.bruteForceTopK(queries, kept,
+          "vec_id", "embedding", k = 10)
+        .filter(col("rank") <= Curation.AnnOracleK))
+      assert(asSet(Similarity.ivfSq8TopKFromIndex(spark, queries,
+          "vec_id", "embedding", dir, k = 10, nProbe = 12)
+        .filter(col("rank") <= Curation.AnnOracleK)) == exact,
+        "post-delete serving misses remaining-corpus exact neighbors")
+      // guards: double delete, never-indexed id, tombstoned re-append
+      assert(intercept[IllegalArgumentException] {
+        Similarity.deleteFromIvfIndex(spark, gone, "vec_id", dir)
+      }.getMessage.contains("already tombstoned"))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.deleteFromIvfIndex(spark,
+          Seq(987654321L).toDF("vec_id"), "vec_id", dir)
+      }.getMessage.contains("never indexed"))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(spark, gone, "vec_id",
+          "embedding", dir)
+      }.getMessage.contains("purge first"))
+      // delete-everything refusal
+      assert(intercept[IllegalArgumentException] {
+        Similarity.deleteFromIvfIndex(spark, kept, "vec_id", dir)
+      }.getMessage.contains("every indexed vector"))
+      // purge: physical reclaim, serving unchanged, re-append
+      // restores the ORIGINAL full-corpus ranking exactly (same
+      // centroids, deterministic assignment — the q133 identity)
+      val (vb, va) = Similarity.purgeIvfDeletes(spark, dir)
+      assert(vb > va && va > 0)
+      assert(asSet(Similarity.ivfSq8TopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12)) == served,
+        "purge changed the served ranking")
+      assert(Similarity.purgeIvfDeletes(spark, dir) == ((0L, 0L)))
+      Similarity.appendToIvfIndex(spark, gone, "vec_id", "embedding", dir)
+      assert(asSet(Similarity.ivfSq8TopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12)) == full,
+        "delete → purge → re-append diverges from the original index")
+    }
+    // ── flat PQ
+    withTempDir("pq_del") { dir =>
+      Similarity.buildPqIndex(e, "vec_id", "embedding", dir, ks = 16,
+        iterations = 1)
+      val full = asSet(Similarity.pqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10))
+      Similarity.deleteFromPqIndex(spark, gone, "vec_id", dir)
+      val served = asSet(Similarity.pqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10))
+      assert(served.nonEmpty && served.forall(r => !goneIds(r._2)))
+      val (vb, va) = Similarity.purgePqDeletes(spark, dir)
+      assert(vb > va && va > 0)
+      Similarity.appendToPqIndex(spark, gone, "vec_id", "embedding", dir)
+      assert(asSet(Similarity.pqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10)) == full,
+        "PQ delete → purge → re-append diverges from the original")
+    }
+    // ── IVF-PQ (IVFADC)
+    withTempDir("ivfpq_del") { dir =>
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", dir,
+        nLists = 16, assignments = 2, ks = 16, pqIterations = 1)
+      val full = asSet(Similarity.ivfPqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12))
+      Similarity.deleteFromIvfPqIndex(spark, gone, "vec_id", dir)
+      val served = asSet(Similarity.ivfPqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12))
+      assert(served.nonEmpty && served.forall(r => !goneIds(r._2)))
+      val (vb, va) = Similarity.purgeIvfPqDeletes(spark, dir)
+      assert(vb > va && va > 0)
+      Similarity.appendToIvfPqIndex(spark, gone, "vec_id",
+        "embedding", dir)
+      assert(asSet(Similarity.ivfPqTopKFromIndex(spark, queries,
+        "vec_id", "embedding", dir, k = 10, nProbe = 12)) == full,
+        "IVF-PQ delete → purge → re-append diverges from the original")
+    }
+  }
+
+  test("near-dup index tombstone deletes: delete ≡ rebuild-without " +
+    "exactly, purge + re-append restores, guards refuse misuse") {
+    withTempDir("nd_del") { dir =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, sf)
+        .filter(col("doc_id") < 300).localCheckpoint(true)
+      val gone = docs.filter(col("doc_id") % 4 === 1).localCheckpoint(true)
+      val keptDocs = docs.filter(col("doc_id") % 4 =!= 1)
+      val incoming = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      def pairs(d: String) = TextDedup
+        .incrementalNearDupPairsFromIndex(spark, incoming, d,
+          "doc_id", "text", minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      TextDedup.buildNearDupIndex(docs, "doc_id", "text", s"$dir/a")
+      TextDedup.buildNearDupIndex(keptDocs, "doc_id", "text", s"$dir/b")
+      val fullPairs = pairs(s"$dir/a")
+      assert(fullPairs.nonEmpty)
+      TextDedup.deleteFromNearDupIndex(spark, gone, s"$dir/a", "doc_id")
+      // EXACT rebuild-without identity: keys/grams are doc-local, so
+      // the tombstone-filtered index answers the kept-only build bit
+      // for bit
+      assert(pairs(s"$dir/a") == pairs(s"$dir/b"),
+        "near-dup delete diverges from the rebuild-without index")
+      // guards
+      assert(intercept[IllegalArgumentException] {
+        TextDedup.deleteFromNearDupIndex(spark, gone, s"$dir/a", "doc_id")
+      }.getMessage.contains("already tombstoned"))
+      assert(intercept[IllegalArgumentException] {
+        TextDedup.deleteFromNearDupIndex(spark,
+          Seq((987654321L, "x")).toDF("doc_id", "text"), s"$dir/a",
+          "doc_id")
+      }.getMessage.contains("never indexed"))
+      assert(intercept[IllegalArgumentException] {
+        TextDedup.appendToNearDupIndex(spark, gone, s"$dir/a",
+          "doc_id", "text")
+      }.getMessage.contains("purge first"))
+      // purge reclaims; re-append restores the full index exactly
+      val (gb, ga) = TextDedup.purgeNearDupDeletes(spark, s"$dir/a")
+      assert(gb > ga && ga > 0)
+      assert(pairs(s"$dir/a") == pairs(s"$dir/b"),
+        "purge changed the served pairs")
+      assert(TextDedup.purgeNearDupDeletes(spark, s"$dir/a") == ((0L, 0L)))
+      TextDedup.appendToNearDupIndex(spark, gone, s"$dir/a",
+        "doc_id", "text")
+      assert(pairs(s"$dir/a") == fullPairs,
+        "delete → purge → re-append diverges from the original index")
     }
   }
 

@@ -327,4 +327,48 @@ class SimilaritySpec extends AnyFunSuite {
       s"streamed appends diverge from the batch append: " +
         s"${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
+
+  test("semantic decontamination catches the paraphrase fixture the " +
+    "n-gram pass misses (round-19 verdict #5)") {
+    // the planted scenario: an eval item whose TEXT shares not a
+    // single 8-gram with its training source (a paraphrase /
+    // translation) while its EMBEDDING is the source's — the q64
+    // n-gram sweep must find nothing, the semantic sweep must flag
+    // exactly the planted sources
+    val trainDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the wide river bank today at dawn"),
+      (1L, "spark clusters shuffle large tables across many executors while columnar scans prune early"),
+      (2L, "completely unrelated filler text about cooking pasta with garlic olive oil and fresh basil"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (1000L, "a fast auburn vulpine leaps above an idle canine beside a broad waterway this morning"))
+      .toDF("doc_id", "text")
+    // n-gram pass: zero shared 8-grams
+    assert(graft.operators.TextDedup.contaminationPairs(
+      trainDocs, evalDocs, "doc_id", "text", n = 8).count() == 0,
+      "the fixture must defeat the verbatim n-gram pass")
+    // embeddings: 24 deterministic train vectors (ids 0..23, 16-dim);
+    // the eval embedding is train vector 0's (the paraphrase sits at
+    // quantized cos 1.0; natural integer-grid cross pairs stay well
+    // under τ = 0.95)
+    val trainVecs = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val evalVecs = trainVecs.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdecon").toString
+    try {
+      Similarity.buildIvfIndex(trainVecs, "vec_id", "embedding", dir,
+        nLists = 4, assignments = 2)
+      val flagged = Similarity.semanticContaminationFromIndex(spark,
+          evalVecs, "vec_id", "embedding", dir, tau = 0.95, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged.contains((0L, 1000L)),
+        s"the planted paraphrase must be flagged; got $flagged")
+    } finally {
+      graft.operators.Warehouse.deleteRec(new java.io.File(dir))
+    }
+  }
 }

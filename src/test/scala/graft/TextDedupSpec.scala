@@ -550,10 +550,18 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.buildSubstringIndex(union, "doc_id", "text", 3, dirU)
       TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
       TextDedup.appendToSubstringIndex(spark, b, dirA, "doc_id", "text")
-      // segment-summed dfs equal the union build's exactly
-      def dfs(d: String) = spark.read.parquet(s"$d/wdf.parquet")
-        .groupBy($"d").agg(sum($"df").as("df")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // segment-summed dfs equal the union build's exactly (resolved
+      // through the manifest snapshot — compaction epochs the table —
+      // and summing base ⊕ delta segments where both exist)
+      def dfs(d: String) = {
+        val snap = graft.operators.Warehouse.indexSnapshot(d)
+        val base = spark.read.parquet(snap.path("wdf.parquet"))
+        val all = if (snap.has("wdelta.parquet"))
+          base.unionByName(spark.read.parquet(snap.path("wdelta.parquet")))
+        else base
+        all.groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       assert(dfs(dirA) == dfs(dirU))
       // and the served spans equal the in-plan pass row for row
       val served = TextDedup.substringSpansFromIndex(
@@ -564,7 +572,7 @@ class TextDedupSpec extends AnyFunSuite {
       // segment files accumulate under prefix partitions; compaction
       // rewrites multi-file partitions with content identity
       val (before, after) = graft.operators.Warehouse
-        .compactIndexPartitions(spark, s"$dirA/wdf.parquet", "pfx")
+        .compactIndexPartitions(spark, dirA, "wdf.parquet", "pfx")
       assert(before > after && after > 0,
         s"append cycles should leave compactable partitions ($before -> $after)")
       assert(dfs(dirA) == dfs(dirU))
@@ -639,9 +647,15 @@ class TextDedupSpec extends AnyFunSuite {
         "tombstone delete diverges from the rebuild-without truth")
       // and the summed segment table equals a fresh a-only build's
       TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
-      def dfs(d: String) = spark.read.parquet(s"$d/wdf.parquet")
-        .groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def dfs(d: String) = {
+        val snap = graft.operators.Warehouse.indexSnapshot(d)
+        val base = spark.read.parquet(snap.path("wdf.parquet"))
+        val all = if (snap.has("wdelta.parquet"))
+          base.unionByName(spark.read.parquet(snap.path("wdelta.parquet")))
+        else base
+        all.groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       assert(dfs(dir) == dfs(dirA))
       // deleted ids are re-ingestable; the re-append restores the
       // union-build state exactly
@@ -667,7 +681,9 @@ class TextDedupSpec extends AnyFunSuite {
       assert(un.getMessage.contains("not active"))
       // compaction physically reclaims the cancelled mass: rows
       // shrink, zero-sum digests vanish, serving identical
-      val rowsBefore = spark.read.parquet(s"$dir/wdf.parquet").count()
+      val rowsBefore = spark.read.parquet(
+        graft.operators.Warehouse.indexSnapshot(dir)
+          .path("wdf.parquet")).count()
       val (cb, ca) = TextDedup.compactSubstringSegments(spark, dir)
       assert(cb == rowsBefore && ca < cb,
         s"compaction should shrink the segment table ($cb -> $ca)")
@@ -680,6 +696,78 @@ class TextDedupSpec extends AnyFunSuite {
     } finally {
       graft.operators.Warehouse.deleteRec(new java.io.File(dir))
       graft.operators.Warehouse.deleteRec(new java.io.File(dirA))
+    }
+  }
+
+  test("substring dup summary: compacted serving ≡ the full-segment " +
+    "sum across post-compaction appends, deletes, and the ambiguous " +
+    "base-unique overlap — base probed only when deltas force it") {
+    val W = graft.operators.Warehouse
+    val base = Seq(
+      (0L, "a b c d e f"),   // shares "a b c" with doc 1; "d e f" unique
+      (1L, "a b c x y z"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ss_summary").toString
+    def truthOf(corpus: org.apache.spark.sql.DataFrame) =
+      TextDedup.exactSubstringSpans(corpus, "doc_id", "text", 3)
+        .orderBy($"doc_id").collect().toSeq
+    def servedOf(corpus: org.apache.spark.sql.DataFrame) =
+      TextDedup.substringSpansFromIndex(spark, corpus, "doc_id",
+        "text", dir).orderBy($"doc_id").collect().toSeq
+    try {
+      TextDedup.buildSubstringIndex(base, "doc_id", "text", 3, dir)
+      TextDedup.compactSubstringSegments(spark, dir)
+      val snap0 = W.indexSnapshot(dir)
+      assert(snap0.has("dups.parquet"),
+        "compaction must emit the dup summary")
+      // summary holds exactly the df>1 digests with their values
+      val dups0 = spark.read.parquet(snap0.path("dups.parquet"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dups0.values.toSet == Set(2L), s"dups: $dups0")
+      // pure-summary serving (no deltas): ≡ truth
+      assert(servedOf(base) == truthOf(base))
+      // APPEND after compaction → routes to the delta table, and the
+      // new doc's "d e f" window net-appears ONCE while base holds it
+      // with df = 1 — the AMBIGUOUS case that forces the base
+      // membership probe (base 1 + delta 1 = 2 → dup)
+      val app = Seq((10L, "d e f g h i")).toDF("doc_id", "text")
+      TextDedup.appendToSubstringIndex(spark, app, dir, "doc_id", "text")
+      val snap1 = W.indexSnapshot(dir)
+      assert(snap1.has("wdelta.parquet"),
+        "post-compaction appends must land in the delta table")
+      val c1 = base.unionByName(app)
+      assert(servedOf(c1) == truthOf(c1),
+        "summary ⊕ delta (ambiguous overlap) diverges from truth")
+      // a doc repeating its own window: delta-sum ≥ 2 decides dup
+      // with NO base membership (base 0 + delta 2)
+      val app2 = Seq((11L, "w w w w")).toDF("doc_id", "text")
+      TextDedup.appendToSubstringIndex(spark, app2, dir, "doc_id", "text")
+      val c2 = c1.unionByName(app2)
+      assert(servedOf(c2) == truthOf(c2),
+        "summary ⊕ delta (delta-only dup) diverges from truth")
+      // DELETE after compaction → negative delta cancels a SUMMARY
+      // digest ("a b c": base 2 − 1 = 1 → no longer duplicated)
+      TextDedup.deleteFromSubstringIndex(spark,
+        Seq((1L, "a b c x y z")).toDF("doc_id", "text"), dir,
+        "doc_id", "text")
+      val c3 = c2.filter($"doc_id" =!= 1L)
+      assert(servedOf(c3) == truthOf(c3),
+        "summary ⊕ negative delta diverges from truth")
+      // RE-compaction folds the deltas: summary recomputed, delta
+      // table dropped, serving unchanged
+      TextDedup.compactSubstringSegments(spark, dir)
+      val snap2 = W.indexSnapshot(dir)
+      assert(!snap2.has("wdelta.parquet"),
+        "re-compaction must fold and drop the delta table")
+      val dups1 = spark.read.parquet(snap2.path("dups.parquet"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dups1.values.toSet == Set(2L) && dups1.size == 2,
+        s"recomputed dups should hold 'd e f' and 'w w w': $dups1")
+      assert(servedOf(c3) == truthOf(c3),
+        "re-compacted serving diverges from truth")
+    } finally {
+      graft.operators.Warehouse.deleteRec(new java.io.File(dir))
     }
   }
 
