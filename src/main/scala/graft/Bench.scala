@@ -90,7 +90,13 @@ object Bench {
     // comparable.
     val r17MaxScore = Seq("q137_bm25_topk", "q138_bm25_stored",
       "q139_bm25_index_append").map(_ -> 17)
-    (tallyRescale ++ r13Regimes ++ r17MaxScore).toMap
+    // r19: q160's artifact chain compacts BEFORE the delete, so its
+    // serving runs the dup-summary ⊕ negative-delta formula (a
+    // different executed plan: summary probe + delta aggregation +
+    // the ambiguity gate, vs one restricted sum-merge) — pre-summary
+    // serving minima are not comparable
+    val r19Summary = Seq("q160_substring_delete").map(_ -> 19)
+    (tallyRescale ++ r13Regimes ++ r17MaxScore ++ r19Summary).toMap
   }
 
   /** Best (minimum) recorded seconds per query across ALL prior

@@ -93,7 +93,14 @@ object ScaleBench {
     "q158_stream_substring_append", "q159_link_ppr",
     // tombstone deletes: substring (signed-multiset cancellation) and
     // BM25 (df subtraction + serve-time anti-join)
-    "q160_substring_delete", "q161_bm25_delete")
+    "q160_substring_delete", "q161_bm25_delete",
+    // round-19 additions: the ANN/near-dup delete tier's serving
+    // (steady state = anti-join-filtered stored scans; builds +
+    // deletes amortize at the first rep) and semantic decontamination
+    // (eval probes over the stored int8 code columns)
+    "q162_ann_ivf_sq8_delete", "q163_ann_pq_delete",
+    "q164_ann_ivfpq_delete", "q165_neardup_index_delete",
+    "q166_semantic_decontam")
 
   /** Maintenance-cost timers (round-15 verdict #5): the per-cycle
     * index/sketch maintenance ops whose claim is cost ∝ batch — the
@@ -262,14 +269,18 @@ object ScaleBench {
         TextDedup.substringSpansFromIndex(spark, batchDocs,
             "doc_id", "text", s"$tmp/ssidx")
           .write.format("noop").mode("overwrite").save())).min
-      // a SECOND disjoint batch appended post-compaction lands in the
-      // delta table; serving the original batch then pays summary ⊕
-      // delta scan (no base probe — disjoint windows), still ∝
-      // dup-set + recent deltas
+      // a SECOND batch appended post-compaction lands in the delta
+      // table; serving the original batch then pays summary ⊕ delta
+      // scan, still ∝ dup-set + recent deltas. Every batch2 token is
+      // suffixed so its WINDOWS are disjoint from the probe batch's —
+      // the common serving case (a suffix-only variant would overlap
+      // the probe's tail windows ambiguously and this row would
+      // measure the base-probe fallback instead)
       val batch2 = batchDocs.select(
         (col("doc_id") + lit(1000000L * ScaleCorpus.IdStride))
           .as("doc_id"),
-        concat(col("text"), lit(" deltabatch")).as("text"))
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_d")))).as("text"))
         .localCheckpoint(true)
       TextDedup.appendToSubstringIndex(spark, batch2, s"$tmp/ssidx",
         "doc_id", "text")
@@ -319,15 +330,20 @@ object ScaleBench {
         batchDocs, "doc_id", "text", s"$tmp/cms"))
       // BPE train law (round-19 verdict #4): incremental pair-count
       // maintenance vs the retired per-round full recount, SAME
-      // corpus and merge count — the recount grows ∝ rounds × vocab
-      // while the incremental trainer's explode work rides only the
-      // winning pair's words. The recount contrast joins the
-      // retired-shape family behind SKIP_FIXED (at 100× it is
-      // exactly the cost the incremental trainer exists to avoid;
-      // -1 = skipped, documented in BASELINE.md).
+      // corpus and merge count. Wall clocks at sandbox scale are
+      // fixed-job-overhead dominated (the incremental loop runs
+      // three extra BOUNDED jobs per round), so the LAW rides the
+      // truth counters: bpe_affected_rows = the rows the incremental
+      // delta explodes (Σ words containing each round's winning
+      // pair) vs bpe_recount_rows = rounds × vocab, the rows the
+      // recount exploded — the former must grow far slower than the
+      // 10×/100× vocab. The recount wall-clock contrast joins the
+      // retired-shape family behind SKIP_FIXED (-1 = skipped).
       val bpeMerges = 64
+      val bpeStats = new graft.operators.Bpe.TrainStats
       val tBpe = timed {
-        graft.operators.Bpe.trainMerges(docs, "text", bpeMerges)
+        graft.operators.Bpe.trainMerges(docs, "text", bpeMerges,
+          Some(bpeStats))
         ()
       }
       val skipFixedMaint =
@@ -365,7 +381,9 @@ object ScaleBench {
         "bm25_ledger_files_after" -> ledger._2.toDouble,
         "cms_build_sec" -> bCms, "cms_merge_sec" -> aCms,
         "bpe_train_sec" -> tBpe,
-        "bpe_train_recount_sec" -> tBpeRecount)
+        "bpe_train_recount_sec" -> tBpeRecount,
+        "bpe_affected_rows" -> bpeStats.affectedRows.toDouble,
+        "bpe_recount_rows" -> bpeStats.recountRows.toDouble)
     } finally Warehouse.deleteRec(new File(tmp))
   }
 

@@ -99,12 +99,32 @@ object Bpe {
     * recount merges on the shared training table), so q143–q145 and
     * every stored merge table are unchanged. Driver rounds remain
     * numMerges — inherent to BPE's sequential selection. */
+  /** Per-round training volume counters (ScaleBench's truth-counter
+    * receipt): at sandbox scale wall clocks are fixed-job-overhead
+    * dominated (the incremental loop runs three extra BOUNDED jobs
+    * per round), so the law that matters at production vocab sizes —
+    * per-round explode work ∝ words containing the winning pair, not
+    * ∝ vocabulary — is recorded as exact row counts, the same
+    * discipline as the BM25 max-score `scored` vs `matched`
+    * counters. */
+  final class TrainStats {
+    /** Σ over rounds of |words containing the winning pair| — the
+      * rows the incremental delta actually explodes. */
+    var affectedRows: Long = 0L
+    /** |vocab| × rounds — the rows the retired recount exploded. */
+    var recountRows: Long = 0L
+  }
+
   def trainMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[(Int, String, String)] = {
+      numMerges: Int, stats: Option[TrainStats] = None)
+      : Seq[(Int, String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
     var vocab = wordCounts(docs, textCol)
       .withColumn("seq", initialSeq(col("w")))
       .localCheckpoint(true)
+    // vocab size only when instrumented (one bounded count over the
+    // checkpointed frame)
+    stats.foreach(s => s.recountRows = vocab.count() * numMerges)
     var pc = pairCounts(vocab).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String)]
     for (step <- 1 to numMerges) {
@@ -122,6 +142,7 @@ object Bpe {
       // same pattern applyMerge replaces)
       val affected = vocab.filter(col("seq").contains(s" $x  $y "))
         .localCheckpoint(true)
+      stats.foreach(s => s.affectedRows += affected.count())
       val delta = pairCounts(affected)
         .select(col("x"), col("y"), (-col("n")).as("n"))
         .unionByName(pairCounts(

@@ -34,17 +34,69 @@ LABELS = {
     "q137_bm25_topk": "q137 BM25 retrieval (in-plan)",
     "q138_bm25_stored": "q138 BM25 stored inverted file",
     "q139_bm25_index_append": "q139 BM25 df-merge append + serve",
+    "q147_substring_dedup": "q147 substring spans (in-plan)",
+    "q151_substring_dedup_stored": "q151 substring stored+compacted serve",
+    "q148_stream_index_append": "q148 streamed IVF append + serve",
+    "q158_stream_substring_append": "q158 streamed substring append + serve",
+    "q140_link_pagerank": "q140 PageRank (5 rounds)",
+    "q146_link_pagerank_dangling": "q146 dangling PageRank",
+    "q149_link_hits": "q149 HITS (4 rounds)",
+    "q155_link_prior_stored": "q155 stored PageRank prior serve",
+    "q157_cms_heavy_hitters_stored": "q157 CMS artifact serve",
+    "q159_link_ppr": "q159 personalized PageRank",
+    "q160_substring_delete": "q160 substring delete + serve",
+    "q161_bm25_delete": "q161 BM25 delete + serve",
+    "q162_ann_ivf_sq8_delete": "q162 IVF-SQ8 delete + serve",
+    "q163_ann_pq_delete": "q163 PQ delete + serve",
+    "q164_ann_ivfpq_delete": "q164 IVFADC delete + serve",
+    "q165_neardup_index_delete": "q165 near-dup delete + serve",
+    "q166_semantic_decontam": "q166 semantic decontamination",
 }
 
 MAINT_LABELS = {
     "ivf_build_sec": "IVF-SQ8 index build (full corpus)",
     "ivf_append_sec": "IVF append, FIXED 100-vector batch",
+    "ivf_delete_sec": "IVF tombstone delete, same batch",
+    "ivf_purge_sec": "IVF purge (physical reclaim, ∝ index)",
     "pq_build_sec": "PQ index build (full corpus)",
     "pq_append_sec": "PQ append, FIXED 100-vector batch",
+    "pq_delete_sec": "PQ tombstone delete, same batch",
+    "pq_purge_sec": "PQ purge (∝ index)",
     "bloom_build_sec": "Bloom artifact build (full corpus)",
     "bloom_merge_sec": "Bloom merge, FIXED 200-doc batch",
     "bm25_build_sec": "BM25 index build (full corpus)",
     "bm25_append_sec": "BM25 df-merge append, FIXED 200-doc batch",
+    "bm25_hot_serve_sec": "BM25 hot-term serve (max-score pruned)",
+    "bm25_hot_exhaustive_sec": "BM25 hot-term serve (exhaustive ref)",
+    "bm25_hot_matched_rows": "BM25 hot-term MATCHED posting rows",
+    "bm25_hot_scored_rows": "BM25 hot-term SCORED rows (pruned)",
+    "bm25_compact_sec": "BM25 postings compaction (epoch rewrite)",
+    "bm25_compact_files_before": "BM25 part-files before compaction",
+    "bm25_compact_files_after": "BM25 part-files after compaction",
+    "bm25_ledger_compact_sec": "BM25 ids-ledger compaction",
+    "bm25_ledger_files_before": "ledger part-files before",
+    "bm25_ledger_files_after": "ledger part-files after",
+    "bm25_delete_sec": "BM25 tombstone delete, FIXED 200-doc batch",
+    "bm25_purge_sec": "BM25 purge (∝ index)",
+    "neardup_build_sec": "near-dup index build (full corpus)",
+    "neardup_append_sec": "near-dup append, FIXED 200-doc batch",
+    "neardup_delete_sec": "near-dup tombstone delete, same batch",
+    "neardup_purge_sec": "near-dup purge (∝ index)",
+    "substring_build_sec": "substring index build (full corpus)",
+    "substring_append_sec": "substring append, FIXED 200-doc batch",
+    "substring_summary_sec": "substring compaction + dup summary mint",
+    "substring_serve_sec": "substring serve vs COMPACTED index, same batch",
+    "substring_serve_delta_sec": "substring serve with delta batch present",
+    "substring_delete_sec": "substring tombstone delete, same batch",
+    "substring_compact_sec": "substring summing re-compaction (∝ index)",
+    "substring_rows_before": "segment rows before re-compaction",
+    "substring_rows_after": "segment rows after re-compaction",
+    "cms_build_sec": "CMS artifact build (full corpus)",
+    "cms_merge_sec": "CMS merge, FIXED 200-doc batch",
+    "bpe_train_sec": "BPE train 64 merges (incremental pair counts)",
+    "bpe_train_recount_sec": "BPE train 64 merges (retired full recount)",
+    "bpe_affected_rows": "BPE rows exploded, incremental (Σ affected)",
+    "bpe_recount_rows": "BPE rows exploded, recount (rounds × vocab)",
 }
 
 COUNTER_LABELS = {
