@@ -446,11 +446,11 @@ object Similarity {
     // removes its old rows — they would resurface next to the new
     // generation's under one id once the serve-time anti-join lifts
     // (the BM25 q161 rule; duplicate APPENDS of a live id stay benign
-    // — serving dedups candidate pairs)
-    requireNoTombstoned(spark, snap,
-      batch.select(col(idCol).as("neighbor_id")).distinct()
-        .localCheckpoint(true),
-      s"IVF index at $dir")
+    // — serving dedups candidate pairs). By-name batch ids: the
+    // common no-ledger append path pays no extra job.
+    Warehouse.requireNoTombstoned(spark, snap,
+      batch.select(col(idCol).as("neighbor_id")).distinct(),
+      "neighbor_id", s"IVF index at $dir")
     val centroids = spark.read.parquet(snap.path("centroids.parquet"))
       .localCheckpoint(true)
     // cross-check the full geometry, not just the redundancy
@@ -951,8 +951,9 @@ object Similarity {
       col(vecCol).as("cv")).localCheckpoint(true)
     // tombstoned ids must purge before re-appending (see
     // [[appendToIvfIndex]])
-    requireNoTombstoned(spark, snap,
-      b.select(col("neighbor_id")).distinct(), s"PQ index at $dir")
+    Warehouse.requireNoTombstoned(spark, snap,
+      b.select(col("neighbor_id")).distinct(), "neighbor_id",
+      s"PQ index at $dir")
     encodePq(subvectors(b, m, dims / m), books)
       .join(b, Seq("neighbor_id"))
       .write.mode("append").parquet(snap.path("codes.parquet"))
@@ -1082,8 +1083,9 @@ object Similarity {
         "rebuild the index")
     val b = batch.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv")).localCheckpoint(true)
-    requireNoTombstoned(spark, snap,
-      b.select(col("neighbor_id")).distinct(), s"IVF-PQ index at $dir")
+    Warehouse.requireNoTombstoned(spark, snap,
+      b.select(col("neighbor_id")).distinct(), "neighbor_id",
+      s"IVF-PQ index at $dir")
     val centroids = spark.read.parquet(snap.path("centroids.parquet"))
       .localCheckpoint(true)
     val books = spark.read.parquet(snap.path("books.parquet"))
@@ -1219,127 +1221,28 @@ object Similarity {
     else rows.join(spark.read.parquet(snap.path("dels.parquet")),
       Seq("neighbor_id"), "left_anti")
 
-  /** Append-side ghost guard shared by the IVF/PQ appends: a
-    * tombstoned id stays un-appendable until the purge physically
-    * removes its old rows. PHYSICAL ledger check — conservative
-    * across crashed manifest registrations. */
-  private def requireNoTombstoned(
-      spark: org.apache.spark.sql.SparkSession,
-      snap: Warehouse.IndexSnapshot, batchIds: DataFrame,
-      what: String): Unit =
-    if (snap.hasPhysical("dels.parquet")) {
-      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
-        .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(ghosts.isEmpty,
-        s"$what: ids ${ghosts.mkString(", ")}… are tombstoned — " +
-          "re-ingesting before the purge would resurface their old " +
-          "rows under the same id; purge first")
-    }
-
   /** Tombstone DELETES for the stored vector indexes — the easy
     * shape of the q160/q161 delete tier: every stored row is
     * DOC-LOCAL (a vector's assignment/code row is a function of the
     * vector alone), so there is NO aggregate to cancel — the delete
-    * is one tombstone-ledger append, serving filters with a
-    * serve-time anti-join, and the matching purge physically
-    * reclaims. Takedown/opt-out applies to embeddings exactly as to
-    * postings; re-deriving a 10⁹-vector index per removal batch is
-    * not an option.
-    *
-    * `batch` needs only the id column (no vectors — deletion is by
-    * identity). Guards: NULL/duplicate batch ids refused (the shared
-    * discipline), every id must be INDEXED (present in the stored
-    * rows), not already tombstoned, and the delete must not empty
-    * the index (an index over zero vectors has nothing to serve —
-    * delete the directory and rebuild instead). The ledger write is
-    * the ONLY mutation, so crash ordering is trivial: a retry after
-    * a committed write fails loudly on the already-tombstoned guard.
-    * Deleted ids become re-appendable only after the purge (their
-    * physical rows would otherwise resurface — the BM25 rule). */
+    * is one tombstone-ledger append ([[Warehouse.tombstoneDelete]]:
+    * NULL/dup ids, never-indexed, already-tombstoned, and
+    * would-empty-index all refuse loudly; the ledger write is the
+    * only mutation, so crash ordering is trivial), serving filters
+    * with a serve-time anti-join, and [[Warehouse.purgeTombstones]]
+    * physically reclaims — after which purged ids are re-appendable
+    * (the append guards refuse tombstoned ids with a purge-first
+    * message: their physical rows would otherwise resurface).
+    * Takedown/opt-out applies to embeddings exactly as to postings;
+    * re-deriving a 10⁹-vector index per removal batch is not an
+    * option. `batch` needs only the id column — deletion is by
+    * identity. */
   private def deleteFromVectorIndex(
       spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
       idCol: String, dir: String, table: String, what: String): Unit = {
     Warehouse.readMetaJson(dir, what) // the meta gate
-    val snap = Warehouse.indexSnapshot(dir)
-    Warehouse.requireUniqueBatchIds(batch, col(idCol), s"$what delete")
-    val batchIds = batch.select(col(idCol).as("neighbor_id"))
-      .distinct().localCheckpoint(true)
-    if (batchIds.isEmpty) return
-    // every id must be indexed: column-pruned id scan, semi-joined
-    // MAP-SIDE against the broadcast batch (exchange ∝ batch)
-    val present = spark.read.parquet(snap.path(table))
-      .select(col("neighbor_id"))
-      .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
-      .distinct() // multi-assignment stores one row per list
-      .localCheckpoint(true)
-    val unindexed = batchIds.join(present, Seq("neighbor_id"),
-      "left_anti").limit(5).collect().map(_.get(0))
-    require(unindexed.isEmpty,
-      s"$what: ids ${unindexed.mkString(", ")}… were never indexed " +
-        "— a tombstone for an absent vector can only mask a caller " +
-        "bug; nothing would be deleted")
-    if (snap.hasPhysical("dels.parquet")) {
-      val twice = spark.read.parquet(snap.path("dels.parquet"))
-        .join(broadcast(batchIds), Seq("neighbor_id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(twice.isEmpty,
-        s"$what: ids ${twice.mkString(", ")}… are already tombstoned")
-    }
-    // refuse to tombstone the LAST live vectors: serving would return
-    // empty top-ks and the purge would be refused — a dead index.
-    // One column-pruned scan with an early-out limit(1).
-    val delsAll = if (snap.hasPhysical("dels.parquet"))
-      batchIds.unionByName(spark.read.parquet(snap.path("dels.parquet"))
-        .select(col("neighbor_id")))
-    else batchIds
-    val remaining = spark.read.parquet(snap.path(table))
-      .select(col("neighbor_id"))
-      .join(broadcast(delsAll.distinct().localCheckpoint(true)),
-        Seq("neighbor_id"), "left_anti")
-      .limit(1).collect()
-    require(remaining.nonEmpty,
-      s"$what: this delete tombstones every indexed vector — an " +
-        "index over zero vectors has nothing to serve; delete the " +
-        "index directory and rebuild instead")
-    Warehouse.appendToTable(dir, "dels.parquet", batchIds)
-  }
-
-  /** Physically reclaim tombstoned vectors: rewrite the stored rows
-    * without the deleted ids and drop the ledger — after which the
-    * purged ids are re-appendable. Cost ∝ index (the compaction-tier
-    * rewrite). SNAPSHOT-ISOLATED: the rewritten table lands in a
-    * fresh epoch dir and the two-table change (rows rewritten, dels
-    * dropped) commits as one atomic manifest swap — a concurrent
-    * reader serves the pre-purge view (old rows + anti-join) or the
-    * post-purge view, never old rows without the ledger. Returns
-    * (rowsBefore, rowsAfter); ledger-less index is a no-op (0, 0). */
-  private def purgeVectorIndexDeletes(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
-      table: String, partitionCol: Option[String],
-      what: String): (Long, Long) = {
-    Warehouse.readMetaJson(dir, what) // the meta gate
-    val snap = Warehouse.indexSnapshot(dir)
-    if (!snap.has("dels.parquet")) return (0L, 0L)
-    val dels = spark.read.parquet(snap.path("dels.parquet"))
-      .distinct().localCheckpoint(true)
-    val rows = spark.read.parquet(snap.path(table))
-    val before = rows.count()
-    val kept = rows.join(dels, Seq("neighbor_id"), "left_anti")
-      .localCheckpoint(true) // one materialization: count + write
-    val after = kept.count()
-    require(after > 0,
-      s"$what: purging would remove every stored row — delete the " +
-        "index directory and rebuild instead")
-    val epochName = Warehouse.epochDirName(table)
-    partitionCol match {
-      case Some(pc) => kept.repartition(col(pc))
-        .write.partitionBy(pc).parquet(s"$dir/$epochName")
-      case None => kept.write.parquet(s"$dir/$epochName")
-    }
-    Warehouse.commitEpoch(dir, snap.allTables
-      + (table -> epochName) - "dels.parquet")
-    (before, after)
+    Warehouse.tombstoneDelete(spark, dir, batch, col(idCol),
+      "neighbor_id", table, what)
   }
 
   /** [[deleteFromVectorIndex]] for the IVF / IVF-SQ8 artifact
@@ -1351,9 +1254,12 @@ object Similarity {
       "assignments.parquet", s"IVF index at $dir")
 
   def purgeIvfDeletes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Long) =
-    purgeVectorIndexDeletes(spark, dir, "assignments.parquet",
-      Some("list_id"), s"IVF index at $dir")
+      dir: String): (Long, Long) = {
+    Warehouse.readMetaJson(dir, s"IVF index at $dir") // the meta gate
+    Warehouse.purgeTombstones(spark, dir, "neighbor_id",
+      Seq("assignments.parquet" -> Some("list_id")),
+      s"IVF index at $dir")
+  }
 
   /** [[deleteFromVectorIndex]] for the flat PQ artifact
     * ([[buildPqIndex]]). */
@@ -1363,9 +1269,11 @@ object Similarity {
       s"PQ index at $dir")
 
   def purgePqDeletes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Long) =
-    purgeVectorIndexDeletes(spark, dir, "codes.parquet", None,
-      s"PQ index at $dir")
+      dir: String): (Long, Long) = {
+    Warehouse.readMetaJson(dir, s"PQ index at $dir") // the meta gate
+    Warehouse.purgeTombstones(spark, dir, "neighbor_id",
+      Seq("codes.parquet" -> None), s"PQ index at $dir")
+  }
 
   /** [[deleteFromVectorIndex]] for the IVF-PQ (IVFADC) artifact
     * ([[buildIvfPqIndex]]). */
@@ -1375,9 +1283,12 @@ object Similarity {
       "assignments.parquet", s"IVF-PQ index at $dir")
 
   def purgeIvfPqDeletes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Long) =
-    purgeVectorIndexDeletes(spark, dir, "assignments.parquet",
-      Some("list_id"), s"IVF-PQ index at $dir")
+      dir: String): (Long, Long) = {
+    Warehouse.readMetaJson(dir, s"IVF-PQ index at $dir") // the meta gate
+    Warehouse.purgeTombstones(spark, dir, "neighbor_id",
+      Seq("assignments.parquet" -> Some("list_id")),
+      s"IVF-PQ index at $dir")
+  }
 
   /** SEMANTIC eval-set decontamination from the stored IVF-SQ8 index
     * (round-19 verdict #5) — the embedding twin of the q64 n-gram
@@ -1408,7 +1319,19 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, evalSet: DataFrame,
       idCol: String, vecCol: String, dir: String, tau: Double,
       nProbe: Int = 4): DataFrame = {
+    // the meta discipline (round-19 review): a partial or
+    // hand-assembled dir must refuse loudly, never serve a silently
+    // wrong contamination report; geometry cross-checked from the
+    // parquet FOOTERS — zero Spark jobs
+    val meta = Warehouse.readMetaJson(dir, "IVF index")
+    val nLists = Warehouse.metaLong(meta, dir, "nLists")
     val snap = Warehouse.indexSnapshot(dir)
+    val nCent = graft.Tables.parquetRowCount(spark,
+      snap.path("centroids.parquet"))
+    require(nCent == nLists,
+      s"IVF index at $dir is inconsistent: _meta.json declares " +
+        s"nLists=$nLists but centroids.parquet holds $nCent rows — " +
+        "rebuild the index")
     val centroids = spark.read.parquet(snap.path("centroids.parquet"))
     val q = evalSet.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"))

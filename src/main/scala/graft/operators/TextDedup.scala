@@ -699,16 +699,8 @@ object TextDedup {
     // the serve-time anti-join lifts, doubling sza/inter (the q161
     // rule). Checked before the generic probe: purge-first is the
     // actionable message.
-    if (snap.hasPhysical("dels.parquet")) {
-      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
-        .join(broadcast(batchIds), Seq("id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(ghosts.isEmpty,
-        s"near-dup index at $indexDir: ids ${ghosts.mkString(", ")}… " +
-          "are tombstoned — re-ingesting before purgeNearDupDeletes " +
-          "would resurface their old gram rows under the same id; " +
-          "purge first")
-    }
+    Warehouse.requireNoTombstoned(spark, snap, batchIds, "id",
+      s"near-dup index at $indexDir")
     Warehouse.requireAppendOnly(
       spark.read.parquet(snap.path("keys.parquet")).select(col("id")),
       batchIds, "id", s"near-dup index at $indexDir",
@@ -736,82 +728,37 @@ object TextDedup {
     * the purge. */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, indexDir: String, idCol: String): Unit = {
-    // meta gate (any config — deletion is config-independent)
-    val p = java.nio.file.Paths.get(s"$indexDir/_meta.json")
-    require(java.nio.file.Files.exists(p),
+    requireNearDupMeta(indexDir)
+    // presence probes the KEY table: a zero-shingle doc has no
+    // stored rows and is refused as never-indexed — nothing to
+    // delete (all guard/ledger machinery shared with the vector
+    // indexes, round-19 review)
+    Warehouse.tombstoneDelete(spark, indexDir, batch, col(idCol),
+      "id", "keys.parquet", s"near-dup index at $indexDir")
+  }
+
+  /** Meta gate (any config — deletion is config-independent; the
+    * full config check belongs to the banding-keyed paths). */
+  private def requireNearDupMeta(indexDir: String): Unit =
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/_meta.json")),
       s"near-dup index at $indexDir has no _meta.json — not a " +
         "complete buildNearDupIndex artifact; rebuild the index")
-    val snap = Warehouse.indexSnapshot(indexDir)
-    Warehouse.requireUniqueBatchIds(batch, col(idCol),
-      "near-dup index delete")
-    val batchIds = batch.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true)
-    if (batchIds.isEmpty) return
-    val present = spark.read.parquet(snap.path("keys.parquet"))
-      .select(col("id"))
-      .join(broadcast(batchIds), Seq("id"), "left_semi")
-      .distinct().localCheckpoint(true)
-    val unindexed = batchIds.join(present, Seq("id"), "left_anti")
-      .limit(5).collect().map(_.get(0))
-    require(unindexed.isEmpty,
-      s"near-dup index at $indexDir: ids ${unindexed.mkString(", ")}… " +
-        "were never indexed (or had zero shingles — no stored rows) " +
-        "— nothing to delete")
-    if (snap.hasPhysical("dels.parquet")) {
-      val twice = spark.read.parquet(snap.path("dels.parquet"))
-        .join(broadcast(batchIds), Seq("id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(twice.isEmpty,
-        s"near-dup index at $indexDir: ids ${twice.mkString(", ")}… " +
-          "are already tombstoned")
-    }
-    val delsAll = if (snap.hasPhysical("dels.parquet"))
-      batchIds.unionByName(spark.read.parquet(snap.path("dels.parquet"))
-        .select(col("id")))
-    else batchIds
-    val remaining = spark.read.parquet(snap.path("keys.parquet"))
-      .select(col("id"))
-      .join(broadcast(delsAll.distinct().localCheckpoint(true)),
-        Seq("id"), "left_anti")
-      .limit(1).collect()
-    require(remaining.nonEmpty,
-      s"near-dup index at $indexDir: this delete tombstones every " +
-        "indexed doc — delete the index directory and rebuild instead")
-    Warehouse.appendToTable(indexDir, "dels.parquet", batchIds)
-  }
 
   /** Physically reclaim tombstoned docs from the near-dup index:
     * keys and grams rewritten without the deleted ids into fresh
     * epoch dirs, ledger dropped — ONE atomic manifest swap for the
-    * three-table change (a concurrent reader serves the pre-purge
-    * view with the anti-join, or the post-purge view, never purged
-    * keys with live tombstones). Cost ∝ index. Returns (gramRows
-    * before, after); ledger-less index is a no-op (0, 0). */
+    * three-table change ([[Warehouse.purgeTombstones]]; a concurrent
+    * reader serves the pre-purge view with the anti-join, or the
+    * post-purge view, never purged keys with live tombstones). Cost
+    * ∝ index. Returns (gramRows before, after); ledger-less index is
+    * a no-op (0, 0). */
   def purgeNearDupDeletes(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Long, Long) = {
-    val snap = Warehouse.indexSnapshot(indexDir)
-    if (!snap.has("dels.parquet")) return (0L, 0L)
-    val dels = spark.read.parquet(snap.path("dels.parquet"))
-      .distinct().localCheckpoint(true)
-    val grams = spark.read.parquet(snap.path("grams.parquet"))
-    val before = grams.count()
-    val keptGrams = grams.join(dels, Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val after = keptGrams.count()
-    require(after > 0,
-      s"near-dup index at $indexDir: purging would remove every " +
-        "gram row — delete the index directory and rebuild instead")
-    val gramsEpoch = Warehouse.epochDirName("grams.parquet")
-    keptGrams.write.parquet(s"$indexDir/$gramsEpoch")
-    val keysEpoch = Warehouse.epochDirName("keys.parquet")
-    spark.read.parquet(snap.path("keys.parquet"))
-      .join(dels, Seq("id"), "left_anti")
-      .write.parquet(s"$indexDir/$keysEpoch")
-    Warehouse.commitEpoch(indexDir, snap.allTables
-      + ("grams.parquet" -> gramsEpoch)
-      + ("keys.parquet" -> keysEpoch)
-      - "dels.parquet")
-    (before, after)
+    requireNearDupMeta(indexDir)
+    Warehouse.purgeTombstones(spark, indexDir, "id",
+      Seq("grams.parquet" -> None, "keys.parquet" -> None),
+      s"near-dup index at $indexDir")
   }
 
   /** Fail-fast config check for [[incrementalNearDupPairsFromIndex]]:

@@ -551,7 +551,17 @@ private[graft] object Warehouse {
     val multi = parts.filter(partFiles(_).length > 1)
     if (multi.isEmpty) return (0, 0)
     val before = multi.map(partFiles(_).length).sum
-    val values = multi.map(_.getName.stripPrefix(s"$partitionCol="))
+    // directory names carry Spark's partition-path ESCAPING; compare
+    // in VALUE space or an escape-needing partition value (today's
+    // callers are alnum/hex/int, but the function is generic) would
+    // match zero rows in the filter below and its partition would be
+    // silently ABSENT from the new epoch table — the
+    // deleteStalePartitionDirs lesson (round-18 ADVICE), upgraded
+    // from a benign no-op to data loss by the epoch rewrite
+    // (round-19 review)
+    val values = multi.map(d =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.getName.stripPrefix(s"$partitionCol=")))
       .toSeq
     val epochName = epochDirName(table)
     val epochDir = new java.io.File(indexDir, epochName)
@@ -607,6 +617,137 @@ private[graft] object Warehouse {
     commitEpoch(indexDir, snap.allTables + (table -> epochName))
     (before, partFiles(new java.io.File(indexDir, epochName)))
   }
+
+  /** Shared tombstone-DELETE machinery for the DOC-LOCAL index
+    * families (stored vector indexes, near-dup index — the q161
+    * pattern with no aggregate to cancel; hoisted round-19 after the
+    * near-line-for-line third copy): guard probes ∝ batch, then one
+    * ledger append as the only mutation. `presenceTable` is the
+    * stored table whose id column proves a batch id was indexed;
+    * `idCol` names the ledger/table id column. Refusals: NULL or
+    * duplicated batch ids, never-indexed ids (a tombstone for an
+    * absent row can only mask a caller bug), already-tombstoned ids,
+    * and a delete that would tombstone EVERY stored row (serving
+    * would return empty and the purge would refuse — a dead index;
+    * delete the directory and rebuild instead). */
+  private[graft] def tombstoneDelete(spark: SparkSession,
+      dir: String, batch: DataFrame, batchIdExpr: org.apache.spark.sql.Column,
+      idCol: String, presenceTable: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val snap = indexSnapshot(dir)
+    requireUniqueBatchIds(batch, batchIdExpr, s"$what delete")
+    val batchIds = batch.select(batchIdExpr.as(idCol))
+      .distinct().localCheckpoint(true)
+    if (batchIds.isEmpty) return
+    // every id must be indexed: column-pruned id scan, semi-joined
+    // MAP-SIDE against the broadcast batch (exchange ∝ batch)
+    val present = spark.read.parquet(snap.path(presenceTable))
+      .select(col(idCol))
+      .join(broadcast(batchIds), Seq(idCol), "left_semi")
+      .distinct() // multi-assignment stores one row per list
+      .localCheckpoint(true)
+    val unindexed = batchIds.join(present, Seq(idCol), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(unindexed.isEmpty,
+      s"$what: ids ${unindexed.mkString(", ")}… were never indexed " +
+        "(or have no stored rows) — a tombstone for an absent row " +
+        "can only mask a caller bug; nothing would be deleted")
+    if (snap.hasPhysical("dels.parquet")) {
+      val twice = spark.read.parquet(snap.path("dels.parquet"))
+        .join(broadcast(batchIds), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(twice.isEmpty,
+        s"$what: ids ${twice.mkString(", ")}… are already tombstoned")
+    }
+    // refuse to tombstone the LAST live rows — one column-pruned scan
+    // with an early-out limit(1)
+    val delsAll = if (snap.hasPhysical("dels.parquet"))
+      batchIds.unionByName(spark.read.parquet(snap.path("dels.parquet"))
+        .select(col(idCol)))
+    else batchIds
+    val remaining = spark.read.parquet(snap.path(presenceTable))
+      .select(col(idCol))
+      .join(broadcast(delsAll.distinct().localCheckpoint(true)),
+        Seq(idCol), "left_anti")
+      .limit(1).collect()
+    require(remaining.nonEmpty,
+      s"$what: this delete tombstones every indexed row — an index " +
+        "over zero rows has nothing to serve; delete the index " +
+        "directory and rebuild instead")
+    appendToTable(dir, "dels.parquet", batchIds)
+  }
+
+  /** Shared tombstone-PURGE: rewrite each of `tables` without the
+    * ledgered ids into fresh epoch dirs and drop the ledger — ONE
+    * atomic manifest swap for the whole change (a concurrent reader
+    * serves the pre-purge view with the anti-join, or the post-purge
+    * view, never purged rows with live tombstones). Cost ∝ index
+    * (the compaction-tier rewrite); purged ids become re-appendable.
+    * Returns (rowsBefore, rowsAfter) over the FIRST table; a
+    * ledger-less index is a no-op (0, 0). Refuses to purge the index
+    * down to zero rows. `tables` = (logical name, partition column
+    * if partitioned). */
+  private[graft] def purgeTombstones(spark: SparkSession, dir: String,
+      idCol: String, tables: Seq[(String, Option[String])],
+      what: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val snap = indexSnapshot(dir)
+    if (!snap.has("dels.parquet")) return (0L, 0L)
+    val dels = spark.read.parquet(snap.path("dels.parquet"))
+      .distinct().localCheckpoint(true)
+    var receipt = (0L, 0L)
+    val newDirs = tables.zipWithIndex.map { case ((table, pcol), i) =>
+      val rows = spark.read.parquet(snap.path(table))
+      val kept = rows.join(dels, Seq(idCol), "left_anti")
+      val epochName = epochDirName(table)
+      if (i == 0) {
+        val before = rows.count()
+        // one materialization serves the count and the write (the
+        // epoch layout reads old files / writes new — no overwrite
+        // hazard, the checkpoint only saves a second scan)
+        val keptM = kept.localCheckpoint(true)
+        val after = keptM.count()
+        require(after > 0,
+          s"$what: purging would remove every stored row — delete " +
+            "the index directory and rebuild instead")
+        receipt = (before, after)
+        writeEpochTable(keptM, dir, epochName, pcol)
+      } else writeEpochTable(kept, dir, epochName, pcol)
+      table -> epochName
+    }
+    commitEpoch(dir, snap.allTables ++ newDirs - "dels.parquet")
+    receipt
+  }
+
+  private def writeEpochTable(rows: DataFrame, dir: String,
+      epochName: String, partitionCol: Option[String]): Unit =
+    partitionCol match {
+      case Some(pc) => rows
+        .repartition(org.apache.spark.sql.functions.col(pc))
+        .write.partitionBy(pc).parquet(s"$dir/$epochName")
+      case None => rows.write.parquet(s"$dir/$epochName")
+    }
+
+  /** Append-side ghost guard shared by the doc-local families: a
+    * tombstoned id stays un-appendable until the purge physically
+    * removes its old rows — they would resurface next to the new
+    * generation's under one id once the serve-time anti-join lifts.
+    * PHYSICAL ledger check (conservative across crashed manifest
+    * registrations); `batchIds` is only evaluated when a ledger
+    * exists, so the common no-tombstone append path pays nothing. */
+  private[graft] def requireNoTombstoned(spark: SparkSession,
+      snap: IndexSnapshot, batchIds: => DataFrame, idCol: String,
+      what: String): Unit =
+    if (snap.hasPhysical("dels.parquet")) {
+      import org.apache.spark.sql.functions.broadcast
+      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
+        .join(broadcast(batchIds), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(ghosts.isEmpty,
+        s"$what: ids ${ghosts.mkString(", ")}… are tombstoned — " +
+          "re-ingesting before the purge would resurface their old " +
+          "rows under the same id; purge first")
+    }
 
   /** Delete partition directories under `path` whose value is not in
     * `live` — the shared tail of every dynamic-overwrite rewrite that

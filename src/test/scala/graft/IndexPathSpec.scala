@@ -1250,7 +1250,7 @@ class IndexPathSpec extends AnyFunSuite {
       // delete-everything refusal
       assert(intercept[IllegalArgumentException] {
         Similarity.deleteFromIvfIndex(spark, kept, "vec_id", dir)
-      }.getMessage.contains("every indexed vector"))
+      }.getMessage.contains("every indexed row"))
       // purge: physical reclaim, serving unchanged, re-append
       // restores the ORIGINAL full-corpus ranking exactly (same
       // centroids, deterministic assignment — the q133 identity)
