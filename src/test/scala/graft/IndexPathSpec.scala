@@ -1199,6 +1199,65 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  test("a LIVE reader serves uninterrupted THROUGH a concurrent " +
+    "purge — the epoch guarantee, exercised with real overlap") {
+    withTempDir("epoch_live") { dir =>
+      import spark.implicits._
+      val docs = (0L until 16L)
+        .map(i => (i, s"live$i reader$i test$i common words"))
+        .toDF("doc_id", "text").localCheckpoint(true)
+      graft.operators.Retrieval.buildBm25Index(docs, "doc_id", "text", dir)
+      // mint the manifest so the epoch (not legacy) semantics govern
+      graft.operators.Retrieval.appendToBm25Index(spark,
+        Seq((100L, "extra ledger file")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      graft.operators.Warehouse
+        .compactUnpartitionedLedger(spark, dir, "ids.parquet")
+      graft.operators.Retrieval.deleteFromBm25Index(spark,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+      val queries = Seq((1L, "common words")).toDF("query_id", "qtext")
+        .localCheckpoint(true)
+      def served() = graft.operators.Retrieval
+        .bm25TopKFromIndex(spark, queries, "query_id", "qtext", dir,
+          k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      // serving content is IDENTICAL before and after the purge
+      // (tombstone filter vs physical removal), so every successful
+      // mid-purge serve must equal this — and the epoch claim is
+      // that every serve SUCCEEDS (the old in-place rewrite made a
+      // concurrent reader hit vanished part-files)
+      val expected = served()
+      assert(expected.nonEmpty)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val mismatches = new java.util.concurrent.atomic.AtomicInteger
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          try { if (served() != expected) mismatches.incrementAndGet() }
+          catch { case t: Throwable => errs.add(t); stop.set(true) }
+        }
+      })
+      reader.start()
+      try {
+        Thread.sleep(200) // let at least one pre-purge serve start
+        val (pb, pa) = graft.operators.Retrieval
+          .purgeBm25Deletes(spark, dir)
+        assert(pb > pa && pa > 0)
+        Thread.sleep(400) // post-purge overlap serves
+      } finally {
+        stop.set(true)
+        reader.join(60000)
+      }
+      assert(errs.isEmpty,
+        s"a live reader failed during the purge: ${errs.peek()}")
+      assert(mismatches.get() == 0,
+        s"${mismatches.get()} mid-purge serves returned a mixed view")
+      assert(served() == expected)
+    }
+  }
+
   test("vector index tombstone deletes: deleted ids vanish from " +
     "IVF-SQ8/PQ/IVF-PQ serving, purge + re-append restores the " +
     "original ranking, guards refuse misuse") {
