@@ -795,11 +795,13 @@ private[graft] object Warehouse {
   // (orphan epoch dirs are swept at the next successful commit);
   // crash mid-swap is impossible by POSIX rename atomicity.
   //
-  // Grace: a superseded table dir survives exactly ONE further commit
-  // (the cleanup deletes dirs referenced by neither the new nor the
-  // outgoing manifest), so a reader is safe as long as its query does
-  // not span two full maintenance cycles — compaction cadences are
-  // hours, query lifetimes seconds. WRITERS still serialize: one
+  // Grace: a superseded table dir survives exactly ONE further
+  // MAINTENANCE (replacing/dropping) commit — the cleanup deletes
+  // dirs referenced by neither the new nor the outgoing manifest,
+  // and PURE-ADDITION commits (table-birth registrations) skip it —
+  // so a reader is safe as long as its query does not span two full
+  // maintenance cycles: compaction cadences are hours, query
+  // lifetimes seconds. WRITERS still serialize: one
   // mutating op per index at a time (append/delete remain behind the
   // deployment's ingest-cycle barrier — they mutate shared files in
   // place by design); only reader-vs-maintenance is now unbarriered.
@@ -879,9 +881,11 @@ private[graft] object Warehouse {
     * manifest to a temp file, ATOMIC_MOVE it over `_manifest.json`
     * (readers see old XOR new — never a torn manifest), then sweep
     * table dirs referenced by NEITHER the new nor the outgoing
-    * manifest (= superseded two commits ago, or orphaned by a crashed
-    * op). Dirs of the manifest just replaced survive this commit —
-    * the one-cycle reader grace. The FIRST commit on a legacy dir is
+    * manifest (= superseded two maintenance commits ago, or orphaned
+    * by a crashed op). Dirs of the manifest just replaced survive
+    * this commit — the one-cycle reader grace — and pure-addition
+    * registration commits skip the sweep entirely, so only real
+    * maintenance commits consume grace. The FIRST commit on a legacy dir is
     * the exception: plain-named dirs it supersedes are reclaimed
     * immediately — pre-manifest readers never had snapshot isolation
     * (the old contract was an in-place overwrite), and a lingering
@@ -908,16 +912,30 @@ private[graft] object Warehouse {
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val referenced = tables.values.toSet ++ outgoing.values.toSet
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory)
-      .filter(d => (d.getName.endsWith(".parquet") ||
-        d.getName.matches(EpochDirPattern)) && !referenced(d.getName))
-      .foreach { d =>
-        System.err.println(s"[epoch] sweeping superseded ${d.getName}" +
-          s" under $dir")
-        deleteRec(d)
-      }
+    // a PURE-ADDITION commit (every outgoing entry carried unchanged
+    // — table-birth registrations from the delete paths) supersedes
+    // nothing and SKIPS the sweep, so it never consumes a reader's
+    // grace: a tombstone delete landing seconds after a purge must
+    // not reclaim the pre-purge epoch out from under a reader still
+    // inside it. Grace is therefore one further MAINTENANCE
+    // (replacing/dropping) commit, not merely any commit. The first
+    // commit on a legacy dir always sweeps — pre-manifest readers
+    // had no isolation, and the superseded plain-named dirs must go
+    // before the write-guards' plain-name fallback can collide.
+    val pureAddition = hadManifest &&
+      outgoing.forall { case (k, v) => tables.get(k).contains(v) }
+    if (!pureAddition) {
+      val referenced = tables.values.toSet ++ outgoing.values.toSet
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory)
+        .filter(d => (d.getName.endsWith(".parquet") ||
+          d.getName.matches(EpochDirPattern)) && !referenced(d.getName))
+        .foreach { d =>
+          System.err.println(s"[epoch] sweeping superseded ${d.getName}" +
+            s" under $dir")
+          deleteRec(d)
+        }
+    }
   }
 
   /** Append `rows` to logical `table` of the index at `dir`,

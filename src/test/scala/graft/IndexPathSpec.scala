@@ -1187,14 +1187,22 @@ class IndexPathSpec extends AnyFunSuite {
         .map(_.getLong(0)).toSet
       assert(goneIds.intersect(newPost).isEmpty,
         "new epoch must not hold purged rows")
-      // 4. grace expiry: the NEXT commit sweeps the pre-purge dirs
+      // 4. a PURE-ADDITION commit (a fresh delete registering its
+      // new ledger) must NOT consume the reader grace — the pre-purge
+      // dirs survive it untouched
+      graft.operators.Retrieval.deleteFromBm25Index(spark,
+        docs.filter(col("doc_id").isin(0L, 2L)), "doc_id", "text", dir)
+      assert(new java.io.File(prePostings).exists() &&
+        new java.io.File(preDels).exists(),
+        "a registration commit must not reclaim the graced epoch")
+      // 5. grace expiry: the next MAINTENANCE commit sweeps them
       graft.operators.Retrieval.appendToBm25Index(spark, gone,
         "doc_id", "text", dir) // purged ids re-appendable; adds files
       val (cb2, ca2) = W.compactIndexPartitions(spark, dir,
         "postings.parquet", "pfx")
       assert(cb2 > ca2, "re-append should leave multi-file partitions")
       assert(!new java.io.File(prePostings).exists(),
-        "two commits later, the old epoch must be reclaimed")
+        "two maintenance commits later, the old epoch must be reclaimed")
       assert(!new java.io.File(preDels).exists())
     }
   }
