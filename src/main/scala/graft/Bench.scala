@@ -154,7 +154,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // exclusive run lock shared with ScaleBench (round-19 verdict
     // #6): overlapped measurement runs contaminate both artifacts
-    val runLock = RunLock.acquire("target/graft-bench.lock")
+    val runLock = RunLock.acquire(RunLock.benchLockPath)
     try mainLocked() finally runLock.close()
   }
 

@@ -14,6 +14,16 @@ package graft
   * family) is refused identically. */
 object RunLock {
 
+  /** The MACHINE-GLOBAL bench lock path (round-19 ADVICE): a
+    * CWD-relative path only excluded same-CWD launches — two runs
+    * started from different checkouts on one machine never contended,
+    * which is exactly the wall-clock contamination the lock exists to
+    * prevent. Anchored under `java.io.tmpdir` so every launch on the
+    * machine resolves the same file regardless of working
+    * directory. */
+  def benchLockPath: String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft-bench.lock").toString
+
   /** Acquire the exclusive lock at `path`, creating parent dirs.
     * Returns the releasing handle; throws [[IllegalStateException]]
     * with remediation text when another run holds it. */

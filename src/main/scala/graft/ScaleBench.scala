@@ -149,7 +149,11 @@ object ScaleBench {
       // depth ≥ k). The exhaustive reference must pay the hot list
       // (cost grows with corpus); the max-score path's exchange is
       // bounded by the rare term's list — the decoupling law.
-      val dfsArt = spark.read.parquet(s"$tmp/bm25/dfs.parquet")
+      // snapshot-resolved artifact views: appends land as epoch
+      // segments (round-20), so raw `$dir/table` paths no longer see
+      // the appended rows
+      val dfsArt = Retrieval.storedDfs(spark, s"$tmp/bm25")
+        .localCheckpoint(true)
       val hotTerm = dfsArt.orderBy(col("df").desc, col("term").asc)
         .select(col("term")).limit(1).collect().headOption
         .map(_.getString(0)).getOrElse(
@@ -180,8 +184,7 @@ object ScaleBench {
       // contrast isolates exactly the candidate-filter difference
       val hotPrefixes = Seq(hotTerm, rareTerm).map(_.substring(0, 1))
         .distinct
-      val hotPostings = spark.read
-        .parquet(s"$tmp/bm25/postings.parquet")
+      val hotPostings = Retrieval.storedPostings(spark, s"$tmp/bm25")
         .filter(col("pfx").isin(hotPrefixes: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
       val hotStats = hotPostings.select(col("doc_id"), col("len"))
@@ -225,6 +228,14 @@ object ScaleBench {
       val cBm25 = timed {
         compacted = Warehouse.compactIndexPartitions(spark,
           s"$tmp/bm25", "postings.parquet", "pfx")
+      }
+      // the signed-dfs summing compaction (round-20): the 8 cycles
+      // above left 9 df segments; folding them restores the
+      // single-segment fast serve path — rows before/after are the
+      // receipt (before ≈ 9 segment row sets, after = one summed set)
+      var dfsFold = (0L, 0L)
+      val cDfs = timed {
+        dfsFold = Retrieval.compactBm25Dfs(spark, s"$tmp/bm25")
       }
       val bNd = timed(TextDedup.buildNearDupIndex(docs, "doc_id",
         "text", s"$tmp/ndidx"))
@@ -361,6 +372,9 @@ object ScaleBench {
         "bm25_hot_matched_rows" -> hotMatched.toDouble,
         "bm25_hot_scored_rows" -> hotScored.toDouble,
         "bm25_compact_sec" -> cBm25,
+        "bm25_dfs_compact_sec" -> cDfs,
+        "bm25_dfs_rows_before" -> dfsFold._1.toDouble,
+        "bm25_dfs_rows_after" -> dfsFold._2.toDouble,
         "bm25_delete_sec" -> dBm25, "bm25_purge_sec" -> gBm25,
         "bm25_compact_files_before" -> compacted._1.toDouble,
         "bm25_compact_files_after" -> compacted._2.toDouble,
@@ -420,7 +434,7 @@ object ScaleBench {
     // exclusive run lock (round-19 verdict #6): an overlapped
     // Bench/ScaleBench run contaminates both artifacts — refuse
     // loudly; a crashed holder's lock dies with its JVM (see RunLock)
-    val runLock = RunLock.acquire("target/graft-bench.lock")
+    val runLock = RunLock.acquire(RunLock.benchLockPath)
     try mainLocked() finally runLock.close()
   }
 

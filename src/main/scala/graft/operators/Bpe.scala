@@ -119,12 +119,136 @@ object Bpe {
       numMerges: Int, stats: Option[TrainStats] = None)
       : Seq[(Int, String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    var vocab = wordCounts(docs, textCol)
+    val vocab0 = wordCounts(docs, textCol)
       .withColumn("seq", initialSeq(col("w")))
       .localCheckpoint(true)
-    // vocab size only when instrumented (one bounded count over the
-    // checkpointed frame)
-    stats.foreach(s => s.recountRows = vocab.count() * numMerges)
+    // DRIVER-SIDE FINISH (round-19 verdict #4): BPE's training input
+    // is the word HISTOGRAM, not the corpus — even a 100 TB corpus
+    // yields a distinct-word table that fits driver memory (the
+    // standard production observation). The distributed loop pays
+    // numMerges sequential driver round-trips of ~3 bounded Spark
+    // jobs each — correct, but a 32k-merge vocabulary is 32k
+    // round-trips of pure scheduling overhead. So: one count decides
+    // — at or under `spark.graft.bpe.driverMaxWords` (default 4M
+    // words ≈ a few hundred MB of symbol arrays), collect the
+    // histogram ONCE and run the merge loop in memory with the
+    // IDENTICAL selection rule (max pair count, then x asc, y asc —
+    // alnum symbols order the same under UTF-8 and UTF-16, so Spark's
+    // string sort and Scala's agree; BpeSpec pins driver ≡
+    // distributed merge-for-merge). Past the cap, fall back to the
+    // distributed incremental loop — the pathological-vocabulary
+    // path, unchanged.
+    val nWords = vocab0.count()
+    stats.foreach(s => s.recountRows = nWords * numMerges)
+    val cap = docs.sparkSession.conf
+      .get("spark.graft.bpe.driverMaxWords", "4000000").toLong
+    if (nWords <= cap)
+      trainMergesDriver(
+        vocab0.select(col("w"), col("cnt")).collect()
+          .map(r => (r.getString(0), r.getLong(1))),
+        numMerges, stats)
+    else trainMergesDistributed(vocab0, numMerges, stats)
+  }
+
+  /** In-memory merge loop over the collected (word, count) histogram
+    * — selection rule and greedy left-to-right merge application
+    * both EXACTLY the distributed loop's (see [[trainMerges]]).
+    * Maintains the same incremental pair-count law: per round, only
+    * words containing the winning pair are re-scanned (an occurrence
+    * index maps each pair to the words holding it), and the stats
+    * counters record the identical affected-row counts. */
+  private def trainMergesDriver(words: Array[(String, Long)],
+      numMerges: Int, stats: Option[TrainStats])
+      : Seq[(Int, String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      words.map(w => mutable.ArrayBuffer(w._1.split(""): _*))
+    val cnts: Array[Long] = words.map(_._2)
+    // global pair counts (per occurrence × word count) and the
+    // pair → word-index occurrence sets
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWordPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pc.getOrElse(p, 0L) + sign * cnts(i)
+        if (n == 0L) pc.remove(p) else pc.update(p, n)
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      if (sign < 0) {
+        // rebuild membership lazily: drop i from pairs it no longer
+        // holds AFTER the merge re-add pass (handled by caller order:
+        // subtract, mutate, add — then prune below)
+        ()
+      }
+    }
+    for (i <- syms.indices) addWordPairs(i, 1L)
+    val merges = Seq.newBuilder[(Int, String, String)]
+    for (step <- 1 to numMerges) {
+      require(pc.nonEmpty,
+        s"BPE training exhausted all pairs at step $step of " +
+          s"$numMerges — every word is a single symbol; lower " +
+          "numMerges")
+      // max n, tie-break x asc then y asc — the distributed orderBy
+      var best: ((String, String), Long) = null
+      for (e <- pc) {
+        if (best == null || e._2 > best._2 ||
+          (e._2 == best._2 &&
+            (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+          best = e
+      }
+      val (x, y) = best._1
+      merges += ((step, x, y))
+      val affected = occ.getOrElse((x, y), mutable.Set.empty).toArray
+      stats.foreach(s => s.affectedRows += affected.length)
+      for (i <- affected) {
+        val s = syms(i)
+        addWordPairs(i, -1L)
+        // greedy left-to-right non-overlapping merge — identical to
+        // the double-space regexp_replace scan
+        val out = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == x && s(j + 1) == y) {
+            out += x + y
+            j += 2
+          } else {
+            out += s(j)
+            j += 1
+          }
+        }
+        syms(i) = out
+        addWordPairs(i, 1L)
+        // prune stale occurrence memberships for this word: pairs it
+        // held before the merge but not after
+        val now = out.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p(1))).toSet
+        var k = 0
+        while (k < s.length - 1) {
+          val p = (s(k), s(k + 1))
+          if (!now.contains(p))
+            occ.get(p).foreach { set =>
+              set -= i
+              if (set.isEmpty) occ.remove(p)
+            }
+          k += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** The distributed incremental merge loop — the fallback for
+    * vocabularies past `spark.graft.bpe.driverMaxWords`, and the
+    * reference the spec pins the driver loop against. */
+  private[graft] def trainMergesDistributed(vocabIn: DataFrame,
+      numMerges: Int, stats: Option[TrainStats])
+      : Seq[(Int, String, String)] = {
+    var vocab = vocabIn
     var pc = pairCounts(vocab).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String)]
     for (step <- 1 to numMerges) {

@@ -285,19 +285,22 @@ object Retrieval {
     * AnalysisException instead of a rebuild-the-index message (the
     * substring index's v2 gate, mirrored; in-repo artifacts already
     * retire through the warehouse key bump). */
-  private def readBm25Meta(dir: String): Bm25Meta = {
-    val meta = Warehouse.readMetaJson(dir, "BM25 index")
+  private def readBm25Meta(snap: Warehouse.IndexSnapshot): Bm25Meta = {
+    val meta = Warehouse.readMetaJson(snap, "BM25 index")
+    val dir = snap.root
     Warehouse.requireMetaVersion(meta, dir, "BM25 index", 2L,
       "maxtf/minlen pruning bounds in dfs.parquet")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
     Bm25Meta(f("nDocs"), f("sumLen"), f("k1E6"), f("bE6"))
   }
 
+  private def bm25MetaJson(m: Bm25Meta): String =
+    s"""{"version":2,"nDocs":${m.nDocs},"sumLen":${m.sumLen},""" +
+      s""""k1E6":${m.k1E6},"bE6":${m.bE6}}"""
+
   private def writeBm25Meta(dir: String, m: Bm25Meta): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"version":2,"nDocs":${m.nDocs},"sumLen":${m.sumLen},""" +
-        s""""k1E6":${m.k1E6},"bE6":${m.bE6}}""")
+      java.nio.file.Paths.get(s"$dir/_meta.json"), bm25MetaJson(m))
 
   /** In-plan BM25 top-k (q137): postings, dfs, and corpus stats all
     * derive in one job — the interactive path; [[buildBm25Index]] +
@@ -362,27 +365,37 @@ object Retrieval {
     * which the IVF/PQ appends don't have: document frequencies and
     * corpus stats change when docs arrive. Correctness is still an
     * exact identity, because every stored quantity is either
-    * doc-local or additive:
+    * doc-local or ADDITIVE, and the additive ones are stored as
+    * SIGNED SEGMENTS summed at serve (round-20 — the ingest-cycle
+    * snapshot-isolation move):
     *  - postings (term, doc_id, tf, len): tf and len are functions
-    *    of the document alone — batch rows APPEND into the matching
-    *    prefix partitions, existing rows untouched;
-    *  - dfs (term, df): df(union) = df(existing) + df(batch) — the
-    *    batch's own term→count merges in by rewriting ONLY the
-    *    prefix partitions the batch's terms touch (dynamic
-    *    partition overwrite; untouched prefixes are never read);
-    *  - `_meta.json` stats: nDocs and sumLen are sums.
-    * So append ≡ the index buildBm25Index would write for the union
-    * corpus, row for row (IndexPathSpec pins it), and serving after
-    * an append answers the SAME oracle as a fresh build — BM25
-    * scores of existing docs legitimately move when df moves; that
-    * is the ranking function's corpus-relativity, not drift.
+    *    of the document alone — batch rows land as one new prefix-
+    *    partitioned SEGMENT dir, existing segments untouched;
+    *  - dfs (term, df, maxtf, minlen): df(union) = df(existing) +
+    *    df(batch), maxtf maxes, minlen mins — the batch's own stats
+    *    land as one new segment and [[mergedDfs]] sum/max/min-merges
+    *    at serve (a freshly built or [[compactBm25Dfs]]-compacted
+    *    index is single-segment and skips the merge);
+    *  - `_meta.json` stats: nDocs and sumLen are sums — the updated
+    *    meta is REPLACED as an epoch-named file.
+    * All four changes commit as ONE atomic manifest swap: a
+    * concurrent reader serves the pre-append index or the
+    * post-append index, never a torn cycle (and never a vanished
+    * part-file — nothing here touches a served dir); a crash before
+    * the commit leaves NO visible state change, so the retry re-runs
+    * the whole cycle cleanly. Serving after an append answers the
+    * SAME oracle as a fresh build — BM25 scores of existing docs
+    * legitimately move when df moves; that is the ranking function's
+    * corpus-relativity, not drift (IndexPathSpec pins append ≡
+    * union-corpus build on postings rows AND the merged df table).
     *
-    * Per-cycle cost ∝ batch: one batch tokenize, one partitioned
-    * postings append, a dfs rewrite of the touched prefixes (each
-    * read scans one prefix's (term, df) rows — vocabulary-sized ÷
-    * prefix fanout, never the postings), one meta rewrite. Like
-    * every partitioned append here, it belongs inside an artifact
-    * build or behind the deployment's ingest-cycle barrier.
+    * Per-cycle cost ∝ batch: one batch tokenize, three segment
+    * writes, one meta file, one manifest swap — the existing corpus
+    * is NEVER read (the round-19 touched-prefix dfs rewrite is gone
+    * entirely). Segment-count growth is the LSM trade;
+    * [[Warehouse.compactIndexPartitions]] (postings),
+    * [[Warehouse.compactUnpartitionedLedger]] (ids) and
+    * [[compactBm25Dfs]] fold it back at the compaction cadence.
     *
     * APPEND-ONLY contract, enforced: a batch id already in the
     * index would not just duplicate candidate rows (the benign IVF/
@@ -398,15 +411,16 @@ object Retrieval {
     * [[purgeBm25Deletes]] physically reclaims its old rows. */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
-    val m = readBm25Meta(dir)
-    val snap = Warehouse.indexSnapshot(dir)
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
+    val txn = new Warehouse.EpochTxn(spark, dir)
+    val snap = txn.snap
+    val m = readBm25Meta(snap)
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     // a zero-ROW batch is a pure no-op — return before the dup
-    // probe AND before any ledger write (an unconditional ledger
-    // append would add one empty part-file per empty cycle to the
-    // unpartitioned ids.parquet; round-17 review)
+    // probe AND before any segment write (an unconditional ledger
+    // append would add one empty segment per empty cycle; round-17
+    // review)
     if (batchIds.isEmpty) return
     // the ledger probe only sees PREVIOUSLY indexed ids — a doc
     // appearing twice within this batch needs its own guard, on the
@@ -418,11 +432,9 @@ object Retrieval {
     // once the anti-join filter lifts — purge first. Checked BEFORE
     // the generic ledger probe (tombstoned ids are still in
     // ids.parquet until a purge, and the purge-first message is the
-    // actionable one). PHYSICAL existence check — the guards take the
-    // conservative view (a dels dir whose manifest registration
-    // crashed must still refuse).
+    // actionable one).
     if (snap.hasPhysical("dels.parquet")) {
-      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
+      val ghosts = snap.read(spark, "dels.parquet")
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(ghosts.isEmpty,
@@ -432,7 +444,7 @@ object Retrieval {
           "first")
     }
     Warehouse.requireAppendOnly(
-      spark.read.parquet(snap.path("ids.parquet")), batchIds, "doc_id",
+      snap.read(spark, "ids.parquet"), batchIds, "doc_id",
       s"BM25 index at $dir",
       "double-count df/nDocs and corrupt every score")
     val postings = postingsOf(batch, idCol, textCol)
@@ -443,54 +455,20 @@ object Retrieval {
       // still enter the ledger — buildBm25Index ledgers every doc id
       // regardless of token count, and an unledgered id would pass
       // the dup guard on a later re-ingest (round-16 advice)
-      batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
+      txn.appendSegment("ids.parquet", batchIds)
+      txn.commit()
       return
     }
-    postings.withColumn("pfx", substring(col("term"), 1, 1))
-      .write.mode("append").partitionBy("pfx")
-      .parquet(snap.path("postings.parquet"))
-    val batchDfs = dfsOf(postings)
-      .withColumnRenamed("df", "bdf")
-      .withColumnRenamed("maxtf", "bmaxtf")
-      .withColumnRenamed("minlen", "bminlen")
-      .withColumn("pfx", substring(col("term"), 1, 1))
-      .localCheckpoint(true)
-    // stats merge, touched prefixes only: read those partitions'
-    // stored (term, df, maxtf, minlen), outer-join the batch stats,
-    // rewrite just those partitions (dynamic partition overwrite —
-    // untouched prefixes keep their files). Every merged column is
-    // associative — df adds, maxtf maxes, minlen mins — which is
-    // what keeps append ≡ union-corpus build exact
-    val touched = batchDfs.select(col("pfx")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val storedDfs = spark.read.parquet(snap.path("dfs.parquet"))
-      .filter(col("pfx").isin(touched.toSeq: _*))
-      .select(col("term"), col("df"), col("maxtf"), col("minlen"))
-      .localCheckpoint(true) // materialize BEFORE overwriting the files
-    val merged = storedDfs
-      .join(batchDfs.select(col("term"), col("bdf"), col("bmaxtf"),
-        col("bminlen")), Seq("term"), "full")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
-          .as("df"),
-        // symmetric null-coalesce: a term on one side only keeps its
-        // own bound
-        greatest(coalesce(col("maxtf"), col("bmaxtf")),
-          coalesce(col("bmaxtf"), col("maxtf"))).as("maxtf"),
-        least(coalesce(col("minlen"), col("bminlen")),
-          coalesce(col("bminlen"), col("minlen"))).as("minlen"))
-      .withColumn("pfx", substring(col("term"), 1, 1))
-    // per-WRITE dynamic overwrite (not a session-conf toggle): a
-    // concurrent writer in the same session must never inherit
-    // DYNAMIC from this append's window (round-16 verdict)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pfx")
-      .parquet(snap.path("dfs.parquet"))
-    // the id ledger grows with the batch; corpus stats are additive
-    batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
-    writeBm25Meta(dir, m.copy(nDocs = m.nDocs + bDocs,
-      sumLen = m.sumLen + bLen))
+    txn.appendSegment("postings.parquet",
+      postings.withColumn("pfx", substring(col("term"), 1, 1)),
+      Seq("pfx"))
+    txn.appendSegment("dfs.parquet", dfsOf(postings)
+      .withColumn("pfx", substring(col("term"), 1, 1)), Seq("pfx"))
+    txn.appendSegment("ids.parquet", batchIds)
+    txn.replaceFile("_meta.json")(f =>
+      java.nio.file.Files.writeString(f.toPath, bm25MetaJson(
+        m.copy(nDocs = m.nDocs + bDocs, sumLen = m.sumLen + bLen))))
+    txn.commit()
   }
 
   /** Tombstone DELETES for the BM25 index (q161) — the retrieval twin
@@ -530,9 +508,10 @@ object Retrieval {
     * purge-first message). */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
-    val m = readBm25Meta(dir)
-    val snap = Warehouse.indexSnapshot(dir)
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
+    val txn = new Warehouse.EpochTxn(spark, dir)
+    val snap = txn.snap
+    val m = readBm25Meta(snap)
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
@@ -542,7 +521,7 @@ object Retrieval {
     // the broadcast batch first — a direct batch-anti-ledger join
     // would shuffle the corpus-sized ledger, round-18 review — then
     // two batch-sized sets anti-join)
-    val present = spark.read.parquet(snap.path("ids.parquet"))
+    val present = snap.read(spark, "ids.parquet")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
     val unindexed = batchIds.join(present, Seq("doc_id"), "left_anti")
@@ -551,10 +530,9 @@ object Retrieval {
       s"BM25 index at $dir: doc ids ${unindexed.mkString(", ")}… were " +
         "never ingested — deleting them would subtract dfs that were " +
         "never added")
-    // …and not already tombstoned (physical check — the guards take
-    // the conservative view across crashed registrations)
+    // …and not already tombstoned
     if (snap.hasPhysical("dels.parquet")) {
-      val twice = spark.read.parquet(snap.path("dels.parquet"))
+      val twice = snap.read(spark, "dels.parquet")
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(twice.isEmpty,
@@ -565,57 +543,38 @@ object Retrieval {
     val postings = postingsOf(batch, idCol, textCol)
       .localCheckpoint(true)
     val (bDocs, bLen) = corpusStats(postings)
-    // refuse to empty the index: with zero token-bearing docs left,
-    // the dfs rewrite would drop every row of every touched prefix
-    // and a later read would fail on a schema-less dir — the
-    // delete-everything degenerate belongs to delete-the-directory +
-    // rebuild (round-18 review)
+    // refuse to empty the index: an inverted file over zero docs has
+    // nothing to serve — the delete-everything degenerate belongs to
+    // delete-the-directory + rebuild (round-18 review)
     require(m.nDocs - bDocs > 0,
       s"BM25 index at $dir: this delete removes every indexed " +
         "document — an empty inverted file has nothing to serve; " +
         "delete the index directory and rebuild instead")
-    // tombstone ledger FIRST (round-18 review): if the dfs rewrite
-    // below crashes mid-way, a RETRY must fail loudly on the
-    // already-tombstoned guard (repair = rebuild) — the reverse
-    // ordering let a retry double-subtract dfs silently, the
-    // disarmed-guard failure class
-    Warehouse.appendToTable(dir, "dels.parquet", batchIds)
+    // the whole delete is ONE atomic commit (round-20): tombstone
+    // ledger segment + the batch's dfs NEGATED as one more segment
+    // (the append's identity with the sign flipped — [[mergedDfs]]'s
+    // sum cancels the mass exactly, and terms whose df reaches 0
+    // drop at its df > 0 filter, matching a rebuild) + the
+    // subtracted corpus stats. A crash before the commit leaves NO
+    // visible state, so the retry re-runs cleanly — the round-18
+    // ledger-first ordering this replaces protected a narrower
+    // window and still needed rebuild-on-crash. maxtf/minlen bounds
+    // are NOT subtracted (max/min don't cancel): a null-bound delta
+    // row leaves the stored bound in place, a stale SUPERSET bound —
+    // max-score pruning stays safe, merely less tight, until a
+    // rebuild re-tightens it (the round-19 contract, unchanged).
+    txn.appendSegment("dels.parquet", batchIds)
     if (bDocs > 0) {
-      // subtract the batch's dfs from the touched prefixes — the
-      // append's merge with the sign flipped; df = 0 rows drop
-      val batchDfs = dfsOf(postings)
-        .select(col("term"), col("df").as("bdf"))
-        .withColumn("pfx", substring(col("term"), 1, 1))
-        .localCheckpoint(true)
-      val touched = batchDfs.select(col("pfx")).distinct()
-        .collect().map(_.getString(0)).sorted
-      val storedDfs = spark.read.parquet(snap.path("dfs.parquet"))
-        .filter(col("pfx").isin(touched.toSeq: _*))
-        .select(col("term"), col("df"), col("maxtf"), col("minlen"))
-        .localCheckpoint(true) // materialize BEFORE overwriting files
-      val merged = storedDfs
-        .join(batchDfs.select(col("term"), col("bdf")), Seq("term"),
-          "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("bdf"), lit(0L))).as("df"),
-          col("maxtf"), col("minlen"))
-        .filter(col("df") > 0)
-        .withColumn("pfx", substring(col("term"), 1, 1))
-        .localCheckpoint(true)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("pfx")
-        .parquet(snap.path("dfs.parquet"))
-      // a prefix whose terms ALL dropped is absent from the writeout;
-      // restricted to the touched set — untouched prefixes were never
-      // rewritten and must keep their files
-      Warehouse.deleteStalePartitionDirs(snap.path("dfs.parquet"), "pfx",
-        merged.select(col("pfx")).distinct()
-          .collect().map(_.getString(0)).toSet,
-        restrictTo = Some(touched.toSet))
+      txn.appendSegment("dfs.parquet", dfsOf(postings)
+        .select(col("term"), (-col("df")).as("df"),
+          lit(null).cast("long").as("maxtf"),
+          lit(null).cast("int").as("minlen"))
+        .withColumn("pfx", substring(col("term"), 1, 1)), Seq("pfx"))
     }
-    writeBm25Meta(dir, m.copy(nDocs = m.nDocs - bDocs,
-      sumLen = m.sumLen - bLen))
+    txn.replaceFile("_meta.json")(f =>
+      java.nio.file.Files.writeString(f.toPath, bm25MetaJson(
+        m.copy(nDocs = m.nDocs - bDocs, sumLen = m.sumLen - bLen))))
+    txn.commit()
   }
 
   /** Filter tombstoned docs out of a postings scan — the serve-side
@@ -625,8 +584,81 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       snap: Warehouse.IndexSnapshot, postings: DataFrame): DataFrame =
     if (!snap.has("dels.parquet")) postings
-    else postings.join(spark.read.parquet(snap.path("dels.parquet")),
+    else postings.join(snap.read(spark, "dels.parquet"),
       Seq("doc_id"), "left_anti")
+
+  /** The served per-term statistics view over the SIGNED dfs segment
+    * list: sum df (append segments positive, delete segments
+    * negative — terms cancelling to 0 drop, matching a rebuild), max
+    * maxtf / min minlen (delete segments carry null bounds, which
+    * max/min ignore — the stale-superset-bound contract). A
+    * SINGLE-segment table is by construction a fresh build or a
+    * [[compactBm25Dfs]] output — one positive row per term — so the
+    * merge is skipped and the serve plan is byte-identical to the
+    * round-19 one (no aggregate on the hot path of a compacted
+    * index). `prefixes` prunes every segment scan to the probed
+    * partitions before the merge. */
+  private def mergedDfs(spark: org.apache.spark.sql.SparkSession,
+      snap: Warehouse.IndexSnapshot,
+      prefixes: Option[Seq[String]]): DataFrame = {
+    val raw0 = snap.read(spark, "dfs.parquet")
+    val raw = prefixes match {
+      case Some(p) => raw0.filter(col("pfx").isin(p: _*))
+      case None => raw0
+    }
+    val pruned = raw.select(col("term"), col("df"), col("maxtf"),
+      col("minlen"))
+    if (snap.paths("dfs.parquet").lengthCompare(1) == 0) pruned
+    else pruned.groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), max(col("maxtf")).as("maxtf"),
+        min(col("minlen")).as("minlen"))
+      .filter(col("df") > 0)
+  }
+
+  /** SUMMING compaction for the signed dfs segment list — folds all
+    * segments into ONE with sum(df) > 0 rows only (cancelled terms
+    * physically drop; bounds keep their stored max/min — still
+    * supersets). Restores the single-segment fast path
+    * [[mergedDfs]] serves builds with. [[Warehouse
+    * .compactIndexPartitions]] must NOT run on dfs — it concatenates,
+    * leaving signed rows inside one segment, which would break the
+    * single-segment-is-summed invariant. Returns (rowsBefore,
+    * rowsAfter); single-segment tables are a no-op (0, 0). */
+  def compactBm25Dfs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = Warehouse.withIndexWriter(dir) {
+    val snap = Warehouse.indexSnapshot(dir)
+    readBm25Meta(snap) // the meta gate
+    if (snap.paths("dfs.parquet").lengthCompare(1) == 0)
+      return (0L, 0L)
+    val segs = snap.read(spark, "dfs.parquet")
+    val before = segs.count()
+    val merged = segs.groupBy(col("pfx"), col("term"))
+      .agg(sum(col("df")).as("df"), max(col("maxtf")).as("maxtf"),
+        min(col("minlen")).as("minlen"))
+      .filter(col("df") > 0)
+      .select(col("term"), col("df"), col("maxtf"), col("minlen"),
+        col("pfx"))
+      .localCheckpoint(true) // one materialization: count + write
+    val after = merged.count()
+    val epochName = Warehouse.epochDirName("dfs.parquet")
+    merged.repartition(col("pfx")).write.partitionBy("pfx")
+      .parquet(s"$dir/$epochName")
+    Warehouse.commitEpoch(dir, snap.allTables
+      + ("dfs.parquet" -> Seq(epochName)))
+    (before, after)
+  }
+
+  /** Stored postings/dfs accessors for the bench harness (ScaleBench
+    * reads the artifact's vocabulary to pick hot/rare terms and to
+    * feed the exhaustive contrast) — raw `$dir/table` paths stopped
+    * resolving when ingest went multi-segment. */
+  private[graft] def storedPostings(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Warehouse.indexSnapshot(dir).read(spark, "postings.parquet")
+
+  private[graft] def storedDfs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    mergedDfs(spark, Warehouse.indexSnapshot(dir), None)
 
   /** Physically reclaim tombstoned docs: rewrite the postings
     * partitions without the deleted rows, shrink the id ledger to the
@@ -649,13 +681,13 @@ object Retrieval {
     * Returns (postingRowsBefore, postingRowsAfter); a ledger-less
     * index is a no-op (0, 0). */
   def purgeBm25Deletes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Long) = {
-    readBm25Meta(dir) // the meta gate
+      dir: String): (Long, Long) = Warehouse.withIndexWriter(dir) {
     val snap = Warehouse.indexSnapshot(dir)
+    readBm25Meta(snap) // the meta gate
     if (!snap.has("dels.parquet")) return (0L, 0L)
-    val dels = spark.read.parquet(snap.path("dels.parquet")).distinct()
+    val dels = snap.read(spark, "dels.parquet").distinct()
       .localCheckpoint(true)
-    val p = spark.read.parquet(snap.path("postings.parquet"))
+    val p = snap.read(spark, "postings.parquet")
     val before = p.count()
     // the checkpoint only saves a second full scan (count + write) —
     // the epoch layout reads old files and writes new ones, so there
@@ -680,13 +712,13 @@ object Retrieval {
     // keep measuring append-cycle accumulation, not this rewrite's
     // shuffle fan-out
     val idsEpoch = Warehouse.epochDirName("ids.parquet")
-    spark.read.parquet(snap.path("ids.parquet"))
+    snap.read(spark, "ids.parquet")
       .join(dels, Seq("doc_id"), "left_anti")
       .coalesce(1)
       .write.parquet(s"$dir/$idsEpoch")
     Warehouse.commitEpoch(dir, snap.allTables
-      + ("postings.parquet" -> postEpoch)
-      + ("ids.parquet" -> idsEpoch)
+      + ("postings.parquet" -> Seq(postEpoch))
+      + ("ids.parquet" -> Seq(idsEpoch))
       - "dels.parquet")
     (before, after)
   }
@@ -700,26 +732,24 @@ object Retrieval {
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, qidCol: String, qtextCol: String,
       dir: String, k: Int): DataFrame = {
-    val m = readBm25Meta(dir)
-    // ONE snapshot resolve per query batch: every table read below
-    // belongs to the same epoch, so a purge/compaction committing
-    // mid-query can never mix old postings with a new (or dropped)
-    // tombstone ledger
+    // ONE snapshot resolve per query batch: every read below — meta
+    // included — belongs to the same epoch, so an append/delete/
+    // purge/compaction committing mid-query can never mix old
+    // postings with new stats or a dropped tombstone ledger
     val snap = Warehouse.indexSnapshot(dir)
+    val m = readBm25Meta(snap)
     val qterms = queryTerms(queries, qidCol, qtextCol)
       .localCheckpoint(true)
     // the probed prefixes, driver-resolved into literal partition
     // filters: bounded (≤ 36 one-char strings), the plan-the-read
-    // phase of any index lookup
+    // phase of any index lookup — pruning applies per segment root
     val prefixes = qterms.select(substring(col("term"), 1, 1).as("pfx"))
       .distinct().collect().map(_.getString(0)).sorted
     val postings = withoutTombstones(spark, snap,
-      spark.read.parquet(snap.path("postings.parquet"))
+      snap.read(spark, "postings.parquet")
         .filter(col("pfx").isin(prefixes.toSeq: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("len")))
-    val dfs = spark.read.parquet(snap.path("dfs.parquet"))
-      .filter(col("pfx").isin(prefixes.toSeq: _*))
-      .select(col("term"), col("df"), col("maxtf"), col("minlen"))
+    val dfs = mergedDfs(spark, snap, Some(prefixes.toSeq))
     bm25ServeMaxScore(qterms, postings, dfs, m.nDocs, m.sumLen, k,
       m.k1E6 / 1e6, m.bE6 / 1e6)
   }

@@ -435,7 +435,7 @@ object Similarity {
     * deployment's own ingest-cycle barrier. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
     val meta = Warehouse.readMetaJson(dir, "IVF index")
     def metaInt(key: String): Int =
       Warehouse.metaLong(meta, dir, key).toInt
@@ -464,12 +464,16 @@ object Similarity {
         "mismatched or hand-assembled artifact; rebuild the index")
     val b = batch.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
-    assign(b, centroids, assignments)
-      .withColumn("scale", int8Scale(col("cv")))
-      .withColumn("codes",
-        int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>"))
-      .write.mode("append").partitionBy("list_id")
-      .parquet(snap.path("assignments.parquet"))
+    // one new list_id-partitioned SEGMENT + one manifest swap
+    // (round-20): nothing appends into a dir a concurrent reader
+    // could be listing — the reader serves pre- or post-append, never
+    // a torn batch
+    Warehouse.appendToTable(dir, "assignments.parquet",
+      assign(b, centroids, assignments)
+        .withColumn("scale", int8Scale(col("cv")))
+        .withColumn("codes",
+          int8CodesFrom(col("cv"), col("scale")).cast("array<tinyint>")),
+      Seq("list_id"))
   }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): probe the
@@ -487,7 +491,7 @@ object Similarity {
     val snap = Warehouse.indexSnapshot(dir)
     val centroids = spark.read.parquet(snap.path("centroids.parquet"))
     val assigned = withoutDeleted(spark, snap,
-      spark.read.parquet(snap.path("assignments.parquet")))
+      snap.read(spark, "assignments.parquet"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // checkpoint the tiny probe table (queries x nProbe rows): it has
     // TWO consumers — the driver-side probed-id resolve and the
@@ -579,7 +583,7 @@ object Similarity {
     // exactly the prerank columns so the parquet reader never
     // materializes `cv` — the scan IS the int8 memory layout.
     val codeScan = withoutDeleted(spark, snap,
-      spark.read.parquet(snap.path("assignments.parquet"))
+      snap.read(spark, "assignments.parquet")
         .filter(col("list_id").isin(probedIds.toSeq: _*))
         .select(col("list_id"), col("neighbor_id"), col("codes")))
     val prerank = broadcast(qCoded).join(codeScan, Seq("list_id"))
@@ -608,7 +612,7 @@ object Similarity {
     // layout exists to avoid (round-15 review).
     // no tombstone filter needed here: a deleted id cannot survive
     // the (filtered) prerank, and cvFetch only joins survivors
-    val cvFetch = spark.read.parquet(snap.path("assignments.parquet"))
+    val cvFetch = snap.read(spark, "assignments.parquet")
       .filter(col("list_id").isin(probedIds.toSeq: _*))
       .select(col("neighbor_id"), col("cv"))
     val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
@@ -932,7 +936,7 @@ object Similarity {
     * behind the deployment's ingest-cycle barrier. */
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
     val meta = Warehouse.readMetaJson(dir, "PQ index")
     def metaInt(key: String): Int =
       Warehouse.metaLong(meta, dir, key).toInt
@@ -954,9 +958,11 @@ object Similarity {
     Warehouse.requireNoTombstoned(spark, snap,
       b.select(col("neighbor_id")).distinct(), "neighbor_id",
       s"PQ index at $dir")
-    encodePq(subvectors(b, m, dims / m), books)
-      .join(b, Seq("neighbor_id"))
-      .write.mode("append").parquet(snap.path("codes.parquet"))
+    // one new code SEGMENT + one manifest swap (round-20): a
+    // concurrent reader serves pre- or post-append, never a torn batch
+    Warehouse.appendToTable(dir, "codes.parquet",
+      encodePq(subvectors(b, m, dims / m), books)
+        .join(b, Seq("neighbor_id")))
   }
 
   /** Serve ANN from a persisted PQ index ([[buildPqIndex]]):
@@ -983,7 +989,7 @@ object Similarity {
     val ks = metaInt("ks")
     val snap = Warehouse.indexSnapshot(dir)
     val books = spark.read.parquet(snap.path("books.parquet"))
-    val stored = spark.read.parquet(snap.path("codes.parquet"))
+    val stored = snap.read(spark, "codes.parquet")
     // tombstone filter on the PRERANK side only: a deleted id cannot
     // survive it, and the float fetch joins survivors
     pqServe(queries, idCol, vecCol, books,
@@ -1061,7 +1067,7 @@ object Similarity {
     * same tombstone purge-first rule, per-cycle cost ∝ batch. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
     val meta = Warehouse.readMetaJson(dir, "IVF-PQ index")
     def metaInt(key: String): Int =
       Warehouse.metaLong(meta, dir, key).toInt
@@ -1090,11 +1096,13 @@ object Similarity {
       .localCheckpoint(true)
     val books = spark.read.parquet(snap.path("books.parquet"))
       .localCheckpoint(true)
-    assign(b, centroids, assignments)
-      .join(encodePq(subvectors(b, m, dims / m), books),
-        Seq("neighbor_id"))
-      .write.mode("append").partitionBy("list_id")
-      .parquet(snap.path("assignments.parquet"))
+    // one new list_id-partitioned SEGMENT + one manifest swap
+    // (round-20) — see [[appendToIvfIndex]]
+    Warehouse.appendToTable(dir, "assignments.parquet",
+      assign(b, centroids, assignments)
+        .join(encodePq(subvectors(b, m, dims / m), books),
+          Seq("neighbor_id")),
+      Seq("list_id"))
   }
 
   /** Serve ANN from a persisted IVF-PQ index ([[buildIvfPqIndex]]) —
@@ -1164,7 +1172,7 @@ object Similarity {
     // the serve-time tombstone filter — survivors drive phase 3, so
     // the prerank filter alone keeps deleted ids out)
     val codeScan = withoutDeleted(spark, snap,
-      spark.read.parquet(snap.path("assignments.parquet"))
+      snap.read(spark, "assignments.parquet")
         .filter(col("list_id").isin(probedIds.toSeq: _*))
         .select(col("list_id"), col("neighbor_id"), col("codes"),
           col("xnorm")))
@@ -1196,7 +1204,7 @@ object Similarity {
     // map-side joined against the broadcast survivor set, dedup
     // AFTER the join keyed on the survivor pair (the q126 rationale:
     // a pre-join dedup would aggregate every probed row's floats)
-    val cvFetch = spark.read.parquet(snap.path("assignments.parquet"))
+    val cvFetch = snap.read(spark, "assignments.parquet")
       .filter(col("list_id").isin(probedIds.toSeq: _*))
       .select(col("neighbor_id"), col("cv"))
     val exact = cvFetch.join(broadcast(survivors), Seq("neighbor_id"))
@@ -1218,7 +1226,7 @@ object Similarity {
   private def withoutDeleted(spark: org.apache.spark.sql.SparkSession,
       snap: Warehouse.IndexSnapshot, rows: DataFrame): DataFrame =
     if (!snap.has("dels.parquet")) rows
-    else rows.join(spark.read.parquet(snap.path("dels.parquet")),
+    else rows.join(snap.read(spark, "dels.parquet"),
       Seq("neighbor_id"), "left_anti")
 
   /** Tombstone DELETES for the stored vector indexes — the easy
@@ -1344,7 +1352,7 @@ object Similarity {
         int8CodesFrom(col("qv"), col("sa")).cast("array<float>"))
       .select(col("query_id"), col("qcodes"), col("list_id"))
     val codeScan = withoutDeleted(spark, snap,
-      spark.read.parquet(snap.path("assignments.parquet"))
+      snap.read(spark, "assignments.parquet")
         .filter(col("list_id").isin(probedIds.toSeq: _*))
         .select(col("list_id"), col("neighbor_id"), col("codes")))
     broadcast(qCoded).join(codeScan, Seq("list_id"))

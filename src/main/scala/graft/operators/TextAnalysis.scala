@@ -569,17 +569,19 @@ object TextAnalysis {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readCmsBin(
-      dir: String): org.apache.spark.util.sketch.CountMinSketch = {
+  private def readCmsBin(snap: graft.operators.Warehouse.IndexSnapshot)
+      : org.apache.spark.util.sketch.CountMinSketch = {
     val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(s"$dir/cms.bin"))
+      java.nio.file.Paths.get(snap.path("cms.bin")))
     try org.apache.spark.util.sketch.CountMinSketch.readFrom(in)
     finally in.close()
   }
 
   /** (epsE9, confidenceE6, seed) from the artifact meta, v1-gated. */
-  private def readCmsMeta(dir: String): (Long, Long, Long) = {
-    val meta = Warehouse.readMetaJson(dir, "CMS artifact")
+  private def readCmsMeta(
+      snap: graft.operators.Warehouse.IndexSnapshot): (Long, Long, Long) = {
+    val dir = snap.root
+    val meta = Warehouse.readMetaJson(snap, "CMS artifact")
     Warehouse.requireMetaVersion(meta, dir, "CMS artifact", 1L,
       "merged sketch bytes + additive count segments")
     def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
@@ -596,40 +598,41 @@ object TextAnalysis {
     * a no-op. */
   def appendToCmsArtifact(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
-    val (epsE9, confE6, seed) = readCmsMeta(dir)
-    val snap = Warehouse.indexSnapshot(dir)
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
+    val txn = new Warehouse.EpochTxn(spark, dir)
+    val snap = txn.snap
+    val (epsE9, confE6, seed) = readCmsMeta(snap)
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
     Warehouse.requireUniqueBatchIds(batch, col(idCol).cast("long"),
       "CMS artifact")
     Warehouse.requireAppendOnly(
-      spark.read.parquet(snap.path("ids.parquet")), batchIds, "id",
+      snap.read(spark, "ids.parquet"), batchIds, "id",
       s"CMS artifact at $dir",
       "inflate its tokens' counts and the sketch")
     val toks = batch.select(explode(split(col(textCol), " ")).as("t"))
       .localCheckpoint(true) // feeds the segment AND the batch sketch
     // read + merge IN MEMORY before any write (round-18 review): a
     // merge failure (corrupt bin, doctored geometry) must abort the
-    // cycle with the artifact untouched — segment-first ordering left
-    // an orphan segment the ledger guard cannot see, and a retry then
-    // double-counted the batch
-    val merged = readCmsBin(dir)
+    // cycle with the artifact untouched
+    val merged = readCmsBin(snap)
     merged.mergeInPlace(toks.stat.countMinSketch("t",
       epsE9 / 1e9, confE6 / 1e6, seed.toInt))
-    // ledger FIRST (round-18 ADVICE, matching the delete paths'
-    // ordering): a crash after the ledger lands but before the
-    // segment/sketch writes makes the RETRY fail loudly on the
-    // append-only guard (repair = rebuild) — the safe failure. The
-    // old segment-then-sketch-then-ledger order left the batch's data
-    // present but unledgered, so a retry passed requireAppendOnly and
-    // silently double-counted the batch: the disarmed-guard class.
-    batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
-    segmentTokenCounts(toks)
-      .write.mode("append").partitionBy("pfx")
-      .parquet(snap.path("counts.parquet"))
-    writeCmsBin(merged, dir)
+    // ledger segment + counts segment + merged sketch bytes land as
+    // ONE manifest swap (round-20): a reader can never see new counts
+    // under the old sketch (which would break the est ≥ cnt law the
+    // artifact asserts) or vice versa, and a crash before the commit
+    // leaves NO visible state — the retry re-runs cleanly, retiring
+    // the round-18 ledger-first ordering
+    txn.appendSegment("ids.parquet", batchIds)
+    txn.appendSegment("counts.parquet", segmentTokenCounts(toks),
+      Seq("pfx"))
+    txn.replaceFile("cms.bin") { f =>
+      val out = java.nio.file.Files.newOutputStream(f.toPath)
+      try merged.writeTo(out) finally out.close()
+    }
+    txn.commit()
   }
 
   // NO DELETE TIER for the CMS artifact, by construction (round-19
@@ -655,10 +658,13 @@ object TextAnalysis {
     * oracle as the in-plan pass. */
   def heavyHittersFromArtifact(spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int): DataFrame = {
-    val (epsE9, _, _) = readCmsMeta(dir)
-    val sketch = readCmsBin(dir)
+    // ONE snapshot: meta, sketch bytes and count segments all resolve
+    // from the same epoch — an append committing mid-serve can never
+    // pair new counts with the old sketch
     val snap = Warehouse.indexSnapshot(dir)
-    val top = spark.read.parquet(snap.path("counts.parquet"))
+    val (epsE9, _, _) = readCmsMeta(snap)
+    val sketch = readCmsBin(snap)
+    val top = snap.read(spark, "counts.parquet")
       .groupBy(col("t")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("t")).limit(k)
       .collect() // bounded: k rows

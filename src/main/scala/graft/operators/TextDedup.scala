@@ -489,16 +489,17 @@ object TextDedup {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readBloomMeta(dir: String): (Long, Long, Long) = {
-    val meta = Warehouse.readMetaJson(dir, "Bloom artifact")
-    def f(key: String): Long = Warehouse.metaLong(meta, dir, key)
+  private def readBloomMeta(
+      snap: Warehouse.IndexSnapshot): (Long, Long, Long) = {
+    val meta = Warehouse.readMetaJson(snap, "Bloom artifact")
+    def f(key: String): Long = Warehouse.metaLong(meta, snap.root, key)
     (f("expectedItems"), f("fppE6"), f("inserted"))
   }
 
-  private def readBloomBin(
-      dir: String): org.apache.spark.util.sketch.BloomFilter = {
+  private def readBloomBin(snap: Warehouse.IndexSnapshot)
+      : org.apache.spark.util.sketch.BloomFilter = {
     val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(s"$dir/bloom.bin"))
+      java.nio.file.Paths.get(snap.path("bloom.bin")))
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
   }
@@ -518,8 +519,10 @@ object TextDedup {
     * rebuilds with a larger capacity — the Bloom analog of the IVF
     * re-cluster cycle. */
   def appendToBloomArtifact(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, textCol: String, dir: String): Unit = {
-    val (cap, fppE6, inserted) = readBloomMeta(dir)
+      batch: DataFrame, textCol: String,
+      dir: String): Unit = Warehouse.withIndexWriter(dir) {
+    val txn = new Warehouse.EpochTxn(spark, dir)
+    val (cap, fppE6, inserted) = readBloomMeta(txn.snap)
     val bDigests = batch.select(md5(col(textCol)).as("__d"))
       .localCheckpoint(true)
     val bn = bDigests.count()
@@ -528,15 +531,22 @@ object TextDedup {
         s"$bn incoming > expectedItems=$cap — the fpp guarantee is " +
         "void past capacity; rebuild with a larger expectedItems")
     val batchBf = bDigests.stat.bloomFilter("__d", cap, fppE6 / 1e6)
-    val bf = readBloomBin(dir)
+    val bf = readBloomBin(txn.snap)
     bf.mergeInPlace(batchBf)
-    writeBloomBin(bf, dir)
-    bDigests.write.mode("append")
-      .parquet(Warehouse.indexSnapshot(dir).path("digests.parquet"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/_meta.json"),
-      s"""{"expectedItems":$cap,"fppE6":$fppE6,""" +
-        s""""inserted":${inserted + bn}}""")
+    // digests segment + merged filter bytes + saturation counter land
+    // as ONE manifest swap (round-20): a reader resolves filter and
+    // digest table from the same epoch, so the no-false-negative law
+    // can never be probed with a newer digest table than filter
+    txn.appendSegment("digests.parquet", bDigests)
+    txn.replaceFile("bloom.bin") { f =>
+      val out = java.nio.file.Files.newOutputStream(f.toPath)
+      try bf.writeTo(out) finally out.close()
+    }
+    txn.replaceFile("_meta.json")(f =>
+      java.nio.file.Files.writeString(f.toPath,
+        s"""{"expectedItems":$cap,"fppE6":$fppE6,""" +
+          s""""inserted":${inserted + bn}}"""))
+    txn.commit()
   }
 
   /** [[bloomExactIncomingIds]] served from the PERSISTED artifact
@@ -551,11 +561,12 @@ object TextDedup {
   def bloomExactIncomingIdsFromArtifact(
       spark: org.apache.spark.sql.SparkSession, incoming: DataFrame,
       idCol: String, textCol: String, dir: String): DataFrame = {
-    readBloomMeta(dir) // the meta discipline: reject partial dirs loudly
-    val bf = readBloomBin(dir)
+    // ONE snapshot: filter bytes and digest table from the same epoch
+    val snap = Warehouse.indexSnapshot(dir)
+    readBloomMeta(snap) // the meta discipline: reject partial dirs loudly
+    val bf = readBloomBin(snap)
     val bcast = spark.sparkContext.broadcast(bf)
-    val exDigests = spark.read.parquet(
-      Warehouse.indexSnapshot(dir).path("digests.parquet"))
+    val exDigests = snap.read(spark, "digests.parquet")
     val result = incoming
       .withColumn("__d", md5(col(textCol)))
       .filter(graft.functions.BloomExpressions.mightContain(
@@ -681,9 +692,10 @@ object TextDedup {
   def appendToNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, indexDir: String, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 128,
-      bands: Int = 32): Unit = {
+      bands: Int = 32): Unit = Warehouse.withIndexWriter(indexDir) {
     requireIndexConfig(indexDir, n, numHashes, bands)
-    val snap = Warehouse.indexSnapshot(indexDir)
+    val txn = new Warehouse.EpochTxn(spark, indexDir)
+    val snap = txn.snap
     val batchIds = batch.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true)
     if (batchIds.isEmpty) return
@@ -702,14 +714,18 @@ object TextDedup {
     Warehouse.requireNoTombstoned(spark, snap, batchIds, "id",
       s"near-dup index at $indexDir")
     Warehouse.requireAppendOnly(
-      spark.read.parquet(snap.path("keys.parquet")).select(col("id")),
+      snap.read(spark, "keys.parquet").select(col("id")),
       batchIds, "id", s"near-dup index at $indexDir",
       "duplicate its gram rows and corrupt every Jaccard it joins")
     val grams = explodedShingles(batch, idCol, textCol, n)
       .localCheckpoint(true)
-    bandBucketsFromGrams(grams, numHashes, bands)
-      .write.mode("append").parquet(snap.path("keys.parquet"))
-    grams.write.mode("append").parquet(snap.path("grams.parquet"))
+    // BOTH tables land as new segments under ONE manifest swap
+    // (round-20): a concurrent reader sees the batch's keys AND grams
+    // or neither — never keys whose candidate grams are missing
+    txn.appendSegment("keys.parquet",
+      bandBucketsFromGrams(grams, numHashes, bands))
+    txn.appendSegment("grams.parquet", grams)
+    txn.commit()
   }
 
   /** Tombstone DELETES for the near-dup index — the q161 pattern on
@@ -798,14 +814,14 @@ object TextDedup {
     // one snapshot per serving call: key scan, gram scan, and the
     // tombstone filter all resolve against the same epoch
     val snap = Warehouse.indexSnapshot(indexDir)
-    val exB0 = spark.read.parquet(snap.path("keys.parquet"))
+    val exB0 = snap.read(spark, "keys.parquet")
     // serve-time tombstone filter on the KEY side only: a deleted id
     // then never becomes a candidate, and the verify phase semi-joins
     // grams down to candidate ids — its grams are never read
     val exB = if (!snap.has("dels.parquet")) exB0
-      else exB0.join(spark.read.parquet(snap.path("dels.parquet")),
+      else exB0.join(snap.read(spark, "dels.parquet"),
         Seq("id"), "left_anti")
-    val exG = spark.read.parquet(snap.path("grams.parquet"))
+    val exG = snap.read(spark, "grams.parquet")
     val inG = shared(explodedShingles(incoming, idCol, textCol, n),
       materializeGrams)
     val inB = bandBucketsFromGrams(inG, numHashes, bands)
@@ -1243,9 +1259,10 @@ object TextDedup {
     * now-nonempty version would pass the guard). */
   def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, indexDir: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String): Unit = Warehouse.withIndexWriter(indexDir) {
     val minLen = substringIndexMinLen(indexDir)
-    val snap = Warehouse.indexSnapshot(indexDir)
+    val txn = new Warehouse.EpochTxn(spark, indexDir)
+    val snap = txn.snap
     val batchIds = batch.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (batchIds.isEmpty) return
@@ -1268,14 +1285,16 @@ object TextDedup {
         "inflate its windows' document frequencies and move every " +
         "span sharing them; the append contract is append-only " +
         "(deleteFromSubstringIndex first, or delete + rebuild)")
-    // ids ledger FIRST (the round-18 CMS-advice ordering, applied to
-    // this append too): a crash between the ledger and the segment
-    // write makes the RETRY fail loudly on the active-net guard
-    // (repair = rebuild) — segment-first left the batch's mass
-    // present but unledgered, and a retry silently double-counted it
-    batchIds.write.mode("append").parquet(snap.path("ids.parquet"))
-    writeSegment(spark, indexDir,
-      segmentCounts(batch, idCol, textCol, minLen))
+    // ids ledger + window segment land as ONE manifest swap
+    // (round-20): a crash before the commit leaves NO visible state —
+    // the retry re-runs the whole cycle cleanly, retiring the
+    // round-18 ledger-first ordering (which still needed
+    // rebuild-on-crash); a concurrent reader sees the batch's ids and
+    // mass together or not at all
+    txn.appendSegment("ids.parquet", batchIds)
+    txn.appendSegment(segmentTable(snap),
+      segmentCounts(batch, idCol, textCol, minLen), Seq("pfx"))
+    txn.commit()
   }
 
   /** Route a (d, df, pfx) segment to the right table: a COMPACTED
@@ -1283,21 +1302,9 @@ object TextDedup {
     * post-compaction segments in `wdelta.parquet`, so serving can
     * scan recent deltas without touching the corpus-window-sized
     * base; a never-compacted index appends into `wdf.parquet` (the
-    * pre-summary layout, unchanged). Table birth goes through
-    * [[Warehouse.appendToTable]] (epoch-named + one registering
-    * commit under a manifest); a crash between the caller's ledger
-    * write and this segment landing leaves the batch ledgered-but-
-    * absent, which the active-net guard refuses loudly on retry
-    * (repair = rebuild). RE-resolves the snapshot: the caller may
-    * have registered the dels ledger since its own resolve. */
-  private def writeSegment(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, seg: DataFrame): Unit = {
-    val table =
-      if (Warehouse.indexSnapshot(indexDir).has("dups.parquet"))
-        "wdelta.parquet"
-      else "wdf.parquet"
-    Warehouse.appendToTable(indexDir, table, seg, Seq("pfx"))
-  }
+    * pre-summary layout, unchanged). */
+  private def segmentTable(snap: Warehouse.IndexSnapshot): String =
+    if (snap.has("dups.parquet")) "wdelta.parquet" else "wdf.parquet"
 
   /** Net ingest count per BATCH id: +1 per `ids.parquet` row, −1 per
     * `dels.parquet` tombstone row (absent file = no deletes — the
@@ -1309,12 +1316,12 @@ object TextDedup {
     * deleted). */
   private def activeNet(spark: org.apache.spark.sql.SparkSession,
       snap: Warehouse.IndexSnapshot, batchIds: DataFrame): DataFrame = {
-    val ins = spark.read.parquet(snap.path("ids.parquet"))
+    val ins = snap.read(spark, "ids.parquet")
       .select(col("id"), lit(1L).as("w"))
     // PHYSICAL existence: the guards take the conservative view — a
     // dels dir whose manifest registration crashed must still count
     val both = if (snap.hasPhysical("dels.parquet"))
-      ins.unionByName(spark.read.parquet(snap.path("dels.parquet"))
+      ins.unionByName(snap.read(spark, "dels.parquet")
         .select(col("id"), lit(-1L).as("w")))
     else ins
     both.join(broadcast(batchIds), Seq("id"), "left_semi")
@@ -1346,9 +1353,10 @@ object TextDedup {
     * partitioned segment append, one tombstone-ledger append. */
   def deleteFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, indexDir: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String): Unit = Warehouse.withIndexWriter(indexDir) {
     val minLen = substringIndexMinLen(indexDir)
-    val snap = Warehouse.indexSnapshot(indexDir)
+    val txn = new Warehouse.EpochTxn(spark, indexDir)
+    val snap = txn.snap
     val delIds = docs.select(col(idCol).cast("long").as("id"))
       .distinct().localCheckpoint(true)
     if (delIds.isEmpty) return
@@ -1363,15 +1371,17 @@ object TextDedup {
         "are not active (never ingested, or already deleted) — a " +
         "tombstone for an absent doc would push its windows' dfs " +
         "negative and corrupt every span they join")
-    // tombstone ledger FIRST (round-18 review): if the negative-
-    // segment write below crashes mid-way, a RETRY must fail loudly
-    // on the not-active guard (repair = rebuild) — the reverse
-    // ordering let a retry append a SECOND negative segment and push
-    // the batch's window dfs negative silently
-    Warehouse.appendToTable(indexDir, "dels.parquet", delIds)
-    writeSegment(spark, indexDir,
+    // tombstone ledger + negated window segment land as ONE manifest
+    // swap (round-20): a crash before the commit leaves NO visible
+    // state, so a retry re-runs cleanly — the round-18 ledger-first
+    // ordering (retry fails loudly, repair = rebuild) is retired by
+    // atomicity; a concurrent reader sees the cancellation and its
+    // ledger row together or not at all
+    txn.appendSegment("dels.parquet", delIds)
+    txn.appendSegment(segmentTable(snap),
       segmentCounts(docs, idCol, textCol, minLen)
-        .withColumn("df", -col("df")))
+        .withColumn("df", -col("df")), Seq("pfx"))
+    txn.commit()
   }
 
   /** LSM compaction for the substring SEGMENT table — the companion
@@ -1403,12 +1413,13 @@ object TextDedup {
     * rowsAfter). */
   def compactSubstringSegments(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): (Long, Long) = {
+      indexDir: String): (Long, Long) =
+      Warehouse.withIndexWriter(indexDir) {
     substringIndexMinLen(indexDir) // the meta gate
     val snap = Warehouse.indexSnapshot(indexDir)
-    val base = spark.read.parquet(snap.path("wdf.parquet"))
+    val base = snap.read(spark, "wdf.parquet")
     val segs = if (snap.has("wdelta.parquet"))
-      base.unionByName(spark.read.parquet(snap.path("wdelta.parquet")))
+      base.unionByName(snap.read(spark, "wdelta.parquet"))
     else base
     val before = segs.count()
     val merged = segs
@@ -1438,8 +1449,8 @@ object TextDedup {
     merged.filter(col("df") > 1).select(col("d"), col("df"))
       .write.parquet(s"$indexDir/$dupsEpoch")
     Warehouse.commitEpoch(indexDir, snap.allTables
-      + ("wdf.parquet" -> wdfEpoch)
-      + ("dups.parquet" -> dupsEpoch)
+      + ("wdf.parquet" -> Seq(wdfEpoch))
+      + ("dups.parquet" -> Seq(dupsEpoch))
       - "wdelta.parquet")
     (before, after)
   }
@@ -1493,7 +1504,7 @@ object TextDedup {
     val dupDigests = if (!snap.has("dups.parquet"))
       // never-compacted index: the pre-summary path — one restricted
       // sum-merge over the full segment table
-      spark.read.parquet(snap.path("wdf.parquet"))
+      snap.read(spark, "wdf.parquet")
         .join(batchDigests, Seq("d"), "left_semi")
         .groupBy(col("d")).agg(sum(col("df")).as("df"))
         .filter(col("df") > 1).select(col("d"))
@@ -1533,12 +1544,12 @@ object TextDedup {
       spark: org.apache.spark.sql.SparkSession,
       snap: Warehouse.IndexSnapshot, batchDigests: DataFrame): DataFrame = {
     val batchD = batchDigests.localCheckpoint(true)
-    val dups = spark.read.parquet(snap.path("dups.parquet"))
+    val dups = snap.read(spark, "dups.parquet")
       .join(batchD, Seq("d"), "left_semi")
       .select(col("d"), col("df").as("bdf"))
       .localCheckpoint(true) // small: summary ∩ batch, probed twice
     if (!snap.has("wdelta.parquet")) return dups.select(col("d"))
-    val deltas = spark.read.parquet(snap.path("wdelta.parquet"))
+    val deltas = snap.read(spark, "wdelta.parquet")
       .join(batchD, Seq("d"), "left_semi")
       .groupBy(col("d")).agg(sum(col("df")).as("ddf"))
       .localCheckpoint(true) // small: delta digests ∩ batch
@@ -1558,7 +1569,7 @@ object TextDedup {
       .localCheckpoint(true)
     val resolved =
       if (ambiguous.isEmpty) ambiguous
-      else spark.read.parquet(snap.path("wdf.parquet"))
+      else snap.read(spark, "wdf.parquet")
         .join(ambiguous, Seq("d"), "left_semi")
         .select(col("d"))
     val dupNoDelta = dups.join(deltas, Seq("d"), "left_anti")

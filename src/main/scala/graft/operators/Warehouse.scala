@@ -413,10 +413,18 @@ private[graft] object Warehouse {
     * independently). `artifact` names the family for the error
     * message ("BM25 index", "PQ index", …). */
   private[graft] def readMetaJson(dir: String,
+      artifact: String): String =
+    readMetaJson(indexSnapshot(dir), artifact)
+
+  /** Snapshot-resolved meta read — mutating ops REPLACE `_meta.json`
+    * as an epoch-named file in their commit (round-20), so a serving
+    * path that already holds a snapshot reads the meta belonging to
+    * the SAME epoch as every table it scans. */
+  private[graft] def readMetaJson(snap: IndexSnapshot,
       artifact: String): String = {
-    val p = java.nio.file.Paths.get(s"$dir/_meta.json")
+    val p = java.nio.file.Paths.get(snap.path("_meta.json"))
     require(java.nio.file.Files.exists(p),
-      s"$artifact at $dir has no _meta.json — not a complete " +
+      s"$artifact at ${snap.root} has no _meta.json — not a complete " +
         "artifact (partial build or manual copy); rebuild it")
     java.nio.file.Files.readString(p)
   }
@@ -514,43 +522,63 @@ private[graft] object Warehouse {
 
   /** Compact a PARTITIONED parquet table of the index at `indexDir`
     * — the LSM-ish operational counterpart of the append family:
-    * every append cycle adds part-files to its touched partitions
-    * (BM25 postings, IVF/PQ assignments, near-dup keys accumulate one
-    * file per cycle), and after many cycles the per-partition file
-    * count — not the data — dominates open/plan cost. Rewrites the
-    * partitions holding more than one part-file, each into a single
-    * file, preserving content identity (IndexPathSpec pins query
-    * results before ≡ after); single-file partitions are HARDLINKED
-    * into the new epoch dir unrewritten (cost: one link syscall per
+    * every ingest cycle lands a new SEGMENT dir (round-20 — appends
+    * no longer touch served files), and after many cycles the
+    * per-partition segment/file count — not the data — dominates
+    * open/plan cost. Folds ALL segments into ONE new epoch dir:
+    * partitions whose total part-file count across segments exceeds
+    * one are rewritten to a single file each; partitions already at
+    * one file are HARDLINKED over unrewritten (one link syscall per
     * file, never a byte rewrite — the object-store analog is a
-    * server-side copy).
+    * server-side copy). Content identity is preserved (IndexPathSpec
+    * pins query results before ≡ after) — this compactor
+    * CONCATENATES, so it must never run on a SIGNED-delta table
+    * whose single-segment state is assumed summed (those get their
+    * family's summing compactor: [[TextDedup.compactSubstringSegments]],
+    * [[Retrieval.compactBm25Dfs]]).
     *
-    * SNAPSHOT-ISOLATED (round-19): the compacted table lands in a
-    * fresh `<table>.e-*` dir and commits via [[commitEpoch]]'s atomic
+    * SNAPSHOT-ISOLATED: the compacted table lands in a fresh
+    * `<table>.e-*` dir and commits via [[commitEpoch]]'s atomic
     * manifest swap — a concurrent reader serves the old epoch or the
     * new, never a half-rewritten dir, and a crash before the swap
-    * leaves the old layout untouched. Mutating ops still serialize
-    * with each other (single maintenance writer per index).
+    * leaves the old layout untouched.
     *
     * Returns (partFilesBefore, partFilesAfter) across the compacted
-    * partitions — the ScaleBench receipt. A table already at one file
-    * per partition is a no-op (0, 0). */
+    * partitions — the ScaleBench receipt. A single-segment table
+    * already at one file per partition is a no-op (0, 0); a
+    * multi-segment table at one file per partition still folds to
+    * one segment (all links) and reports (0, 0). */
   private[graft] def compactIndexPartitions(spark: SparkSession,
-      indexDir: String, table: String, partitionCol: String): (Int, Int) = {
+      indexDir: String, table: String, partitionCol: String): (Int, Int) =
+    withIndexWriter(indexDir) {
     import org.apache.spark.sql.functions.col
     val snap = indexSnapshot(indexDir)
-    val cur = new java.io.File(snap.path(table))
-    require(cur.isDirectory,
-      s"compactIndexPartitions: ${snap.path(table)} is not a directory")
+    val segDirs = snap.paths(table).map(new java.io.File(_))
+    segDirs.foreach(d => require(d.isDirectory,
+      s"compactIndexPartitions: $d is not a directory"))
     def partFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val parts = Option(cur.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory &&
-        d.getName.startsWith(s"$partitionCol="))
-    val multi = parts.filter(partFiles(_).length > 1)
-    if (multi.isEmpty) return (0, 0)
-    val before = multi.map(partFiles(_).length).sum
+    // partition dirs grouped by NAME across segments (same value ⇒
+    // same escaped dir name in every segment)
+    val parts: Map[String, Seq[java.io.File]] = segDirs
+      .flatMap(s => Option(s.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory &&
+          d.getName.startsWith(s"$partitionCol=")).toSeq)
+      .groupBy(_.getName)
+    // a null-valued partition cannot be selected back by an isin
+    // filter (NULL never matches) — its rows would be silently ABSENT
+    // from the new epoch table, data loss. Today's callers use
+    // non-null partition columns (pfx/list_id); fail loudly rather
+    // than generically mishandle (round-19 ADVICE).
+    require(!parts.contains(s"$partitionCol=__HIVE_DEFAULT_PARTITION__"),
+      s"compactIndexPartitions: $indexDir/$table has a null-valued " +
+        s"partition ($partitionCol=__HIVE_DEFAULT_PARTITION__) — this " +
+        "compactor's value-filtered rewrite cannot carry NULL " +
+        "partitions; fix the writer to assign real partition values")
+    val multi = parts.filter(_._2.map(partFiles(_).length).sum > 1)
+    if (multi.isEmpty && segDirs.length <= 1) return (0, 0)
+    val before = multi.values.map(_.map(partFiles(_).length).sum).sum
     // directory names carry Spark's partition-path ESCAPING; compare
     // in VALUE space or an escape-needing partition value (today's
     // callers are alnum/hex/int, but the function is generic) would
@@ -559,62 +587,65 @@ private[graft] object Warehouse {
     // deleteStalePartitionDirs lesson (round-18 ADVICE), upgraded
     // from a benign no-op to data loss by the epoch rewrite
     // (round-19 review)
-    val values = multi.map(d =>
+    val values = multi.keys.toSeq.map(n =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(d.getName.stripPrefix(s"$partitionCol=")))
-      .toSeq
+        .unescapePathName(n.stripPrefix(s"$partitionCol=")))
     val epochName = epochDirName(table)
     val epochDir = new java.io.File(indexDir, epochName)
     // one task per partition value -> one file per partition (two
     // values hashing together still emit one file per directory);
     // reads old files, writes new ones — no read-while-overwrite, so
     // no materialization barrier is needed
-    spark.read.parquet(cur.toString)
-      .filter(col(partitionCol).isin(values: _*))
-      .repartition(col(partitionCol))
-      .write.partitionBy(partitionCol)
-      .parquet(epochDir.toString)
-    // carry the already-single-file partitions over by hardlink
-    for (p <- parts if partFiles(p).length == 1) {
-      val dst = new java.io.File(epochDir, p.getName)
+    if (multi.nonEmpty)
+      snap.read(spark, table)
+        .filter(col(partitionCol).isin(values: _*))
+        .repartition(col(partitionCol))
+        .write.partitionBy(partitionCol)
+        .parquet(epochDir.toString)
+    else epochDir.mkdirs()
+    // carry the already-single-file partitions over by hardlink; the
+    // segment index prefixes the link name so two segments' part
+    // files can never collide under one partition dir
+    for ((name, dirs) <- parts if !multi.contains(name)) {
+      val dst = new java.io.File(epochDir, name)
       dst.mkdirs()
-      partFiles(p).foreach(f =>
-        linkOrCopy(f, new java.io.File(dst, f.getName)))
+      for ((d, i) <- dirs.zipWithIndex; f <- partFiles(d))
+        linkOrCopy(f, new java.io.File(dst, s"part-s$i-${
+          f.getName.stripPrefix("part-")}"))
     }
-    commitEpoch(indexDir, snap.allTables + (table -> epochName))
-    val after = multi.map(m => partFiles(
-      new java.io.File(epochDir, m.getName)).length).sum
+    commitEpoch(indexDir, snap.allTables + (table -> Seq(epochName)))
+    val after = multi.keys.map(m => partFiles(
+      new java.io.File(epochDir, m)).length).sum
     (before, after)
   }
 
   /** Compact an UNPARTITIONED parquet table of the index at
-    * `indexDir` to a single part-file, content-identical —
-    * [[compactIndexPartitions]]' counterpart for the `ids.parquet`
-    * ledgers (BM25, substring, near-dup, CMS), which append one
-    * part-file per ingest cycle and have no partition column for the
-    * partitioned rewrite to key on (round-17 verdict #6). Row
-    * MULTISET identity is preserved (ledger consumers are semi-join
-    * probes, order-free). SNAPSHOT-ISOLATED like the partitioned
-    * compaction: the single file lands in a fresh epoch dir and the
-    * manifest swap is the commit — the round-18 write-aside-then-swap
-    * crash window (dir briefly ABSENT between delete and move) is
-    * gone entirely. Returns (partFilesBefore, partFilesAfter); a
-    * table already at ≤ 1 part-file is a no-op (0, 0). */
+    * `indexDir` to a single segment with a single part-file,
+    * content-identical — [[compactIndexPartitions]]' counterpart for
+    * the `ids.parquet` ledgers (BM25, substring, near-dup, CMS),
+    * which gain one segment dir per ingest cycle and have no
+    * partition column for the partitioned rewrite to key on
+    * (round-17 verdict #6). Row MULTISET identity is preserved
+    * (ledger consumers are semi-join probes, order-free).
+    * SNAPSHOT-ISOLATED like the partitioned compaction. Returns
+    * (partFilesBefore, partFilesAfter); a single-segment table
+    * already at ≤ 1 part-file is a no-op (0, 0). */
   private[graft] def compactUnpartitionedLedger(spark: SparkSession,
-      indexDir: String, table: String): (Int, Int) = {
+      indexDir: String, table: String): (Int, Int) =
+    withIndexWriter(indexDir) {
     val snap = indexSnapshot(indexDir)
-    val cur = new java.io.File(snap.path(table))
-    require(cur.isDirectory,
-      s"compactUnpartitionedLedger: ${snap.path(table)} is not a directory")
+    val segDirs = snap.paths(table).map(new java.io.File(_))
+    segDirs.foreach(d => require(d.isDirectory,
+      s"compactUnpartitionedLedger: $d is not a directory"))
     def partFiles(d: java.io.File): Int = Option(d.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .count(f => f.isFile && f.getName.startsWith("part-"))
-    val before = partFiles(cur)
-    if (before <= 1) return (0, 0)
+    val before = segDirs.map(partFiles).sum
+    if (before <= 1 && segDirs.length <= 1) return (0, 0)
     val epochName = epochDirName(table)
-    spark.read.parquet(cur.toString).coalesce(1)
+    snap.read(spark, table).coalesce(1)
       .write.parquet(s"$indexDir/$epochName")
-    commitEpoch(indexDir, snap.allTables + (table -> epochName))
+    commitEpoch(indexDir, snap.allTables + (table -> Seq(epochName)))
     (before, partFiles(new java.io.File(indexDir, epochName)))
   }
 
@@ -632,7 +663,8 @@ private[graft] object Warehouse {
     * delete the directory and rebuild instead). */
   private[graft] def tombstoneDelete(spark: SparkSession,
       dir: String, batch: DataFrame, batchIdExpr: org.apache.spark.sql.Column,
-      idCol: String, presenceTable: String, what: String): Unit = {
+      idCol: String, presenceTable: String, what: String): Unit =
+    withIndexWriter(dir) {
     import org.apache.spark.sql.functions.{broadcast, col}
     val snap = indexSnapshot(dir)
     requireUniqueBatchIds(batch, batchIdExpr, s"$what delete")
@@ -641,7 +673,7 @@ private[graft] object Warehouse {
     if (batchIds.isEmpty) return
     // every id must be indexed: column-pruned id scan, semi-joined
     // MAP-SIDE against the broadcast batch (exchange ∝ batch)
-    val present = spark.read.parquet(snap.path(presenceTable))
+    val present = snap.read(spark, presenceTable)
       .select(col(idCol))
       .join(broadcast(batchIds), Seq(idCol), "left_semi")
       .distinct() // multi-assignment stores one row per list
@@ -653,7 +685,7 @@ private[graft] object Warehouse {
         "(or have no stored rows) — a tombstone for an absent row " +
         "can only mask a caller bug; nothing would be deleted")
     if (snap.hasPhysical("dels.parquet")) {
-      val twice = spark.read.parquet(snap.path("dels.parquet"))
+      val twice = snap.read(spark, "dels.parquet")
         .join(broadcast(batchIds), Seq(idCol), "left_semi")
         .limit(5).collect().map(_.get(0))
       require(twice.isEmpty,
@@ -662,10 +694,10 @@ private[graft] object Warehouse {
     // refuse to tombstone the LAST live rows — one column-pruned scan
     // with an early-out limit(1)
     val delsAll = if (snap.hasPhysical("dels.parquet"))
-      batchIds.unionByName(spark.read.parquet(snap.path("dels.parquet"))
+      batchIds.unionByName(snap.read(spark, "dels.parquet")
         .select(col(idCol)))
     else batchIds
-    val remaining = spark.read.parquet(snap.path(presenceTable))
+    val remaining = snap.read(spark, presenceTable)
       .select(col(idCol))
       .join(broadcast(delsAll.distinct().localCheckpoint(true)),
         Seq(idCol), "left_anti")
@@ -689,15 +721,14 @@ private[graft] object Warehouse {
     * if partitioned). */
   private[graft] def purgeTombstones(spark: SparkSession, dir: String,
       idCol: String, tables: Seq[(String, Option[String])],
-      what: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.col
+      what: String): (Long, Long) = withIndexWriter(dir) {
     val snap = indexSnapshot(dir)
     if (!snap.has("dels.parquet")) return (0L, 0L)
-    val dels = spark.read.parquet(snap.path("dels.parquet"))
+    val dels = snap.read(spark, "dels.parquet")
       .distinct().localCheckpoint(true)
     var receipt = (0L, 0L)
     val newDirs = tables.zipWithIndex.map { case ((table, pcol), i) =>
-      val rows = spark.read.parquet(snap.path(table))
+      val rows = snap.read(spark, table)
       val kept = rows.join(dels, Seq(idCol), "left_anti")
       val epochName = epochDirName(table)
       if (i == 0) {
@@ -713,7 +744,7 @@ private[graft] object Warehouse {
         receipt = (before, after)
         writeEpochTable(keptM, dir, epochName, pcol)
       } else writeEpochTable(kept, dir, epochName, pcol)
-      table -> epochName
+      table -> Seq(epochName)
     }
     commitEpoch(dir, snap.allTables ++ newDirs - "dels.parquet")
     receipt
@@ -732,15 +763,19 @@ private[graft] object Warehouse {
     * tombstoned id stays un-appendable until the purge physically
     * removes its old rows — they would resurface next to the new
     * generation's under one id once the serve-time anti-join lifts.
-    * PHYSICAL ledger check (conservative across crashed manifest
-    * registrations); `batchIds` is only evaluated when a ledger
-    * exists, so the common no-tombstone append path pays nothing. */
+    * Ledger existence is manifest-authoritative under a manifest
+    * (deletes commit their ledger segment atomically — a crashed
+    * delete left NO visible state, so there is nothing for a
+    * physical probe to be conservative about; round-20, closing the
+    * round-19 post-purge plain-name wedge); `batchIds` is only
+    * evaluated when a ledger exists, so the common no-tombstone
+    * append path pays nothing. */
   private[graft] def requireNoTombstoned(spark: SparkSession,
       snap: IndexSnapshot, batchIds: => DataFrame, idCol: String,
       what: String): Unit =
     if (snap.hasPhysical("dels.parquet")) {
       import org.apache.spark.sql.functions.broadcast
-      val ghosts = spark.read.parquet(snap.path("dels.parquet"))
+      val ghosts = snap.read(spark, "dels.parquet")
         .join(broadcast(batchIds), Seq(idCol), "left_semi")
         .limit(5).collect().map(_.get(0))
       require(ghosts.isEmpty,
@@ -778,39 +813,50 @@ private[graft] object Warehouse {
       }
       .foreach(deleteRec)
 
-  // ── epoch-manifest snapshot layer (round-19 verdict #1) ──────────
+  // ── epoch-manifest snapshot layer (round-19 verdict #1; extended
+  //    to INGEST round-20 — round-19 verdict #1 again, one rung up) ──
   //
-  // Serving-while-maintaining: every MUTATING maintenance op
-  // (compaction, purge) used to overwrite table files in place behind
-  // a documented stop-the-world barrier — a live reader during the
-  // overwrite window saw missing part-files. The epoch layer removes
-  // the barrier for READERS: a maintenance op writes its result under
-  // a NEW uniquely-named table dir (`<table>.e-<hex>`) and commits
-  // with ONE atomic manifest swap; a reader resolves `_manifest.json`
-  // once per query and sees a consistent snapshot of EVERY table —
-  // old epoch or new, never a mix (the manifest covers all tables, so
-  // multi-table ops like the BM25 purge, which rewrites postings+ids
-  // AND drops the tombstone ledger, swap as one unit). Crash anywhere
-  // before the swap leaves the old manifest and its dirs untouched
-  // (orphan epoch dirs are swept at the next successful commit);
-  // crash mid-swap is impossible by POSIX rename atomicity.
+  // Serving-while-mutating: every mutating op — maintenance
+  // (compaction, purge) AND ingest (append, delete) — writes its
+  // result under NEW uniquely-named dirs/files (`<name>.e-<hex>`) and
+  // commits with ONE atomic manifest swap; nothing ever appends into,
+  // dynamically overwrites, or rewrites a dir a reader could be
+  // listing. A logical table is a SEQUENCE OF SEGMENT DIRS: builds
+  // mint one, each append cycle adds one (the LSM shape), compaction
+  // folds them back to one, and readers scan the union. Small
+  // mutable sidecars (`_meta.json` stats, `cms.bin`/`bloom.bin`
+  // sketch bytes) are replaced as epoch-named FILES registered in the
+  // same manifest, so a multi-table ingest cycle (BM25: postings +
+  // dfs + ids + meta) lands as one unit — a reader resolves
+  // `_manifest.json` once per query and sees a consistent snapshot of
+  // EVERYTHING: the whole cycle or none of it, old epoch or new,
+  // never a mix. Crash anywhere before the swap leaves the old
+  // manifest and its dirs untouched (orphan epoch dirs are swept at a
+  // later commit); crash mid-swap is impossible by POSIX rename
+  // atomicity. Ingest crash-retry is therefore clean BY ATOMICITY:
+  // the round-18 "ledger-first" orderings are retired — a crashed
+  // cycle left no visible state, so the guards see nothing and the
+  // retry simply re-runs the whole cycle.
   //
-  // Grace: a superseded table dir survives exactly ONE further
-  // MAINTENANCE (replacing/dropping) commit — the cleanup deletes
-  // dirs referenced by neither the new nor the outgoing manifest,
-  // and PURE-ADDITION commits (table-birth registrations) skip it —
-  // so a reader is safe as long as its query does not span two full
-  // maintenance cycles: compaction cadences are hours, query
-  // lifetimes seconds. WRITERS still serialize: one
-  // mutating op per index at a time (append/delete remain behind the
-  // deployment's ingest-cycle barrier — they mutate shared files in
-  // place by design); only reader-vs-maintenance is now unbarriered.
+  // Grace: a dir/file leaving the manifest survives (a) at least ONE
+  // further superseding commit — the sweep only deletes names
+  // referenced by neither the new nor the outgoing manifest, and
+  // PURE-ADDITION commits (segment appends, table births — every
+  // outgoing segment still referenced) skip the sweep entirely — and
+  // (b) at least `spark.graft.index.graceMinAgeSec` (default 300)
+  // since it was superseded (commit marks supersession time on the
+  // leaving dirs; round-19 verdict #3 — two quick maintenance ops
+  // can no longer reclaim an epoch a slow query is still reading).
+  // WRITERS serialize: every mutating op holds the per-index
+  // [[withIndexWriter]] lock — a second concurrent maintainer
+  // refuses loudly instead of interleaving epochs (round-19 verdict
+  // #2), and the lock dies with a crashed holder's JVM.
   //
-  // Legacy compatibility: an index that has never been maintained has
-  // no manifest — `indexSnapshot` then resolves every table to its
-  // plain build-time name, byte-identical to the pre-epoch behavior.
-  // The FIRST maintenance commit records the legacy names for every
-  // table it does not rewrite, so untouched tables never move.
+  // Legacy compatibility: an index that has never been mutated has no
+  // manifest — `indexSnapshot` then resolves every table to its plain
+  // build-time name, byte-identical to the pre-epoch behavior. The
+  // FIRST commit records the legacy names for every table it does not
+  // rewrite, so untouched tables never move.
 
   private[graft] val ManifestName = "_manifest.json"
 
@@ -819,47 +865,120 @@ private[graft] object Warehouse {
     * resolves belongs to the same epoch. Readers build one per query;
     * mutating ops build one at entry and commit against it. */
   private[graft] final class IndexSnapshot(val root: String,
-      private[graft] val tables: Option[Map[String, String]]) {
-    /** Physical path of logical `table` ("postings.parquet", …) under
-      * this snapshot. Unregistered tables resolve to their plain name
-      * (the write path for a table being created, and the whole story
-      * for manifest-less legacy dirs). */
-    def path(table: String): String =
-      s"$root/${tables.flatMap(_.get(table)).getOrElse(table)}"
+      private[graft] val tables: Option[Map[String, Seq[String]]]) {
+    /** Physical segment paths of logical `table` ("postings.parquet",
+      * …) under this snapshot, in registration order. Unregistered
+      * tables resolve to their plain name (the build-time write path,
+      * and the whole story for manifest-less legacy dirs). */
+    def paths(table: String): Seq[String] =
+      tables.flatMap(_.get(table)).getOrElse(Seq(table))
+        .map(n => s"$root/$n")
+
+    /** Single physical path of `table` — valid only for entries that
+      * are replaced wholesale (meta/sketch files, freshly compacted
+      * tables). Throws on a multi-segment table: any caller still
+      * assuming one dir must fail loudly, not read one segment. */
+    def path(table: String): String = {
+      val p = paths(table)
+      require(p.lengthCompare(1) == 0,
+        s"$root: '$table' has ${p.length} segments — read it with " +
+          "IndexSnapshot.read (a single-path consumer cannot see a " +
+          "segmented table)")
+      p.head
+    }
+
+    /** Scan of `table` across ALL its segments — the one reader every
+      * serving/maintenance path uses. One scan per segment, unioned
+      * by name (multi-path `spark.read.parquet` refuses sibling
+      * partitioned roots — CONFLICTING_DIRECTORY_STRUCTURES — so each
+      * segment is its own base path and the union is explicit);
+      * partition discovery, pruning and filter pushdown apply per
+      * child scan. Segments that hold no data files (an all-
+      * filtered-out batch wrote only _SUCCESS) are skipped — a
+      * file-less partitioned dir cannot infer a schema. */
+    def read(spark: SparkSession, table: String): DataFrame = {
+      def hasData(f: java.io.File): Boolean =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .exists(hasData)
+        else f.getName.startsWith("part-")
+      val all = paths(table)
+      val nonEmpty = all.filter(p => hasData(new java.io.File(p)))
+      val use = if (nonEmpty.nonEmpty) nonEmpty else all.take(1)
+      val children = use.map(spark.read.parquet(_))
+      if (children.lengthCompare(1) == 0) return children.head
+      // PARTITION-COLUMN TYPE INFERENCE runs per segment root, so a
+      // hex-prefix partition column (`pfx=7` vs `pfx=c`) can infer
+      // INT in an all-digit segment and STRING in another — the
+      // union's coercion then casts letters to bigint and fails at
+      // runtime. Align mismatched columns to STRING (the type the
+      // pre-segment single-dir inference produced over the mixed
+      // value set); data columns carry fixed parquet types and never
+      // hit this.
+      import org.apache.spark.sql.functions.col
+      val types: Map[String, Set[org.apache.spark.sql.types.DataType]] =
+        children.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+          .groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).toSet }
+      val mixed = types.filter(_._2.size > 1).keySet
+      val aligned = if (mixed.isEmpty) children else children.map { c =>
+        c.select(c.schema.fieldNames.map(n =>
+          if (mixed(n)) col(n).cast("string").as(n) else col(n)): _*)
+      }
+      aligned.reduce(_.unionByName(_))
+    }
 
     /** Whether `table` exists IN THIS SNAPSHOT. Manifest-authoritative
       * when a manifest exists: after a purge drops the tombstone
-      * ledger, the superseded dels dir lingers on disk for the grace
-      * window, and a new-epoch reader must not see it. */
+      * ledger, the superseded dels dirs linger on disk for the grace
+      * window, and a new-epoch reader must not see them. */
     def has(table: String): Boolean = tables match {
       case Some(m) => m.contains(table)
       case None => new java.io.File(root, table).exists()
     }
 
-    /** Physical existence at the resolved path — the CONSERVATIVE
-      * view the write-side guards use: a crash between a ledger write
-      * and its manifest registration must still refuse a retry. */
-    def hasPhysical(table: String): Boolean =
-      new java.io.File(path(table)).exists()
+    /** Physical existence of `table`'s registered segments (legacy
+      * dirs: the plain name). Under a manifest an UNREGISTERED table
+      * is absent even when a same-named PLAIN dir lingers on disk
+      * (a grace-retained legacy ledger after its drop — the round-19
+      * ADVICE post-purge wedge): mutations commit atomically, so
+      * there is no crashed half-state a physical probe would need to
+      * be conservative about. */
+    def hasPhysical(table: String): Boolean = tables match {
+      case Some(m) => m.get(table).exists(_.forall(n =>
+        new java.io.File(root, n).exists()))
+      case None => new java.io.File(root, table).exists()
+    }
 
-    /** The full logical→physical mapping a commit starts from: the
+    /** The full logical→segments mapping a commit starts from: the
       * manifest's, or (first commit on a legacy dir) every existing
       * plain `*.parquet` table mapped to itself. */
-    def allTables: Map[String, String] = tables.getOrElse(
+    def allTables: Map[String, Seq[String]] = tables.getOrElse(
       Option(new java.io.File(root).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(d => d.isDirectory && d.getName.endsWith(".parquet"))
-        .map(d => d.getName -> d.getName).toMap)
+        .map(d => d.getName -> Seq(d.getName)).toMap)
   }
 
+  /** Manifest table values are strings (one segment) or string
+    * arrays (segment lists) — the round-19 single-string form parses
+    * unchanged. Names are validated at commit ([[validEntryName]]),
+    * so the regexes below cannot be confused by quotes/braces inside
+    * names. */
   private def parseManifest(txt: String,
-      dir: String): Map[String, String] = {
-    val body = """"tables":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+      dir: String): Map[String, Seq[String]] = {
+    val start = txt.indexOf("\"tables\":{")
+    val end = txt.lastIndexOf("}")
+    if (start < 0 || end <= start)
+      throw new IllegalArgumentException(
         s"index manifest at $dir/$ManifestName is malformed " +
-          s"(no tables object): $txt"))
-    """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
-      .map(m => m.group(1) -> m.group(2)).toMap
+          s"(no tables object): $txt")
+    val body = txt.substring(start + "\"tables\":{".length, end)
+    """"([^"]+)":("[^"]+"|\[[^\]]*\])""".r.findAllMatchIn(body)
+      .map { m =>
+        val segs = """"([^"]+)"""".r.findAllMatchIn(m.group(2))
+          .map(_.group(1)).toVector
+        m.group(1) -> (segs: Seq[String])
+      }.toMap
   }
 
   /** Resolve the index at `dir` to one consistent table snapshot (one
@@ -871,40 +990,78 @@ private[graft] object Warehouse {
       java.nio.file.Files.readString(f.toPath), dir)))
   }
 
-  /** Fresh physical dir name for a new epoch of `table`. */
-  private[graft] def epochDirName(table: String): String =
-    s"$table.e-${java.util.UUID.randomUUID().toString.take(8)}"
+  /** Manifest entry names (logical and physical) must stay inside the
+    * character set the manifest's regex parser and the sweep patterns
+    * assume — a brace/quote/comma in a table name would corrupt the
+    * manifest silently (round-19 review's named hazard, closed). */
+  private def validEntryName(n: String): Boolean =
+    n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '.' ||
+      c == '_' || c == '-')
 
-  private val EpochDirPattern = """.*\.parquet\.e-[0-9a-f]{8}"""
+  /** Fresh physical name for a new epoch/segment of `table` (works
+    * for dirs and sidecar files alike). */
+  private[graft] def epochDirName(table: String): String = {
+    require(validEntryName(table),
+      s"index table name '$table' contains characters outside " +
+        "[A-Za-z0-9._-] — unsupported in the epoch manifest")
+    s"$table.e-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** Epoch-named dirs AND sidecar files (postings.parquet.e-…,
+    * cms.bin.e-…, _meta.json.e-…) are sweep candidates; plain-named
+    * sidecar files are not (a first replacement leaves the stale
+    * plain file shadowed by the manifest — bytes, not a hazard). */
+  private val EpochNamePattern = """.+\.e-[0-9a-f]{8}"""
+
+  /** Minimum age (ms) since SUPERSESSION before a dereferenced
+    * dir/file may be swept — round-19 verdict #3: commit-counted
+    * grace alone let two quick maintenance ops reclaim an epoch a
+    * slow query was still reading. Read per commit from the active
+    * session so tests and deployments tune it live. */
+  private def graceMinAgeMs(): Long = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.graft.index.graceMinAgeSec", "300"))
+      .getOrElse("300")
+    (conf.toDouble * 1000).toLong
+  }
 
   /** Commit a new table layout for the index at `dir`: write the new
     * manifest to a temp file, ATOMIC_MOVE it over `_manifest.json`
     * (readers see old XOR new — never a torn manifest), then sweep
-    * table dirs referenced by NEITHER the new nor the outgoing
-    * manifest (= superseded two maintenance commits ago, or orphaned
-    * by a crashed op). Dirs of the manifest just replaced survive
-    * this commit — the one-cycle reader grace — and pure-addition
-    * registration commits skip the sweep entirely, so only real
-    * maintenance commits consume grace. The FIRST commit on a legacy dir is
-    * the exception: plain-named dirs it supersedes are reclaimed
-    * immediately — pre-manifest readers never had snapshot isolation
-    * (the old contract was an in-place overwrite), and a lingering
-    * plain-named dir would collide with the fallback path the
-    * write-guards use for never-registered tables. */
+    * entries referenced by NEITHER the new nor the outgoing manifest
+    * (= superseded at least two commits ago, or orphaned by a crashed
+    * op) AND older than the [[graceMinAgeMs]] floor since their
+    * supersession. Entries of the manifest just replaced survive this
+    * commit — the one-cycle reader grace — and their supersession
+    * time is stamped now, so the age floor counts from the moment a
+    * reader could last have resolved them. PURE-ADDITION commits
+    * (every outgoing segment still referenced — segment appends,
+    * table births) skip the sweep entirely, so ingest never consumes
+    * a reader's grace: only commits that STOP referencing something
+    * (compaction, purge, sidecar replacement) do. */
   private[graft] def commitEpoch(dir: String,
-      tables: Map[String, String]): Unit = {
+      tables: Map[String, Seq[String]]): Unit = {
+    tables.foreach { case (k, vs) =>
+      require(validEntryName(k) && vs.nonEmpty && vs.forall(validEntryName),
+        s"manifest entry '$k' -> $vs has an empty segment list or a " +
+          "name outside [A-Za-z0-9._-]")
+    }
     val root = new java.io.File(dir)
     val cur = new java.io.File(root, ManifestName)
     val hadManifest = cur.exists()
     val outgoing = if (hadManifest) indexSnapshot(dir).allTables
-      else Map.empty[String, String]
+      else Map.empty[String, Seq[String]]
     val epoch: Long = (if (hadManifest)
       """"epoch":(\d+)""".r.findFirstMatchIn(
         java.nio.file.Files.readString(cur.toPath))
         .map(_.group(1).toLong).getOrElse(0L)
       else 0L) + 1
     val json = tables.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }
+      .map { case (k, vs) =>
+        if (vs.lengthCompare(1) == 0) s""""$k":"${vs.head}""""
+        else vs.map(v => s""""$v"""").mkString(s""""$k":[""", ",", "]")
+      }
       .mkString(s"""{"epoch":$epoch,"tables":{""", ",", "}}")
     val tmp = new java.io.File(root,
       s".$ManifestName.tmp-${java.util.UUID.randomUUID()}")
@@ -912,24 +1069,24 @@ private[graft] object Warehouse {
     java.nio.file.Files.move(tmp.toPath, cur.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // a PURE-ADDITION commit (every outgoing entry carried unchanged
-    // — table-birth registrations from the delete paths) supersedes
-    // nothing and SKIPS the sweep, so it never consumes a reader's
-    // grace: a tombstone delete landing seconds after a purge must
-    // not reclaim the pre-purge epoch out from under a reader still
-    // inside it. Grace is therefore one further MAINTENANCE
-    // (replacing/dropping) commit, not merely any commit. The first
-    // commit on a legacy dir always sweeps — pre-manifest readers
-    // had no isolation, and the superseded plain-named dirs must go
-    // before the write-guards' plain-name fallback can collide.
-    val pureAddition = hadManifest &&
-      outgoing.forall { case (k, v) => tables.get(k).contains(v) }
+    val newRefs = tables.values.flatten.toSet
+    val outRefs = outgoing.values.flatten.toSet
+    val pureAddition = hadManifest && outRefs.subsetOf(newRefs)
     if (!pureAddition) {
-      val referenced = tables.values.toSet ++ outgoing.values.toSet
+      val now = System.currentTimeMillis()
+      // stamp supersession time on everything leaving the manifest:
+      // the age floor must count from when a reader could last have
+      // resolved the name, not from when the dir was built
+      (outRefs -- newRefs).foreach { n =>
+        val f = new java.io.File(root, n)
+        if (f.exists()) f.setLastModified(now)
+      }
+      val referenced = newRefs ++ outRefs
+      val floorMs = graceMinAgeMs()
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isDirectory)
         .filter(d => (d.getName.endsWith(".parquet") ||
-          d.getName.matches(EpochDirPattern)) && !referenced(d.getName))
+          d.getName.matches(EpochNamePattern)) && !referenced(d.getName))
+        .filter(d => now - d.lastModified() >= floorMs)
         .foreach { d =>
           System.err.println(s"[epoch] sweeping superseded ${d.getName}" +
             s" under $dir")
@@ -938,32 +1095,141 @@ private[graft] object Warehouse {
     }
   }
 
-  /** Append `rows` to logical `table` of the index at `dir`,
-    * CREATING it when absent — the one definition of table birth
-    * under the epoch layer (tombstone ledgers, post-compaction delta
-    * segments). On a legacy dir the table is born under its plain
-    * name (pre-manifest semantics are physical-existence semantics);
-    * under a manifest it is born in an EPOCH-NAMED dir and
-    * registered with one commit, so a later drop (purge/compaction)
-    * can grace-retain the dir without the plain-name fallback ever
-    * resurrecting it. Write-then-register: a crash between the two
-    * leaves an orphan epoch dir (swept at the next commit) and NO
-    * visible state change — the retry re-runs cleanly. */
-  private[graft] def appendToTable(dir: String, table: String,
-      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
-    val snap = indexSnapshot(dir)
-    def write(path: String): Unit = {
-      val w = rows.write.mode("append")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
-       else w).parquet(path)
+  /** Per-index WRITER lock (round-19 verdict #2): every mutating op —
+    * append, delete, purge, compaction — runs under it, so the
+    * single-maintenance-writer contract is ENFORCED, not documented.
+    * A second concurrent maintainer (other thread or other JVM)
+    * refuses loudly instead of interleaving epoch commits and
+    * sweeping the first writer's grace dirs. Re-entrant per thread
+    * (public ops nest the shared tombstone/purge/append machinery);
+    * cross-JVM via an advisory `FileChannel` lock on
+    * `<dir>/_writer.lock`, which DIES WITH A CRASHED HOLDER'S JVM
+    * (the RunLock property) — no stale-lock recovery protocol needed.
+    * The lock file lives under the POSIX-checked warehouse root
+    * ([[indexRoot]] rejects raw object-store schemes in BOTH commit
+    * protocols), so advisory locks hold in marker mode too; an
+    * object-store deployment that drops the POSIX mount must swap
+    * this for its store's lease primitive. */
+  private object WriterLocks {
+    final class Holder(val thread: Thread,
+        val ch: java.nio.channels.FileChannel,
+        val lock: java.nio.channels.FileLock) {
+      var count: Int = 1
     }
-    if (snap.tables.isEmpty || snap.has(table)) write(snap.path(table))
-    else {
-      val name = epochDirName(table)
-      write(s"$dir/$name")
-      commitEpoch(dir, indexSnapshot(dir).allTables + (table -> name))
+    val held = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
+  }
+
+  private[graft] def withIndexWriter[T](dir: String)(body: => T): T = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val cur = WriterLocks.held.get(key)
+    if (cur != null && (cur.thread eq Thread.currentThread())) {
+      cur.count += 1
+      try body finally cur.count -= 1
+    } else {
+      def refuse(): Nothing = throw new IllegalStateException(
+        s"index at $dir already has a live writer (lock " +
+          s"$key/_writer.lock) — concurrent maintainers would " +
+          "interleave epoch commits and sweep each other's grace " +
+          "dirs; serialize mutating ops per index")
+      new java.io.File(dir).mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(dir, "_writer.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException =>
+          ch.close(); refuse()
+        }
+      if (lock == null) { ch.close(); refuse() }
+      val h = new WriterLocks.Holder(Thread.currentThread(), ch, lock)
+      if (WriterLocks.held.putIfAbsent(key, h) != null) {
+        lock.release(); ch.close(); refuse()
+      }
+      try body finally {
+        WriterLocks.held.remove(key, h)
+        lock.release()
+        ch.close()
+      }
     }
   }
+
+  /** One atomic multi-entry mutation of the index at `dir`: stage
+    * segment appends, wholesale table/file replacements, and drops,
+    * then [[commit]] them as ONE manifest swap. THE ingest-cycle
+    * primitive (round-20): a BM25 append stages postings + dfs + ids
+    * segments and the meta replacement, and a concurrent reader sees
+    * the whole cycle or none of it. Crash before commit leaves
+    * orphan epoch names (swept, age-floored, at a later commit) and
+    * NO visible state change — the retry re-runs cleanly, which is
+    * what retires the round-18 ledger-first crash orderings. Must be
+    * used under [[withIndexWriter]]. */
+  private[graft] final class EpochTxn(spark: SparkSession, dir: String) {
+    private[graft] val snap: IndexSnapshot = indexSnapshot(dir)
+    private var next: Map[String, Seq[String]] = snap.allTables
+    private var touched = false
+
+    /** Stage one new SEGMENT of `table` holding exactly `rows` —
+      * never reads or touches existing segments. */
+    def appendSegment(table: String, rows: DataFrame,
+        partitionCols: Seq[String] = Nil): Unit = {
+      val name = epochDirName(table)
+      val w = rows.write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(s"$dir/$name")
+      next += table -> (next.getOrElse(table, Seq.empty) :+ name)
+      touched = true
+    }
+
+    /** Stage a wholesale replacement of `table` with `rows` as its
+      * single new segment. */
+    def replaceTable(table: String, rows: DataFrame,
+        partitionCols: Seq[String] = Nil): Unit = {
+      val name = epochDirName(table)
+      val w = rows.write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w).parquet(s"$dir/$name")
+      next += table -> Seq(name)
+      touched = true
+    }
+
+    /** Stage a replacement of sidecar FILE `name` (meta json, sketch
+      * bytes): `write` receives the fresh epoch-named target. */
+    def replaceFile(name: String)(write: java.io.File => Unit): Unit = {
+      val n = epochDirName(name)
+      write(new java.io.File(dir, n))
+      next += name -> Seq(n)
+      touched = true
+    }
+
+    /** Stage dropping `table` from the layout (its dirs grace-linger
+      * and are swept by a later commit). */
+    def drop(table: String): Unit = {
+      next -= table
+      touched = true
+    }
+
+    /** Swap the staged layout in — one atomic manifest move. No-op
+      * when nothing was staged. */
+    def commit(): Unit = if (touched) commitEpoch(dir, next)
+  }
+
+  /** Append `rows` to logical `table` of the index at `dir` as one
+    * new SEGMENT, creating the table when absent — the one-table
+    * convenience over [[EpochTxn]] (tombstone ledgers, single-table
+    * segment appends). Always epoch-named + registered with one
+    * commit, even on a legacy dir (whose first mutation thereby mints
+    * the manifest, carrying every plain-named table unchanged).
+    * Write-then-register: a crash between the two leaves an orphan
+    * segment dir and NO visible state change — the retry re-runs
+    * cleanly. */
+  private[graft] def appendToTable(dir: String, table: String,
+      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit =
+    withIndexWriter(dir) {
+      val txn = new EpochTxn(rows.sparkSession, dir)
+      txn.appendSegment(table, rows, partitionCols)
+      txn.commit()
+    }
 
   /** Hardlink `src` into `dst` (same filesystem — the epoch dirs live
     * next to the table they supersede), falling back to a byte copy

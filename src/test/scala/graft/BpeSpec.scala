@@ -118,6 +118,39 @@ class BpeSpec extends AnyFunSuite {
         .indexWhere(p => p._1 != p._2)}")
   }
 
+  test("driver-side training ≡ the distributed incremental loop, " +
+    "merge for merge, on the harness corpus — and the cap routes") {
+    // round-20 (round-19 verdict #4's finish): under the word cap
+    // (the near-universal case — the histogram, not the corpus, is
+    // the training input), the whole merge loop runs in driver
+    // memory; the selection rule (max n, then x asc, y asc) and the
+    // greedy left-to-right merge application are the SAME, so the
+    // merge table must be bit-identical to the distributed loop's,
+    // tie-heavy tail included
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+    val driver = Bpe.trainMerges(docs, "text", 64) // routes driver-side
+    val prev = spark.conf.get("spark.graft.bpe.driverMaxWords", "4000000")
+    val distributed = try {
+      spark.conf.set("spark.graft.bpe.driverMaxWords", "0")
+      Bpe.trainMerges(docs, "text", 64) // cap 0 forces the Spark loop
+    } finally spark.conf.set("spark.graft.bpe.driverMaxWords", prev)
+    assert(driver == distributed,
+      s"first divergence: ${driver.zip(distributed)
+        .indexWhere(p => p._1 != p._2)}")
+    // the stats counters record the same incremental law either way
+    val sD = new Bpe.TrainStats
+    Bpe.trainMerges(docs, "text", 16, Some(sD))
+    val sS = new Bpe.TrainStats
+    try {
+      spark.conf.set("spark.graft.bpe.driverMaxWords", "0")
+      Bpe.trainMerges(docs, "text", 16, Some(sS))
+    } finally spark.conf.set("spark.graft.bpe.driverMaxWords", prev)
+    assert(sD.affectedRows == sS.affectedRows &&
+      sD.recountRows == sS.recountRows,
+      s"stats diverge: driver (${sD.affectedRows}, ${sD.recountRows})" +
+        s" vs spark (${sS.affectedRows}, ${sS.recountRows})")
+  }
+
   test("training fails loudly when the vocabulary exhausts its pairs") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {

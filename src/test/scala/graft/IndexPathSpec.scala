@@ -34,6 +34,19 @@ class IndexPathSpec extends AnyFunSuite {
     }
   }
 
+  /** Snapshot-resolved table scan — ingest lands as epoch SEGMENTS
+    * (round-20), so raw `$dir/table` reads stop seeing appended
+    * rows; every physical-layout assertion reads through the same
+    * resolution serving uses. */
+  private def tbl(dir: String, table: String) =
+    graft.operators.Warehouse.indexSnapshot(dir).read(spark, table)
+
+  /** Snapshot-resolved `_meta.json` path — mutating ops replace the
+    * meta as an epoch-named file registered in their commit. */
+  private def metaPathOf(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      graft.operators.Warehouse.indexSnapshot(dir).path("_meta.json"))
+
   test("IVF index path answers exactly the q47 result on the harness corpus") {
     withTempDir("ivf_q47") { dir =>
       val e = Tables.embeddings(spark, sf)
@@ -283,11 +296,11 @@ class IndexPathSpec extends AnyFunSuite {
       val batch = e.filter(col("vec_id") % 4 === 3)
       Similarity.buildIvfIndex(existing, "vec_id", "embedding", dir,
         nLists = 16, assignments = 2)
-      val before = spark.read.parquet(s"$dir/assignments.parquet")
+      val before = tbl(dir, "assignments.parquet")
         .select(col("neighbor_id"), col("list_id"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       Similarity.appendToIvfIndex(spark, batch, "vec_id", "embedding", dir)
-      val after = spark.read.parquet(s"$dir/assignments.parquet")
+      val after = tbl(dir, "assignments.parquet")
         .select(col("neighbor_id"), col("list_id"))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       // existing assignments are byte-for-byte untouched…
@@ -367,7 +380,7 @@ class IndexPathSpec extends AnyFunSuite {
       val batch = e.filter(col("vec_id") % 4 === 3)
       Similarity.buildPqIndex(existing, "vec_id", "embedding", dir,
         ks = 16)
-      def snapshot() = spark.read.parquet(s"$dir/codes.parquet")
+      def snapshot() = tbl(dir, "codes.parquet")
         .select(col("neighbor_id"), col("codes"), col("xnorm"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getDouble(2)))
@@ -504,7 +517,7 @@ class IndexPathSpec extends AnyFunSuite {
           col("qtext"))).as("t"))
         .select(substring(col("t"), 1, 1)).distinct()
         .collect().map(_.getString(0)).toSet
-      val totalPfx = spark.read.parquet(s"$dir/postings.parquet")
+      val totalPfx = tbl(dir, "postings.parquet")
         .select(col("pfx")).distinct().count()
       assert(prefixes.size < totalPfx,
         "fixture degenerate: queries probe every prefix partition")
@@ -546,7 +559,7 @@ class IndexPathSpec extends AnyFunSuite {
       val batch = docs.filter(col("doc_id") % 4 === 3)
       graft.operators.Retrieval.buildBm25Index(existing,
         "doc_id", "text", s"$dir/a")
-      val postingsBefore = spark.read.parquet(s"$dir/a/postings.parquet")
+      val postingsBefore = tbl(s"$dir/a", "postings.parquet")
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
@@ -557,12 +570,14 @@ class IndexPathSpec extends AnyFunSuite {
       // merged dfs, and meta all reproduce the one-shot derivation
       graft.operators.Retrieval.buildBm25Index(docs,
         "doc_id", "text", s"$dir/b")
-      def postings(d: String) = spark.read.parquet(s"$d/postings.parquet")
+      def postings(d: String) = tbl(d, "postings.parquet")
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
         .toSet
-      def dfs(d: String) = spark.read.parquet(s"$d/dfs.parquet")
+      // the SERVED df view: signed segments sum-merged (the append
+      // writes its stats as one more segment, round-20)
+      def dfs(d: String) = graft.operators.Retrieval.storedDfs(spark, d)
         .select(col("term"), col("df"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       val pA = postings(s"$dir/a")
@@ -571,10 +586,8 @@ class IndexPathSpec extends AnyFunSuite {
         "appended postings diverge from the union build")
       assert(dfs(s"$dir/a") == dfs(s"$dir/b"),
         "merged dfs diverge from the union build")
-      assert(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$dir/a/_meta.json"))
-        == java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$dir/b/_meta.json")),
+      assert(java.nio.file.Files.readString(metaPathOf(s"$dir/a"))
+        == java.nio.file.Files.readString(metaPathOf(s"$dir/b")),
         "merged corpus stats diverge from the union build")
       // and serving from the appended index equals the union ranking
       val queries = docs.filter(col("doc_id") < 5)
@@ -592,7 +605,7 @@ class IndexPathSpec extends AnyFunSuite {
       // the id ledger must ALSO equal the union build's (the dup
       // guard's ground truth — round-16 advice: the append≡build
       // comparison previously skipped ids.parquet)
-      def ids(d: String) = spark.read.parquet(s"$d/ids.parquet")
+      def ids(d: String) = tbl(d, "ids.parquet")
         .collect().map(_.getLong(0)).toSet
       assert(ids(s"$dir/a") == ids(s"$dir/b"),
         "appended id ledger diverges from the union build")
@@ -626,7 +639,7 @@ class IndexPathSpec extends AnyFunSuite {
       // dfs.parquet lacks the pruning bounds) fails with the
       // rebuild-the-index message, not a missing-column
       // AnalysisException deep inside serving (round-17 ADVICE)
-      val metaPath = java.nio.file.Paths.get(s"$dir/a/_meta.json")
+      val metaPath = metaPathOf(s"$dir/a")
       val metaNow = java.nio.file.Files.readString(metaPath)
       java.nio.file.Files.writeString(metaPath,
         metaNow.replaceFirst("\"version\":2,", ""))
@@ -640,11 +653,11 @@ class IndexPathSpec extends AnyFunSuite {
       // an empty batch is a no-op cycle, not an NPE (sum over zero
       // posting rows is null) — index unchanged
       val metaBefore = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dir/a/_meta.json"))
+        metaPathOf(s"$dir/a"))
       graft.operators.Retrieval.appendToBm25Index(spark,
         docs.filter(col("doc_id") < 0), "doc_id", "text", s"$dir/a")
       assert(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dir/a/_meta.json")) == metaBefore)
+        metaPathOf(s"$dir/a")) == metaBefore)
       assert(postings(s"$dir/a") == postings(s"$dir/b"),
         "empty append disturbed the postings")
       // a batch whose docs tokenize to ZERO terms changes no
@@ -657,7 +670,7 @@ class IndexPathSpec extends AnyFunSuite {
       graft.operators.Retrieval.appendToBm25Index(spark, zeroTok,
         "doc_id", "text", s"$dir/a")
       assert(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dir/a/_meta.json")) == metaBefore,
+        metaPathOf(s"$dir/a")) == metaBefore,
         "zero-token append changed corpus stats")
       assert(ids(s"$dir/a").contains(900001L),
         "zero-token batch ids missing from the ledger")
@@ -666,8 +679,9 @@ class IndexPathSpec extends AnyFunSuite {
           "doc_id", "text", s"$dir/a")
       }
       assert(zdup.getMessage.contains("append-only"))
-      // meta discipline
-      new java.io.File(s"$dir/a/_meta.json").delete()
+      // meta discipline (delete the RESOLVED meta — appends replace
+      // it as an epoch-named file)
+      java.nio.file.Files.delete(metaPathOf(s"$dir/a"))
       val err = intercept[IllegalArgumentException] {
         graft.operators.Retrieval.appendToBm25Index(spark, batch,
           "doc_id", "text", s"$dir/a")
@@ -706,15 +720,13 @@ class IndexPathSpec extends AnyFunSuite {
         "tombstone delete diverges from the rebuild-without ranking")
       // df subtraction is exact (bounds stay conservative — compare
       // the score-bearing columns only) and corpus stats subtract
-      def dfs(d: String) = spark.read.parquet(s"$d/dfs.parquet")
+      def dfs(d: String) = graft.operators.Retrieval.storedDfs(spark, d)
         .select(col("term"), col("df"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(dfs(s"$dir/a") == dfs(s"$dir/b"),
         "subtracted dfs diverge from the rebuild-without dfs")
-      assert(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$dir/a/_meta.json"))
-        == java.nio.file.Files.readString(
-          java.nio.file.Paths.get(s"$dir/b/_meta.json")),
+      assert(java.nio.file.Files.readString(metaPathOf(s"$dir/a"))
+        == java.nio.file.Files.readString(metaPathOf(s"$dir/b")),
         "subtracted corpus stats diverge")
       // guards: tombstoned re-ingest (purge first), double delete,
       // deleting an unindexed doc
@@ -772,8 +784,8 @@ class IndexPathSpec extends AnyFunSuite {
       graft.operators.Retrieval.appendToBm25Index(spark,
         docs.filter(col("doc_id") % 8 === 7), "doc_id", "text", dir)
       def postingsPath = graft.operators.Warehouse.indexSnapshot(dir)
-        .path("postings.parquet")
-      def postings() = spark.read.parquet(postingsPath)
+        .path("postings.parquet") // single-segment AFTER compaction
+      def postings() = tbl(dir, "postings.parquet")
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
@@ -1013,9 +1025,9 @@ class IndexPathSpec extends AnyFunSuite {
       val initial = existing.filter(col("doc_id") % 4 =!= 3)
       val batch = existing.filter(col("doc_id") % 4 === 3)
       TextDedup.buildNearDupIndex(initial, "doc_id", "text", s"$dir/a")
-      def keys(d: String) = spark.read.parquet(s"$d/keys.parquet")
+      def keys(d: String) = tbl(d, "keys.parquet")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      def grams(d: String) = spark.read.parquet(s"$d/grams.parquet")
+      def grams(d: String) = tbl(d, "grams.parquet")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       val keysBefore = keys(s"$dir/a")
       val gramsBefore = grams(s"$dir/a")
@@ -1085,14 +1097,14 @@ class IndexPathSpec extends AnyFunSuite {
         TextDedup.appendToSubstringIndex(spark,
           Seq((1000L + c, s"m$c n$c o$c p$c")).toDF("doc_id", "text"),
           dir, "doc_id", "text")
-      // resolve through the snapshot: compaction moves the table to
-      // an epoch dir and commits via the manifest (round-19)
-      def idsPath = graft.operators.Warehouse.indexSnapshot(dir)
-        .path("ids.parquet")
-      def parts = Option(new java.io.File(idsPath)
-          .listFiles()).getOrElse(Array.empty[java.io.File])
+      // resolve through the snapshot: appends land as SEGMENTS and
+      // compaction folds them to one epoch dir (round-20)
+      def parts = graft.operators.Warehouse.indexSnapshot(dir)
+        .paths("ids.parquet")
+        .flatMap(p => Option(new java.io.File(p).listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq)
         .count(f => f.isFile && f.getName.startsWith("part-"))
-      def ids = spark.read.parquet(idsPath)
+      def ids = tbl(dir, "ids.parquet")
         .collect().map(_.getLong(0)).sorted.toSeq
       val before = parts
       assert(before >= 11,
@@ -1129,27 +1141,33 @@ class IndexPathSpec extends AnyFunSuite {
       graft.operators.Retrieval.appendToBm25Index(spark,
         Seq((100L, "fresh batch words")).toDF("doc_id", "text"),
         "doc_id", "text", dir)
-      // 1. mint the manifest via a ledger compaction (first commit)
+      // the append minted the manifest (round-20: EVERY mutation
+      // commits through it) — ids is now [legacy dir, one segment]
+      assert(W.indexSnapshot(dir).tables.isDefined,
+        "an append must mint the manifest")
+      // 1. fold the ledger segments (a maintenance commit)
       val (lb, la) = W.compactUnpartitionedLedger(spark, dir, "ids.parquet")
       assert(lb > 1 && la == 1)
       val snap1 = W.indexSnapshot(dir)
-      assert(snap1.tables.isDefined, "compaction must mint a manifest")
       assert(snap1.path("ids.parquet") != s"$dir/ids.parquet",
         "compacted table must live in an epoch dir")
-      // the superseded LEGACY ids dir is reclaimed immediately (the
-      // pre-manifest layout never had isolation to preserve)
-      assert(!new java.io.File(s"$dir/ids.parquet").exists())
+      // the superseded LEGACY ids dir was referenced by the outgoing
+      // manifest — it survives this commit (one-commit reader grace;
+      // round-20: the append's manifest made pre-compaction readers
+      // snapshot-resolved, so their paths deserve grace too)
+      assert(new java.io.File(s"$dir/ids.parquet").exists(),
+        "the graced legacy ids dir must survive its superseding commit")
       // 2. crash simulation: a maintenance op that died BEFORE its
       // commit leaves stray epoch dirs and must change nothing a
       // reader can see
       val stray = new java.io.File(dir,
         W.epochDirName("postings.parquet"))
       stray.mkdirs()
-      assert(W.indexSnapshot(dir).path("postings.parquet")
-        == s"$dir/postings.parquet",
+      assert(!W.indexSnapshot(dir).paths("postings.parquet")
+        .contains(stray.toString),
         "a crashed (uncommitted) op must not move any table")
       // 3. a delete (registers the tombstone ledger, epoch-named
-      // under the manifest) followed by a purge — the three-table
+      // under the manifest) followed by a purge — the multi-table
       // commit a concurrent reader must see atomically
       val gone = docs.filter(col("doc_id") % 2 === 1)
       graft.operators.Retrieval.deleteFromBm25Index(spark, gone,
@@ -1158,7 +1176,7 @@ class IndexPathSpec extends AnyFunSuite {
       assert(preSnap.has("dels.parquet"))
       assert(preSnap.path("dels.parquet") != s"$dir/dels.parquet",
         "a ledger born under a manifest must be epoch-named")
-      val prePostings = preSnap.path("postings.parquet")
+      val prePostings = preSnap.paths("postings.parquet")
       val preDels = preSnap.path("dels.parquet")
       val goneIds = gone.select(col("doc_id")).collect()
         .map(_.getLong(0)).toSet
@@ -1166,10 +1184,11 @@ class IndexPathSpec extends AnyFunSuite {
       assert(pb > pa && pa > 0)
       // the crash orphan was swept by the purge's commit
       assert(!stray.exists(), "orphan epoch dirs must be swept")
-      // OLD-snapshot reader: both its resolved dirs still exist
-      // (one-commit grace) and together serve the PRE-purge view —
-      // tombstoned rows present, ledger listing them
-      val oldPost = spark.read.parquet(prePostings)
+      // OLD-snapshot reader: every dir it resolved still exists
+      // (one-commit grace) and together they serve the PRE-purge view
+      // — tombstoned rows present, ledger listing them
+      val oldPost = prePostings.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
         .select(col("doc_id")).distinct().collect()
         .map(_.getLong(0)).toSet
       assert(goneIds.subsetOf(oldPost),
@@ -1180,29 +1199,36 @@ class IndexPathSpec extends AnyFunSuite {
       // NEW snapshot: purged postings, no ledger entry — never a mix
       val postSnap = W.indexSnapshot(dir)
       assert(!postSnap.has("dels.parquet"))
-      assert(postSnap.path("postings.parquet") != prePostings)
-      val newPost = spark.read.parquet(
-          postSnap.path("postings.parquet"))
+      assert(postSnap.paths("postings.parquet") != prePostings)
+      val newPost = tbl(dir, "postings.parquet")
         .select(col("doc_id")).distinct().collect()
         .map(_.getLong(0)).toSet
       assert(goneIds.intersect(newPost).isEmpty,
         "new epoch must not hold purged rows")
-      // 4. a PURE-ADDITION commit (a fresh delete registering its
-      // new ledger) must NOT consume the reader grace — the pre-purge
-      // dirs survive it untouched
-      graft.operators.Retrieval.deleteFromBm25Index(spark,
-        docs.filter(col("doc_id").isin(0L, 2L)), "doc_id", "text", dir)
-      assert(new java.io.File(prePostings).exists() &&
-        new java.io.File(preDels).exists(),
-        "a registration commit must not reclaim the graced epoch")
-      // 5. grace expiry: the next MAINTENANCE commit sweeps them
+      // 4. the TIME-FLOORED grace (round-19 verdict #3): with a
+      // retention floor in force, even a commit that supersedes
+      // sidecars (a BM25 delete replaces _meta.json) must NOT reclaim
+      // the just-superseded epoch — two quick maintenance ops inside
+      // the floor leave the first epoch's dirs on disk
+      spark.conf.set("spark.graft.index.graceMinAgeSec", "3600")
+      try {
+        graft.operators.Retrieval.deleteFromBm25Index(spark,
+          docs.filter(col("doc_id").isin(0L, 2L)), "doc_id", "text", dir)
+        assert(prePostings.forall(p => new java.io.File(p).exists()) &&
+          new java.io.File(preDels).exists(),
+          "a commit inside the retention floor must not reclaim the " +
+            "graced epoch")
+      } finally
+        spark.conf.set("spark.graft.index.graceMinAgeSec", "0")
+      // 5. grace expiry: past the floor (0 here), the next
+      // MAINTENANCE commit sweeps them
       graft.operators.Retrieval.appendToBm25Index(spark, gone,
         "doc_id", "text", dir) // purged ids re-appendable; adds files
       val (cb2, ca2) = W.compactIndexPartitions(spark, dir,
         "postings.parquet", "pfx")
       assert(cb2 > ca2, "re-append should leave multi-file partitions")
-      assert(!new java.io.File(prePostings).exists(),
-        "two maintenance commits later, the old epoch must be reclaimed")
+      assert(prePostings.forall(p => !new java.io.File(p).exists()),
+        "past the floor and grace, the old epoch must be reclaimed")
       assert(!new java.io.File(preDels).exists())
     }
   }

@@ -41,7 +41,7 @@ class RetrievalSpec extends AnyFunSuite {
       val postings = spark.read.parquet(s"$dir/postings.parquet")
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .localCheckpoint(true)
-      val dfs = spark.read.parquet(s"$dir/dfs.parquet")
+      val dfs = graft.operators.Retrieval.storedDfs(spark, dir)
         .select(col("term"), col("df"), col("maxtf"), col("minlen"))
         .localCheckpoint(true)
       val stats = postings.select(col("doc_id"), col("len")).distinct()
@@ -79,7 +79,7 @@ class RetrievalSpec extends AnyFunSuite {
       val postings = spark.read.parquet(s"$dir/postings.parquet")
         .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .localCheckpoint(true)
-      val dfs = spark.read.parquet(s"$dir/dfs.parquet")
+      val dfs = graft.operators.Retrieval.storedDfs(spark, dir)
         .select(col("term"), col("df"), col("maxtf"), col("minlen"))
         .localCheckpoint(true)
       val (n, sl) = {
@@ -132,7 +132,7 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.appendToBm25Index(spark,
         docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", s"$dir/a")
       Retrieval.buildBm25Index(docs, "doc_id", "text", s"$dir/b")
-      def dfs(d: String) = spark.read.parquet(s"$d/dfs.parquet")
+      def dfs(d: String) = graft.operators.Retrieval.storedDfs(spark, d)
         .select(col("term"), col("df"), col("maxtf"), col("minlen"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))

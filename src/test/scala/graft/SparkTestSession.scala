@@ -14,6 +14,10 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // tests assert sweep behavior deterministically — the
+      // minimum-retention grace floor (production default 300 s) is
+      // disabled here; the floor's own spec raises it per-test
+      .config("spark.graft.index.graceMinAgeSec", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

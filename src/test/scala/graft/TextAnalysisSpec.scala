@@ -293,7 +293,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     val dirA = java.nio.file.Files.createTempDirectory("cms_a").toString
     val dirU = java.nio.file.Files.createTempDirectory("cms_u").toString
     def bin(d: String) = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$d/cms.bin"))
+      java.nio.file.Paths.get(graft.operators.Warehouse
+        .indexSnapshot(d).path("cms.bin")))
     try {
       TextAnalysis.buildCmsArtifact(a, "doc_id", "text", dirA,
         eps = 0.01, confidence = 0.999, seed = 42)
@@ -305,7 +306,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(bin(dirA), bin(dirU)),
         "merged CMS bin diverges from the union rebuild")
       // segment-summed counts equal the union build's
-      def counts(d: String) = spark.read.parquet(s"$d/counts.parquet")
+      def counts(d: String) = graft.operators.Warehouse
+        .indexSnapshot(d).read(spark, "counts.parquet")
         .groupBy($"t").agg(sum($"cnt").as("cnt")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts(dirA) == counts(dirU))

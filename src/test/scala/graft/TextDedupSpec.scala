@@ -418,13 +418,15 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.buildBloomArtifact(slice1.unionByName(slice2), "text",
         s"$dir/b", expectedItems = cap)
       val merged = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$dir/a/bloom.bin"))
+        java.nio.file.Paths.get(graft.operators.Warehouse
+          .indexSnapshot(s"$dir/a").path("bloom.bin")))
       val rebuilt = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/b/bloom.bin"))
       assert(java.util.Arrays.equals(merged, rebuilt),
         "merged filter bitset diverges from a one-shot rebuild")
       // the stored digest table covers both slices (the verify side)
-      assert(Tables.parquetRowCount(spark, s"$dir/a/digests.parquet")
+      assert(graft.operators.Warehouse.indexSnapshot(s"$dir/a")
+        .read(spark, "digests.parquet").count()
         == slice1.count() + slice2.count())
       // serving from the artifact == the in-plan path == the oracle
       val succ = d.select(($"doc_id" - 1).as("doc_id"),
@@ -454,7 +456,11 @@ class TextDedupSpec extends AnyFunSuite {
       }
       assert(sat.getMessage.contains("saturated"))
       // the meta discipline: a partial/hand-copied dir fails loudly
-      new java.io.File(s"$dir/a/_meta.json").delete()
+      // (delete the RESOLVED meta — the append replaced it as an
+      // epoch-named file in its commit)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        graft.operators.Warehouse.indexSnapshot(s"$dir/a")
+          .path("_meta.json")))
       val err = intercept[IllegalArgumentException] {
         TextDedup.bloomExactIncomingIdsFromArtifact(spark, incoming,
           "doc_id", "text", s"$dir/a")
@@ -555,9 +561,9 @@ class TextDedupSpec extends AnyFunSuite {
       // and summing base ⊕ delta segments where both exist)
       def dfs(d: String) = {
         val snap = graft.operators.Warehouse.indexSnapshot(d)
-        val base = spark.read.parquet(snap.path("wdf.parquet"))
+        val base = snap.read(spark, "wdf.parquet")
         val all = if (snap.has("wdelta.parquet"))
-          base.unionByName(spark.read.parquet(snap.path("wdelta.parquet")))
+          base.unionByName(snap.read(spark, "wdelta.parquet"))
         else base
         all.groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -649,9 +655,9 @@ class TextDedupSpec extends AnyFunSuite {
       TextDedup.buildSubstringIndex(a, "doc_id", "text", 3, dirA)
       def dfs(d: String) = {
         val snap = graft.operators.Warehouse.indexSnapshot(d)
-        val base = spark.read.parquet(snap.path("wdf.parquet"))
+        val base = snap.read(spark, "wdf.parquet")
         val all = if (snap.has("wdelta.parquet"))
-          base.unionByName(spark.read.parquet(snap.path("wdelta.parquet")))
+          base.unionByName(snap.read(spark, "wdelta.parquet"))
         else base
         all.groupBy($"d").agg(sum($"df").as("df")).filter($"df" =!= 0)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -681,9 +687,8 @@ class TextDedupSpec extends AnyFunSuite {
       assert(un.getMessage.contains("not active"))
       // compaction physically reclaims the cancelled mass: rows
       // shrink, zero-sum digests vanish, serving identical
-      val rowsBefore = spark.read.parquet(
-        graft.operators.Warehouse.indexSnapshot(dir)
-          .path("wdf.parquet")).count()
+      val rowsBefore = graft.operators.Warehouse.indexSnapshot(dir)
+        .read(spark, "wdf.parquet").count()
       val (cb, ca) = TextDedup.compactSubstringSegments(spark, dir)
       assert(cb == rowsBefore && ca < cb,
         s"compaction should shrink the segment table ($cb -> $ca)")
