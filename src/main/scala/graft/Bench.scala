@@ -96,7 +96,25 @@ object Bench {
     // the ambiguity gate, vs one restricted sum-merge) — pre-summary
     // serving minima are not comparable
     val r19Summary = Seq("q160_substring_delete").map(_ -> 19)
-    (tallyRescale ++ r13Regimes ++ r17MaxScore ++ r19Summary).toMap
+    // r20: ingest-cycle snapshot isolation — every append/delete now
+    // lands as epoch-named SEGMENTS committed through the manifest,
+    // so the entries that mutate their stored artifact serve from a
+    // per-segment UNION (one scan per segment) and BM25's df table
+    // becomes signed segments sum-merged at serve; different executed
+    // plans, pre-segment minima not comparable. Build-only stored
+    // entries (q115/q126/q132/q134/q138/q116) keep single-segment
+    // plans byte-identical to r19 and stay comparable.
+    val r20Segments = Seq("q133_ann_index_append",
+      "q135_pq_index_append", "q136_dedup_bloom_artifact",
+      "q139_bm25_index_append", "q141_neardup_index_append",
+      "q148_stream_index_append", "q151_substring_dedup_stored",
+      "q157_cms_heavy_hitters_stored", "q158_stream_substring_append",
+      "q160_substring_delete", "q161_bm25_delete",
+      "q162_ann_ivf_sq8_delete", "q163_ann_pq_delete",
+      "q164_ann_ivfpq_delete", "q165_neardup_index_delete")
+      .map(_ -> 20)
+    (tallyRescale ++ r13Regimes ++ r17MaxScore ++ r19Summary ++
+      r20Segments).toMap
   }
 
   /** Best (minimum) recorded seconds per query across ALL prior

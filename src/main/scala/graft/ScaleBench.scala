@@ -310,6 +310,26 @@ object ScaleBench {
       val cSs = timed {
         ssRows = TextDedup.compactSubstringSegments(spark, s"$tmp/ssidx")
       }
+      // q158 receipt split (round-19 verdict #7): the streamed-
+      // substring row mixed the corpus-sized window pass with the
+      // ∝-batch segment append in one noisy 100× cell. Two isolated
+      // cells instead: the full-corpus window pass at this scale (the
+      // honest big number — grows with corpus by construction), and
+      // two id-shifted ∝-batch appends whose min is the flat-append
+      // law and whose max/min spread evidences the cell is quiet
+      // (target < 1.5 at every scale).
+      val wWin = (1 to 2).map(_ => timed(
+        TextDedup.corpusWindowCounts(docs, "doc_id", "text",
+            s"$tmp/ssidx")
+          .write.format("noop").mode("overwrite").save())).min
+      val appTimes = (1 to 2).map { r =>
+        val b = batchDocs.select(
+          (col("doc_id") + lit((10L + r) * 1000000L * ScaleCorpus.IdStride))
+            .as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        timed(TextDedup.appendToSubstringIndex(spark, b,
+          s"$tmp/ssidx", "doc_id", "text"))
+      }
       // ledger compaction receipt (round-17 verdict #6): the 8 bm25
       // append cycles above each added one part-file to the
       // UNPARTITIONED ids.parquet ledger — compaction collapses them
@@ -388,6 +408,10 @@ object ScaleBench {
         "substring_serve_delta_sec" -> sSsDelta,
         "substring_delete_sec" -> dSs,
         "substring_compact_sec" -> cSs,
+        "substring_stream_window_sec" -> wWin,
+        "substring_stream_append_sec" -> appTimes.min,
+        "substring_stream_append_spread" ->
+          (appTimes.max / appTimes.min),
         "substring_rows_before" -> ssRows._1.toDouble,
         "substring_rows_after" -> ssRows._2.toDouble,
         "bm25_ledger_compact_sec" -> cLedger,

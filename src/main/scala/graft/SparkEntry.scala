@@ -198,6 +198,8 @@ object SparkEntry {
     "q165_neardup_index_delete" ->
       (Curation.q165NearDupIndexDelete _),
     "q166_semantic_decontam" -> (Curation.q166SemanticDecontam _),
+    "q167_curation_pipeline_v2" ->
+      (Curation.q167CurationPipelineV2 _),
   ) ++ graft.tally.TallyReportQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -1308,6 +1310,83 @@ object SparkEntry {
         |  FROM cn c CROSS JOIN qn e)
         |SELECT train_id, eval_id, round(qc, 6) + 0 AS score
         |FROM p WHERE qc >= 0.8 ORDER BY eval_id, train_id""".stripMargin,
+    // composed curation pipeline v2: q67's gate + dedup phases, then
+    // q64's 8-gram decontamination and q166's quantized semantic
+    // probe over the SURVIVORS, one provenance status per document —
+    // the CASE order IS the precedence law (a doc both near-dup and
+    // contaminated drops once, as near_dup)
+    "q167_curation_pipeline_v2" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, source, ' ' || lower(text) || ' ' AS p,
+        |   list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        | m AS (SELECT doc_id, lang, source, text,
+        |   CAST(len(toks) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |   ${langScoreSql("en")} AS stopword_hits
+        |  FROM t),
+        | gated AS (SELECT doc_id, text FROM m
+        |  WHERE source <> '${graft.operators.Curation.Q64EvalSource}' AND lang = 'en' AND
+        |   round(round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) * 0.4
+        |     + (CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 0.3 ELSE 0.0 END)
+        |     + (CASE WHEN round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) > 0.01 THEN 0.2 ELSE 0.0 END), 6)
+        |    >= ${graft.operators.Curation.Q67MinQuality}),
+        | keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        | docs2 AS (SELECT g.doc_id, g.text FROM gated g JOIN keepers USING (doc_id)),
+        | toks2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        | grams AS (SELECT DISTINCT doc_id,
+        |   list_extract(w, CAST(i AS INT)) || ' ' || list_extract(w, CAST(i AS INT)+1) || ' ' || list_extract(w, CAST(i AS INT)+2) AS g
+        |  FROM toks2 CROSS JOIN LATERAL unnest(range(1, len(w)-1)) AS t(i)),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        | inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1,2),
+        | drops AS (SELECT DISTINCT i.b AS doc_id
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.8),
+        | kept3 AS (SELECT doc_id, text FROM docs2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        | tokA AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept3),
+        | gA AS (SELECT DISTINCT doc_id,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${graft.operators.Curation.Q64GramN - 1}], ' ') AS g
+        |  FROM tokA CROSS JOIN LATERAL unnest(range(1, len(w)-${graft.operators.Curation.Q64GramN - 2})) AS t(i)),
+        | tokE AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE source = '${graft.operators.Curation.Q64EvalSource}'),
+        | gE AS (SELECT DISTINCT doc_id,
+        |   array_to_string(w[CAST(i AS INT):CAST(i AS INT)+${graft.operators.Curation.Q64GramN - 1}], ' ') AS g
+        |  FROM tokE CROSS JOIN LATERAL unnest(range(1, len(w)-${graft.operators.Curation.Q64GramN - 2})) AS t(i)),
+        | ngram AS (SELECT DISTINCT a.doc_id FROM gA a JOIN gE e ON a.g = e.g),
+        | ev AS (SELECT vec_id + 5000000 AS vec_id,
+        |   [CAST(0 AS FLOAT)] || embedding[2:] AS embedding
+        |  FROM embeddings WHERE vec_id < 10),
+        | sq AS (SELECT vec_id,
+        |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+        |   embedding FROM ev),
+        | q AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv FROM sq),
+        | qn AS (SELECT vec_id, qv,
+        |   sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM q),
+        | sc AS (SELECT vec_id,
+        |   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+        |   embedding FROM embeddings),
+        | c AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) AS qv FROM sc),
+        | cn AS (SELECT vec_id, qv,
+        |   sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM c),
+        | p2 AS (SELECT c.vec_id AS train_id,
+        |   CAST(list_dot_product(c.qv, e.qv) AS DOUBLE) / (c.nrm * e.nrm) AS qc
+        |  FROM cn c CROSS JOIN qn e),
+        | sem AS (SELECT DISTINCT train_id AS doc_id FROM p2 WHERE qc >= 0.8)
+        |SELECT d.doc_id,
+        | CASE
+        |   WHEN d.source = '${graft.operators.Curation.Q64EvalSource}' THEN 'eval'
+        |   WHEN d.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'gated'
+        |   WHEN d.doc_id NOT IN (SELECT doc_id FROM keepers) THEN 'exact_dup'
+        |   WHEN d.doc_id IN (SELECT doc_id FROM drops) THEN 'near_dup'
+        |   WHEN d.doc_id IN (SELECT doc_id FROM ngram) THEN 'contam_ngram'
+        |   WHEN d.doc_id IN (SELECT doc_id FROM sem) THEN 'contam_semantic'
+        |   WHEN substr(md5(d.text), 1, 2) < '0a' THEN 'kept_val'
+        |   ELSE 'kept_train'
+        | END AS status
+        |FROM documents d ORDER BY 1""".stripMargin,
     // the per-source token-budget report of the span pass, over the
     // RAW corpus (no splice — the report is the deployment shape)
     "q152_substring_effective" -> substringEffectiveSql,

@@ -537,17 +537,21 @@ object Curation {
     * spurious flag fails the hash. SimilaritySpec pins the q64-style
     * n-gram pass finding NOTHING on a planted paraphrase fixture
     * this operator catches. */
-  def q166SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val evalSet = e.filter(col("vec_id") < 10).select(
+  def q166SemanticDecontam(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticContaminationFromIndex(s, q166EvalSet(s, dir),
+        "vec_id", "embedding", storedIvfIndex(s, dir), tau = 0.8,
+        nProbe = 12)
+      .orderBy(col("eval_id"), col("train_id"))
+
+  /** q166's paraphrase eval probes (shared with the q167 pipeline's
+    * semantic phase): ten corpus vectors with the first dimension
+    * zeroed, ids offset into a disjoint space. */
+  private def q166EvalSet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10).select(
       (col("vec_id") + lit(5000000L)).as("vec_id"),
       concat(array(lit(0.0f)),
         slice(col("embedding"), lit(2), size(col("embedding")) - 1))
         .as("embedding"))
-    Similarity.semanticContaminationFromIndex(s, evalSet, "vec_id",
-        "embedding", storedIvfIndex(s, dir), tau = 0.8, nProbe = 12)
-      .orderBy(col("eval_id"), col("train_id"))
-  }
 
   /** Tombstone deletes on the near-dup index (q165) — the doc-local
     * delete tier for the dedup family
@@ -2780,6 +2784,86 @@ object Curation {
       .select(col("doc_id"),
         when(substring(md5(col("text")), 1, 2) < "0a", "val")
           .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composed curation pipeline v2 (q167) — round-19 verdict #5: the
+    * full decontaminating curation chain as ONE entry, each document
+    * emitted EXACTLY ONCE with a deterministic provenance status.
+    * Phases in pipeline (= precedence) order, each consuming the
+    * previous phase's survivors:
+    *
+    *  1. `eval` — documents of the eval source ([[Q64EvalSource]])
+    *     are held out as the contamination REFERENCE, never trained;
+    *  2. `gated` — q67's per-row quality floor + language gate (free
+    *     at 100 TB, cutting the corpus before anything expensive);
+    *  3. `exact_dup` — non-keeper of an md5 group among gate
+    *     survivors (keeper = min doc_id, q67's rule);
+    *  4. `near_dup` — dropped by the n-gram-Jaccard LSH phase over
+    *     exact keepers (q67's τ = 0.8);
+    *  5. `contam_ngram` — dedup survivor sharing ≥ 1 8-gram with any
+    *     eval doc (q64's sweep, restricted to survivors);
+    *  6. `contam_semantic` — dedup survivor NOT n-gram-flagged whose
+    *     embedding the stored-IVF semantic probe flags at quantized
+    *     cos ≥ 0.8 (q166's machinery — the SAME stored artifact
+    *     q115/q126 serve; docs without an embedding pass vacuously);
+    *  7. `kept_val` / `kept_train` — q67's content-hash split.
+    *
+    * A doc that is BOTH a near-dup and contaminated drops exactly
+    * once, as `near_dup` — the when-chain (and the oracle's CASE)
+    * makes provenance a total function of the phase sets, which are
+    * themselves deterministic. The interaction the composed entry
+    * pins that the pieces can't: contamination is decided over DEDUP
+    * SURVIVORS (a dropped near-dup's contaminated text must not
+    * resurrect its keeper's status), and every drop has one owner. */
+  def q167CurationPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val semFlags = Similarity.semanticContaminationFromIndex(s,
+        q166EvalSet(s, dir), "vec_id", "embedding",
+        storedIvfIndex(s, dir), tau = 0.8, nProbe = 12)
+      .select(col("train_id").as("doc_id")).distinct()
+    pipelineV2Status(Tables.documents(s, dir), Q64EvalSource, semFlags)
+  }
+
+  /** The q167 composition over explicit inputs — `semFlags` is the
+    * (doc_id) set the semantic probe flagged, injected so the spec
+    * can pin the provenance laws on synthetic corpora. Every phase
+    * set is a thin id frame; the final assembly is five left joins
+    * on doc_id (AQE broadcasts the small sides at gate scale and
+    * falls back to hash joins at corpus scale — all on one key). */
+  private[graft] def pipelineV2Status(docs: DataFrame,
+      evalSource: String, semFlags: DataFrame): DataFrame = {
+    val train = docs.filter(col("source") =!= evalSource)
+    val evalDocs = docs.filter(col("source") === evalSource)
+    val good = TextAnalysis.qualityScore(train, "doc_id", "text")
+      .filter(col("quality") >= Q67MinQuality).select(col("doc_id"))
+    val gated = train.filter(col("lang") === "en")
+      .join(good, Seq("doc_id"), "left_semi")
+    val keptExact = TextDedup.exactGroups(gated, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    val keptNear = TextDedup.dedupedCorpus(gated, "doc_id", "text",
+        n = 3, minJaccard = 0.8)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // feeds the n-gram sweep AND the status
+    val ngramIds = TextDedup.contaminationPairs(keptNear, evalDocs,
+        "doc_id", "text", n = Q64GramN)
+      .select(col("train_id").as("doc_id")).distinct()
+    def flag(ids: DataFrame, name: String) =
+      ids.select(col("doc_id")).distinct().withColumn(name, lit(1))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .join(flag(gated.select(col("doc_id")), "g"), Seq("doc_id"), "left")
+      .join(flag(keptExact, "ke"), Seq("doc_id"), "left")
+      .join(flag(keptNear.select(col("doc_id")), "kn"), Seq("doc_id"), "left")
+      .join(flag(ngramIds, "ng"), Seq("doc_id"), "left")
+      .join(flag(semFlags, "se"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("source") === evalSource, "eval")
+          .when(col("g").isNull, "gated")
+          .when(col("ke").isNull, "exact_dup")
+          .when(col("kn").isNull, "near_dup")
+          .when(col("ng").isNotNull, "contam_ngram")
+          .when(col("se").isNotNull, "contam_semantic")
+          .when(substring(md5(col("text")), 1, 2) < "0a", "kept_val")
+          .otherwise("kept_train").as("status"))
       .orderBy(col("doc_id"))
   }
 

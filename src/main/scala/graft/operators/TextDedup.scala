@@ -1306,6 +1306,18 @@ object TextDedup {
   private def segmentTable(snap: Warehouse.IndexSnapshot): String =
     if (snap.has("dups.parquet")) "wdelta.parquet" else "wdf.parquet"
 
+  /** The corpus-side WINDOW PASS in isolation — the q158 receipt
+    * split (round-19 verdict #7): the streamed-substring bench row
+    * mixed the corpus-sized window computation with the ∝-batch
+    * segment append in one wall-clock cell, and at 100× the corpus
+    * half's GC noise swamped the append law. This derives exactly the
+    * (d, df) counts the append/serve paths compute from `docs`,
+    * against the index's own declared minLen, so the bench can time
+    * it as its own cell and let the append cell land quiet. */
+  private[graft] def corpusWindowCounts(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String): DataFrame =
+    segmentCounts(docs, idCol, textCol, substringIndexMinLen(indexDir))
+
   /** Net ingest count per BATCH id: +1 per `ids.parquet` row, −1 per
     * `dels.parquet` tombstone row (absent file = no deletes — the
     * pre-delete layout, still v2: the file is purely additive and

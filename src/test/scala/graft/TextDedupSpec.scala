@@ -776,6 +776,54 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 pipeline provenance: every doc exactly one status, a " +
+    "doc both near-dup and contaminated drops once as near_dup, " +
+    "phase precedence deterministic") {
+    // corpus: E = eval reference carrying the 8-gram; A = kept-shape
+    // doc that CONTAINS the eval 8-gram (contam_ngram); B = near-dup
+    // of A (one end token changed) that also carries the 8-gram AND
+    // is semantically flagged — every later phase would drop it too,
+    // so its status pins the precedence law; C = exact copy of A;
+    // D = clean doc flagged only semantically; F = clean kept doc;
+    // G = too short (quality gate); H = non-English (lang gate)
+    val egram = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val filler = (1 to 20).map(i => s"w$i").mkString(" ")
+    val aText = s"the $filler the $egram"   // 30 tokens, stopworded
+    // near-dup of A: one early filler token changed (trigram jaccard
+    // ~0.87), the eval 8-gram left intact so the n-gram sweep ALSO
+    // flags it — the precedence case
+    val bText2 = aText.replace("w1 ", "z1 ")
+    val fFill = (1 to 25).map(i => s"f$i").mkString(" ")
+    val dFill = (1 to 25).map(i => s"d$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"the eval set doc has $egram inside it twice the", "en", "src0"),
+      (1L, aText, "en", "src1"),
+      (2L, bText2, "en", "src1"),
+      (3L, aText, "en", "src1"),
+      (4L, s"the $dFill the unique tokens here", "en", "src1"),
+      (5L, s"the $fFill the other unique tokens", "en", "src1"),
+      (6L, "too short here", "en", "src1"),
+      (7L, s"the $fFill das ist nicht englisch", "de", "src1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val semFlags = Seq(4L, 2L).toDF("doc_id") // 2 also near-dup: precedence
+    val out = graft.operators.Curation.pipelineV2Status(
+        corpus, "src0", semFlags)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // exactly one row per document — the drop-once law
+    assert(out.length == 8 && out.map(_._1).distinct.length == 8,
+      s"expected one status row per doc: ${out.toSeq}")
+    val m = out.toMap
+    assert(m(0L) == "eval", s"E: ${m(0L)}")
+    assert(m(1L) == "contam_ngram", s"A: ${m(1L)}")
+    assert(m(2L) == "near_dup", // NOT contam_ngram / contam_semantic
+      s"B must drop once as near_dup: ${m(2L)}")
+    assert(m(3L) == "exact_dup", s"C: ${m(3L)}")
+    assert(m(4L) == "contam_semantic", s"D: ${m(4L)}")
+    assert(m(5L).startsWith("kept_"), s"F: ${m(5L)}")
+    assert(m(6L) == "gated" && m(7L) == "gated",
+      s"G/H: ${m(6L)} / ${m(7L)}")
+  }
+
   test("q158 streamed segment appends answer the one-batch q151 result") {
     // df is additive over any disjoint split of the doc set, so three
     // single-file micro-batch segments must serve exactly what q151's
