@@ -599,8 +599,8 @@ object Retrieval {
     * index). `prefixes` prunes every segment scan to the probed
     * partitions before the merge. */
   private def mergedDfs(spark: org.apache.spark.sql.SparkSession,
-      snap: Warehouse.IndexSnapshot,
-      prefixes: Option[Seq[String]]): DataFrame = {
+      snap: Warehouse.IndexSnapshot, prefixes: Option[Seq[String]],
+      restrictToTerms: Option[DataFrame] = None): DataFrame = {
     val raw0 = snap.read(spark, "dfs.parquet")
     val raw = prefixes match {
       case Some(p) => raw0.filter(col("pfx").isin(p: _*))
@@ -609,10 +609,26 @@ object Retrieval {
     val pruned = raw.select(col("term"), col("df"), col("maxtf"),
       col("minlen"))
     if (snap.paths("dfs.parquet").lengthCompare(1) == 0) pruned
-    else pruned.groupBy(col("term"))
-      .agg(sum(col("df")).as("df"), max(col("maxtf")).as("maxtf"),
-        min(col("minlen")).as("minlen"))
-      .filter(col("df") > 0)
+    else {
+      // multi-segment merge, restricted to the QUERY'S TERMS before
+      // the aggregate when the caller provides them: every serve-side
+      // consumer joins dfs on term against the (tiny, broadcast)
+      // query frame, and grouping key = join key makes the semi-join
+      // pushdown exact — the merge's exchange then carries query
+      // terms × segments instead of the vocabulary (Catalyst cannot
+      // push a join below an aggregate itself, and the 10× bench
+      // measured the difference at ~2× on the append-serving cell)
+      val base = restrictToTerms match {
+        case Some(t) => pruned.join(
+          broadcast(t.select(col("term")).distinct()), Seq("term"),
+          "left_semi")
+        case None => pruned
+      }
+      base.groupBy(col("term"))
+        .agg(sum(col("df")).as("df"), max(col("maxtf")).as("maxtf"),
+          min(col("minlen")).as("minlen"))
+        .filter(col("df") > 0)
+    }
   }
 
   /** SUMMING compaction for the signed dfs segment list — folds all
@@ -749,7 +765,8 @@ object Retrieval {
       snap.read(spark, "postings.parquet")
         .filter(col("pfx").isin(prefixes.toSeq: _*))
         .select(col("term"), col("doc_id"), col("tf"), col("len")))
-    val dfs = mergedDfs(spark, snap, Some(prefixes.toSeq))
+    val dfs = mergedDfs(spark, snap, Some(prefixes.toSeq),
+      restrictToTerms = Some(qterms))
     bm25ServeMaxScore(qterms, postings, dfs, m.nDocs, m.sumLen, k,
       m.k1E6 / 1e6, m.bE6 / 1e6)
   }
