@@ -191,6 +191,41 @@ class IngestIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-short append cycle lands an EMPTY window segment that " +
+    "serving, guards, and compaction all skip cleanly") {
+    withTempDir("empty_seg") { dir =>
+      // docs 0 and 1 share text so the span output is non-trivial
+      val docs = (Seq((0L, "p q r s t"), (1L, "p q r s t")) ++
+        (2L until 6L).map(i => (i, s"a$i b$i c$i d$i e$i")))
+        .toDF("doc_id", "text")
+      TextDedup.buildSubstringIndex(docs, "doc_id", "text", 3, dir)
+      // every batch doc is SHORTER than the window length: the cycle
+      // must still ledger the ids (a later re-ingest of a now-longer
+      // version has to refuse) while its window segment holds ZERO
+      // rows — a partitioned dir with no data files, which the
+      // segment reader must skip (schema inference cannot run on it)
+      val short = Seq((100L, "x y"), (101L, "z")).toDF("doc_id", "text")
+      TextDedup.appendToSubstringIndex(spark, short, dir,
+        "doc_id", "text")
+      val dup = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark, short, dir,
+          "doc_id", "text")
+      }
+      assert(dup.getMessage.contains("append-only"))
+      def truth = TextDedup.exactSubstringSpans(docs, "doc_id",
+        "text", 3).orderBy(col("doc_id")).collect().toSeq
+      def served = TextDedup.substringSpansFromIndex(spark, docs,
+        "doc_id", "text", dir).orderBy(col("doc_id")).collect().toSeq
+      assert(truth.nonEmpty && served == truth,
+        "empty segment must not change served spans")
+      // compaction folds across the empty segment without error and
+      // serving is unchanged after it
+      TextDedup.compactSubstringSegments(spark, dir)
+      assert(served == truth,
+        "post-compaction serving changed across an empty segment")
+    }
+  }
+
   test("segment-append commits are PURE ADDITION: they never consume " +
     "a superseded epoch's reader grace") {
     withTempDir("pure_add") { dir =>
