@@ -1330,8 +1330,10 @@ object TextDedup {
       snap: Warehouse.IndexSnapshot, batchIds: DataFrame): DataFrame = {
     val ins = snap.read(spark, "ids.parquet")
       .select(col("id"), lit(1L).as("w"))
-    // PHYSICAL existence: the guards take the conservative view — a
-    // dels dir whose manifest registration crashed must still count
+    // hasPhysical is manifest-authoritative under a manifest (round-20):
+    // ledger + segment commit in ONE swap, so there is no crashed
+    // half-registered dels dir to be conservative about — the probe
+    // only verifies the registered segments still exist on disk
     val both = if (snap.hasPhysical("dels.parquet"))
       ins.unionByName(snap.read(spark, "dels.parquet")
         .select(col("id"), lit(-1L).as("w")))

@@ -552,6 +552,16 @@ private[graft] object Warehouse {
       indexDir: String, table: String, partitionCol: String): (Int, Int) =
     withIndexWriter(indexDir) {
     import org.apache.spark.sql.functions.col
+    // SIGNED tables (BM25's dfs: rows carry +/− df and serving's
+    // single-segment fast path assumes one ALREADY-SUMMED row per
+    // term) must compact through their SUMMING compactor — this
+    // rewrite concatenates rows, which would leave signed duplicates
+    // inside one segment and silently corrupt every score served off
+    // the fast path (round-20 ADVICE).
+    require(table != "dfs.parquet",
+      s"compactIndexPartitions: $indexDir/$table is a SIGNED table — " +
+        "concatenation would break the single-segment-is-summed " +
+        "serving invariant; use Retrieval.compactBm25Dfs")
     val snap = indexSnapshot(indexDir)
     val segDirs = snap.paths(table).map(new java.io.File(_))
     segDirs.foreach(d => require(d.isDirectory,
@@ -860,6 +870,16 @@ private[graft] object Warehouse {
 
   private[graft] val ManifestName = "_manifest.json"
 
+  /** Whether a written table/segment dir holds any parquet data file.
+    * An all-filtered-out batch writes only _SUCCESS (a partitioned
+    * write with zero rows creates no part files at all) — such a dir
+    * cannot infer a schema and must be invisible to readers. */
+  private[graft] def dirHasData(f: java.io.File): Boolean =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .exists(dirHasData)
+    else f.getName.startsWith("part-")
+
   /** One consistent view of an index directory's table layout —
     * constructed from ONE manifest read, so every table path it
     * resolves belongs to the same epoch. Readers build one per query;
@@ -897,13 +917,8 @@ private[graft] object Warehouse {
       * filtered-out batch wrote only _SUCCESS) are skipped — a
       * file-less partitioned dir cannot infer a schema. */
     def read(spark: SparkSession, table: String): DataFrame = {
-      def hasData(f: java.io.File): Boolean =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .exists(hasData)
-        else f.getName.startsWith("part-")
       val all = paths(table)
-      val nonEmpty = all.filter(p => hasData(new java.io.File(p)))
+      val nonEmpty = all.filter(p => dirHasData(new java.io.File(p)))
       val use = if (nonEmpty.nonEmpty) nonEmpty else all.take(1)
       val children = use.map(spark.read.parquet(_))
       if (children.lengthCompare(1) == 0) return children.head
@@ -1035,11 +1050,14 @@ private[graft] object Warehouse {
     * supersession. Entries of the manifest just replaced survive this
     * commit — the one-cycle reader grace — and their supersession
     * time is stamped now, so the age floor counts from the moment a
-    * reader could last have resolved them. PURE-ADDITION commits
-    * (every outgoing segment still referenced — segment appends,
-    * table births) skip the sweep entirely, so ingest never consumes
-    * a reader's grace: only commits that STOP referencing something
-    * (compaction, purge, sidecar replacement) do. */
+    * reader could last have resolved them. SEGMENT-ONLY appends
+    * (every outgoing entry still referenced — pure addition, table
+    * births) skip the sweep entirely; ingest cycles that REPLACE a
+    * sidecar (BM25/CMS/Bloom metas and sketches) are not pure
+    * addition — the outgoing sidecar leaves the manifest, the sweep
+    * runs, and long-lived readers of such indexes are protected by
+    * the [[graceMinAgeMs]] retention floor, not by commit shape
+    * (round-20 ADVICE: the floor IS the guarantee there). */
   private[graft] def commitEpoch(dir: String,
       tables: Map[String, Seq[String]]): Unit = {
     tables.foreach { case (k, vs) =>
@@ -1170,15 +1188,23 @@ private[graft] object Warehouse {
     private var touched = false
 
     /** Stage one new SEGMENT of `table` holding exactly `rows` —
-      * never reads or touches existing segments. */
+      * never reads or touches existing segments. A segment that wrote
+      * NO data files (an all-filtered-out batch, e.g. every doc of an
+      * ingest cycle shorter than the window length) is NOT registered:
+      * a file-less dir cannot infer a schema, and were it a table's
+      * only registered segment every reader of that table would throw.
+      * The orphan epoch dir is swept, age-floored, by a later commit —
+      * exactly the crash-before-commit story. */
     def appendSegment(table: String, rows: DataFrame,
         partitionCols: Seq[String] = Nil): Unit = {
       val name = epochDirName(table)
       val w = rows.write
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
        else w).parquet(s"$dir/$name")
-      next += table -> (next.getOrElse(table, Seq.empty) :+ name)
-      touched = true
+      if (dirHasData(new java.io.File(s"$dir/$name"))) {
+        next += table -> (next.getOrElse(table, Seq.empty) :+ name)
+        touched = true
+      }
     }
 
     /** Stage a wholesale replacement of `table` with `rows` as its

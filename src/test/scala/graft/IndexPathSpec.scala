@@ -1227,6 +1227,12 @@ class IndexPathSpec extends AnyFunSuite {
       val (cb2, ca2) = W.compactIndexPartitions(spark, dir,
         "postings.parquet", "pfx")
       assert(cb2 > ca2, "re-append should leave multi-file partitions")
+      // the SIGNED dfs table must refuse the concatenating compactor
+      // (round-20 ADVICE): only Retrieval.compactBm25Dfs may fold it
+      val signed = intercept[IllegalArgumentException] {
+        W.compactIndexPartitions(spark, dir, "dfs.parquet", "pfx")
+      }
+      assert(signed.getMessage.contains("SIGNED"))
       assert(prePostings.forall(p => !new java.io.File(p).exists()),
         "past the floor and grace, the old epoch must be reclaimed")
       assert(!new java.io.File(preDels).exists())

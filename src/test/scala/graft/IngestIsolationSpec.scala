@@ -226,6 +226,51 @@ class IngestIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("an all-short cycle against a COMPACTED index (the wdelta " +
+    "route) ledgers its ids without registering a data-less delta " +
+    "segment; append, delete and re-ingest all serve cleanly") {
+    withTempDir("empty_seg_compacted") { dir =>
+      val docs = (Seq((0L, "p q r s t"), (1L, "p q r s t")) ++
+        (2L until 6L).map(i => (i, s"a$i b$i c$i d$i e$i")))
+        .toDF("doc_id", "text")
+      TextDedup.buildSubstringIndex(docs, "doc_id", "text", 3, dir)
+      // compact FIRST: post-compaction segments route to
+      // wdelta.parquet, so an all-short batch would register a
+      // zero-row dir as that table's ONLY segment — the round-20
+      // ADVICE repro (serving and compaction then threw
+      // UNABLE_TO_INFER_SCHEMA on the file-less root)
+      TextDedup.compactSubstringSegments(spark, dir)
+      val short = Seq((100L, "x y"), (101L, "z")).toDF("doc_id", "text")
+      TextDedup.appendToSubstringIndex(spark, short, dir,
+        "doc_id", "text")
+      // ids ARE ledgered: a re-ingest of an active short doc refuses
+      val dup = intercept[IllegalArgumentException] {
+        TextDedup.appendToSubstringIndex(spark, short, dir,
+          "doc_id", "text")
+      }
+      assert(dup.getMessage.contains("append-only"))
+      def truth = TextDedup.exactSubstringSpans(docs, "doc_id",
+        "text", 3).orderBy(col("doc_id")).collect().toSeq
+      def served = TextDedup.substringSpansFromIndex(spark, docs,
+        "doc_id", "text", dir).orderBy(col("doc_id")).collect().toSeq
+      assert(truth.nonEmpty && served == truth,
+        "all-short append on a compacted index changed served spans")
+      // deleting an ingested all-short doc writes another zero-row
+      // delta — the tombstone ledger row must land, the segment must
+      // not, and the id becomes re-ingestable
+      TextDedup.deleteFromSubstringIndex(spark, short.limit(1), dir,
+        "doc_id", "text")
+      assert(served == truth,
+        "all-short delete on a compacted index changed served spans")
+      TextDedup.appendToSubstringIndex(spark, short.limit(1), dir,
+        "doc_id", "text")
+      // a second compaction folds across the whole history cleanly
+      TextDedup.compactSubstringSegments(spark, dir)
+      assert(served == truth,
+        "post-compaction serving changed after all-short cycles")
+    }
+  }
+
   test("segment-append commits are PURE ADDITION: they never consume " +
     "a superseded epoch's reader grace") {
     withTempDir("pure_add") { dir =>
