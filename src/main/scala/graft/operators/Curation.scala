@@ -2779,8 +2779,17 @@ object Curation {
       .filter(col("quality") >= Q67MinQuality).select(col("doc_id"))
     val gated = docs.filter(col("lang") === "en")
       .join(good, Seq("doc_id"), "left_semi")
+    // the near-dup phase rides the SHARED τ = 0.8 pair artifact (the
+    // q52 move, extended to the gated subset): band signatures are
+    // per-document and exact Jaccard is pair-local, so the full-corpus
+    // pair set restricted to gated keeper endpoints (two semi-joins
+    // inside dedupedCorpus) equals re-running the MinHash sweep over
+    // the gated keepers — one artifact read instead of the full
+    // tokenize + band shuffle per invocation (TextDedupSpec pins the
+    // subset-restriction equivalence; the q67 oracle gates it e2e)
     TextDedup.dedupedCorpus(gated, "doc_id", "text", n = 3,
-        minJaccard = 0.8)
+        minJaccard = 0.8,
+        precomputedPairs = Some(SharedPairs.textNearDupPairs(s, dir)))
       .select(col("doc_id"),
         when(substring(md5(col("text")), 1, 2) < "0a", "val")
           .otherwise("train").as("split"))
@@ -2821,7 +2830,10 @@ object Curation {
         q166EvalSet(s, dir), "vec_id", "embedding",
         storedIvfIndex(s, dir), tau = 0.8, nProbe = 12)
       .select(col("train_id").as("doc_id")).distinct()
-    pipelineV2Status(Tables.documents(s, dir), Q64EvalSource, semFlags)
+    pipelineV2Status(Tables.documents(s, dir), Q64EvalSource, semFlags,
+      // the near-dup phase reuses the shared τ = 0.8 pair artifact —
+      // see the q67 note (restriction to gated keepers ≡ subset sweep)
+      pairsForDedup = Some(SharedPairs.textNearDupPairs(s, dir)))
   }
 
   /** The q167 composition over explicit inputs — `semFlags` is the
@@ -2831,7 +2843,8 @@ object Curation {
     * on doc_id (AQE broadcasts the small sides at gate scale and
     * falls back to hash joins at corpus scale — all on one key). */
   private[graft] def pipelineV2Status(docs: DataFrame,
-      evalSource: String, semFlags: DataFrame): DataFrame = {
+      evalSource: String, semFlags: DataFrame,
+      pairsForDedup: Option[DataFrame] = None): DataFrame = {
     val train = docs.filter(col("source") =!= evalSource)
     val evalDocs = docs.filter(col("source") === evalSource)
     val good = TextAnalysis.qualityScore(train, "doc_id", "text")
@@ -2841,7 +2854,7 @@ object Curation {
     val keptExact = TextDedup.exactGroups(gated, "doc_id", "text")
       .select(col("keeper").as("doc_id"))
     val keptNear = TextDedup.dedupedCorpus(gated, "doc_id", "text",
-        n = 3, minJaccard = 0.8)
+        n = 3, minJaccard = 0.8, precomputedPairs = pairsForDedup)
       .select(col("doc_id"), col("text"))
       .localCheckpoint(true) // feeds the n-gram sweep AND the status
     val ngramIds = TextDedup.contaminationPairs(keptNear, evalDocs,

@@ -28,21 +28,31 @@ object Hierarchy {
     *                 guard — also the cycle protection.
     */
   def closure(edges: DataFrame, maxDepth: Int = 500): DataFrame = {
+    // materialize the edge set ONCE: every level joins it, and its
+    // lineage (often a join over the source tables) would otherwise
+    // re-run per level — the loop then broadcasts cached blocks
+    // instead of replanning the derivation each iteration (guide
+    // §2.4: one exchange/scan for work keyed the same way every time)
     val e = edges.select(col("parent"), col("child"))
+      .localCheckpoint(eager = true)
     val base = e.select(col("parent").as("ancestor"),
       col("child").as("descendant"), lit(1).as("depth"))
     var acc = base
     var frontier = base
     var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
+    var drained = false
+    while (depth < maxDepth && !drained) {
       val next = frontier.alias("f")
         .join(broadcast(e.alias("e")), col("f.descendant") === col("e.parent"))
         .select(col("f.ancestor").as("ancestor"),
           col("e.child").as("descendant"),
           (col("f.depth") + 1).as("depth"))
         .localCheckpoint(eager = true)
-      frontier = next
-      if (!next.isEmpty) acc = acc.unionByName(next)
+      // ONE emptiness probe per level on the already-materialized
+      // frontier (the old loop asked twice: once to extend acc, once
+      // again at the loop head — a redundant action per level)
+      drained = next.isEmpty
+      if (!drained) { acc = acc.unionByName(next); frontier = next }
       depth += 1
     }
     acc

@@ -176,12 +176,18 @@ object LinkGraph {
     require(n > 0, "hitsFixed needs a nonempty node set")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
-    def rescale(raw: DataFrame, total: Long, out: String): DataFrame =
-      nodeIds.join(raw, Seq("id"), "left")
-        .select(col("id"), expr(
-          s"(coalesce(cs, CAST(0 AS BIGINT)) * CAST($mass AS BIGINT))" +
-            s" div CAST($total AS BIGINT)").as(out))
-        .localCheckpoint(true)
+    // rescale LAZILY over the checkpointed raw frame — no spine join,
+    // no extra materialization per half-round. Only ids that received
+    // mass appear; an absent id's score is 0, and a zero score
+    // contributes nothing to the next half-round's integer sums, so
+    // the slim frame feeds the loop with values identical to the old
+    // spine-complete one (the zeros are re-attached once, at the end).
+    // Old shape: spine join + localCheckpoint per half-round = 2 extra
+    // jobs per round that moved no information the next join needed.
+    def rescaleSlim(raw: DataFrame, total: Long, out: String): DataFrame =
+      raw.select(col("id"), expr(
+        s"(cs * CAST($mass AS BIGINT)) div CAST($total AS BIGINT)")
+        .as(out))
     def massOf(raw: DataFrame): Long = {
       val s = raw.agg(coalesce(sum(col("cs")), lit(0L)))
         .collect()(0).getLong(0)
@@ -197,14 +203,21 @@ object LinkGraph {
         .select(col("dst").as("id"), col("h"))
         .groupBy(col("id")).agg(sum(col("h")).as("cs"))
         .localCheckpoint(true) // consumed twice: scalar + rescale
-      auths = rescale(araw, massOf(araw), "a")
+      auths = rescaleSlim(araw, massOf(araw), "a")
       val hraw = auths.join(e, auths("id") === e("dst"))
         .select(col("src").as("id"), col("a"))
         .groupBy(col("id")).agg(sum(col("a")).as("cs"))
         .localCheckpoint(true)
-      hubs = rescale(hraw, massOf(hraw), "h")
+      hubs = rescaleSlim(hraw, massOf(hraw), "h")
     }
-    auths.join(hubs, Seq("id")).select(col("id"), col("a"), col("h"))
+    // re-attach the spine once: nodes that never received mass score 0
+    // in both roles (exactly the values the per-round spine join
+    // used to materialize)
+    nodeIds
+      .join(auths, Seq("id"), "left")
+      .join(hubs, Seq("id"), "left")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("h"), lit(0L)).as("h"))
   }
 
   /** PERSONALIZED fixed-point PageRank — the targeted-selection twin

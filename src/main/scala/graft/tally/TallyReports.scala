@@ -196,19 +196,26 @@ object TallyReports {
 
   private def treeWalk(t: TallyTables, group: String,
       downward: Boolean): DataFrame = {
+    // materialize the edge table once — mstGroup's lineage (the
+    // handcrafted VALUES union the generated bulk forest) would
+    // otherwise be replanned and re-derived at EVERY level of the
+    // walk; the loop then joins cached blocks (guide §2.4/§5)
     val g = t.mstGroup.select(col("name"), col("parent"))
+      .localCheckpoint(eager = true)
     var acc = g.filter(col("name") === group)
     var frontier = acc
     var depth = 0
-    while (depth < 500 && !frontier.isEmpty) {
+    var drained = false
+    while (depth < 500 && !drained) {
       val next = (if (downward)
         g.as("e").join(frontier.as("f"), col("e.parent") === col("f.name"))
       else
         g.as("e").join(frontier.as("f"), col("e.name") === col("f.parent")))
         .select(col("e.name").as("name"), col("e.parent").as("parent"))
         .localCheckpoint(eager = true)
-      frontier = next
-      if (!next.isEmpty) acc = acc.unionByName(next)
+      // one emptiness probe per level (was two: loop head + extend)
+      drained = next.isEmpty
+      if (!drained) { acc = acc.unionByName(next); frontier = next }
       depth += 1
     }
     acc.orderBy(col("name"))
