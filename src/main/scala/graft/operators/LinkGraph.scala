@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB link graphs): the per-iteration work is ONE
   * shuffle — contributions group by destination; the edge table is
   * joined on src, so a deployment buckets/pre-partitions edges by
-  * src once and every iteration's join is co-located. Ranks are
-  * checkpointed per round (tiny: |nodes| rows of two longs) so the
-  * logical plan does not grow with iterations — the [[Hierarchy]]
-  * closure discipline. Dangling mass (nodes with no in-links, edges
+  * src once and every iteration's join is co-located. Rounds chain
+  * LAZILY within one job (shuffle files are the inter-round
+  * materialization) with a lineage-truncating checkpoint every
+  * [[CkptEvery]] rounds — the Pregel-style cadence; only the
+  * dangling variant, whose per-round share is a driver scalar,
+  * materializes ranks every round (tiny: |nodes| rows of two
+  * longs). Dangling mass (nodes with no in-links, edges
   * to unknown ids) is handled by construction: contributions to
   * non-node ids drop in the final left join, absent contributions
   * coalesce to zero.
@@ -55,19 +58,36 @@ object LinkGraph {
     * (one implementation — round-18 review: three hand-mirrored
     * copies meant a loop fix had to find them all). Every variant is
     * the same per-round shape — contributions grouped by destination
-    * over the once-built degree-denormalized edge table, ranks
-    * checkpointed per round so plans don't grow — differing only in
-    * the per-node TELEPORT column of `spine` (id, tel) and the
-    * optional per-round SCALAR `extraPerRound` (the dangling share;
-    * 0 elsewhere — integer `+ 0` is the identity, so the fixed/
-    * personalized arithmetic is unchanged token for token and every
-    * unrolled-CTE oracle still matches). */
+    * over the once-built degree-denormalized edge table — differing
+    * only in the per-node TELEPORT column of `spine` (id, tel) and
+    * the optional per-round SCALAR `extraPerRound` (the dangling
+    * share; absent elsewhere — integer `+ 0` is the identity, so the
+    * fixed/personalized arithmetic is unchanged token for token and
+    * every unrolled-CTE oracle still matches).
+    *
+    * Materialization cadence (r21, guide §1.2/§2.4 — measured: five
+    * per-round localCheckpoints were 2.1 of q140's 3.4 s, each a
+    * driver barrier over a |nodes|-rows-of-two-longs frame):
+    * variants WITHOUT a per-round scalar chain rounds LAZILY — the
+    * whole fixed-point runs as ONE job whose shuffle files are the
+    * inter-round materialization, with a lineage-truncating
+    * checkpoint only every [[CkptEvery]] rounds (the Pregel-style
+    * cadence; at the 4-5 round gates the chain never checkpoints).
+    * The dangling variant's share is a per-round DRIVER scalar, so
+    * its ranks must materialize every round regardless — it keeps
+    * the per-round checkpoint (the scalar rides the same
+    * materialized frame). Each round references `ranks` exactly once
+    * (the contribution join), so the lazy plan grows linearly in
+    * iterations — never exponentially. */
+  private val CkptEvery = 8
+
   private def dampedLoop(spine: DataFrame, edgesDeg: DataFrame,
       init: DataFrame, iterations: Int, dampingPermille: Int,
-      extraPerRound: DataFrame => Long): DataFrame = {
-    var ranks = init.localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val extra = extraPerRound(ranks)
+      extraPerRound: Option[DataFrame => Long]): DataFrame = {
+    val perRound = extraPerRound.isDefined
+    var ranks = if (perRound) init.localCheckpoint(true) else init
+    for (round <- 1 to iterations) {
+      val extra = extraPerRound.map(_(ranks)).getOrElse(0L)
       val contrib = ranks
         .join(edgesDeg, ranks("id") === edgesDeg("src"))
         .select(col("dst").as("id"), expr("r div od").as("c"))
@@ -79,7 +99,8 @@ object LinkGraph {
             s"($dampingPermille * (coalesce(cs, CAST(0 AS BIGINT)) " +
               s"+ CAST($extra AS BIGINT))) div 1000"))
             .as("r"))
-        .localCheckpoint(true)
+      if (perRound || round % CkptEvery == 0)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), col("r"))
   }
@@ -99,7 +120,7 @@ object LinkGraph {
     dampedLoop(nodeIds.select(col("id"), lit(base).as("tel")),
       degreeEdges(edges),
       nodeIds.select(col("id"), lit(r0).as("r")),
-      iterations, dampingPermille, _ => 0L)
+      iterations, dampingPermille, None)
   }
 
   /** [[pageRankFixed]] with DANGLING-MASS REDISTRIBUTION — the
@@ -135,9 +156,9 @@ object LinkGraph {
       iterations, dampingPermille,
       // the one variant-specific piece: the dangling set's rank sum,
       // one bounded scalar per round, share = dangling div n
-      ranks => ranks.join(danglingIds, Seq("id"), "left_semi")
+      Some(ranks => ranks.join(danglingIds, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)))
-        .collect()(0).getLong(0) / n)
+        .collect()(0).getLong(0) / n))
   }
 
   /** Fixed-point HITS — the OTHER classic link prior: a page is a
@@ -260,7 +281,7 @@ object LinkGraph {
     dampedLoop(flagged.select(col("id"), (col("isSeed") * base).as("tel")),
       degreeEdges(edges),
       flagged.select(col("id"), (col("isSeed") * r0).as("r")),
-      iterations, dampingPermille, _ => 0L)
+      iterations, dampingPermille, None)
   }
 
   /** Persist a PageRank PRIOR artifact — the "compute offline, join

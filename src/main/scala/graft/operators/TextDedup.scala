@@ -849,11 +849,20 @@ object TextDedup {
       .localCheckpoint(true)
     // exact cross-side Jaccard on the survivors only: grams semi-join
     // down to candidate ids per side, one cross gram join for
-    // intersections, per-side sizes joined back in
-    val exCand = exG.join(cand.select(col("a").as("id")).distinct(),
-      Seq("id"), "left_semi").localCheckpoint(true)
-    val inCand = inG.join(cand.select(col("b").as("id")).distinct(),
-      Seq("id"), "left_semi").localCheckpoint(true)
+    // intersections, per-side sizes joined back in. ONE side-tagged
+    // materialization instead of two (r21, guide §1.2): both
+    // candidate-gram scans run as parallel stages of a single
+    // checkpoint job — same one-scan-per-side total as the former
+    // two sequential barriers, one less driver round-trip — and the
+    // three consumers (inter ×2 sides, sza, szb) read the small
+    // checkpointed frame.
+    val candG = exG.join(cand.select(col("a").as("id")).distinct(),
+        Seq("id"), "left_semi").withColumn("cside", lit(0))
+      .unionByName(inG.join(cand.select(col("b").as("id")).distinct(),
+        Seq("id"), "left_semi").withColumn("cside", lit(1)))
+      .localCheckpoint(true)
+    val exCand = candG.filter(col("cside") === 0).drop("cside")
+    val inCand = candG.filter(col("cside") === 1).drop("cside")
     val inter = exCand.as("x").join(inCand.as("y"), col("x.g") === col("y.g"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -1561,32 +1570,39 @@ object TextDedup {
     val dups = snap.read(spark, "dups.parquet")
       .join(batchD, Seq("d"), "left_semi")
       .select(col("d"), col("df").as("bdf"))
-      .localCheckpoint(true) // small: summary ∩ batch, probed twice
     if (!snap.has("wdelta.parquet")) return dups.select(col("d"))
     val deltas = snap.read(spark, "wdelta.parquet")
       .join(batchD, Seq("d"), "left_semi")
       .groupBy(col("d")).agg(sum(col("df")).as("ddf"))
-      .localCheckpoint(true) // small: delta digests ∩ batch
-    val joined = deltas.join(dups, Seq("d"), "left")
-      .localCheckpoint(true) // feeds the decided AND ambiguous splits
+    // ONE materialization for every split below (r21, guide §1.2:
+    // the former dups/deltas/joined checkpoint chain was three
+    // sequential driver barriers; the full-outer join computes both
+    // restricted scans as parallel stages of a single job and every
+    // branch — delta-untouched summary rows, decided, ambiguous —
+    // filters the same tiny checkpointed frame). Row-for-row the
+    // branches are the old ones: a full-outer row with ddf null IS
+    // the old dups-anti-deltas row; one with ddf present IS the old
+    // deltas-left-dups row.
+    val joined = deltas.join(dups, Seq("d"), "full")
+      .localCheckpoint(true)
     // decidable without the base: in-summary (base known), or
     // delta ≥ 2 (dup regardless of base ≤ 1), or delta ≤ 0 (total ≤
     // base ≤ 1 — a tombstone can only cancel ingested mass, so the
     // per-digest sum never goes negative)
     val decided = joined
+      .filter(col("ddf").isNotNull)
       .filter(col("bdf").isNotNull || col("ddf") =!= 1)
       .filter(coalesce(col("bdf"), lit(0L)) + col("ddf") > 1)
       .select(col("d"))
     val ambiguous = joined
       .filter(col("bdf").isNull && col("ddf") === 1)
       .select(col("d"))
-      .localCheckpoint(true)
     val resolved =
       if (ambiguous.isEmpty) ambiguous
       else snap.read(spark, "wdf.parquet")
         .join(ambiguous, Seq("d"), "left_semi")
         .select(col("d"))
-    val dupNoDelta = dups.join(deltas, Seq("d"), "left_anti")
+    val dupNoDelta = joined.filter(col("ddf").isNull)
       .select(col("d"))
     dupNoDelta.unionByName(decided).unionByName(resolved)
   }
